@@ -1,0 +1,421 @@
+"""Metric compiler: declarative MetricSpec -> Spark DataFrame plan.
+
+This is the engine's one genuinely custom component (SURVEY.md §4): plan
+*synthesis*, not plan rewriting.  Each spec compiles to standard
+DataFrame operators (`filter -> date_trunc -> groupBy -> agg`, window
+functions for cumulative metrics, conditional aggregation for ratio
+metrics, key-joins for derived metrics) which Catalyst then optimizes --
+predicate pushdown into the parquet scan, map-side partial aggregation,
+AQE join selection all come free.
+
+Scale notes (100 TB posture):
+- Simple/ratio metrics are one shuffle on (grain, dims).  Ratio metrics
+  use conditional aggregation (single pass) instead of two aggregations
+  plus a join.
+- count_distinct is exact by default; pass approx_distinct=True to swap
+  in approx_count_distinct (HLL) -- exact distinct at 100 TB shuffles
+  every distinct value.
+- Grain rollups are recomputed from base data, never from a finer grain:
+  average and count_distinct are not re-aggregable (SURVEY.md §4).
+- Cumulative metrics aggregate to the grain first, so the window
+  operates on grain-cardinality rows (tiny), partitioned by
+  (dims, reset bucket) -- no full-data window scan.
+
+Semantics cited from the reference spec language:
+calculation methods /root/reference/README.md:208; filters
+/root/reference/test_manifest.json:375-381; grains
+/root/reference/test_manifest.json:269-275; ratio
+/root/reference/example_dbt_metrics.yml:26-41; cumulative + fiscal-year
+reset /root/reference/example_dbt_metrics.yml:78-92; derived
+/root/reference/dbt_metrics_to_datahub.py:61.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .metric_spec import MetricFilter, MetricSpec
+
+# ---------------------------------------------------------------------------
+# filter compilation (P7, F11)
+# ---------------------------------------------------------------------------
+
+# Jinja-templated relative dates, e.g.
+#   {{ dbt.dateadd('day', -30, 'current_date') }}
+# (/root/reference/example_dbt_metrics.yml:56).  Only observed patterns are
+# supported; anything else raises loudly (SURVEY.md §7 watch-list 6).
+_DATEADD_RE = re.compile(
+    r"dateadd\(\s*'?(?P<unit>day|week|month|quarter|year)'?\s*,\s*"
+    r"(?P<n>-?\d+)\s*,\s*'?(?P<anchor>[\w().-]+?)'?\s*\)",
+    re.IGNORECASE,
+)
+
+_DATE_LIT_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _anchor_column(anchor: str) -> Column:
+    anchor = anchor.strip().strip("'\"").rstrip("()")
+    if anchor == "current_date":
+        return F.current_date()
+    if _DATE_LIT_RE.match(anchor):
+        return F.to_date(F.lit(anchor))
+    raise ValueError(f"unsupported dateadd anchor {anchor!r}")
+
+
+def _dateadd_column(unit: str, n: int, anchor: Column) -> Column:
+    unit = unit.lower()
+    if unit == "day":
+        return F.date_add(anchor, n)
+    if unit == "week":
+        return F.date_add(anchor, 7 * n)
+    if unit == "month":
+        return F.add_months(anchor, n)
+    if unit == "quarter":
+        return F.add_months(anchor, 3 * n)
+    if unit == "year":
+        return F.add_months(anchor, 12 * n)
+    raise ValueError(f"unsupported dateadd unit {unit!r}")
+
+
+def _value_column(value) -> Column:
+    """Compile a filter value to a Column.
+
+    Handles literals (bool/number/string), numeric strings ("100" in
+    /root/reference/test_manifest.json:380), ISO date strings, and
+    templated relative dates.
+    """
+    if isinstance(value, bool) or isinstance(value, (int, float)):
+        return F.lit(value)
+    if value is None:
+        return F.lit(None)
+    s = str(value).strip()
+    if "{{" in s or "dateadd" in s.lower():
+        m = _DATEADD_RE.search(s)
+        if not m:
+            raise ValueError(f"unsupported templated filter value {value!r}")
+        return _dateadd_column(m.group("unit"), int(m.group("n")), _anchor_column(m.group("anchor")))
+    low = s.lower()
+    if low in ("true", "false"):
+        return F.lit(low == "true")
+    try:
+        return F.lit(int(s))
+    except ValueError:
+        pass
+    try:
+        return F.lit(float(s))
+    except ValueError:
+        pass
+    if _DATE_LIT_RE.match(s):
+        return F.to_date(F.lit(s))
+    return F.lit(s)
+
+
+def compile_filter(flt: MetricFilter) -> Column:
+    """{field, operator, value} -> boolean Column (conjunct)."""
+    col = F.expr(flt.field)
+    op = flt.operator
+    if op in ("in", "not in"):
+        vals = flt.value if isinstance(flt.value, (list, tuple)) else [flt.value]
+        cond = col.isin(list(vals))
+        return ~cond if op == "not in" else cond
+    if op in ("is", "is not"):
+        is_null = str(flt.value).strip().lower() in ("null", "none", "")
+        if not is_null:
+            raise ValueError(f"IS operator only supports NULL, got {flt.value!r}")
+        return col.isNull() if op == "is" else col.isNotNull()
+    val = _value_column(flt.value)
+    if op in ("=", "=="):
+        return col == val
+    if op in ("!=", "<>"):
+        return col != val
+    if op == ">":
+        return col > val
+    if op == ">=":
+        return col >= val
+    if op == "<":
+        return col < val
+    if op == "<=":
+        return col <= val
+    raise ValueError(f"unsupported operator {op!r}")
+
+
+def filters_predicate(filters: list[MetricFilter]) -> Column | None:
+    """Conjunction of all filters (reference filters are ANDed)."""
+    if not filters:
+        return None
+    return reduce(lambda a, b: a & b, (compile_filter(f) for f in filters))
+
+
+# ---------------------------------------------------------------------------
+# grain handling (A8, F10)
+# ---------------------------------------------------------------------------
+
+TS_COL = "ts"
+
+
+def grain_column(ts_field: str, grain: str) -> Column:
+    """Truncate an event-time column to a grain.
+
+    Cast to date (except hour) so results are engine-portable: Spark
+    date_trunc returns timestamp while ANSI engines return date.
+    """
+    if grain == "hour":
+        return F.date_trunc("hour", F.col(ts_field))
+    return F.date_trunc(grain, F.col(ts_field)).cast("date")
+
+
+# ---------------------------------------------------------------------------
+# aggregation expressions (A1-A4)
+# ---------------------------------------------------------------------------
+
+
+def _agg_column(
+    method: str,
+    expression: str,
+    cond: Column | None = None,
+    approx_distinct: bool = False,
+    rsd: float = 0.02,
+) -> Column:
+    """calculation_method + expression [+ condition] -> aggregate Column.
+
+    `cond` enables single-pass conditional aggregation (used by ratio
+    metrics): rows failing the condition contribute NULL, which every
+    aggregate here ignores.
+    """
+    if expression in ("*", "", None):
+        base = F.lit(1) if method == "count" else None
+        if base is None:
+            raise ValueError(f"calculation_method {method!r} requires an expression")
+    else:
+        base = F.expr(expression)
+    if cond is not None:
+        base = F.when(cond, base)
+    if method == "sum":
+        return F.sum(base)
+    if method == "count":
+        return F.count(base)
+    if method == "count_distinct":
+        if approx_distinct:
+            return F.approx_count_distinct(base, rsd)
+        return F.countDistinct(base)
+    if method == "average":
+        return F.avg(base)
+    if method == "min":
+        return F.min(base)
+    if method == "max":
+        return F.max(base)
+    if method == "median":
+        return F.median(base)
+    raise ValueError(f"unsupported calculation_method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# the compiler
+# ---------------------------------------------------------------------------
+
+
+class MetricCompiler:
+    """Compiles MetricSpecs into DataFrame plans.
+
+    resolver: model name -> base DataFrame (e.g. a parquet scan).
+    registry: metric name -> MetricSpec, consulted by derived metrics.
+    """
+
+    def __init__(
+        self,
+        resolver: Callable[[str], DataFrame],
+        registry: dict[str, MetricSpec] | None = None,
+        approx_distinct: bool = False,
+        rsd: float = 0.02,
+    ) -> None:
+        self.resolver = resolver
+        self.registry = dict(registry or {})
+        self.approx_distinct = approx_distinct
+        self.rsd = rsd
+
+    def register(self, *specs: MetricSpec) -> None:
+        for s in specs:
+            self.registry[s.name] = s
+
+    # -- public ------------------------------------------------------------
+
+    def compile(self, spec: MetricSpec, grain: str | None = None) -> DataFrame:
+        """Compile one metric at one grain.
+
+        Output schema: [ts (date)] + dims + <metric name>.  grain=None or
+        'all_time' drops the time key.
+        """
+        return self._compile(spec, grain, visiting=())
+
+    def compile_all_grains(self, spec: MetricSpec) -> dict[str, DataFrame]:
+        """One DataFrame per declared grain.
+
+        Each grain re-aggregates from base data rather than rolling up a
+        finer grain: correct for all methods including average and
+        count_distinct (which are not re-aggregable), and each is still a
+        single shuffle.
+        """
+        grains = spec.time_grains or ["all_time"]
+        return {g: self.compile(spec, g) for g in grains}
+
+    # -- internals ---------------------------------------------------------
+
+    def _compile(self, spec: MetricSpec, grain: str | None, visiting: tuple) -> DataFrame:
+        if spec.name in visiting:
+            chain = " -> ".join(visiting + (spec.name,))
+            raise ValueError(f"derived-metric cycle: {chain}")
+        if spec.metric_type == "simple":
+            return self._compile_simple(spec, grain)
+        if spec.metric_type == "ratio":
+            return self._compile_ratio(spec, grain)
+        if spec.metric_type == "cumulative":
+            return self._compile_cumulative(spec, grain)
+        if spec.metric_type in ("derived", "expression"):
+            return self._compile_derived(spec, grain, visiting)
+        raise ValueError(f"unsupported metric type {spec.metric_type!r}")
+
+    def _base(self, spec: MetricSpec) -> DataFrame:
+        df = self.resolver(spec.model)
+        pred = filters_predicate(spec.filters)
+        if pred is not None:
+            df = df.filter(pred)
+        return df
+
+    def _group_keys(self, spec: MetricSpec, grain: str | None) -> list[Column]:
+        keys: list[Column] = []
+        if grain and grain != "all_time":
+            if not spec.timestamp:
+                raise ValueError(f"metric {spec.name!r} has no timestamp column for grain {grain!r}")
+            keys.append(grain_column(spec.timestamp, grain).alias(TS_COL))
+        keys.extend(F.col(d) for d in spec.dimensions)
+        return keys
+
+    def _aggregate(self, df: DataFrame, keys: list[Column], agg: Column) -> DataFrame:
+        if keys:
+            return df.groupBy(*keys).agg(agg)
+        return df.agg(agg)
+
+    def _compile_simple(self, spec: MetricSpec, grain: str | None) -> DataFrame:
+        df = self._base(spec)
+        keys = self._group_keys(spec, grain)
+        agg = _agg_column(
+            spec.calculation_method,
+            spec.expression,
+            approx_distinct=self.approx_distinct,
+            rsd=self.rsd,
+        ).alias(spec.name)
+        return self._aggregate(df, keys, agg)
+
+    def _compile_ratio(self, spec: MetricSpec, grain: str | None) -> DataFrame:
+        """numerator / denominator in a single aggregation pass.
+
+        Component-level filters become conditional aggregates, so a ratio
+        costs exactly one shuffle -- no self-join
+        (/root/reference/example_dbt_metrics.yml:26-41 semantics).
+        """
+        num, den = spec.numerator, spec.denominator
+        if num.model != den.model:
+            raise ValueError(f"ratio metric {spec.name!r}: components must share a model")
+        base = MetricSpec(
+            name=spec.name,
+            calculation_method="count",
+            expression="*",
+            model=num.model,
+            timestamp=spec.timestamp or num.timestamp,
+            dimensions=spec.dimensions,
+            filters=spec.filters,
+        )
+        df = self._base(base)
+        keys = self._group_keys(base, grain)
+        num_agg = _agg_column(
+            num.calculation_method,
+            num.expression,
+            cond=filters_predicate(num.filters),
+            approx_distinct=self.approx_distinct,
+            rsd=self.rsd,
+        ).alias("__num")
+        den_agg = _agg_column(
+            den.calculation_method,
+            den.expression,
+            cond=filters_predicate(den.filters),
+            approx_distinct=self.approx_distinct,
+            rsd=self.rsd,
+        ).alias("__den")
+        if keys:
+            out = df.groupBy(*keys).agg(num_agg, den_agg)
+        else:
+            out = df.agg(num_agg, den_agg)
+        value = F.when(F.col("__den") != 0, F.col("__num") / F.col("__den")).alias(spec.name)
+        return out.select(*[c for c in out.columns if not c.startswith("__")], value)
+
+    def _compile_cumulative(self, spec: MetricSpec, grain: str | None) -> DataFrame:
+        """Running total over grain buckets, resetting at reset_grain.
+
+        Aggregate to the grain first (one shuffle over base data), then
+        window over the tiny grain-level frame partitioned by
+        (dims, reset bucket) -- the window never sees raw rows.
+        Only additive methods are meaningful as running totals; distinct
+        counts cannot be composed from partials (SURVEY.md §4).
+        """
+        if spec.calculation_method not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"cumulative metric {spec.name!r}: method {spec.calculation_method!r} "
+                "is not re-aggregable across buckets"
+            )
+        if not grain or grain == "all_time":
+            raise ValueError(f"cumulative metric {spec.name!r} requires a time grain")
+        base_spec = MetricSpec(
+            name="__bucket_value",
+            calculation_method=spec.calculation_method,
+            expression=spec.expression,
+            model=spec.model,
+            timestamp=spec.timestamp,
+            dimensions=spec.dimensions,
+            filters=spec.filters,
+        )
+        bucketed = self._compile_simple(base_spec, grain)
+        parts: list[Column] = [F.col(d) for d in spec.dimensions]
+        if spec.reset_grain:
+            parts.append(F.date_trunc(spec.reset_grain, F.col(TS_COL)).cast("date"))
+        w = (
+            Window.partitionBy(*parts).orderBy(F.col(TS_COL))
+            if parts
+            else Window.partitionBy().orderBy(F.col(TS_COL))
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        acc = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}[
+            spec.calculation_method
+        ]
+        return bucketed.select(
+            TS_COL,
+            *spec.dimensions,
+            acc(F.col("__bucket_value")).over(w).alias(spec.name),
+        )
+
+    def _compile_derived(self, spec: MetricSpec, grain: str | None, visiting: tuple) -> DataFrame:
+        """Expression over other metrics: compile inputs, equi-join on the
+        shared group keys, evaluate the expression.
+
+        Input frames are grain-cardinality (already aggregated), so these
+        joins are small; at scale AQE broadcast-joins them.  Cycles and
+        missing inputs fail loudly (SURVEY.md §7 watch-list 1).
+        """
+        visiting = visiting + (spec.name,)
+        frames: dict[str, DataFrame] = {}
+        for m in spec.input_metrics:
+            if m not in self.registry:
+                raise ValueError(f"derived metric {spec.name!r}: unknown input metric {m!r}")
+            frames[m] = self._compile(self.registry[m], grain, visiting)
+        names = list(frames)
+        joined = frames[names[0]]
+        key_cols = [c for c in joined.columns if c not in names]
+        for m in names[1:]:
+            f = frames[m]
+            shared = [c for c in key_cols if c in f.columns]
+            joined = joined.join(f, on=shared, how="full") if shared else joined.crossJoin(f)
+        out_keys = [c for c in joined.columns if c not in names]
+        return joined.select(*out_keys, F.expr(spec.expression).alias(spec.name))

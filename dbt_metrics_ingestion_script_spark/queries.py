@@ -1,0 +1,377 @@
+"""Named query registry: every operator from SURVEY.md §2 gets a
+(spark_fn, oracle_sql) pair here; `__spark_entry__.py` exposes them to
+the driver's differential harness (DuckDB oracle at sf0.01).
+
+Conventions (driver contract):
+- every computed column is aliased identically in Spark and SQL;
+- grain columns are cast to date on both sides (Spark date_trunc returns
+  timestamp, ANSI engines return date);
+- floating-point aggregates are rounded identically on both sides (sum
+  order differs between engines at the ulp level).
+
+The metric definitions mirror the reference's golden fixtures
+(/root/reference/test_manifest.json:252-407,
+/root/reference/example_dbt_metrics.yml) mapped onto the driver's
+TPC-H-ish tables per FIXTURES.md §2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.compiler import MetricCompiler, TS_COL
+from .plans.metric_spec import MetricFilter, MetricSpec
+from .sources.tables import load_table
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI/DuckDB SQL; None -> rows-only driver check
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _compiler(spark: SparkSession, sf_dir: str, **kw) -> MetricCompiler:
+    return MetricCompiler(lambda model: load_table(spark, sf_dir, model), **kw)
+
+
+def _round(df: DataFrame, cols: dict[str, int]) -> DataFrame:
+    """Round named double columns in place (oracle float parity)."""
+    out = df
+    for c, n in cols.items():
+        out = out.withColumn(c, F.round(F.col(c), n))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# metric specs: the reference's fixture metrics over the driver's orders /
+# lineitem tables (FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+TOTAL_REVENUE = MetricSpec(
+    name="total_revenue",
+    calculation_method="sum",
+    expression="o_totalprice",
+    model="orders",
+    timestamp="o_orderdate",
+    time_grains=["day", "week", "month", "quarter", "year"],
+    dimensions=["o_custkey"],
+)
+
+CUSTOMER_COUNT = MetricSpec(
+    name="customer_count",
+    calculation_method="count_distinct",
+    expression="o_custkey",
+    model="orders",
+    timestamp="o_orderdate",
+    time_grains=["day", "week", "month"],
+)
+
+AVG_ORDER_VALUE = MetricSpec(
+    name="avg_order_value",
+    calculation_method="average",
+    expression="o_totalprice",
+    model="orders",
+    timestamp="o_orderdate",
+    time_grains=["week", "month", "quarter"],
+    dimensions=["o_custkey"],
+    filters=[MetricFilter(field="o_totalprice", operator=">", value="0")],
+)
+
+ORDER_COUNT = MetricSpec(
+    name="order_count",
+    calculation_method="count",
+    expression="*",
+    model="orders",
+    timestamp="o_orderdate",
+    time_grains=["day"],
+    dimensions=["o_orderstatus"],
+)
+
+# ratio metric (profit_margin analogue, example_dbt_metrics.yml:26-41):
+# discount_rate = sum(extendedprice * discount) / sum(extendedprice)
+DISCOUNT_RATE = MetricSpec(
+    name="discount_rate",
+    metric_type="ratio",
+    calculation_method="sum",
+    expression="l_extendedprice * l_discount",
+    model="lineitem",
+    timestamp="l_shipdate",
+    time_grains=["month"],
+    numerator=MetricSpec(
+        name="discount_amount",
+        calculation_method="sum",
+        expression="l_extendedprice * l_discount",
+        model="lineitem",
+        timestamp="l_shipdate",
+    ),
+    denominator=MetricSpec(
+        name="gross_revenue",
+        calculation_method="sum",
+        expression="l_extendedprice",
+        model="lineitem",
+        timestamp="l_shipdate",
+    ),
+)
+
+# cumulative metric with fiscal-year reset (example_dbt_metrics.yml:78-92)
+CUMULATIVE_REVENUE = MetricSpec(
+    name="cumulative_revenue",
+    metric_type="cumulative",
+    calculation_method="sum",
+    expression="o_totalprice",
+    model="orders",
+    timestamp="o_orderdate",
+    time_grains=["month"],
+    reset_grain="year",
+)
+
+# simple component metrics without dimensions, for the derived metric
+_REV_NODIM = MetricSpec(
+    name="total_revenue",
+    calculation_method="sum",
+    expression="o_totalprice",
+    model="orders",
+    timestamp="o_orderdate",
+    time_grains=["month"],
+)
+
+# derived metric: expression over other metrics
+# (dbt_metrics_to_datahub.py:61 'derived'; README.md:207)
+REVENUE_PER_CUSTOMER = MetricSpec(
+    name="revenue_per_customer",
+    metric_type="derived",
+    expression="total_revenue / customer_count",
+    model="orders",
+    timestamp="o_orderdate",
+    time_grains=["month"],
+    input_metrics=["total_revenue", "customer_count"],
+)
+
+# multi-filter metric with templated relative date + status equality
+# (active_customer_count shape, example_dbt_metrics.yml:44-75; fixed
+# anchor date keeps it deterministic for the oracle)
+FILTERED_REVENUE = MetricSpec(
+    name="filtered_revenue",
+    calculation_method="sum",
+    expression="o_totalprice",
+    model="orders",
+    timestamp="o_orderdate",
+    time_grains=["month"],
+    filters=[
+        MetricFilter(field="o_orderstatus", operator="=", value="F"),
+        MetricFilter(field="o_totalprice", operator=">", value="1000"),
+        MetricFilter(
+            field="o_orderdate",
+            operator=">=",
+            value="{{ dbt.dateadd('year', -3, '1998-08-01') }}",
+        ),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# Layer B queries (A1-A8, P7, F10-F12, W1, J4-ish derived joins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "metric_total_revenue_month",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+           o_custkey,
+           ROUND(SUM(o_totalprice), 4) AS total_revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def metric_total_revenue_month(spark, sf_dir):
+    df = _compiler(spark, sf_dir).compile(TOTAL_REVENUE, "month")
+    return _round(df, {"total_revenue": 4})
+
+
+@register(
+    "metric_total_revenue_week",
+    """
+    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS ts,
+           o_custkey,
+           ROUND(SUM(o_totalprice), 4) AS total_revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def metric_total_revenue_week(spark, sf_dir):
+    df = _compiler(spark, sf_dir).compile(TOTAL_REVENUE, "week")
+    return _round(df, {"total_revenue": 4})
+
+
+@register(
+    "metric_total_revenue_quarter",
+    """
+    SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS ts,
+           o_custkey,
+           ROUND(SUM(o_totalprice), 4) AS total_revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def metric_total_revenue_quarter(spark, sf_dir):
+    df = _compiler(spark, sf_dir).compile(TOTAL_REVENUE, "quarter")
+    return _round(df, {"total_revenue": 4})
+
+
+@register(
+    "metric_total_revenue_year",
+    """
+    SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS ts,
+           o_custkey,
+           ROUND(SUM(o_totalprice), 4) AS total_revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def metric_total_revenue_year(spark, sf_dir):
+    df = _compiler(spark, sf_dir).compile(TOTAL_REVENUE, "year")
+    return _round(df, {"total_revenue": 4})
+
+
+@register(
+    "metric_customer_count_day",
+    """
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS ts,
+           COUNT(DISTINCT o_custkey) AS customer_count
+    FROM orders GROUP BY 1
+    """,
+)
+def metric_customer_count_day(spark, sf_dir):
+    return _compiler(spark, sf_dir).compile(CUSTOMER_COUNT, "day")
+
+
+@register(
+    "metric_avg_order_value_month",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+           o_custkey,
+           ROUND(AVG(o_totalprice), 4) AS avg_order_value
+    FROM orders WHERE o_totalprice > 0 GROUP BY 1, 2
+    """,
+)
+def metric_avg_order_value_month(spark, sf_dir):
+    df = _compiler(spark, sf_dir).compile(AVG_ORDER_VALUE, "month")
+    return _round(df, {"avg_order_value": 4})
+
+
+@register(
+    "metric_order_count_day_status",
+    """
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS ts,
+           o_orderstatus,
+           COUNT(*) AS order_count
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def metric_order_count_day_status(spark, sf_dir):
+    return _compiler(spark, sf_dir).compile(ORDER_COUNT, "day")
+
+
+@register(
+    "metric_ratio_discount_rate_month",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ts,
+           ROUND(CASE WHEN SUM(l_extendedprice) <> 0
+                      THEN SUM(l_extendedprice * l_discount) / SUM(l_extendedprice)
+                 END, 6) AS discount_rate
+    FROM lineitem GROUP BY 1
+    """,
+)
+def metric_ratio_discount_rate_month(spark, sf_dir):
+    df = _compiler(spark, sf_dir).compile(DISCOUNT_RATE, "month")
+    return _round(df, {"discount_rate": 6})
+
+
+@register(
+    "metric_cumulative_revenue_month",
+    """
+    SELECT ts,
+           ROUND(SUM(bucket_rev) OVER (
+               PARTITION BY date_trunc('year', ts) ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS cumulative_revenue
+    FROM (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+               SUM(o_totalprice) AS bucket_rev
+        FROM orders GROUP BY 1
+    )
+    """,
+)
+def metric_cumulative_revenue_month(spark, sf_dir):
+    df = _compiler(spark, sf_dir).compile(CUMULATIVE_REVENUE, "month")
+    return _round(df, {"cumulative_revenue": 4})
+
+
+@register(
+    "metric_derived_revenue_per_customer_month",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+           ROUND(SUM(o_totalprice) / COUNT(DISTINCT o_custkey), 4)
+             AS revenue_per_customer
+    FROM orders GROUP BY 1
+    """,
+)
+def metric_derived_revenue_per_customer_month(spark, sf_dir):
+    comp = _compiler(spark, sf_dir)
+    comp.register(_REV_NODIM, CUSTOMER_COUNT)
+    df = comp.compile(REVENUE_PER_CUSTOMER, "month")
+    return _round(df, {"revenue_per_customer": 4})
+
+
+@register(
+    "metric_filtered_revenue_month",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+           ROUND(SUM(o_totalprice), 4) AS filtered_revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_totalprice > 1000
+      AND o_orderdate >= DATE '1995-08-01'
+    GROUP BY 1
+    """,
+)
+def metric_filtered_revenue_month(spark, sf_dir):
+    df = _compiler(spark, sf_dir).compile(FILTERED_REVENUE, "month")
+    return _round(df, {"filtered_revenue": 4})
+
+
+@register(
+    "metric_approx_customer_count",
+    None,  # approximate by construction -> rows-only driver check
+)
+def metric_approx_customer_count(spark, sf_dir):
+    """approx_count_distinct (HLL) variant of A2 -- the 100 TB scale path
+    for distinct counts (SURVEY.md §4)."""
+    return _compiler(spark, sf_dir, approx_distinct=True, rsd=0.02).compile(
+        CUSTOMER_COUNT, "month"
+    )
+
+
+# ---------------------------------------------------------------------------
+# public surface consumed by __spark_entry__.py
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle.strip() for name, qd in REGISTRY.items() if qd.oracle}

@@ -1,0 +1,46 @@
+"""Fact/dimension table registry over the driver's parquet test data.
+
+Mirrors the reference's fact-table scan surface (SURVEY.md S7; model
+`relation_name` at /root/reference/test_manifest.json:161) as plain
+parquet DataFrame reads.  Column pruning and predicate pushdown are left
+to Catalyst -- callers express filters/projections declaratively and the
+parquet scan receives PushedFilters/ReadSchema automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Tiny dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so Spark SQL text queries work."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,77 @@
+"""Differential tests: every registered Layer B query vs its DuckDB
+oracle at sf0.001 (fast); the driver repeats this at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_metrics_ingestion_script_spark import queries as q
+from dbt_metrics_ingestion_script_spark.plans.compiler import MetricCompiler
+from dbt_metrics_ingestion_script_spark.plans.metric_spec import MetricFilter, MetricSpec
+
+from .oracle import assert_matches_oracle
+
+ORACLE_BACKED = sorted(q.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = q.REGISTRY[name].fn(spark, sf_dir)
+    assert_matches_oracle(df, q.REGISTRY[name].oracle, sf_dir)
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    for name, qd in q.REGISTRY.items():
+        if qd.oracle is None:
+            assert qd.fn(spark, sf_dir).count() >= 0
+
+
+def test_derived_cycle_detection(spark, sf_dir):
+    a = MetricSpec(
+        name="a", metric_type="derived", expression="b + 1",
+        model="orders", input_metrics=["b"],
+    )
+    b = MetricSpec(
+        name="b", metric_type="derived", expression="a + 1",
+        model="orders", input_metrics=["a"],
+    )
+    comp = MetricCompiler(lambda m: None, registry={"a": a, "b": b})
+    with pytest.raises(ValueError, match="cycle"):
+        comp.compile(a, None)
+
+
+def test_unknown_filter_operator_rejected():
+    with pytest.raises(ValueError, match="operator"):
+        MetricFilter(field="x", operator="like", value="y")
+
+
+def test_unsupported_template_rejected(spark, sf_dir):
+    spec = MetricSpec(
+        name="bad", calculation_method="sum", expression="o_totalprice",
+        model="orders",
+        filters=[MetricFilter(field="o_orderdate", operator=">=",
+                              value="{{ weird_macro() }}")],
+    )
+    comp = MetricCompiler(lambda m: spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    with pytest.raises(ValueError, match="templated"):
+        comp.compile(spec, None).collect()
+
+
+def test_cumulative_requires_additive():
+    spec = MetricSpec(
+        name="cd", metric_type="cumulative", calculation_method="count_distinct",
+        expression="o_custkey", model="orders", timestamp="o_orderdate",
+    )
+    comp = MetricCompiler(lambda m: None)
+    with pytest.raises(ValueError, match="re-aggregable"):
+        comp.compile(spec, "month")
+
+
+def test_all_grains(spark, sf_dir):
+    comp = MetricCompiler(
+        lambda m: spark.read.parquet(f"{sf_dir}/{m}.parquet")
+    )
+    frames = comp.compile_all_grains(q.TOTAL_REVENUE)
+    assert set(frames) == {"day", "week", "month", "quarter", "year"}
+    counts = {g: f.count() for g, f in frames.items()}
+    assert counts["year"] <= counts["quarter"] <= counts["month"] <= counts["day"]
