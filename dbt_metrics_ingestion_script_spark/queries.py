@@ -17,44 +17,18 @@ TPC-H-ish tables per FIXTURES.md §2.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from .plans.compiler import MetricCompiler, TS_COL
+from .plans.compiler import MetricCompiler
 from .plans.metric_spec import MetricFilter, MetricSpec
+from .registry import REGISTRY, register, round_cols as _round
 from .sources.tables import load_table
-
-
-@dataclass
-class QueryDef:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # ANSI/DuckDB SQL; None -> rows-only driver check
-
-
-REGISTRY: dict[str, QueryDef] = {}
-
-
-def register(name: str, oracle: str | None):
-    def deco(fn):
-        REGISTRY[name] = QueryDef(fn, oracle)
-        return fn
-
-    return deco
 
 
 def _compiler(spark: SparkSession, sf_dir: str, **kw) -> MetricCompiler:
     return MetricCompiler(lambda model: load_table(spark, sf_dir, model), **kw)
-
-
-def _round(df: DataFrame, cols: dict[str, int]) -> DataFrame:
-    """Round named double columns in place (oracle float parity)."""
-    out = df
-    for c, n in cols.items():
-        out = out.withColumn(c, F.round(F.col(c), n))
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -370,8 +344,15 @@ def metric_approx_customer_count(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all_query_modules()
     return {name: qd.fn for name, qd in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_all_query_modules()
     return {name: qd.oracle.strip() for name, qd in REGISTRY.items() if qd.oracle}
+
+
+def _load_all_query_modules() -> None:
+    """Import side-effect modules that register additional queries."""
+    from . import queries_layer_a  # noqa: F401
