@@ -1,0 +1,303 @@
+"""Deduplication operators for LLM-scale corpora (SURVEY.md §2.11 X1/X2).
+
+All hot paths are JVM-side array/higher-order functions -- zero Python
+row UDFs.  Scale posture per operator:
+
+- exact_dedup: one hash-aggregate shuffle on the dedup key.  At 100 TB,
+  group on a digest of the normalized text (64-bit + length), never the
+  raw text, so shuffle rows are ~30 bytes.
+- minhash_lsh: the classic shingle -> k-minhash -> banded-bucket join.
+  Candidate generation touches only (band, bucket) pairs, so the
+  self-join is on bucket ids (balanced by construction); verification
+  computes exact Jaccard only on candidates.  This is the scale path --
+  cost O(n * k) + candidate joins instead of O(n^2).
+- ngram_jaccard_pairs: exact pairwise Jaccard via an inverted shingle
+  index (explode -> equi-join on shingle -> count).  Exact but
+  join-fan-out-bound: use for corpora small enough that documents
+  sharing a shingle are rare; at 100 TB use minhash_lsh first and this
+  as the verify stage.
+- simhash64: per-doc 64-bit signature via weighted bit-vote over token
+  hashes; near-dups differ in few bits (hamming <= 3).  Signature is an
+  aggregate expression; banding the 64 bits into 4x16-bit keys gives an
+  exact index for hamming<=3 candidates (pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+
+# ---------------------------------------------------------------------------
+# normalization + shingling (shared by all text dedup)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower + collapse whitespace + trim: the canonical form exact and
+    near dedup operate on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text; texts shorter
+    than n words produce one whole-text shingle."""
+    tokens = F.split(normalize_text(col), " ")
+    windowed = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.when(F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))).otherwise(
+        F.array_distinct(windowed)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-first exact dedup on normalized text.
+
+    Output: (content_hash, doc_id = survivor, n_dups).  Grouping key is
+    a 64-bit digest (plus count verification downstream if paranoid) so
+    the shuffle carries digests, not documents.
+    """
+    norm = normalize_text(text_col)
+    return (
+        df.select(hash64(norm).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2a: exact pairwise n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Inverted index: explode shingles, self-join on shingle (hashed to
+    64-bit to keep shuffle rows small), count common shingles, then
+    |A∩B| / (|A| + |B| - |A∩B|).  Output: (id_a, id_b, jaccard) with
+    id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    ).select("id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
+    sh = sh.select("id", "n_sh", hash64("sh").alias("sh_hash"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, F.col("a.sh_hash") == F.col("b.sh_hash"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return common.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# X2b: MinHash + LSH (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, k: int = 32) -> Column:
+    """k-permutation MinHash: sig[i] = min over shingles of h_i(s),
+    h_i(s) = hash64(s + '|' + i).  Engine-portable (md5-based)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: hash64(F.concat_ws("|", s, i.cast("string"))))
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs: equal MinHash band in >= 1 of `bands`
+    bands (rows per band r = k/bands; P[candidate] ~ 1-(1-j^r)^bands).
+
+    Output: (id_a, id_b) distinct, id_a < id_b.  The only joins are on
+    (band, bucket-hash) -- no document content moves.
+    """
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    r = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(text_col, n), k).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    hash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * r + 1, r), lambda x: x.cast("string")
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dedup: LSH candidates -> exact-Jaccard verify -> drop
+    the higher id of each duplicate pair.  Returns surviving rows."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, n, k, bands)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    )
+    verified = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# X2c: SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over word tokens: bit b of the signature is 1 iff
+    the sum over tokens of ±1 votes (sign of token-hash bit b) is > 0.
+
+    Pure aggregate expression (F.aggregate over the token array with a
+    64-int accumulator) -- no shuffle beyond the projection itself.
+    """
+    tokens = F.split(normalize_text(col), " ")
+    votes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(F.getbit(hash64(t), b) == 1, 1).otherwise(-1),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # pack sign bits into a bigint; bit 63 is the sign bit in two's
+    # complement, so its contribution is the min-long literal
+    sig = F.lit(0).cast("bigint")
+    for b in range(64):
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(F.element_at(votes, b + 1) > 0, F.lit(bit_val).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return sig
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(F.col(id_col), simhash64(text_col).alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, indexed by the
+    pigeonhole trick: split 64 bits into max_hamming+1 bands; any pair
+    within distance max_hamming agrees exactly on >= 1 band, so the
+    join is band-equality, never all-pairs."""
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    sigs = simhash_signatures(df, text_col, id_col)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,133 @@
+"""Multimodal column plumbing (SURVEY.md X5).
+
+Design: media lives as opaque `binary` columns inside a typed asset
+struct (content + media_type + typed metadata).  Everything Spark-side
+is real and tested -- schema, partitioning, Arrow-batched mapInPandas
+transforms, batch shapes.  The actual decode step is STUBBED: image /
+audio codecs are not available in this container, so `decode_image`
+raises NotImplementedError unless a codec library is importable, and
+`fake_feature_extractor` provides a deterministic stand-in used by
+tests and the driver query.
+
+At 100 TB: binary payloads dominate row size, so asset tables must be
+read with column pruning (metadata-only queries never touch `content`)
+and processed with mapInPandas (Arrow batches, no per-row Python).
+Batch size is bounded by `spark.sql.execution.arrow.maxRecordsPerBatch`
+to keep executor memory flat.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("source", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feat_0", IntegerType()),
+        StructField("feat_1", IntegerType()),
+        StructField("feat_2", IntegerType()),
+        StructField("feat_3", IntegerType()),
+    ]
+)
+
+
+def synth_assets(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic asset table from the documents corpus:
+    text bytes standing in for media payloads (real binary column, fake
+    media)."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/fake")).otherwise(
+            F.lit("audio/fake")
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        F.col("source"),
+    )
+
+
+def binary_stats(assets: DataFrame) -> DataFrame:
+    """Metadata/digest profile of a binary column -- JVM-side only,
+    prunes `content` out of any downstream metadata query."""
+    return assets.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        F.md5("content").alias("content_md5"),
+    )
+
+
+def decode_image(content: bytes) -> tuple[int, int]:
+    """STUB: decode an image payload to (width, height).
+
+    Real implementation requires an image codec (PIL / opencv), which is
+    intentionally not assumed present.  The Spark-side plumbing around
+    this function (schema, batching, partitioning) is fully tested with
+    `fake_feature_extractor`.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires an image codec library not present in "
+            "this environment; plumbing is exercised via fake_feature_extractor"
+        ) from exc
+    import io
+
+    import PIL.Image as Image
+
+    with Image.open(io.BytesIO(content)) as img:
+        return img.size
+
+
+def fake_feature_extractor(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for a decode+featurize stage: 4 features
+    from the payload digest.  Shape-identical to a real extractor
+    (mapInPandas: Iterator[pd.DataFrame] -> Iterator[pd.DataFrame])."""
+    for pdf in batches:
+        digests = pdf["content"].map(
+            lambda b: hashlib.md5(bytes(b)).digest()
+        )
+        out = pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["n_bytes"],
+                "feat_0": digests.map(lambda d: d[0]).astype("int32"),
+                "feat_1": digests.map(lambda d: d[1]).astype("int32"),
+                "feat_2": digests.map(lambda d: d[2]).astype("int32"),
+                "feat_3": digests.map(lambda d: d[3]).astype("int32"),
+            }
+        )
+        yield out
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column."""
+    return assets.mapInPandas(fake_feature_extractor, FEATURE_SCHEMA)

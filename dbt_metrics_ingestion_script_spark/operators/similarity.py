@@ -1,0 +1,143 @@
+"""Vector similarity search over embedding columns (SURVEY.md X3).
+
+Embeddings are array<float> columns; all math is JVM-side higher-order
+functions (zip_with / aggregate) over double-cast arrays -- deterministic,
+engine-portable, no UDFs.
+
+Scale posture:
+- brute-force cosine top-k: one pass, no shuffle except the final top-k;
+  correct baseline and the verify stage for approximate paths.  At 100 TB
+  the query side is tiny (broadcast) and the scan is embarrassingly
+  parallel: cost O(n * d).
+- random-hyperplane LSH (SimHash-for-vectors): h deterministic
+  pseudo-random hyperplanes -> h-bit bucket signature; candidates share a
+  bucket (optionally with multi-probe neighbor buckets).  Turns top-k
+  into a bucket-local problem: the candidate join is on bucket ids.
+  This is the IVF-style scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k of `embeddings` against a 1-row `query`
+    frame (same vec_col).  Deterministic tie-break on id.
+
+    The query side is crossJoined (1 row -> broadcast by Catalyst); the
+    scan side never shuffles until the final k-row sort.
+    """
+    q = query.select(as_double(vec_col).alias("__qvec"))
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        cosine(as_double(vec_col), F.col("__qvec")).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def norm_stats_by_label(
+    embeddings: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label embedding-norm statistics -- sanity profile of a vector
+    corpus (and a fully SQL-expressible differential anchor)."""
+    return (
+        embeddings.select(F.col(label_col), l2_norm(as_double(vec_col)).alias("norm"))
+        .groupBy(label_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("norm").alias("avg_norm"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate path: random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _plane_component(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    derived from the portable 64-bit hash of (plane, dim)."""
+    h = hash64(F.concat_ws(":", F.lit("plane"), plane, dim))
+    return (h % 10000).cast("double") / F.lit(5000.0) - 1.0
+
+
+def lsh_bucket(vec_col: Column, n_planes: int = 12) -> Column:
+    """h-bit signature: bit p = sign(dot(vec, plane_p)) -- packed into a
+    bigint bucket id."""
+    def projection(p: int):
+        return lambda x, i: x * _plane_component(F.lit(p), i)
+
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        d = F.aggregate(
+            F.zip_with(vec_col, F.sequence(F.lit(0), F.size(vec_col) - 1), projection(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(d > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        )
+    return bucket
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    `probe_hamming` bits of the query's bucket (multi-probe).
+
+    At scale, bucket the corpus once (materialized column, partitioned /
+    clustered by bucket) and each query touches ~n/2^h * probes vectors.
+    """
+    emb = embeddings.select(
+        F.col(id_col),
+        as_double(vec_col).alias("vec"),
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), n_planes))
+    q = query.select(as_double(vec_col).alias("__qvec")).withColumn(
+        "qbucket", lsh_bucket(F.col("__qvec"), n_planes)
+    )
+    cands = emb.crossJoin(F.broadcast(q)).filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= probe_hamming
+    )
+    scored = cands.select(
+        F.col(id_col), cosine(F.col("vec"), F.col("__qvec")).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)

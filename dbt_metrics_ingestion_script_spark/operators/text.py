@@ -1,0 +1,113 @@
+"""Text analysis operators over document corpora (SURVEY.md X4).
+
+All expressions are built-in string/regexp functions shared (syntax- and
+semantics-wise) with ANSI engines, so every operator here is
+differentially testable.  Patterns stick to ASCII classes: Java regex
+(Spark) and RE2 (DuckDB) agree on those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+from .dedup import normalize_text
+
+# ASCII-only BPE-ish pre-tokenizer: word pieces, number pieces, punct
+# runs, each optionally space-prefixed (GPT-2-style shape, ASCII subset).
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+PUNCT_PATTERN = r"[.,;:!?'\"()\[\]-]"
+
+# tiny per-language stopword inventories for the n-gram/stopword
+# language-ID heuristic
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|mit|auf|für)\b",
+    "fr": r"\b(le|la|les|et|est|une|pour|dans|que|pas)\b",
+    "es": r"\b(el|la|los|las|es|una|para|con|que|del)\b",
+}
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality-scoring features: lengths, token counts,
+    character-class ratios (SURVEY.md 'quality scoring')."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = _count_matches(t, r"\S+")
+    n_digits = _count_matches(t, r"[0-9]")
+    n_punct = _count_matches(t, PUNCT_PATTERN)
+    n_upper = _count_matches(t, r"[A-Z]")
+    n_spaces = _count_matches(t, r" ")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)), 4).alias(
+            "avg_token_len"
+        ),
+        F.round(n_digits.cast("double") / F.greatest(n_chars, F.lit(1)), 4).alias(
+            "digit_ratio"
+        ),
+        F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(n_upper.cast("double") / F.greatest(n_chars, F.lit(1)), 4).alias(
+            "upper_ratio"
+        ),
+        F.round(n_spaces.cast("double") / F.greatest(n_chars, F.lit(1)), 4).alias(
+            "space_ratio"
+        ),
+    )
+
+
+def token_count_bpe(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE-ish token counting via regex pre-tokenization (the standard
+    cheap proxy for LLM token budgeting)."""
+    return df.select(
+        F.col(id_col),
+        _count_matches(F.col(text_col), BPE_ISH_PATTERN).alias("n_bpe_tokens"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-marker language ID: score each language by marker-word
+    hits per token, pick the argmax (ties broken by language order),
+    'und' (undetermined) when nothing matches."""
+    lowered = F.lower(F.col(text_col))
+    scores = {lang: _count_matches(lowered, pat) for lang, pat in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Rolling-hash document fingerprint: minimum 64-bit hash over all
+    k-char grams of the normalized text (winnowing's min-selection with
+    a single global window).  Robust to whitespace/case jitter; equal
+    fingerprints => near-identical prefix content."""
+    norm = normalize_text(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_min(F.transform(grams, hash64)).alias("fingerprint"),
+    )

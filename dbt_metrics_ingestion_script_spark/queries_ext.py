@@ -1,0 +1,337 @@
+"""EXT queries: LLM-data-pipeline operators over documents / embeddings /
+events (SURVEY.md §2.11), each with a DuckDB oracle where the semantics
+are SQL-expressible.
+
+Cross-engine determinism comes from the portable 64-bit hash
+(functions/hashing.py): MinHash signatures, LSH buckets, and
+fingerprints are bit-identical in Spark and DuckDB, so even the sketch
+operators get full differential coverage -- not just rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, text
+from .registry import register, round_cols
+from .sources.tables import load_table
+
+_H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# shared DuckDB CTEs reproducing normalize/tokenize/shingle (n=3)
+_SHINGLE_CTE = r"""
+WITH docs AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM docs
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' ')))
+         END AS shingles
+  FROM tok
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    _SHINGLE_CTE.replace("), tok AS (", """)
+, hashed AS (
+  SELECT ('0x' || substr(md5(norm), 1, 15))::BIGINT AS content_hash, doc_id
+  FROM docs
+), tok AS (""")
+    + """
+    SELECT content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+    FROM hashed GROUP BY content_hash
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# X2: n-gram Jaccard pairs (exact) -- inverted-index self-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    _SHINGLE_CTE
+    + f"""
+    , idx AS (
+      SELECT doc_id, len(shingles) AS n_sh,
+             {_H.format(x='s.sh')} AS sh_hash
+      FROM sh, unnest(shingles) AS s(sh)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+      FROM idx a JOIN idx b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common / (n_a + n_b - n_common), 6) AS jaccard
+    FROM pairs
+    WHERE n_common / (n_a + n_b - n_common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    df = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+    return round_cols(df, {"jaccard": 6})
+
+
+# ---------------------------------------------------------------------------
+# X2: MinHash + LSH candidates (bit-identical sketch in both engines)
+# ---------------------------------------------------------------------------
+
+_K, _BANDS, _ROWS = 16, 4, 4
+
+
+@register(
+    "dedup_minhash_lsh_candidates",
+    _SHINGLE_CTE
+    + f"""
+    , sig AS (
+      SELECT doc_id,
+             list_transform(range(0, {_K}),
+               i -> list_min(list_transform(shingles,
+                      s -> {_H.format(x="s || '|' || i::VARCHAR")}))) AS sig
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, b.band,
+             {_H.format(x="array_to_string(list_transform(sig[b.band * " + str(_ROWS) + " + 1 : b.band * " + str(_ROWS) + " + " + str(_ROWS) + "], x -> x::VARCHAR), ',')")} AS bucket
+      FROM sig, unnest(range(0, {_BANDS})) AS b(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_candidates(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), k=_K, bands=_BANDS
+    )
+
+
+@register("dedup_simhash_near_pairs", None)  # 64-bit bit-vote: not SQL-portable
+def dedup_simhash_near_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=12
+    )
+
+
+@register("dedup_near_minhash_survivors", None)  # composite pipeline; verified in tests
+def dedup_near_minhash_survivors(spark, sf_dir):
+    out = dedup.near_dedup_minhash(
+        load_table(spark, sf_dir, "documents"), k=_K, bands=_BANDS, threshold=0.8
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# X3: vector similarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_cosine_topk",
+    """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    )
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], qv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+    FROM embeddings, q
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def similarity_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qid = emb.agg(F.min("vec_id")).collect()[0][0]
+    query = emb.filter(F.col("vec_id") == qid)
+    scored = emb.crossJoin(
+        F.broadcast(query.select(similarity.as_double("embedding").alias("__qvec")))
+    ).select(
+        "vec_id",
+        F.round(
+            similarity.cosine(similarity.as_double("embedding"), F.col("__qvec")), 6
+        ).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "similarity_norm_stats_by_label",
+    """
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(norm), 6) AS avg_norm,
+           ROUND(MIN(norm), 6) AS min_norm,
+           ROUND(MAX(norm), 6) AS max_norm
+    FROM (
+      SELECT label,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      FROM embeddings
+    ) GROUP BY label
+    """,
+)
+def similarity_norm_stats_by_label(spark, sf_dir):
+    df = similarity.norm_stats_by_label(load_table(spark, sf_dir, "embeddings"))
+    return round_cols(df, {"avg_norm": 6, "min_norm": 6, "max_norm": 6})
+
+
+@register("similarity_lsh_topk", None)  # approximate ANN path; recall vs exact in tests
+def similarity_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qid = emb.agg(F.min("vec_id")).collect()[0][0]
+    return similarity.lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") == qid), k=10, n_planes=8, probe_hamming=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4: text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           ROUND(length(text) / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS avg_token_len,
+           ROUND(len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1), 4) AS digit_ratio,
+           ROUND(len(regexp_extract_all(text, '[.,;:!?''"()\[\]-]')) / greatest(length(text), 1), 4) AS punct_ratio,
+           ROUND(len(regexp_extract_all(text, '[A-Z]')) / greatest(length(text), 1), 4) AS upper_ratio,
+           ROUND(len(regexp_extract_all(text, ' ')) / greatest(length(text), 1), 4) AS space_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark, sf_dir):
+    return text.token_count_bpe(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for lang, pat in text.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    whens = "\n           ".join(
+        f"WHEN {score[lang]} = best THEN '{lang}'" for lang in text.LANG_MARKERS
+    )
+    return rf"""
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+           {whens}
+           END AS lang_pred
+    FROM (SELECT doc_id, text, {best} AS best FROM documents)
+    """
+
+
+@register("text_language_id", _lang_id_oracle())
+def text_language_id(spark, sf_dir):
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_doc_fingerprint",
+    _SHINGLE_CTE.split(", tok AS (")[0]
+    + f"""
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+             i -> {_H.format(x='substr(norm, i, 8)')})) AS fingerprint
+    FROM docs
+    """,
+)
+def text_doc_fingerprint(spark, sf_dir):
+    return text.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# X5: multimodal + JSON props + events
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_stats",
+    """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END
+             AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark, sf_dir):
+    assets = multimodal.synth_assets(load_table(spark, sf_dir, "documents"))
+    return multimodal.binary_stats(assets)
+
+
+@register("multimodal_feature_extract", None)  # Pandas-UDF plumbing; decode stubbed
+def multimodal_feature_extract(spark, sf_dir):
+    assets = multimodal.synth_assets(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(assets)
+
+
+@register(
+    "events_json_props_extract",
+    """
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k')::BIGINT AS prop_k
+    FROM events
+    """,
+)
+def events_json_props_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+@register(
+    "events_daily_agg",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS ts, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_daily_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("ts"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

@@ -1,0 +1,76 @@
+"""Streaming metric evaluation (SURVEY.md §2.8 EXT).
+
+The reference is strictly batch; this extends the same metric semantics
+(grain aggregation over an event-time column) to Structured Streaming:
+readStream -> watermark -> tumbling-window groupBy -> agg.  The batch
+metric compiler's `date_trunc(grain)` bucket corresponds 1:1 to
+`F.window(ts, grain_duration).start`, so a streaming metric converges to
+the batch answer once the watermark passes -- tested by running the
+stream to completion over a static directory and diffing against the
+batch plan.
+
+Late data: rows older than the watermark are dropped (standard
+Structured Streaming semantics); choose the watermark to bound state
+size at scale (state is per (window x dims)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GRAIN_DURATION = {
+    "hour": "1 hour",
+    "day": "1 day",
+    "week": "7 days",
+}
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, schema=None
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    if schema is None:
+        schema = spark.read.parquet(events_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def windowed_event_metrics(
+    events: DataFrame,
+    grain: str = "day",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    dims: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window metric aggregation with late-data watermark.
+
+    Output: (ts = window start, *dims, n_events, total_value) --
+    schema-compatible with the batch metric compiler at the same grain.
+    """
+    if grain not in GRAIN_DURATION:
+        raise ValueError(f"unsupported streaming grain {grain!r}")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, GRAIN_DURATION[grain]).alias("w"), *dims)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("ts"), *dims, "n_events", "total_value")
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame, query_name: str, timeout_sec: float = 120.0
+) -> None:
+    """Drive a streaming frame to completion into an in-memory sink
+    (test/debug harness; production would writeStream to a real sink)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
