@@ -20,6 +20,11 @@ row UDFs.  Scale posture per operator:
   hashes; near-dups differ in few bits (hamming <= 3).  Signature is an
   aggregate expression; banding the 64 bits into 4x16-bit keys gives an
   exact index for hamming<=3 candidates (pigeonhole).
+- embedding_cosine_pairs: exact embedding near-dup pairs (cosine >=
+  threshold) via a pruned self-join -- the verify baseline, O(n^2)
+  comparisons.  embedding_near_dedup is the 100 TB path: random-
+  hyperplane LSH buckets generate candidates, exact cosine rescoring
+  verifies, keep-lowest-id survives.
 """
 
 from __future__ import annotations
@@ -206,6 +211,118 @@ def near_dedup_minhash(
             / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# X2d: embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, unit) frame with the embedding normalized to unit length --
+    norm computed once per row, so pairwise cosine is a bare dot."""
+    from .similarity import as_double, l2_norm
+
+    return (
+        df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+        .withColumn("norm", l2_norm(F.col("v")))
+        .select(
+            "id", F.transform("v", lambda x: x / F.col("norm")).alias("unit")
+        )
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine similarity >= threshold --
+    exact, by pairwise comparison.
+
+    Normalizing once up front halves the arithmetic (cosine becomes a
+    plain dot product) and keeps the join sides slim (id + unit vector).
+    This is the correctness baseline / verify stage; at 100 TB generate
+    candidates with `embedding_near_dedup`'s LSH buckets instead of
+    comparing all pairs.
+    """
+    from .similarity import dot
+
+    unit = _unit_vectors(df, id_col, vec_col)
+    a, b = unit.alias("a"), unit.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dot(F.col("a.unit"), F.col("b.unit")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Scale-path embedding dedup: LSH-bucket candidate pairs (same
+    random-hyperplane signature within `probe_hamming` bits via banded
+    buckets), exact cosine verify, drop the higher id of each duplicate
+    pair.  Returns surviving input rows.
+
+    The candidate join is on (band, bucket) ids -- vector payloads move
+    only for the verified-candidate rescore, so shuffle volume is
+    O(candidates * dim), not O(n^2 * dim).
+    """
+    from .similarity import dot, lsh_bucket
+
+    unit = _unit_vectors(df, id_col, vec_col).withColumn(
+        "bucket", lsh_bucket(F.col("unit"), n_planes)
+    )
+    # pigeonhole banding over the signature bits: pairs within
+    # probe_hamming bits agree on >= 1 band
+    nbands = probe_hamming + 1
+    width = max(n_planes // nbands, 1)
+    banded = unit.select(
+        "id",
+        "unit",
+        "bucket",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.shiftrightunsigned("bucket", bnd * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for bnd in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "unit", "bucket", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    verified = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            F.bit_count(F.col("a.bucket").bitwiseXOR(F.col("b.bucket")))
+            <= probe_hamming
+        )
+        .select("a.id", F.col("b.id").alias("id_b"), "a.unit", F.col("b.unit").alias("unit_b"))
+        .distinct()
+        .filter(dot(F.col("unit"), F.col("unit_b")) >= threshold)
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

@@ -18,7 +18,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
@@ -110,6 +110,104 @@ def lsh_bucket(vec_col: Column, n_planes: int = 12) -> Column:
             F.when(d > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         )
     return bucket
+
+
+# ---------------------------------------------------------------------------
+# approximate path 2: IVF (inverted-file) coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build a deterministic IVF index: seed centroids are the
+    `n_centroids` lowest-id vectors, refined by one Lloyd iteration
+    (assign-all -> per-dimension mean).  Returns
+    (assignments(id, vec, centroid_id), centroids(centroid_id, cvec)).
+
+    At 100 TB: centroids are tiny and always broadcast; the assignment
+    pass is a map-only scan; materialize `assignments` partitioned (or
+    bucketed) by centroid_id so probe queries prune partitions.
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    )
+    w = Window.orderBy("id")
+    seeds = (
+        vecs.orderBy("id")
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(w) - 1).alias("centroid_id"),
+            F.col("vec").alias("cvec"),
+        )
+    )
+
+    def assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
+        """Nearest centroid by squared L2 (argmin via min(struct))."""
+        d2 = F.aggregate(
+            F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            frame.crossJoin(F.broadcast(cents))
+            .select("id", "vec", F.struct(d2.alias("d2"), F.col("centroid_id")).alias("dc"))
+            .groupBy("id")
+            .agg(F.min("dc").alias("dc"), F.first("vec").alias("vec"))
+            .select("id", "vec", F.col("dc.centroid_id").alias("centroid_id"))
+        )
+
+    # one Lloyd refinement: per-dimension mean of each seed's members
+    assigned0 = assign(vecs, seeds)
+    centroids = (
+        assigned0.select("centroid_id", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("centroid_id", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+    )
+    return assign(vecs, centroids), centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the `n_probe` centroids nearest the
+    query and score only their inverted lists (~n_probe/n_centroids of
+    the corpus).  n_probe = n_centroids degrades to exact search."""
+    assignments, centroids = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    q = query.select(as_double(vec_col).alias("__qvec"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("cvec"), F.col("__qvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("centroid_id", d2.alias("d2"))
+        .orderBy("d2", "centroid_id")
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    cands = assignments.join(F.broadcast(probes), "centroid_id")
+    scored = cands.crossJoin(F.broadcast(q)).select(
+        F.col("id").alias(id_col),
+        cosine(F.col("vec"), F.col("__qvec")).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
 def lsh_cosine_topk(

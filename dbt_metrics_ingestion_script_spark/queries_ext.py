@@ -138,6 +138,43 @@ def dedup_near_minhash_survivors(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# X2: embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_COS_T = 0.4
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    f"""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS unit
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.unit, b.unit), 6) AS cosine_sim
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.unit, b.unit) >= {_COS_T}
+    """,
+)
+def dedup_embedding_cosine_pairs(spark, sf_dir):
+    df = dedup.embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=_COS_T
+    )
+    return round_cols(df, {"cosine_sim": 6})
+
+
+@register("dedup_embedding_lsh_survivors", None)  # approx candidates; recall in tests
+def dedup_embedding_lsh_survivors(spark, sf_dir):
+    return dedup.embedding_near_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=_COS_T
+    )
+
+
+# ---------------------------------------------------------------------------
 # X3: vector similarity
 # ---------------------------------------------------------------------------
 
@@ -198,6 +235,15 @@ def similarity_lsh_topk(spark, sf_dir):
     qid = emb.agg(F.min("vec_id")).collect()[0][0]
     return similarity.lsh_cosine_topk(
         emb, emb.filter(F.col("vec_id") == qid), k=10, n_planes=8, probe_hamming=4
+    )
+
+
+@register("similarity_ivf_topk", None)  # IVF coarse-quantizer ANN; exactness vs
+def similarity_ivf_topk(spark, sf_dir):  # brute force when n_probe=n_centroids in tests
+    emb = load_table(spark, sf_dir, "embeddings")
+    qid = emb.agg(F.min("vec_id")).collect()[0][0]
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") == qid), k=10, n_centroids=16, n_probe=4
     )
 
 

@@ -13,6 +13,7 @@ from .oracle import assert_matches_oracle
 
 EXT_ORACLE_QUERIES = [
     "dedup_exact",
+    "dedup_embedding_cosine_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_candidates",
     "similarity_cosine_topk",
@@ -93,6 +94,55 @@ def test_lsh_topk_recall(spark, sf_dir):
     ]
     overlap = len(set(exact) & set(approx))
     assert overlap >= 4, f"ANN recall too low: {overlap}/10 ({exact} vs {approx})"
+
+
+def test_ivf_topk_exact_when_probing_all(spark, sf_dir):
+    """With n_probe == n_centroids the IVF path scans every inverted
+    list, so it must reproduce brute force exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    qid = emb.agg(F.min("vec_id")).collect()[0][0]
+    query = emb.filter(F.col("vec_id") == qid)
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, query, k=10).collect()]
+    full = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, query, k=10, n_centroids=8, n_probe=8
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_topk_prunes_and_keeps_k(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    qid = emb.agg(F.min("vec_id")).collect()[0][0]
+    query = emb.filter(F.col("vec_id") == qid)
+    assignments, _ = similarity.ivf_index(emb, n_centroids=8)
+    # the index must spread the corpus over multiple lists for pruning
+    # to mean anything
+    assert assignments.select("centroid_id").distinct().count() > 1
+    approx = similarity.ivf_topk(emb, query, k=10, n_centroids=8, n_probe=2)
+    assert approx.count() == 10
+
+
+def test_embedding_near_dedup_survivors(spark, sf_dir):
+    """LSH-pruned dedup must drop only rows that genuinely have an
+    earlier near-duplicate (no false-positive drops), and at these
+    LSH settings catch most of them."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_pairs = dedup.embedding_cosine_pairs(emb, threshold=0.4).collect()
+    true_losers = {r["id_b"] for r in exact_pairs}
+    survivors = {
+        r["vec_id"]
+        for r in dedup.embedding_near_dedup(emb, threshold=0.4).collect()
+    }
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    dropped = all_ids - survivors
+    assert dropped <= true_losers, f"false drops: {dropped - true_losers}"
+    assert exact_pairs, "fixture should contain cosine-similar pairs"
 
 
 def test_multimodal_feature_extract_plumbing(spark, sf_dir):
