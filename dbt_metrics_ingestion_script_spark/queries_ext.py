@@ -365,6 +365,47 @@ def events_json_props_extract(spark, sf_dir):
 
 
 @register(
+    "streaming_running_totals",
+    # the stream converges to the batch aggregate, so even the stateful
+    # streaming path gets a full differential oracle
+    """
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_running_totals(spark, sf_dir):
+    """Stateful streaming (applyInPandasWithState) cumulative per-key
+    totals over the events table, driven to completion with an
+    availableNow trigger; returns the converged per-key frame."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.metrics_stream import read_events_stream
+    from .streaming.stateful import running_totals_by_key
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+    name = "rt_" + uuid.uuid4().hex[:8]
+    q = (
+        running_totals_by_key(read_events_stream(spark, d))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(
+        f"""SELECT key AS event_type,
+                   max(n_events) AS n_events,
+                   ROUND(max_by(total_value, n_events), 4) AS total_value
+            FROM {name} GROUP BY key"""
+    )
+
+
+@register(
     "events_daily_agg",
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS ts, event_type,

@@ -31,6 +31,9 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files."""
     if schema is None:
+        # events.parquet carries TIMESTAMP(NANOS); read nanos as long so
+        # schema inference doesn't reject it (see sources.tables._load_events)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = spark.read.parquet(events_dir).schema
     return (
         spark.readStream.schema(schema)

@@ -1,0 +1,130 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+SURVEY.md §2.8: the reference is strictly batch, so these are EXT --
+the two stateful shapes a large-scale ingest pipeline needs that
+tumbling windows can't express:
+
+- running_totals_by_key: cumulative (since stream start) per-key metric
+  totals, the streaming analogue of the cumulative metric type
+  (/root/reference/example_dbt_metrics.yml:78-92) where the window is
+  "everything so far" rather than a tumbling bucket.  State per key is
+  two scalars, emitted in `update` mode each micro-batch.
+- streaming_exact_dedup: emit only the first occurrence of each content
+  hash across the whole stream (exactly-once semantics for corpus
+  ingestion).  State per hash is a single marker with a configurable
+  TTL so state stays bounded at 100 TB (a duplicate arriving after the
+  TTL re-emits -- the standard state/completeness trade-off, same knob
+  as Spark's own dropDuplicates watermark).
+
+Both use Arrow-batched Pandas state functions (applyInPandasWithState),
+never row-at-a-time Python; the groupBy key is the shuffle key, so
+state is partition-local and scales horizontally with executors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("s", DoubleType())]
+)
+
+
+def running_totals_by_key(
+    events: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Cumulative per-key (count, sum) over the whole stream, one updated
+    row per key per micro-batch that touches the key."""
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "total_value": [s]})
+
+    return (
+        events.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            RUNNING_TOTALS_SCHEMA,
+            _RUNNING_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+DEDUP_SCHEMA = StructType(
+    [
+        StructField("content_hash", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+_SEEN_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def streaming_exact_dedup(
+    hashed: DataFrame,
+    hash_col: str = "content_hash",
+    id_col: str = "event_id",
+    state_ttl_ms: int = 0,
+) -> DataFrame:
+    """First-occurrence-wins streaming dedup on a precomputed 64-bit
+    content hash (compute it upstream with functions.hashing.hash64 --
+    the JVM side stays vectorized; only the tiny (hash, id) pairs reach
+    Python).  `state_ttl_ms` > 0 bounds state via processing-time
+    timeout; 0 keeps state forever (small corpora / tests)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if timeout is GroupStateTimeout.ProcessingTimeTimeout and state.hasTimedOut:
+            state.remove()
+            return
+        first_id = None
+        for pdf in pdfs:
+            batch_min = int(pdf[id_col].min())
+            first_id = batch_min if first_id is None else min(first_id, batch_min)
+        if not state.exists and first_id is not None:
+            state.update((1,))
+            if timeout is GroupStateTimeout.ProcessingTimeTimeout:
+                state.setTimeoutDuration(state_ttl_ms)
+            yield pd.DataFrame({"content_hash": [key[0]], "event_id": [first_id]})
+
+    return (
+        hashed.select(hash_col, id_col)
+        .groupBy(hash_col)
+        .applyInPandasWithState(
+            update, DEDUP_SCHEMA, _SEEN_STATE_SCHEMA, "update", timeout
+        )
+    )

@@ -55,3 +55,70 @@ def test_streaming_rejects_unknown_grain(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     with pytest.raises(ValueError, match="grain"):
         windowed_event_metrics(stream, grain="fortnight")
+
+
+def test_stateful_running_totals_converge_to_batch(spark, sf_dir, events_dir):
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.streaming.stateful import (
+        running_totals_by_key,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    result = running_totals_by_key(stream)
+    run_stream_to_memory_update(result, "running_totals")
+    # update mode emits one row per key per touching micro-batch; the
+    # final (max n_events) row per key is the converged total
+    rows = spark.sql(
+        """SELECT key, max_by(total_value, n_events) AS total_value,
+                  max(n_events) AS n_events
+           FROM running_totals GROUP BY key"""
+    ).collect()
+    got = {r["key"]: (r["n_events"], round(r["total_value"], 4)) for r in rows}
+    batch = load_table(spark, sf_dir, "events")
+    expected = {
+        r["event_type"]: (r["n"], round(r["s"], 4))
+        for r in batch.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_stateful_streaming_dedup_first_wins(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.functions.hashing import hash64
+    from dbt_metrics_ingestion_script_spark.streaming.stateful import (
+        streaming_exact_dedup,
+    )
+
+    stream = read_events_stream(spark, events_dir).select(
+        hash64(F.col("event_type")).alias("content_hash"),
+        F.col("event_id"),
+    )
+    result = streaming_exact_dedup(stream)
+    run_stream_to_memory_update(result, "stream_dedup")
+    rows = spark.sql("SELECT * FROM stream_dedup").collect()
+    batch = spark.read.parquet(events_dir).select(
+        hash64(F.col("event_type")).alias("content_hash"), "event_id"
+    )
+    expected = {
+        (r["content_hash"], r["event_id"])
+        for r in batch.groupBy("content_hash")
+        .agg(F.min("event_id").alias("event_id"))
+        .collect()
+    }
+    assert {(r["content_hash"], r["event_id"]) for r in rows} == expected
+    assert len(rows) == len(expected)  # each hash emitted exactly once
+
+
+def run_stream_to_memory_update(result, name, timeout_sec=120.0):
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
