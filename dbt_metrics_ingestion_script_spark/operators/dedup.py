@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64
+from ..functions.hashing import family_hash, hash31, hash64
 
 # ---------------------------------------------------------------------------
 # normalization + shingling (shared by all text dedup)
@@ -127,14 +127,22 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingles: Column, k: int = 32) -> Column:
-    """k-permutation MinHash: sig[i] = min over shingles of h_i(s),
-    h_i(s) = hash64(s + '|' + i).  Engine-portable (md5-based)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: hash64(F.concat_ws("|", s, i.cast("string"))))
-        ),
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """31-bit hashes of the distinct n-word shingles: each shingle is
+    md5-hashed ONCE; the k-permutation family is then derived
+    arithmetically (functions.hashing.family_hash), so signature cost is
+    one md5 + k multiply-mods per shingle instead of k md5s."""
+    return F.transform(word_shingles(col, n), hash31)
+
+
+def minhash_signature(hashes: Column, k: int = 32) -> Column:
+    """k-permutation MinHash over pre-hashed shingles:
+    sig[i] = min over shingle hashes x of (a_i * x + b_i) mod (2^31-1)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, lambda x: family_hash(x, i)))
+            for i in range(k)
+        ]
     )
 
 
@@ -155,10 +163,12 @@ def minhash_lsh_candidates(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
+    # two-step select so the shingle-hash array materializes once per row
+    # (inlining it into the signature expression would re-evaluate the
+    # shingling + md5 work k times)
     sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(text_col, n), k).alias("sig"),
-    )
+        F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("hs")
+    ).select("id", minhash_signature(F.col("hs"), k).alias("sig"))
     banded = sig.select(
         "id",
         F.explode(
@@ -199,8 +209,11 @@ def near_dedup_minhash(
     """Full near-dedup: LSH candidates -> exact-Jaccard verify -> drop
     the higher id of each duplicate pair.  Returns surviving rows."""
     cands = minhash_lsh_candidates(df, text_col, id_col, n, k, bands)
+    # verify on hashed shingle sets: set arithmetic over ints, and the
+    # candidate join carries ~4-byte elements instead of raw text
     sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_hashes(text_col, n)).alias("shingles"),
     )
     verified = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
@@ -310,7 +323,9 @@ def embedding_near_dedup(
         ).alias("bb"),
     ).select("id", "unit", "bucket", "bb.band", "bb.key")
     a, b = banded.alias("a"), banded.alias("b")
-    verified = (
+    # dedup candidate PAIRS before rejoining vectors: distinct over two
+    # bigints, not over array<double> payloads
+    cand_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
@@ -320,9 +335,15 @@ def embedding_near_dedup(
             F.bit_count(F.col("a.bucket").bitwiseXOR(F.col("b.bucket")))
             <= probe_hamming
         )
-        .select("a.id", F.col("b.id").alias("id_b"), "a.unit", F.col("b.unit").alias("unit_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-        .filter(dot(F.col("unit"), F.col("unit_b")) >= threshold)
+    )
+    vecs = unit.select("id", "unit")
+    verified = (
+        cand_pairs.join(vecs.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("unit", "unit_a")
+        .join(vecs.withColumnRenamed("id", "id_b"), "id_b")
+        .filter(dot(F.col("unit_a"), F.col("unit")) >= threshold)
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
@@ -337,18 +358,21 @@ def simhash64(col: Column | str) -> Column:
     """64-bit SimHash over word tokens: bit b of the signature is 1 iff
     the sum over tokens of ±1 votes (sign of token-hash bit b) is > 0.
 
-    Pure aggregate expression (F.aggregate over the token array with a
-    64-int accumulator) -- no shuffle beyond the projection itself.
+    Pure aggregate expression (F.aggregate over the token-hash array
+    with a 64-int accumulator) -- no shuffle beyond the projection
+    itself.  Tokens are hashed once up front; the per-bit lambda reads
+    bits of that bigint (putting hash64 inside the bit loop would cost
+    64 md5s per token).
     """
-    tokens = F.split(normalize_text(col), " ")
+    token_hashes = F.transform(F.split(normalize_text(col), " "), hash64)
     votes = F.aggregate(
-        tokens,
+        token_hashes,
         F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(F.getbit(hash64(t), b) == 1, 1).otherwise(-1),
+                lambda b: F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
             ),
             lambda x, y: x + y,
         ),

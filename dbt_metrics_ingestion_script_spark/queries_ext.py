@@ -96,16 +96,23 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
 _K, _BANDS, _ROWS = 16, 4, 4
 
 
-@register(
-    "dedup_minhash_lsh_candidates",
-    _SHINGLE_CTE
-    + f"""
-    , sig AS (
+def _minhash_oracle() -> str:
+    from .functions.hashing import MERSENNE31, duckdb_family_hash
+
+    mins = ", ".join(
+        f"list_min(list_transform(hashes, x -> {duckdb_family_hash('x', i)}))"
+        for i in range(_K)
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , hs AS (
       SELECT doc_id,
-             list_transform(range(0, {_K}),
-               i -> list_min(list_transform(shingles,
-                      s -> {_H.format(x="s || '|' || i::VARCHAR")}))) AS sig
+             list_transform(shingles,
+               s -> {_H.format(x='s')} & {MERSENNE31}) AS hashes
       FROM sh
+    ), sig AS (
+      SELECT doc_id, [{mins}] AS sig FROM hs
     ), banded AS (
       SELECT doc_id, b.band,
              {_H.format(x="array_to_string(list_transform(sig[b.band * " + str(_ROWS) + " + 1 : b.band * " + str(_ROWS) + " + " + str(_ROWS) + "], x -> x::VARCHAR), ',')")} AS bucket
@@ -114,8 +121,11 @@ _K, _BANDS, _ROWS = 16, 4, 4
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    """,
-)
+    """
+    )
+
+
+@register("dedup_minhash_lsh_candidates", _minhash_oracle())
 def dedup_minhash_lsh_candidates(spark, sf_dir):
     return dedup.minhash_lsh_candidates(
         load_table(spark, sf_dir, "documents"), k=_K, bands=_BANDS
@@ -125,7 +135,7 @@ def dedup_minhash_lsh_candidates(spark, sf_dir):
 @register("dedup_simhash_near_pairs", None)  # 64-bit bit-vote: not SQL-portable
 def dedup_simhash_near_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=12
+        load_table(spark, sf_dir, "documents"), max_hamming=4
     )
 
 
