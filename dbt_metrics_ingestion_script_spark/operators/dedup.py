@@ -103,10 +103,18 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     ).select("id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
-    sh = sh.select("id", "n_sh", hash64("sh").alias("sh_hash"))
+    # repartition on the join key + merge hint: both self-join sides get
+    # the identical shuffle, so the exchange (and the whole shingling
+    # subtree above it) is computed once and reused -- and at 100 TB an
+    # exploded inverted index must never be broadcast anyway
+    sh = (
+        sh.select("id", "n_sh", hash64("sh").alias("sh_hash"))
+        .repartition("sh_hash")
+        .hint("merge")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, F.col("a.sh_hash") == F.col("b.sh_hash"))
+        a.join(b, "sh_hash")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(
             F.col("a.id").alias("id_a"),
@@ -188,9 +196,12 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # identical shuffle on both sides -> signature subtree computed once
+    # (exchange reuse); banded signatures are never broadcast at scale
+    banded = banded.repartition("band", "bucket").hint("merge")
     a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        a.join(b, ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -321,15 +332,13 @@ def embedding_near_dedup(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "unit", "bucket", "bb.band", "bb.key")
+    ).select("id", "bucket", "bb.band", "bb.key")
+    banded = banded.repartition("band", "key").hint("merge")
     a, b = banded.alias("a"), banded.alias("b")
     # dedup candidate PAIRS before rejoining vectors: distinct over two
     # bigints, not over array<double> payloads
     cand_pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
-        )
+        a.join(b, ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .filter(
             F.bit_count(F.col("a.bucket").bitwiseXOR(F.col("b.bucket")))
@@ -430,9 +439,10 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.key")
+    banded = banded.repartition("band", "key").hint("merge")
     a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        a.join(b, ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
