@@ -37,6 +37,8 @@ HEADLINE = [
     "metric_ratio_discount_rate_month",
     "metric_cumulative_revenue_month",
     "metric_derived_revenue_per_customer_month",
+    "metric_star_revenue_by_region_month",
+    "metric_total_revenue_all_grains",
     # Layer A: manifest -> glossary/lineage/properties
     "manifest_metrics_extraction",
     "glossary_terms",

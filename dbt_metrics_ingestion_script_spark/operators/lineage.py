@@ -140,8 +140,12 @@ def transitive_closure(edges: DataFrame, max_hops: int = 10) -> DataFrame:
             )
             .join(closure.select("descendant", "ancestor"), ["descendant", "ancestor"], "left_anti")
             .distinct()
+            # materialize each frontier: the emptiness probe is an action,
+            # and without persist every hop would re-execute all prior hops
+            .persist()
         )
         if nxt.isEmpty():
+            nxt.unpersist()
             break
         closure = closure.unionByName(nxt)
         frontier = nxt

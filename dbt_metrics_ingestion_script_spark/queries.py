@@ -327,6 +327,113 @@ def metric_filtered_revenue_month(spark, sf_dir):
 
 
 @register(
+    "metric_star_revenue_by_region_month",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+           r_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS net_revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def metric_star_revenue_by_region_month(spark, sf_dir):
+    """J5: metrics over a model that is itself a join (the reference's
+    models contain joins, /root/reference/test_manifest.json:153,176) --
+    here the TPC-H star: fact lineitem x orders, dims customer, nation,
+    region.  The metric compiler runs over the joined 'sales' model like
+    any other; dims are explicitly broadcast (nation/region trivially;
+    customer comfortably at any realistic dim size vs 100 TB facts --
+    drop the hint and AQE falls back to shuffle join if a dim outgrows
+    broadcast)."""
+    from pyspark.sql import functions as F
+
+    def load_model(model: str) -> DataFrame:
+        if model != "sales_star":
+            return load_table(spark, sf_dir, model)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        n = load_table(spark, sf_dir, "nation")
+        r = load_table(spark, sf_dir, "region")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        )
+
+    spec = MetricSpec(
+        name="net_revenue",
+        calculation_method="sum",
+        expression="l_extendedprice * (1 - l_discount)",
+        model="sales_star",
+        timestamp="o_orderdate",
+        time_grains=["month"],
+        dimensions=["r_name"],
+    )
+    df = MetricCompiler(load_model).compile(spec, "month")
+    return _round(df, {"net_revenue": 4})
+
+
+@register(
+    "metric_total_revenue_all_grains",
+    """
+    SELECT 'day' AS grain, CAST(date_trunc('day', o_orderdate) AS DATE) AS ts,
+           ROUND(SUM(o_totalprice), 4) AS total_revenue
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'week', CAST(date_trunc('week', o_orderdate) AS DATE),
+           ROUND(SUM(o_totalprice), 4)
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'month', CAST(date_trunc('month', o_orderdate) AS DATE),
+           ROUND(SUM(o_totalprice), 4)
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'quarter', CAST(date_trunc('quarter', o_orderdate) AS DATE),
+           ROUND(SUM(o_totalprice), 4)
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'year', CAST(date_trunc('year', o_orderdate) AS DATE),
+           ROUND(SUM(o_totalprice), 4)
+    FROM orders GROUP BY 2
+    """,
+)
+def metric_total_revenue_all_grains(spark, sf_dir):
+    """A8 scale note (SURVEY.md §4): materializing every grain of a
+    metric as one GROUPING SETS pass -- one scan + one shuffle instead
+    of five jobs.  (sum re-aggregates safely across grains; avg /
+    count_distinct would NOT -- they recompute from base, hard part #4.)
+    """
+    from pyspark.sql import functions as F
+
+    grains = ["day", "week", "month", "quarter", "year"]
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_totalprice").alias("rev"),
+        *[
+            F.date_trunc(g, "o_orderdate").cast("date").alias(g)
+            for g in grains
+        ],
+    )
+    gs = base.groupingSets(
+        [[g] for g in grains], *[F.col(g) for g in grains]
+    ).agg(F.round(F.sum("rev"), 4).alias("total_revenue"))
+    grain_label = F.coalesce(
+        *[F.when(F.col(g).isNotNull(), F.lit(g)) for g in grains]
+    )
+    return gs.select(
+        grain_label.alias("grain"),
+        F.coalesce(*[F.col(g) for g in grains]).alias("ts"),
+        "total_revenue",
+    )
+
+
+@register(
     "metric_approx_customer_count",
     None,  # approximate by construction -> rows-only driver check
 )
