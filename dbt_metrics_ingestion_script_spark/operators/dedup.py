@@ -46,10 +46,21 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles of the normalized text; texts shorter
-    than n words produce one whole-text shingle."""
-    tokens = F.split(normalize_text(col), " ")
+def tokens_of(col: Column | str) -> Column:
+    """Word tokens of the normalized text.
+
+    ALWAYS materialize this in its own projection before feeding it to
+    shingling: expressions referenced inside higher-order-function
+    lambdas are re-evaluated per array element (no CSE across the
+    lambda boundary), so an inlined split/regexp subtree would run once
+    per shingle instead of once per document.
+    """
+    return F.split(normalize_text(col), " ")
+
+
+def word_shingles_from_tokens(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from a *materialized* token-array
+    column; texts shorter than n words produce one whole-text shingle."""
     windowed = F.transform(
         F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
@@ -57,6 +68,27 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))).otherwise(
         F.array_distinct(windowed)
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Convenience single-expression form -- fine for one-off use, but
+    hot paths should project tokens_of() first (see that docstring)."""
+    return word_shingles_from_tokens(tokens_of(col), n)
+
+
+def shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, hashed: bool = True
+) -> DataFrame:
+    """(id, shingles) with staged projections: tokens materialize once,
+    then shingles, then (optionally) 31-bit shingle hashes -- each stage
+    a separate Project so no subtree re-evaluates inside a lambda."""
+    out = (
+        df.select(F.col(id_col).alias("id"), tokens_of(text_col).alias("__toks"))
+        .select("id", word_shingles_from_tokens(F.col("__toks"), n).alias("shingles"))
+    )
+    if hashed:
+        out = out.select("id", F.transform("shingles", hash31).alias("shingles"))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -100,9 +132,9 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A| + |B| - |A∩B|).  Output: (id_a, id_b, jaccard) with
     id_a < id_b.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
-    ).select("id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
+    sh = shingle_frame(df, text_col, id_col, n, hashed=False).select(
+        "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    )
     # repartition on the join key + merge hint: both self-join sides get
     # the identical shuffle, so the exchange (and the whole shingling
     # subtree above it) is computed once and reused -- and at 100 TB an
@@ -135,14 +167,6 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def shingle_hashes(col: Column | str, n: int = 3) -> Column:
-    """31-bit hashes of the distinct n-word shingles: each shingle is
-    md5-hashed ONCE; the k-permutation family is then derived
-    arithmetically (functions.hashing.family_hash), so signature cost is
-    one md5 + k multiply-mods per shingle instead of k md5s."""
-    return F.transform(word_shingles(col, n), hash31)
-
-
 def minhash_signature(hashes: Column, k: int = 32) -> Column:
     """k-permutation MinHash over pre-hashed shingles:
     sig[i] = min over shingle hashes x of (a_i * x + b_i) mod (2^31-1)."""
@@ -171,12 +195,12 @@ def minhash_lsh_candidates(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    # two-step select so the shingle-hash array materializes once per row
-    # (inlining it into the signature expression would re-evaluate the
-    # shingling + md5 work k times)
-    sig = df.select(
-        F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("hs")
-    ).select("id", minhash_signature(F.col("hs"), k).alias("sig"))
+    # staged projections (shingle_frame) so tokens / shingles / hashes
+    # each materialize once; inlined, the shingling subtree would
+    # re-evaluate once per permutation inside the signature lambdas
+    sig = shingle_frame(df, text_col, id_col, n).select(
+        "id", minhash_signature(F.col("shingles"), k).alias("sig")
+    )
     banded = sig.select(
         "id",
         F.explode(
@@ -222,10 +246,7 @@ def near_dedup_minhash(
     cands = minhash_lsh_candidates(df, text_col, id_col, n, k, bands)
     # verify on hashed shingle sets: set arithmetic over ints, and the
     # candidate join carries ~4-byte elements instead of raw text
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingle_hashes(text_col, n)).alias("shingles"),
-    )
+    sh = shingle_frame(df, text_col, id_col, n)
     verified = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")

@@ -102,12 +102,16 @@ def doc_fingerprint(
     k-char grams of the normalized text (winnowing's min-selection with
     a single global window).  Robust to whitespace/case jitter; equal
     fingerprints => near-identical prefix content."""
-    norm = normalize_text(text_col)
+    # normalize in its own projection: expressions referenced inside a
+    # higher-order-function lambda re-evaluate per element, so an inline
+    # norm would re-run the regexp once per gram position
+    normed = df.select(F.col(id_col), normalize_text(text_col).alias("__norm"))
+    norm = F.col("__norm")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
         lambda i: norm.substr(i, F.lit(k)),
     )
-    return df.select(
+    return normed.select(
         F.col(id_col),
         F.array_min(F.transform(grams, hash64)).alias("fingerprint"),
     )
