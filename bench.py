@@ -58,6 +58,7 @@ HEADLINE = [
     "text_doc_fingerprint",
     "multimodal_binary_stats",
     "events_daily_agg",
+    "events_salted_daily_agg",
     "events_json_props_extract",
 ]
 

@@ -1,0 +1,84 @@
+"""Skew-aware aggregation: two-phase salted groupBy.
+
+AQE's skew handling splits skewed *join* partitions, but a groupBy over
+a power-law key (the norm in event/telemetry data: one tenant, one
+event_type, one hot day dominates) still funnels each hot key through a
+single reducer. Salting spreads phase 1 over `salt` sub-keys, then
+phase 2 merges the tiny per-salt partials -- the hot key's work is
+parallelized across `salt` tasks at the cost of one extra (cheap)
+shuffle over partial rows.
+
+Only re-aggregable measures can be salted (sum/count/min/max; avg as
+sum+count pair). count_distinct cannot -- use approx_count_distinct,
+whose HLL sketches merge, or aggregate the distinct pairs first.
+
+The salt column is derived deterministically from a stable hash of all
+grouping values (pmod over xxhash64) rather than rand(): retries and
+speculative tasks then produce identical partials, keeping the operator
+idempotent under task re-execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# phase-1 partial -> phase-2 merge function per supported measure
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str | Column],
+    measures: dict[str, tuple[str, str]],
+    salt: int = 16,
+    salt_on: str | Column | None = None,
+) -> DataFrame:
+    """groupBy(keys).agg(measures) executed as salted two-phase
+    aggregation.
+
+    measures: output_name -> (method, column_expr), method in
+    {sum, count, count_distinct_approx, min, max, avg}.
+    salt_on: column whose hash picks the salt bucket (defaults to a
+    deterministic row hash over all measure columns).
+    """
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    if salt_on is None:
+        salt_src = F.concat_ws(
+            "\x1f", *[F.expr(expr).cast("string") for _, expr in measures.values()]
+        )
+    else:
+        salt_src = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt)))
+
+    partials: list[Column] = []
+    finals: list[Column] = []
+    for name, (method, expr) in measures.items():
+        e = F.expr(expr)
+        if method in ("sum", "min", "max"):
+            partials.append({"sum": F.sum, "min": F.min, "max": F.max}[method](e).alias(f"__p_{name}"))
+            finals.append(_MERGE[method](f"__p_{name}").alias(name))
+        elif method == "count":
+            partials.append(F.count(e).alias(f"__p_{name}"))
+            finals.append(F.sum(f"__p_{name}").alias(name))
+        elif method == "avg":
+            partials.append(F.sum(e).alias(f"__ps_{name}"))
+            partials.append(F.count(e).alias(f"__pc_{name}"))
+            finals.append(
+                (F.sum(f"__ps_{name}") / F.sum(f"__pc_{name}")).alias(name)
+            )
+        elif method == "count_distinct_approx":
+            # HLL sketches merge across salt buckets losslessly
+            partials.append(F.hll_sketch_agg(e).alias(f"__p_{name}"))
+            finals.append(
+                F.hll_sketch_estimate(F.hll_union_agg(f"__p_{name}")).alias(name)
+            )
+        else:
+            raise ValueError(
+                f"measure {name!r}: method {method!r} is not salt-mergeable "
+                "(exact count_distinct cannot be composed from partials)"
+            )
+
+    phase1 = salted.groupBy(*key_cols, F.col("__salt")).agg(*partials)
+    out_keys = [c for c in phase1.columns if not c.startswith("__")]
+    return phase1.groupBy(*[F.col(c) for c in out_keys]).agg(*finals)

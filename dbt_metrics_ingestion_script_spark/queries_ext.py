@@ -416,6 +416,33 @@ def streaming_running_totals(spark, sf_dir):
 
 
 @register(
+    "events_salted_daily_agg",
+    # same answer as the plain aggregation -- salting is pure execution
+    # strategy, so the oracle is the unsalted SQL
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS ts, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_salted_daily_agg(spark, sf_dir):
+    """Skew-path variant of events_daily_agg: two-phase salted
+    aggregation (operators/skew.py) for power-law keys; must produce
+    byte-identical results to the direct groupBy."""
+    from .operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        [F.date_trunc("day", "ts").cast("date").alias("ts"), F.col("event_type")],
+        {"n_events": ("count", "1"), "total_value": ("sum", "value")},
+        salt=16,
+    )
+    return out.withColumn("total_value", F.round("total_value", 4))
+
+
+@register(
     "events_daily_agg",
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS ts, event_type,

@@ -1,0 +1,71 @@
+"""Salted two-phase aggregation must equal the direct groupBy for every
+mergeable measure, including on pathologically skewed keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_metrics_ingestion_script_spark.operators.skew import salted_agg
+from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        (r["event_type"],): (r["n"], round(r["s"], 6), r["mn"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["event_type"],): (r["n"], round(r["s"], 6), r["mn"], r["mx"])
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {
+                "n": ("count", "1"),
+                "s": ("sum", "value"),
+                "mn": ("min", "value"),
+                "mx": ("max", "value"),
+            },
+            salt=8,
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_avg_on_single_hot_key(spark):
+    # one key owns 99% of rows -- the shape salting exists for
+    rows = [("hot", float(i)) for i in range(990)] + [
+        ("cold", float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["k"]: round(r["avg_v"], 9)
+        for r in salted_agg(df, ["k"], {"avg_v": ("avg", "v")}, salt=4).collect()
+    }
+    assert got == {"hot": round(sum(range(990)) / 990, 9), "cold": 4.5}
+
+
+def test_salted_approx_distinct_merges_sketches(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("event_id").distinct().count()
+    got = salted_agg(
+        ev.withColumn("g", F.lit(1)),
+        ["g"],
+        {"n_ids": ("count_distinct_approx", "event_id")},
+        salt=8,
+    ).collect()[0]["n_ids"]
+    assert abs(got - exact) / exact < 0.05
+
+
+def test_salted_rejects_exact_distinct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="not salt-mergeable"):
+        salted_agg(ev, ["event_type"], {"d": ("count_distinct", "event_id")})
