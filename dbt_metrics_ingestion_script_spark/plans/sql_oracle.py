@@ -108,11 +108,17 @@ def _keys(spec: MetricSpec, grain: str | None) -> list[tuple[str, str]]:
     return keys
 
 
-def oracle_sql_for(spec: MetricSpec, grain: str | None = None) -> str:
+def oracle_sql_for(
+    spec: MetricSpec,
+    grain: str | None = None,
+    registry: dict[str, MetricSpec] | None = None,
+) -> str:
     """Render the DuckDB SQL equivalent of compiler.compile(spec, grain).
 
     The model name is used as the table name (the driver pre-registers
-    each parquet table as a view of the same name).
+    each parquet table as a view of the same name). Derived metrics
+    need `registry` to resolve their input specs (mirroring
+    MetricCompiler.registry).
     """
     if spec.metric_type == "simple":
         return _simple_sql(spec, grain)
@@ -120,7 +126,60 @@ def oracle_sql_for(spec: MetricSpec, grain: str | None = None) -> str:
         return _ratio_sql(spec, grain)
     if spec.metric_type == "cumulative":
         return _cumulative_sql(spec, grain)
+    if spec.metric_type in ("derived", "expression"):
+        return _derived_sql(spec, grain, registry or {}, visiting=())
     raise ValueError(f"no SQL oracle renderer for metric type {spec.metric_type!r}")
+
+
+def _spec_columns(spec: MetricSpec, grain: str | None) -> list[str]:
+    """Output column names of compiler.compile(spec, grain), in order."""
+    return [a for _, a in _keys(spec, grain)] + [spec.name]
+
+
+def _derived_sql(
+    spec: MetricSpec,
+    grain: str | None,
+    registry: dict[str, MetricSpec],
+    visiting: tuple,
+) -> str:
+    """Mirror _compile_derived: render each input, chain FULL JOIN USING
+    on the keys shared so far (USING merges key columns in both engines),
+    then evaluate the expression over the joined frame."""
+    if spec.name in visiting:
+        chain = " -> ".join(visiting + (spec.name,))
+        raise ValueError(f"derived-metric cycle: {chain}")
+    visiting = visiting + (spec.name,)
+    ctes: list[str] = []
+    frames: list[tuple[str, list[str]]] = []  # (cte_name, columns)
+    for i, m in enumerate(spec.input_metrics):
+        if m not in registry:
+            raise ValueError(f"derived metric {spec.name!r}: unknown input metric {m!r}")
+        sub = registry[m]
+        if sub.metric_type in ("derived", "expression"):
+            sql = _derived_sql(sub, grain, registry, visiting)
+        else:
+            sql = oracle_sql_for(sub, grain)
+        cte = f"__m{i}"
+        ctes.append(f"{cte} AS ({sql})")
+        frames.append((cte, _spec_columns(sub, grain)))
+    names = [m for m in spec.input_metrics]
+    first_cte, first_cols = frames[0]
+    key_cols = [c for c in first_cols if c not in names]
+    joined = first_cte
+    joined_cols = list(first_cols)
+    for i, (cte, cols) in enumerate(frames[1:], start=1):
+        shared = [c for c in key_cols if c in cols]
+        if shared:
+            joined = f"{joined} FULL JOIN {cte} USING ({', '.join(shared)})"
+        else:
+            joined = f"{joined} CROSS JOIN {cte}"
+        joined_cols += [c for c in cols if c not in shared]
+    out_keys = [c for c in joined_cols if c not in names]
+    sel = "".join(f"{k}, " for k in out_keys)
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT {sel}{spec.expression} AS {spec.name} FROM {joined}"
+    )
 
 
 def _select(keys: list[tuple[str, str]], value_exprs: list[str], spec: MetricSpec) -> str:

@@ -119,10 +119,82 @@ def test_cumulative_specs_match_oracle(spark, sf_dir, spec, grain):
     _check(spark, sf_dir, spec, grain)
 
 
-def test_oracle_renderer_rejects_derived():
+def test_oracle_renderer_needs_registry_for_derived():
     spec = MetricSpec(
         name="d", metric_type="derived", expression="a + 1",
         model="orders", input_metrics=["a"],
     )
-    with pytest.raises(ValueError, match="derived"):
+    with pytest.raises(ValueError, match="unknown input metric"):
         oracle_sql_for(spec)
+
+
+derived_specs = st.builds(
+    lambda method_a, method_b, dims, grain: (
+        MetricSpec(
+            name="d",
+            metric_type="derived",
+            expression="ma / (mb + 1)",
+            model="orders",
+            timestamp="o_orderdate",
+            input_metrics=["ma", "mb"],
+        ),
+        {
+            "ma": MetricSpec(
+                name="ma", calculation_method=method_a,
+                expression="o_totalprice", model="orders",
+                timestamp="o_orderdate", dimensions=dims,
+            ),
+            "mb": MetricSpec(
+                name="mb", calculation_method=method_b,
+                expression="o_custkey", model="orders",
+                timestamp="o_orderdate", dimensions=dims,
+            ),
+        },
+        grain,
+    ),
+    method_a=st.sampled_from(["sum", "count", "average"]),
+    method_b=st.sampled_from(["count", "count_distinct"]),
+    dims=st.lists(st.sampled_from(DIM_POOL), unique=True, max_size=1),
+    grain=st.sampled_from(["month", "year", "all_time"]),
+)
+
+
+@_SETTINGS
+@given(case=derived_specs)
+def test_derived_specs_match_oracle(spark, sf_dir, case):
+    spec, registry, grain = case
+    comp = MetricCompiler(
+        lambda model: load_table(spark, sf_dir, model), registry=registry
+    )
+    df = comp.compile(spec, grain)
+    assert_matches_oracle(
+        df, oracle_sql_for(spec, grain, registry=registry), sf_dir
+    )
+
+
+def test_nested_derived_matches_oracle(spark, sf_dir):
+    registry = {
+        "rev": MetricSpec(
+            name="rev", calculation_method="sum", expression="o_totalprice",
+            model="orders", timestamp="o_orderdate",
+        ),
+        "cnt": MetricSpec(
+            name="cnt", calculation_method="count", expression="*",
+            model="orders", timestamp="o_orderdate",
+        ),
+        "aov": MetricSpec(
+            name="aov", metric_type="derived", expression="rev / cnt",
+            model="orders", timestamp="o_orderdate", input_metrics=["rev", "cnt"],
+        ),
+    }
+    spec = MetricSpec(
+        name="aov_pct", metric_type="derived", expression="aov * 100",
+        model="orders", timestamp="o_orderdate", input_metrics=["aov"],
+    )
+    comp = MetricCompiler(
+        lambda model: load_table(spark, sf_dir, model), registry=registry
+    )
+    df = comp.compile(spec, "month")
+    assert_matches_oracle(
+        df, oracle_sql_for(spec, "month", registry=registry), sf_dir
+    )
