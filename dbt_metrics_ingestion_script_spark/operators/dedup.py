@@ -317,11 +317,13 @@ def embedding_near_dedup(
     vec_col: str = "embedding",
     n_planes: int = 8,
     probe_hamming: int = 2,
+    dim: int = 64,
 ) -> DataFrame:
     """Scale-path embedding dedup: LSH-bucket candidate pairs (same
     random-hyperplane signature within `probe_hamming` bits via banded
     buckets), exact cosine verify, drop the higher id of each duplicate
-    pair.  Returns surviving input rows.
+    pair.  Returns surviving input rows.  `dim` must equal the embedding
+    length (plane vectors are plan literals of that length).
 
     The candidate join is on (band, bucket) ids -- vector payloads move
     only for the verified-candidate rescore, so shuffle volume is
@@ -330,7 +332,7 @@ def embedding_near_dedup(
     from .similarity import dot, lsh_bucket
 
     unit = _unit_vectors(df, id_col, vec_col).withColumn(
-        "bucket", lsh_bucket(F.col("unit"), n_planes)
+        "bucket", lsh_bucket(F.col("unit"), n_planes, dim)
     )
     # pigeonhole banding over the signature bits: pairs within
     # probe_hamming bits agree on >= 1 band

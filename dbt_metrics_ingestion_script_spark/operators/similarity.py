@@ -86,23 +86,30 @@ def norm_stats_by_label(
 # ---------------------------------------------------------------------------
 
 
-def _plane_component(plane: Column, dim: Column) -> Column:
+def _plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    derived from the portable 64-bit hash of (plane, dim)."""
-    h = hash64(F.concat_ws(":", F.lit("plane"), plane, dim))
-    return (h % 10000).cast("double") / F.lit(5000.0) - 1.0
+    derived from the portable 64-bit hash of (plane, dim) -- the same
+    md5 formula as functions.hashing.hash64, evaluated driver-side so
+    plane vectors become plan literals (an in-lambda hash expression
+    would cost one md5 per element per plane per row)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return (h % 10000) / 5000.0 - 1.0
 
 
-def lsh_bucket(vec_col: Column, n_planes: int = 12) -> Column:
+def _plane_literal(plane: int, dim: int) -> Column:
+    return F.array(*[F.lit(_plane_component(plane, i)) for i in range(dim)])
+
+
+def lsh_bucket(vec_col: Column, n_planes: int = 12, dim: int = 64) -> Column:
     """h-bit signature: bit p = sign(dot(vec, plane_p)) -- packed into a
-    bigint bucket id."""
-    def projection(p: int):
-        return lambda x, i: x * _plane_component(F.lit(p), i)
-
+    bigint bucket id.  Plane vectors are literal arrays; per row the
+    work is n_planes fused multiply-add passes, no hashing."""
     bucket = F.lit(0).cast("bigint")
     for p in range(n_planes):
         d = F.aggregate(
-            F.zip_with(vec_col, F.sequence(F.lit(0), F.size(vec_col) - 1), projection(p)),
+            F.zip_with(vec_col, _plane_literal(p, dim), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -218,9 +225,11 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     n_planes: int = 12,
     probe_hamming: int = 2,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
-    `probe_hamming` bits of the query's bucket (multi-probe).
+    `probe_hamming` bits of the query's bucket (multi-probe).  `dim`
+    must equal the embedding length (plane vectors are plan literals).
 
     At scale, bucket the corpus once (materialized column, partitioned /
     clustered by bucket) and each query touches ~n/2^h * probes vectors.
@@ -228,9 +237,9 @@ def lsh_cosine_topk(
     emb = embeddings.select(
         F.col(id_col),
         as_double(vec_col).alias("vec"),
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), n_planes))
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), n_planes, dim))
     q = query.select(as_double(vec_col).alias("__qvec")).withColumn(
-        "qbucket", lsh_bucket(F.col("__qvec"), n_planes)
+        "qbucket", lsh_bucket(F.col("__qvec"), n_planes, dim)
     )
     cands = emb.crossJoin(F.broadcast(q)).filter(
         F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= probe_hamming
