@@ -40,6 +40,7 @@ HEADLINE = [
     "metric_star_revenue_by_region_month",
     "metric_total_revenue_all_grains",
     # Layer A: manifest -> glossary/lineage/properties
+    "manifest_compiled_total_revenue_month",
     "manifest_metrics_extraction",
     "glossary_terms",
     "term_custom_properties",

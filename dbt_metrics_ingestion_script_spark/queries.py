@@ -462,4 +462,4 @@ def oracle_sql() -> dict[str, str]:
 
 def _load_all_query_modules() -> None:
     """Import side-effect modules that register additional queries."""
-    from . import queries_ext, queries_layer_a  # noqa: F401
+    from . import queries_ext, queries_layer_a, queries_manifest  # noqa: F401
