@@ -131,3 +131,99 @@ def fake_feature_extractor(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
 def extract_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column."""
     return assets.mapInPandas(fake_feature_extractor, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame sampling (same mapInPandas discipline; decode stubbed)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def decode_audio(content: bytes) -> list[float]:
+    """STUB: decode an audio payload to samples (same posture as
+    decode_image -- requires a codec library not assumed present)."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "audio decoding requires a codec library not present in this "
+            "environment; plumbing is exercised via the deterministic fakes"
+        ) from exc
+    raise NotImplementedError("unreachable in this container")
+
+
+def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize plumbing: 1 row in -> 1 row out with a bounded-size payload.
+
+    The decode+rescale kernel is a deterministic fake (digest-expanded to
+    exactly width*height bytes); a real kernel drops in with the same
+    mapInPandas signature. The essential scale property is real: output
+    payload size is fixed regardless of input size, so downstream stages
+    have predictable memory."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+        for pdf in batches:
+            content = pdf["content"].map(
+                lambda b: (
+                    hashlib.md5(bytes(b)).digest() * (n_out // 16 + 1)
+                )[:n_out]
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "content": content,
+                }
+            )
+
+    return assets.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, max_frames: int = 5) -> DataFrame:
+    """Frame-sampling plumbing: 1 row in -> N rows out (the fan-out shape
+    of video decoding). Frame count and contents are deterministic fakes
+    (count = 1 + n_bytes mod max_frames; frame = digest of
+    (payload, idx)); a real decoder keeps the same contract: bounded
+    frames per asset, one output row per sampled frame."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["content"])
+                n = 1 + len(payload) % max_frames
+                for i in range(n):
+                    ids.append(row["asset_id"])
+                    idxs.append(i)
+                    frames.append(
+                        hashlib.md5(payload + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "content": frames,
+                }
+            )
+
+    return assets.mapInPandas(kernel, FRAME_SCHEMA)

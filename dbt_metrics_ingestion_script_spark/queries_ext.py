@@ -357,6 +357,18 @@ def multimodal_feature_extract(spark, sf_dir):
     return multimodal.extract_features(assets)
 
 
+@register("multimodal_resize", None)  # mapInPandas 1->1 with bounded payloads
+def multimodal_resize(spark, sf_dir):
+    assets = multimodal.synth_assets(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_images(assets, width=16, height=16).drop("content")
+
+
+@register("multimodal_frame_sample", None)  # mapInPandas 1->N fan-out
+def multimodal_frame_sample(spark, sf_dir):
+    assets = multimodal.synth_assets(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(assets, max_frames=5).drop("content")
+
+
 @register(
     "events_json_props_extract",
     """

@@ -158,6 +158,37 @@ def test_multimodal_feature_extract_plumbing(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_multimodal_resize_bounds_payload(spark, sf_dir):
+    assets = multimodal.synth_assets(load_table(spark, sf_dir, "documents"))
+    resized = multimodal.resize_images(assets, width=8, height=4)
+    assert resized.schema == multimodal.RESIZED_SCHEMA
+    rows = resized.collect()
+    assert len(rows) == assets.count()
+    assert all(len(r["content"]) == 8 * 4 for r in rows)
+    assert all((r["width"], r["height"]) == (8, 4) for r in rows)
+
+
+def test_multimodal_frame_sampling_fans_out(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    assets = multimodal.synth_assets(load_table(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(assets, max_frames=5)
+    assert frames.schema == multimodal.FRAME_SCHEMA
+    per_asset = frames.groupBy("asset_id").count()
+    counts = {r["asset_id"]: r["count"] for r in per_asset.collect()}
+    assert set(counts) == {r["asset_id"] for r in assets.select("asset_id").collect()}
+    assert all(1 <= c <= 5 for c in counts.values())
+    # frame indices are dense from 0 and contents deterministic
+    first = frames.filter(F.col("frame_idx") == 0).count()
+    assert first == len(counts)
+    again = {
+        (r["asset_id"], r["frame_idx"]): bytes(r["content"])
+        for r in multimodal.sample_frames(assets, max_frames=5).collect()
+    }
+    for r in frames.collect():
+        assert again[(r["asset_id"], r["frame_idx"])] == bytes(r["content"])
+
+
 def test_decode_image_is_stubbed():
     try:
         import PIL  # noqa: F401
