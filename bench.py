@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_lsh_survivors",
     "similarity_cosine_topk",
+    "similarity_multi_query_topk",
     "similarity_ivf_topk",
     "text_stats",
     "text_language_id",

@@ -119,6 +119,45 @@ def lsh_bucket(vec_col: Column, n_planes: int = 12, dim: int = 64) -> Column:
     return bucket
 
 
+def cosine_topk_multi(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """Brute-force top-k for a SET of queries in one pass: broadcast the
+    query frame, score corpus x queries, rank per query with a window.
+
+    Output: (query_id, vec_id, cosine_sim, rank).  One corpus scan
+    regardless of query count; the only shuffle is the per-query-id
+    window (keyed on query_id, so it parallelizes across queries).
+    With assume_normalized, vectors are taken as unit-length and the
+    score is a bare dot product (pre-normalize once instead of per
+    pair -- the right call at scale, and rank-stable vs any engine
+    computing the same dot)."""
+    score = dot if assume_normalized else cosine
+    q = queries.select(
+        F.col(query_id_col), as_double(vec_col).alias("__qvec")
+    )
+    scored = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("__vec")
+    ).crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        score(F.col("__vec"), F.col("__qvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # approximate path 2: IVF (inverted-file) coarse quantizer
 # ---------------------------------------------------------------------------

@@ -434,6 +434,30 @@ def metric_total_revenue_all_grains(spark, sf_dir):
 
 
 @register(
+    "metric_event_value_hour",
+    """
+    SELECT date_trunc('hour', ts) AS ts, event_type,
+           ROUND(SUM(value), 4) AS event_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def metric_event_value_hour(spark, sf_dir):
+    """Hour-grain metric over the events stream table -- the compiler's
+    finest grain (kept as timestamp, not date)."""
+    spec = MetricSpec(
+        name="event_value",
+        calculation_method="sum",
+        expression="value",
+        model="events",
+        timestamp="ts",
+        time_grains=["hour", "day"],
+        dimensions=["event_type"],
+    )
+    df = _compiler(spark, sf_dir).compile(spec, "hour")
+    return _round(df, {"event_value": 4})
+
+
+@register(
     "metric_approx_customer_count",
     None,  # approximate by construction -> rows-only driver check
 )

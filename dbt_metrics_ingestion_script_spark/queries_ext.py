@@ -248,6 +248,51 @@ def similarity_lsh_topk(spark, sf_dir):
     )
 
 
+@register(
+    "similarity_multi_query_topk",
+    """
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS unit
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, unit AS qunit FROM u
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+    ), scored AS (
+      SELECT q.query_id, u.vec_id,
+             list_dot_product(u.unit, q.qunit) AS cosine_sim
+      FROM u CROSS JOIN q
+    )
+    SELECT query_id, vec_id, ROUND(cosine_sim, 6) AS cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_multi_query_topk(spark, sf_dir):
+    """Batched exact ANN: 3 query vectors ranked against the corpus in
+    one scan (W-class ranking window per query key)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # pre-normalize both sides so Spark and DuckDB compute the identical
+    # arithmetic (dot of unit vectors)
+    unit = emb.select(
+        "vec_id",
+        similarity.as_double("embedding").alias("v"),
+    ).withColumn("norm", similarity.l2_norm(F.col("v"))).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("unit")
+    )
+    qids = [r["vec_id"] for r in unit.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    queries = unit.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("embedding")
+    )
+    corpus = unit.withColumnRenamed("unit", "embedding")
+    out = similarity.cosine_topk_multi(corpus, queries, k=5, assume_normalized=True)
+    return out.withColumn("cosine_sim", F.round("cosine_sim", 6))
+
+
 @register("similarity_ivf_topk", None)  # IVF coarse-quantizer ANN; exactness vs
 def similarity_ivf_topk(spark, sf_dir):  # brute force when n_probe=n_centroids in tests
     emb = load_table(spark, sf_dir, "embeddings")
