@@ -21,11 +21,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the reference's golden `total_revenue` metric
-    (sum of order totals by month x customer,
-    /root/reference/test_manifest.json:253-303) compiled to a Spark plan
-    and run on sf0.001."""
-    return _q.metric_total_revenue_month(spark, SMOKE_SF_DIR)
+    """Flagship query: the engine's full lifecycle in one plan -- a dbt
+    manifest's DERIVED metric record (revenue_per_customer =
+    total_revenue / customer_count, the shape of
+    /root/reference/test_manifest.json:252-407) extracted from JSON,
+    compiled with its input metrics resolved from the same manifest, and
+    executed over the physical orders table at sf0.001."""
+    _q.queries()  # load all query modules
+    return _q.REGISTRY["manifest_compiled_revenue_per_customer_month"].fn(
+        spark, SMOKE_SF_DIR
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
