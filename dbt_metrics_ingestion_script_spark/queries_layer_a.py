@@ -183,6 +183,35 @@ def lineage_transitive_closure(spark, sf_dir):
 
 
 @register(
+    "pipeline_emissions",
+    f"""
+    SELECT * FROM (VALUES
+      ('{_R}', 'glossaryNode', 'glossaryNodeInfo'),
+      ('{_R}.Finance.Revenue', 'glossaryNode', 'glossaryNodeInfo'),
+      ('{_R}.Customer', 'glossaryNode', 'glossaryNodeInfo'),
+      ('{_R}.Finance', 'glossaryNode', 'glossaryNodeInfo'),
+      ('{_R}.Uncategorized', 'glossaryNode', 'glossaryNodeInfo'),
+      ('urn:li:glossaryTerm:dbt_metrics.Finance.Revenue.total_revenue', 'glossaryTerm', 'glossaryTermInfo'),
+      ('urn:li:glossaryTerm:dbt_metrics.Customer.customer_count', 'glossaryTerm', 'glossaryTermInfo'),
+      ('urn:li:glossaryTerm:dbt_metrics.Finance.Revenue.avg_order_value', 'glossaryTerm', 'glossaryTermInfo'),
+      ('urn:li:glossaryTerm:dbt_metrics.Uncategorized.orders_from_raw', 'glossaryTerm', 'glossaryTermInfo'),
+      ('urn:li:glossaryTerm:dbt_metrics.Finance.revenue_per_customer', 'glossaryTerm', 'glossaryTermInfo')
+    ) AS t(entity_urn, entity_kind, aspect_name)
+    """,
+)
+def pipeline_emissions(spark, sf_dir):
+    """S4/S5 + full Layer A lifecycle: manifest -> glossary frames ->
+    flattened emission frame (the sink-facing contract). Payload JSON is
+    excluded from the golden (struct key order is engine-specific); its
+    content is covered by term_custom_properties."""
+    from .pipeline import build_emissions, build_glossary_frames
+
+    frames = load_manifest(spark, FIXTURE)
+    result = build_glossary_frames(spark, frames)
+    return build_emissions(result).select("entity_urn", "entity_kind", "aspect_name")
+
+
+@register(
     "term_custom_properties",
     f"""
     SELECT * FROM (VALUES
