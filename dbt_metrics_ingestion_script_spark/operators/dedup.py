@@ -386,36 +386,25 @@ def embedding_near_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash over word tokens: bit b of the signature is 1 iff
-    the sum over tokens of ±1 votes (sign of token-hash bit b) is > 0.
+def simhash64_from_hashes(token_hashes: Column, n_tokens: Column) -> Column:
+    """64-bit SimHash from a *materialized* token-hash array: bit b of
+    the signature is 1 iff the sum over tokens of ±1 votes (sign of
+    token-hash bit b) is > 0, i.e. iff 2 * popcount_b > n_tokens.
 
-    Pure aggregate expression (F.aggregate over the token-hash array
-    with a 64-int accumulator) -- no shuffle beyond the projection
-    itself.  Tokens are hashed once up front; the per-bit lambda reads
-    bits of that bigint (putting hash64 inside the bit loop would cost
-    64 md5s per token).
+    64 independent scalar aggregates over the int array -- no per-token
+    64-element accumulator array to allocate (the naive fold rebuilds
+    one per token), and the ±1 vote reduces to a bit-count comparison.
     """
-    token_hashes = F.transform(F.split(normalize_text(col), " "), hash64)
-    votes = F.aggregate(
-        token_hashes,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
-            ),
-            lambda x, y: x + y,
-        ),
-    )
-    # pack sign bits into a bigint; bit 63 is the sign bit in two's
-    # complement, so its contribution is the min-long literal
     sig = F.lit(0).cast("bigint")
     for b in range(64):
+        # bit 63 is the two's-complement sign bit: its set-value is the
+        # min-long literal
         bit_val = (1 << b) if b < 63 else -(1 << 63)
+        ones = F.aggregate(
+            token_hashes, F.lit(0), lambda acc, h: acc + F.getbit(h, F.lit(b))
+        )
         sig = sig.bitwiseOR(
-            F.when(F.element_at(votes, b + 1) > 0, F.lit(bit_val).cast("bigint")).otherwise(
+            F.when(ones * 2 > n_tokens, F.lit(bit_val).cast("bigint")).otherwise(
                 F.lit(0).cast("bigint")
             )
         )
@@ -425,7 +414,13 @@ def simhash64(col: Column | str) -> Column:
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    return df.select(F.col(id_col), simhash64(text_col).alias("simhash"))
+    hashed = df.select(
+        F.col(id_col), F.transform(tokens_of(text_col), hash64).alias("__th")
+    )
+    return hashed.select(
+        F.col(id_col),
+        simhash64_from_hashes(F.col("__th"), F.size("__th")).alias("simhash"),
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
