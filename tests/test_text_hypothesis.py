@@ -1,0 +1,95 @@
+"""Property-based differential tests for text/dedup operators: random
+printable-ASCII corpora (regex metachars, quotes, runs of whitespace,
+empty-ish strings) written as a documents table and pushed through BOTH
+engines using the exact oracle SQL registered in the driver contract.
+Any divergence is an engine-semantics gap the fixture corpus missed."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dbt_metrics_ingestion_script_spark import queries as q
+
+TEXT_QUERIES = [
+    "text_stats",
+    "text_token_count_bpe",
+    "text_language_id",
+    "text_doc_fingerprint",
+    "dedup_exact",
+]
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=120
+)
+corpora = st.lists(ascii_text, min_size=1, max_size=20)
+
+
+def _write_documents(spark, tmpdir: str, texts: list[str]) -> None:
+    rows = [
+        (i, t, "en", "hypothesis", len(t)) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+
+
+def _run_duckdb(sql: str, tmpdir: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmpdir}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 6)
+    return v
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpora)
+def test_text_ops_agree_on_adversarial_corpora(spark, tmp_path_factory, texts):
+    q.queries()
+    tmpdir = str(tmp_path_factory.mktemp("hyptext"))
+    _write_documents(spark, tmpdir, texts)
+    for name in TEXT_QUERIES:
+        qd = q.REGISTRY[name]
+        sdf = qd.fn(spark, tmpdir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        o_cols, o_rows = _run_duckdb(qd.oracle, tmpdir)
+        assert sorted(s_cols) == sorted(o_cols), name
+        order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+        order_o = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+        ns = sorted(
+            [tuple(_norm(r[i]) for i in order_s) for r in s_rows], key=repr
+        )
+        no = sorted(
+            [tuple(_norm(r[i]) for i in order_o) for r in o_rows], key=repr
+        )
+        assert ns == no, f"{name} diverged on {texts!r}:\n{ns}\nvs\n{no}"
+
+
+@pytest.mark.parametrize("degenerate", [[""], [" "], ["  \t "], ["a"], ['"'], ["\\"]])
+def test_text_ops_agree_on_degenerate_docs(spark, tmp_path_factory, degenerate):
+    q.queries()
+    tmpdir = str(tmp_path_factory.mktemp("degtext"))
+    _write_documents(spark, tmpdir, degenerate)
+    for name in TEXT_QUERIES:
+        qd = q.REGISTRY[name]
+        s_rows = sorted(map(repr, (tuple(r) for r in qd.fn(spark, tmpdir).collect())))
+        _, o_rows = _run_duckdb(qd.oracle, tmpdir)
+        assert len(s_rows) == len(o_rows), name
