@@ -268,12 +268,17 @@ def near_dedup_minhash(
 
 def _unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, unit) frame with the embedding normalized to unit length --
-    norm computed once per row, so pairwise cosine is a bare dot."""
+    norm computed once per row, so pairwise cosine is a bare dot.
+
+    Zero-norm embeddings are dropped: their cosine is undefined, and
+    under ANSI mode the division would otherwise abort the whole job on
+    one degenerate row (they can't be near-duplicates of anything)."""
     from .similarity import as_double, l2_norm
 
     return (
         df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
         .withColumn("norm", l2_norm(F.col("v")))
+        .filter(F.col("norm") > 0)
         .select(
             "id", F.transform("v", lambda x: x / F.col("norm")).alias("unit")
         )

@@ -40,7 +40,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO job abort) for zero-norm inputs:
+    cosine is undefined there, and one degenerate vector must never kill
+    a 100 TB job. NULL scores sort last under desc ordering, so top-k
+    silently ignores degenerate rows."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den > 0, dot(a, b) / den)
 
 
 def cosine_topk(
