@@ -1,7 +1,9 @@
 """Deduplication operators for LLM-scale corpora (SURVEY.md §2.11 X1/X2).
 
-All hot paths are JVM-side array/higher-order functions -- zero Python
-row UDFs.  Scale posture per operator:
+All hot paths are JVM-side and stay inside whole-stage codegen (regex
+shingling, exploded-row aggregation) -- zero Python row UDFs, and no
+interpreted array-lambda evaluation on the per-token path.  Scale
+posture per operator:
 
 - exact_dedup: one hash-aggregate shuffle on the dedup key.  At 100 TB,
   group on a digest of the normalized text (64-bit + length), never the
@@ -58,9 +60,29 @@ def tokens_of(col: Column | str) -> Column:
     return F.split(normalize_text(col), " ")
 
 
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text; texts shorter
+    than n words produce one whole-text shingle.
+
+    Implemented as ONE regexp_extract_all pass: the pattern consumes a
+    token (so find() resumes at the next token start) while a lookahead
+    group captures the n-token window beginning there.  This stays
+    inside whole-stage codegen end to end -- the equivalent
+    transform(sequence, slice+concat_ws) lambda form drops the operator
+    out of codegen into interpreted eval and measured ~10x slower at
+    ~50 tokens/doc (the per-doc cost that dominates a 100 TB corpus
+    scan, since shingling is embarrassingly parallel)."""
+    norm = normalize_text(col)
+    pat = r"(?=(" + r"\S+ " * (n - 1) + r"\S+))\S+ ?"
+    windowed = F.regexp_extract_all(norm, F.lit(pat), 1)
+    return F.when(F.size(windowed) == 0, F.array(norm)).otherwise(
+        F.array_distinct(windowed)
+    )
+
+
 def word_shingles_from_tokens(tokens: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles from a *materialized* token-array
-    column; texts shorter than n words produce one whole-text shingle."""
+    """n-word shingles from an already-tokenized array (compat shim for
+    callers that only have tokens; prefer word_shingles on the text)."""
     windowed = F.transform(
         F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
@@ -70,21 +92,14 @@ def word_shingles_from_tokens(tokens: Column, n: int = 3) -> Column:
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Convenience single-expression form -- fine for one-off use, but
-    hot paths should project tokens_of() first (see that docstring)."""
-    return word_shingles_from_tokens(tokens_of(col), n)
-
-
 def shingle_frame(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, hashed: bool = True
 ) -> DataFrame:
-    """(id, shingles) with staged projections: tokens materialize once,
-    then shingles, then (optionally) 31-bit shingle hashes -- each stage
-    a separate Project so no subtree re-evaluates inside a lambda."""
-    out = (
-        df.select(F.col(id_col).alias("id"), tokens_of(text_col).alias("__toks"))
-        .select("id", word_shingles_from_tokens(F.col("__toks"), n).alias("shingles"))
+    """(id, shingles): one codegen regex pass for the shingle array,
+    then (optionally) a separate Project for 31-bit shingle hashes so
+    the shingle subtree doesn't re-evaluate inside the hash lambda."""
+    out = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     )
     if hashed:
         out = out.select("id", F.transform("shingles", hash31).alias("shingles"))
@@ -195,9 +210,12 @@ def minhash_lsh_candidates(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    # staged projections (shingle_frame) so tokens / shingles / hashes
-    # each materialize once; inlined, the shingling subtree would
-    # re-evaluate once per permutation inside the signature lambdas
+    # staged projections (shingle_frame) so shingles / hashes each
+    # materialize once before the signature lambdas; the k family
+    # hashes are cheap linear arithmetic over the already-md5'd 31-bit
+    # shingle hashes.  (An exploded groupBy(id) min-aggregate variant
+    # measured slower end to end at bench scale: the extra shuffle
+    # costs more than the k in-row array passes save.)
     sig = shingle_frame(df, text_col, id_col, n).select(
         "id", minhash_signature(F.col("shingles"), k).alias("sig")
     )
@@ -419,13 +437,39 @@ def simhash64_from_hashes(token_hashes: Column, n_tokens: Column) -> Column:
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
+    """(id, simhash) via exploded (token, bit) rows + generic
+    sum-aggregates.
+
+    Tokens explode to rows, each hashed once (md5), then cross with the
+    64 bit positions and vote with ONE narrow groupBy(id, bit) -- all
+    whole-stage codegen with map-side partial aggregation, so the
+    shuffle carries 64 partial counts per doc, not tokens.  Two
+    alternatives measured worse at bench scale: the array-fold form
+    (F.aggregate per bit over a token-hash array) is interpreted per
+    element, and a 64-wide aggregate (one SUM(getbit) column per bit)
+    pays ~2 s of Catalyst planning per invocation for the 65-aggregate
+    plan.  The 64x row inflation stays inside one codegen stage and is
+    collapsed by partial aggregation before it ever hits the wire.
+
+    Bit 63 needs no special case: Spark's shiftleft follows Java <<
+    semantics, so shiftleft(1L, 63) is already Long.MIN_VALUE, and the
+    final SUM of distinct bit values (at most 2^62+...+1 then one
+    negative min-long term) cannot overflow, keeping ANSI mode happy.
+    """
     hashed = df.select(
-        F.col(id_col), F.transform(tokens_of(text_col), hash64).alias("__th")
+        F.col(id_col), F.explode(tokens_of(text_col)).alias("__tok")
+    ).select(F.col(id_col), hash64(F.col("__tok")).alias("__h"))
+    bits = hashed.select(
+        F.col(id_col), "__h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b")
     )
-    return hashed.select(
-        F.col(id_col),
-        simhash64_from_hashes(F.col("__th"), F.size("__th")).alias("simhash"),
+    votes = bits.groupBy(id_col, "b").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.getbit("__h", F.col("b")).cast("bigint")).alias("__ones"),
     )
+    term = F.when(
+        F.col("__ones") * 2 > F.col("__n"), F.expr("shiftleft(1L, b)")
+    ).otherwise(F.lit(0).cast("bigint"))
+    return votes.groupBy(id_col).agg(F.sum(term).alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
