@@ -66,12 +66,12 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
     Implemented as ONE regexp_extract_all pass: the pattern consumes a
     token (so find() resumes at the next token start) while a lookahead
-    group captures the n-token window beginning there.  This stays
-    inside whole-stage codegen end to end -- the equivalent
-    transform(sequence, slice+concat_ws) lambda form drops the operator
-    out of codegen into interpreted eval and measured ~10x slower at
-    ~50 tokens/doc (the per-doc cost that dominates a 100 TB corpus
-    scan, since shingling is embarrassingly parallel)."""
+    group captures the n-token window beginning there.  The expression
+    is lambda-free, so a bare shingle projection compiles into
+    whole-stage codegen (asserted in tests/test_plan_shape.py); the
+    equivalent transform(sequence, slice+concat_ws) lambda form is
+    interpreted per element and measured ~10x slower at ~50 tokens/doc
+    (the per-doc cost that dominates a 100 TB corpus scan)."""
     norm = normalize_text(col)
     pat = r"(?=(" + r"\S+ " * (n - 1) + r"\S+))\S+ ?"
     windowed = F.regexp_extract_all(norm, F.lit(pat), 1)

@@ -125,7 +125,34 @@ def _arr(name: str):
     return F.coalesce(F.col(f"value.{name}"), F.array().cast(ArrayType(S))).alias(name)
 
 
-def load_manifest(spark: SparkSession, path: str) -> ManifestFrames:
+_MANIFEST_CACHE: dict[tuple[int, str], "ManifestFrames"] = {}
+
+
+def load_manifest(
+    spark: SparkSession, path: str, use_cache: bool = True
+) -> ManifestFrames:
+    """Parse a manifest into section frames; memoized per (session, path).
+
+    A manifest is immutable metadata read by every Layer A operator in a
+    run -- without memoization each query re-plans the multiLine JSON
+    scan (~0.5 s of fixed driver cost per call) and every downstream
+    action re-parses the document.  The section frames are persisted
+    (MEMORY_ONLY, metadata-sized) so the JSON parse happens once per
+    session, mirroring the reference's single json.load
+    (/root/reference/dbt_metrics_to_datahub.py:119-123)."""
+    key = (id(spark), path)
+    if use_cache and key in _MANIFEST_CACHE:
+        return _MANIFEST_CACHE[key]
+    frames = _load_manifest_uncached(spark, path)
+    if use_cache:
+        for df in (frames.metrics, frames.nodes, frames.sources,
+                   frames.semantic_models, frames.parent_edges):
+            df.persist()
+        _MANIFEST_CACHE[key] = frames
+    return frames
+
+
+def _load_manifest_uncached(spark: SparkSession, path: str) -> ManifestFrames:
     raw = spark.read.schema(MANIFEST_SCHEMA).option("multiLine", True).json(path)
 
     metrics = _explode_section(raw, "metrics").select(

@@ -1,0 +1,138 @@
+"""Plan-shape regression tests: assert the SCALE.md claims on the actual
+physical plans, so a refactor that silently loses pushdown, broadcast,
+exchange reuse, or whole-stage codegen fails CI instead of only showing
+up as a 100 TB regression.
+
+Each test reads `.explain`-style output via QueryExecution.explainString
+(pre-execution plan; broadcast *hints* and scan pushdown are visible
+there even with AQE on).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_metrics_ingestion_script_spark import queries as q
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register():
+    q.queries()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def run(spark, name: str):
+    return q.REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    """Spec filters reach the parquet scan; scan reads only referenced
+    columns (SCALE.md Layer B: pushdown + pruning)."""
+    plan = plan_of(run(spark, "metric_filtered_revenue_month"))
+    assert "PushedFilters" in plan
+    # all three compiled spec predicates are pushed, not post-scan
+    assert "GreaterThan(o_totalprice" in plan
+    assert "EqualTo(o_orderstatus" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # pruned ReadSchema: the unreferenced wide columns never leave storage
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("o_comment" not in l for l in read_schema)
+    assert all("o_clerk" not in l for l in read_schema)
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """The star-join metric broadcasts every dimension table; the fact
+    table is never on a broadcast side (SCALE.md: broadcast small dims)."""
+    plan = plan_of(run(spark, "metric_star_revenue_by_region_month"))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+    # lineitem (the fact) must not be built into a broadcast relation:
+    # every BroadcastExchange subtree should scan a dim, and lineitem
+    # appears exactly once, as a probe-side scan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_lineage_registry_join_is_broadcast(spark):
+    """Metadata registry resolution is a map-side broadcast join with no
+    shuffle of the metric side (SCALE.md Layer A)."""
+    plan = plan_of(run(spark, "lineage_upstream_resolution"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sketch_self_join_reuses_exchange(spark):
+    """MinHash band self-join repartitions both sides identically so the
+    signature subtree is computed once and the exchange reused
+    (SCALE.md: self-join shape)."""
+    df = run(spark, "dedup_minhash_lsh_candidates")
+    df.collect()  # execute THIS plan so AQE finalizes it
+    plan = plan_of(df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_no_python_eval_in_hot_paths(spark):
+    """Zero row-level Python in dedup/similarity/text/metric plans
+    (SCALE.md UDF policy): no BatchEvalPython (pickled row UDF) anywhere,
+    and no ArrowEvalPython outside the explicitly-Arrow multimodal ops."""
+    for name in [
+        "metric_total_revenue_month",
+        "metric_derived_revenue_per_customer_month",
+        "dedup_minhash_lsh_candidates",
+        "dedup_simhash_near_pairs",
+        "dedup_ngram_jaccard_pairs",
+        "similarity_cosine_topk",
+        "similarity_ivf_topk",
+        "text_stats",
+        "text_language_id",
+        "text_doc_fingerprint",
+        "events_json_props_extract",
+    ]:
+        plan = plan_of(run(spark, name))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_metric_agg_is_partial_then_final(spark):
+    """Metric aggregation shuffles partial states, not raw rows: two
+    HashAggregates split by one Exchange (SCALE.md: partial aggregation)."""
+    plan = plan_of(run(spark, "metric_total_revenue_month"), "simple")
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_all_grains_single_scan(spark):
+    """The GROUPING SETS all-grains rollup reads the fact table once
+    (SCALE.md: one scan + one shuffle for five grains)."""
+    plan = plan_of(run(spark, "metric_total_revenue_all_grains"))
+    assert plan.count("orders.parquet") == 1
+    assert "Expand" in plan
+
+
+def test_whole_stage_codegen_covers_text_ops(spark):
+    """The per-document normalize stage of text analysis runs inside a
+    whole-stage-codegen span (simple mode marks codegen stages `*(n)`).
+    Higher-order-function projections can never codegen in Spark; the
+    staged-Project discipline keeps them out of the scan-side stage."""
+    plan = plan_of(run(spark, "text_doc_fingerprint"), "simple")
+    assert "*(1)" in plan
+
+
+def test_shingling_stays_in_codegen(spark):
+    """The single-pass regex shingle expression is codegen-compatible
+    (no lambda); a regression to the transform/sequence/slice lambda
+    form would drop the projection out of codegen."""
+    from dbt_metrics_ingestion_script_spark.operators.dedup import word_shingles
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(
+        docs.select("doc_id", word_shingles("text").alias("sh")), "simple"
+    )
+    assert "*(1) Project" in plan, plan
