@@ -70,3 +70,32 @@ def test_pipeline_empty_manifest_guard(spark, tmp_path):
     result = ingest_metrics(spark, str(empty))
     assert result.stats == {"n_metrics": 0, "aborted": "no metrics"}
     assert result.terms is None
+
+
+def test_cli_dry_run(spark, tmp_path, capsys):
+    """The reference command line works unchanged against this engine:
+    same flags, dry-run parses + validates without emitting
+    (/root/reference/dbt_metrics_to_datahub.py:364-417)."""
+    from dbt_metrics_ingestion_script_spark.__main__ import main
+
+    rc = main(["--manifest", qa.FIXTURE, "--dry-run"])
+    assert rc == 0
+
+
+def test_cli_emission_log(spark, tmp_path):
+    from dbt_metrics_ingestion_script_spark.__main__ import main
+
+    out = str(tmp_path / "emissions")
+    rc = main(["--manifest", qa.FIXTURE, "--emission-log", out])
+    assert rc == 0
+    logged = spark.read.parquet(out)
+    assert logged.count() == 10
+    assert {"entity_urn", "entity_kind", "aspect_name", "payload"} <= set(logged.columns)
+
+
+def test_cli_empty_manifest_exits_nonzero(spark, tmp_path):
+    from dbt_metrics_ingestion_script_spark.__main__ import main
+
+    p = tmp_path / "empty_manifest.json"
+    p.write_text('{"metrics": {}, "nodes": {}, "sources": {}}')
+    assert main(["--manifest", str(p), "--dry-run"]) == 1
