@@ -132,14 +132,76 @@ def dedup_minhash_lsh_candidates(spark, sf_dir):
     )
 
 
-@register("dedup_simhash_near_pairs", None)  # 64-bit bit-vote: not SQL-portable
-def dedup_simhash_near_pairs(spark, sf_dir):
-    return dedup.simhash_near_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=4
+def _simhash_oracle() -> str:
+    """Brute-force SimHash oracle.  The Spark plan finds pairs via
+    pigeonhole bands, but the banding is an exact cover (hamming <=
+    max_hamming implies >= 1 equal band of the max_hamming+1), so the
+    output equals all-pairs hamming <= 4 -- which IS SQL-expressible
+    with the portable md5 token hash."""
+    return (
+        r"""
+    WITH docs AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM docs
+    ), th AS (
+      SELECT doc_id, """
+        + _H.format(x="tok")
+        + """ AS h FROM tok
+    ), bits AS (
+      SELECT doc_id, b.b AS b, COUNT(*) AS n, SUM((h >> b.b) & 1) AS ones
+      FROM th, unnest(range(0, 64)) AS b(b)
+      GROUP BY 1, 2
+    ), sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN ones * 2 > n THEN
+                   CASE WHEN b = 63 THEN -9223372036854775808
+                        ELSE (1::BIGINT << b) END
+                 ELSE 0 END)::BIGINT AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    """
     )
 
 
-@register("dedup_near_minhash_survivors", None)  # composite pipeline; verified in tests
+@register("dedup_simhash_near_pairs", _simhash_oracle())
+def dedup_simhash_near_pairs(spark, sf_dir):
+    df = dedup.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=4
+    )
+    return df.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+def _minhash_survivors_oracle() -> str:
+    """Candidates (bit-identical minhash banding) -> hashed-shingle
+    Jaccard verify -> drop higher ids; survivors are the complement."""
+    return (
+        _minhash_oracle().replace(
+            "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b",
+            """, cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b""",
+        )
+        + """
+    ), verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN hs ha ON ha.doc_id = c.id_a
+      JOIN hs hb ON hb.doc_id = c.id_b
+      WHERE len(list_distinct(list_intersect(ha.hashes, hb.hashes)))::DOUBLE
+            / len(list_distinct(list_cat(ha.hashes, hb.hashes))) >= 0.8
+    )
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM verified)
+    """
+    )
+
+
+@register("dedup_near_minhash_survivors", _minhash_survivors_oracle())
 def dedup_near_minhash_survivors(spark, sf_dir):
     out = dedup.near_dedup_minhash(
         load_table(spark, sf_dir, "documents"), k=_K, bands=_BANDS, threshold=0.8
@@ -177,11 +239,48 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
     return round_cols(df, {"cosine_sim": 6})
 
 
-@register("dedup_embedding_lsh_survivors", None)  # approx candidates; recall in tests
+def _embedding_lsh_oracle(n_planes: int = 8, dim: int = 64, probe: int = 2) -> str:
+    """The hyperplane signature uses deterministic plan-literal planes,
+    and the banded probe is an exact pigeonhole cover of
+    hamming <= probe, so survivors are SQL-expressible: drop the higher
+    id of every pair with bucket-hamming <= probe and cosine >= t."""
+    from .operators.similarity import _plane_component
+
+    planes = [
+        "[" + ", ".join(repr(_plane_component(p, i)) for i in range(dim)) + "]"
+        for p in range(n_planes)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(unit, {planes[p]}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS unit
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ), bk AS (
+      SELECT vec_id, unit, ({bucket})::BIGINT AS bucket FROM u
+    ), losers AS (
+      SELECT DISTINCT b.vec_id
+      FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.bucket, b.bucket)) <= {probe}
+        AND list_dot_product(a.unit, b.unit) >= {_COS_T}
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    """
+
+
+@register("dedup_embedding_lsh_survivors", _embedding_lsh_oracle())
 def dedup_embedding_lsh_survivors(spark, sf_dir):
-    return dedup.embedding_near_dedup(
+    out = dedup.embedding_near_dedup(
         load_table(spark, sf_dir, "embeddings"), threshold=_COS_T
     )
+    return out.select("vec_id", "label")
 
 
 # ---------------------------------------------------------------------------
