@@ -183,6 +183,40 @@ def lineage_transitive_closure(spark, sf_dir):
 
 
 @register(
+    "lineage_impact_analysis",
+    """
+    SELECT * FROM (VALUES
+      ('source.webshop_analytics.shop.raw_orders', 'model.webshop_analytics.fct_orders', 1),
+      ('source.webshop_analytics.shop.raw_orders', 'metric.webshop_analytics.orders_from_raw', 1),
+      ('source.webshop_analytics.shop.raw_customers', 'model.webshop_analytics.dim_customers', 1),
+      ('model.webshop_analytics.fct_orders', 'metric.webshop_analytics.total_revenue', 1),
+      ('model.webshop_analytics.fct_orders', 'metric.webshop_analytics.customer_count', 1),
+      ('model.webshop_analytics.fct_orders', 'metric.webshop_analytics.avg_order_value', 1),
+      ('model.webshop_analytics.dim_customers', 'metric.webshop_analytics.customer_count', 1),
+      ('source.webshop_analytics.shop.raw_orders', 'metric.webshop_analytics.total_revenue', 2),
+      ('source.webshop_analytics.shop.raw_orders', 'metric.webshop_analytics.customer_count', 2),
+      ('source.webshop_analytics.shop.raw_orders', 'metric.webshop_analytics.avg_order_value', 2),
+      ('source.webshop_analytics.shop.raw_customers', 'metric.webshop_analytics.customer_count', 2)
+    ) AS t(node, impacted, depth)
+    """,
+)
+def lineage_impact_analysis(spark, sf_dir):
+    """J4 downstream form: which metrics break if this node changes?
+    Same BFS closure run over the manifest's child_map adjacency
+    (/root/reference/test_manifest.json:432-447) instead of parent_map;
+    depth = min hop count to the impacted descendant."""
+    frames = load_manifest(spark, FIXTURE)
+    edges = frames.child_edges.select(
+        F.col("child").alias("child"), F.col("parent").alias("parent")
+    )
+    return transitive_closure(edges).select(
+        F.col("ancestor").alias("node"),
+        F.col("descendant").alias("impacted"),
+        "depth",
+    )
+
+
+@register(
     "pipeline_emissions",
     f"""
     SELECT * FROM (VALUES

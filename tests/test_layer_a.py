@@ -19,6 +19,7 @@ LAYER_A_QUERIES = [
     "glossary_terms",
     "lineage_upstream_resolution",
     "lineage_transitive_closure",
+    "lineage_impact_analysis",
     "term_custom_properties",
 ]
 
