@@ -57,6 +57,7 @@ HEADLINE = [
     "similarity_ivf_topk",
     "text_stats",
     "text_language_id",
+    "text_quality_score",
     "text_doc_fingerprint",
     "multimodal_binary_stats",
     "events_daily_agg",

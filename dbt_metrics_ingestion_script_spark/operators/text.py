@@ -115,3 +115,64 @@ def doc_fingerprint(
         F.col(id_col),
         F.array_min(F.transform(grams, hash64)).alias("fingerprint"),
     )
+
+
+# English stopwords for the quality heuristic: a document of natural
+# English prose almost always contains some of these; boilerplate /
+# code / gibberish does not (the Gopher "stop word" rule).
+QUALITY_STOPWORDS = [
+    "the", "and", "of", "to", "in", "is", "that", "for", "with", "was",
+    "on", "as", "are", "at", "be", "this", "have", "from", "or", "by",
+]
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style quality heuristics per document, as one codegen
+    projection over the normalized text (staged Project so the
+    normalize subtree evaluates once; zero Python).
+
+    Columns: stopword_ratio (fraction of tokens in a 20-word English
+    stopword list), mean_word_len, symbol_ratio (non-alphanumeric,
+    non-space chars over all chars), and quality_keep -- the composite
+    filter a 100 TB corpus pipeline would partition on: enough tokens,
+    word lengths in the natural-language band, some stopwords, few
+    symbols.  Thresholds follow the published Gopher rules scaled to
+    the short synthetic documents."""
+    normed = df.select(
+        F.col(id_col), normalize_text(text_col).alias("__norm")
+    ).select(
+        F.col(id_col),
+        "__norm",
+        F.split("__norm", " ").alias("__toks"),
+        F.length("__norm").alias("__len"),
+    )
+    n_tokens = F.greatest(F.size("__toks"), F.lit(1))
+    n_stop = F.size(
+        F.filter(
+            "__toks",
+            lambda t: F.array_contains(
+                F.array(*[F.lit(s) for s in QUALITY_STOPWORDS]), t
+            ),
+        )
+    )
+    # tokens are space-separated: total token chars = len - (n_tokens-1)
+    mean_word_len = (F.col("__len") - (n_tokens - 1)) / n_tokens
+    n_symbols = _count_matches(F.col("__norm"), r"[^A-Za-z0-9 ]")
+    stopword_ratio = n_stop / n_tokens
+    symbol_ratio = n_symbols / F.greatest(F.col("__len"), F.lit(1))
+    keep = (
+        (n_tokens >= 5)
+        & (mean_word_len >= 2.0)
+        & (mean_word_len <= 12.0)
+        & (stopword_ratio >= 0.05)
+        & (symbol_ratio <= 0.15)
+    )
+    return normed.select(
+        F.col(id_col),
+        F.round(stopword_ratio, 4).alias("stopword_ratio"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        keep.alias("quality_keep"),
+    )

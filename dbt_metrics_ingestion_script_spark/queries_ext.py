@@ -437,6 +437,38 @@ def text_token_count_bpe(spark, sf_dir):
     return text.token_count_bpe(load_table(spark, sf_dir, "documents"))
 
 
+def _quality_oracle() -> str:
+    stop = ", ".join(f"'{s}'" for s in text.QUALITY_STOPWORDS)
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), t AS (
+      SELECT doc_id,
+             greatest(len(string_split(norm, ' ')), 1) AS n_tokens,
+             len(list_filter(string_split(norm, ' '),
+                             x -> list_contains([{stop}], x))) AS n_stop,
+             len(regexp_extract_all(norm, '[^A-Za-z0-9 ]')) AS n_symbols,
+             length(norm) AS n_len
+      FROM docs
+    )
+    SELECT doc_id,
+           ROUND(n_stop / n_tokens, 4) AS stopword_ratio,
+           ROUND((n_len - (n_tokens - 1)) / n_tokens, 4) AS mean_word_len,
+           ROUND(n_symbols / greatest(n_len, 1), 4) AS symbol_ratio,
+           (n_tokens >= 5
+            AND (n_len - (n_tokens - 1)) / n_tokens BETWEEN 2.0 AND 12.0
+            AND n_stop / n_tokens >= 0.05
+            AND n_symbols / greatest(n_len, 1) <= 0.15) AS quality_keep
+    FROM t
+    """
+
+
+@register("text_quality_score", _quality_oracle())
+def text_quality_score(spark, sf_dir):
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
 def _lang_id_oracle() -> str:
     score = {
         lang: f"len(regexp_extract_all(lower(text), '{pat}'))"

@@ -16,11 +16,15 @@ EXT_ORACLE_QUERIES = [
     "dedup_embedding_cosine_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_candidates",
+    "dedup_simhash_near_pairs",
+    "dedup_near_minhash_survivors",
+    "dedup_embedding_lsh_survivors",
     "similarity_cosine_topk",
     "similarity_norm_stats_by_label",
     "text_stats",
     "text_token_count_bpe",
     "text_language_id",
+    "text_quality_score",
     "text_doc_fingerprint",
     "multimodal_binary_stats",
     "events_json_props_extract",
