@@ -20,6 +20,7 @@ TEXT_QUERIES = [
     "text_token_count_bpe",
     "text_language_id",
     "text_doc_fingerprint",
+    "text_quality_score",
     "dedup_exact",
 ]
 
