@@ -527,19 +527,55 @@ def multimodal_binary_stats(spark, sf_dir):
     return multimodal.binary_stats(assets)
 
 
-@register("multimodal_feature_extract", None)  # Pandas-UDF plumbing; decode stubbed
+# The decode step is a deterministic md5-based fake (real codecs are
+# stubbed), which makes even the Arrow mapInPandas stages fully
+# oracle-checkable: DuckDB recomputes the same digests in SQL, so the
+# value hash verifies the Python batch plumbing end to end.
+_MEDIA_TYPE_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END"
+)
+
+
+@register(
+    "multimodal_feature_extract",
+    f"""
+    SELECT doc_id AS asset_id,
+           {_MEDIA_TYPE_SQL} AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           ('0x' || substr(md5(text), 1, 2))::INT AS feat_0,
+           ('0x' || substr(md5(text), 3, 2))::INT AS feat_1,
+           ('0x' || substr(md5(text), 5, 2))::INT AS feat_2,
+           ('0x' || substr(md5(text), 7, 2))::INT AS feat_3
+    FROM documents
+    """,
+)
 def multimodal_feature_extract(spark, sf_dir):
     assets = multimodal.synth_assets(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features(assets)
 
 
-@register("multimodal_resize", None)  # mapInPandas 1->1 with bounded payloads
+@register(
+    "multimodal_resize",
+    f"""
+    SELECT doc_id AS asset_id,
+           {_MEDIA_TYPE_SQL} AS media_type,
+           16 AS width, 16 AS height
+    FROM documents
+    """,
+)
 def multimodal_resize(spark, sf_dir):
     assets = multimodal.synth_assets(load_table(spark, sf_dir, "documents"))
     return multimodal.resize_images(assets, width=16, height=16).drop("content")
 
 
-@register("multimodal_frame_sample", None)  # mapInPandas 1->N fan-out
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS asset_id, CAST(f.f AS INT) AS frame_idx
+    FROM documents,
+         unnest(range(0, 1 + octet_length(encode(text)) % 5)) AS f(f)
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
     assets = multimodal.synth_assets(load_table(spark, sf_dir, "documents"))
     return multimodal.sample_frames(assets, max_frames=5).drop("content")

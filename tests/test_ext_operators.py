@@ -27,6 +27,9 @@ EXT_ORACLE_QUERIES = [
     "text_quality_score",
     "text_doc_fingerprint",
     "multimodal_binary_stats",
+    "multimodal_feature_extract",
+    "multimodal_resize",
+    "multimodal_frame_sample",
     "events_json_props_extract",
     "events_daily_agg",
 ]
