@@ -235,10 +235,16 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the `n_probe` centroids nearest the
     query and score only their inverted lists (~n_probe/n_centroids of
-    the corpus).  n_probe = n_centroids degrades to exact search."""
+    the corpus).  n_probe = n_centroids degrades to exact search.
+
+    round_digits rounds the score BEFORE the final order/limit so the
+    selected k rows (id tie-break at the rounded precision) are
+    reproducible across engines -- the differential oracle needs the
+    same rows, not just the same ordering."""
     assignments, centroids = ivf_index(embeddings, n_centroids, id_col, vec_col)
     q = query.select(as_double(vec_col).alias("__qvec"))
     d2 = F.aggregate(
@@ -258,6 +264,8 @@ def ivf_topk(
         F.col("id").alias(id_col),
         cosine(F.col("vec"), F.col("__qvec")).alias("cosine_sim"),
     )
+    if round_digits is not None:
+        scored = scored.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
@@ -270,6 +278,7 @@ def lsh_cosine_topk(
     n_planes: int = 12,
     probe_hamming: int = 2,
     dim: int = 64,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
     `probe_hamming` bits of the query's bucket (multi-probe).  `dim`
@@ -277,6 +286,8 @@ def lsh_cosine_topk(
 
     At scale, bucket the corpus once (materialized column, partitioned /
     clustered by bucket) and each query touches ~n/2^h * probes vectors.
+    round_digits: see ivf_topk -- rounds before the order/limit so the
+    differential oracle selects identical rows.
     """
     emb = embeddings.select(
         F.col(id_col),
@@ -291,4 +302,6 @@ def lsh_cosine_topk(
     scored = cands.select(
         F.col(id_col), cosine(F.col("vec"), F.col("__qvec")).alias("cosine_sim")
     )
+    if round_digits is not None:
+        scored = scored.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)

@@ -9,8 +9,13 @@ parallelized across `salt` tasks at the cost of one extra (cheap)
 shuffle over partial rows.
 
 Only re-aggregable measures can be salted (sum/count/min/max; avg as
-sum+count pair). count_distinct cannot -- use approx_count_distinct,
-whose HLL sketches merge, or aggregate the distinct pairs first.
+sum+count pair). Exact count_distinct CAN be salted with one extra
+condition: salt on the distinct column itself (salt_on=<distinct
+expr>), which partitions the VALUE SPACE -- each salt bucket then holds
+a disjoint slice of each key's distinct values, so per-bucket exact
+distinct counts sum exactly. Salting on anything else double-counts;
+`count_distinct_approx` (mergeable HLL sketches) has no such
+constraint.
 
 The salt column is derived deterministically from a stable hash of all
 grouping values (pmod over xxhash64) rather than rand(): retries and
@@ -67,6 +72,15 @@ def salted_agg(
             finals.append(
                 (F.sum(f"__ps_{name}") / F.sum(f"__pc_{name}")).alias(name)
             )
+        elif method == "count_distinct":
+            if salt_on is None:
+                raise ValueError(
+                    f"measure {name!r}: exact count_distinct requires "
+                    "salt_on=<the distinct column> so salt buckets "
+                    "partition the value space (disjoint slices sum exactly)"
+                )
+            partials.append(F.count_distinct(e).alias(f"__p_{name}"))
+            finals.append(F.sum(f"__p_{name}").alias(name))
         elif method == "count_distinct_approx":
             # HLL sketches merge across salt buckets losslessly
             partials.append(F.hll_sketch_agg(e).alias(f"__p_{name}"))

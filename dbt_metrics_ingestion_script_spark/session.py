@@ -44,8 +44,12 @@ def get_spark(
         # Deterministic time semantics across engines (oracle parity).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # NOTE: spark.driver.memory must be set BEFORE the JVM launches
+    # (spark-submit / PYSPARK_SUBMIT_ARGS); setting it via builder.config
+    # from a plain python process is silently ignored, so it is
+    # deliberately NOT configured here.  For local runs needing a larger
+    # driver heap: PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell".
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -30,8 +30,13 @@ def write_metric(
     out = df
     if TS_COL in df.columns:
         out = df.withColumn("__year", F.year(TS_COL))
+        # dynamic overwrite: only the year partitions present in `out`
+        # are replaced, so a partial recompute (e.g. just the open year)
+        # cannot silently delete the rest of the history.  Set via
+        # option() so it scopes to this write, not the whole session.
         (
             out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__year")
             .parquet(target)
         )

@@ -3,11 +3,23 @@
 Replaces the reference's one-synchronous-POST-per-entity loop
 (/root/reference/dbt_metrics_to_datahub.py:354-359) with
 `foreachPartition`: one HTTP session per partition, payloads sent in
-batches, failures counted per-partition and surfaced without failing
-the job (E1/E3 posture).  Network code uses only the standard library.
+batches.  Batch failures are caught and counted (per-entity error
+isolation, the reference's E1 posture scaled to batches) instead of
+failing the task -- an HTTP error therefore cannot trigger Spark task
+retries that would re-POST already-sent batches, and a persistently
+broken endpoint degrades to a failure count, not a job abort.
 
-This sink is exercised with a mock server in tests; against a real
-endpoint set `endpoint` to the ingestion URL.
+Delivery semantics are AT-LEAST-ONCE: if a task dies for unrelated
+reasons (executor loss, OOM) after some batches were sent, the retried
+task re-sends them.  Downstream ingestion should be idempotent on
+(entityUrn, aspectName) -- true for DataHub-style aspect upserts, which
+is exactly the payload shape emitted here.  Counters are Spark
+accumulators, so retried tasks may overcount sends; treat the stats as
+observability, not an exactly-once ledger.
+
+Network code uses only the standard library.  This sink is exercised
+with a mock server in tests; against a real endpoint set `endpoint` to
+the ingestion URL.
 """
 
 from __future__ import annotations
@@ -45,6 +57,19 @@ class RestSink:
     def emit(self, emissions: DataFrame) -> dict:
         endpoint, token = self.endpoint, self.token
         batch_size, timeout = self.batch_size, self.timeout
+        sc = emissions.sparkSession.sparkContext
+        n_sent = sc.accumulator(0)
+        n_failed = sc.accumulator(0)
+
+        def flush(batch: list[dict]) -> None:
+            try:
+                _post_batch(endpoint, token, batch, timeout)
+                n_sent.add(len(batch))
+            except Exception:
+                # batch-level isolation: count and continue; never let an
+                # HTTP failure fail the task (which would re-POST every
+                # batch this partition already delivered)
+                n_failed.add(len(batch))
 
         def handle_partition(rows) -> None:
             batch: list[dict] = []
@@ -57,10 +82,15 @@ class RestSink:
                     }
                 )
                 if len(batch) >= batch_size:
-                    _post_batch(endpoint, token, batch, timeout)
+                    flush(batch)
                     batch = []
             if batch:
-                _post_batch(endpoint, token, batch, timeout)
+                flush(batch)
 
         emissions.foreachPartition(handle_partition)
-        return {"mode": "rest", "endpoint": self.endpoint}
+        return {
+            "mode": "rest",
+            "endpoint": self.endpoint,
+            "n_sent": n_sent.value,
+            "n_failed": n_failed.value,
+        }

@@ -125,7 +125,7 @@ def _arr(name: str):
     return F.coalesce(F.col(f"value.{name}"), F.array().cast(ArrayType(S))).alias(name)
 
 
-_MANIFEST_CACHE: dict[tuple[int, str], "ManifestFrames"] = {}
+_MANIFEST_CACHE: dict[tuple[str, str], "ManifestFrames"] = {}
 
 
 def load_manifest(
@@ -139,8 +139,12 @@ def load_manifest(
     action re-parses the document.  The section frames are persisted
     (MEMORY_ONLY, metadata-sized) so the JSON parse happens once per
     session, mirroring the reference's single json.load
-    (/root/reference/dbt_metrics_to_datahub.py:119-123)."""
-    key = (id(spark), path)
+    (/root/reference/dbt_metrics_to_datahub.py:119-123).
+
+    Keyed on applicationId (stable per SparkContext), not id(spark):
+    CPython can reuse a dead session's id() for a new one, which would
+    hand out persisted frames bound to a stopped context."""
+    key = (spark.sparkContext.applicationId, path)
     if use_cache and key in _MANIFEST_CACHE:
         return _MANIFEST_CACHE[key]
     frames = _load_manifest_uncached(spark, path)

@@ -99,26 +99,37 @@ def streaming_exact_dedup(
     the JVM side stays vectorized; only the tiny (hash, id) pairs reach
     Python).  `state_ttl_ms` > 0 bounds state via processing-time
     timeout; 0 keeps state forever (small corpora / tests)."""
+    # plain bool for the worker-side closure: comparing the unpickled
+    # GroupStateTimeout string constant by identity inside the state
+    # function is unreliable after the pickle round-trip
+    use_ttl = state_ttl_ms > 0
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
-        if state_ttl_ms > 0
+        if use_ttl
         else GroupStateTimeout.NoTimeout
     )
 
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if timeout is GroupStateTimeout.ProcessingTimeTimeout and state.hasTimedOut:
+        if use_ttl and state.hasTimedOut:
             state.remove()
             return
         first_id = None
         for pdf in pdfs:
             batch_min = int(pdf[id_col].min())
             first_id = batch_min if first_id is None else min(first_id, batch_min)
-        if not state.exists and first_id is not None:
+        is_new = not state.exists
+        if is_new and first_id is not None:
             state.update((1,))
-            if timeout is GroupStateTimeout.ProcessingTimeTimeout:
-                state.setTimeoutDuration(state_ttl_ms)
+        # Spark clears a group's timeout on EVERY invocation of the state
+        # function, so the TTL must be re-armed for existing keys too --
+        # otherwise one duplicate arrival pins the key in state forever.
+        # Net semantics: TTL since last sighting (sliding), which is the
+        # bounded-state guarantee the docstring promises.
+        if use_ttl and state.exists:
+            state.setTimeoutDuration(state_ttl_ms)
+        if is_new and first_id is not None:
             yield pd.DataFrame({"content_hash": [key[0]], "event_id": [first_id]})
 
     return (

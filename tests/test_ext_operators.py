@@ -31,7 +31,8 @@ EXT_ORACLE_QUERIES = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "events_json_props_extract",
-    "events_daily_agg",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
 ]
 
 
@@ -40,6 +41,18 @@ def test_ext_matches_oracle(spark, sf_dir, name):
     q.queries()  # force registration
     qd = q.REGISTRY[name]
     assert_matches_oracle(qd.fn(spark, sf_dir), qd.oracle, sf_dir)
+
+
+def test_events_daily_agg_matches_oracle(spark, sf_dir):
+    # unregistered (oracle identical to events_salted_daily_agg) but the
+    # plain aggregation path stays differential-tested here
+    from dbt_metrics_ingestion_script_spark import queries_ext
+
+    assert_matches_oracle(
+        queries_ext.events_daily_agg(spark, sf_dir),
+        queries_ext.EVENTS_DAILY_ORACLE,
+        sf_dir,
+    )
 
 
 def test_simhash_properties(spark):

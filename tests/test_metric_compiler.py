@@ -67,6 +67,25 @@ def test_cumulative_requires_additive():
         comp.compile(spec, "month")
 
 
+@pytest.mark.parametrize("grain", ["week", "quarter", "year"])
+def test_total_revenue_grain_matches_oracle(spark, sf_dir, grain):
+    """Differential coverage for the grains whose single-grain queries
+    were unregistered to stay inside the driver's evaluated-query budget
+    (the driver still covers all grains via
+    metric_total_revenue_all_grains)."""
+    df = q.total_revenue_at_grain(spark, sf_dir, grain)
+    assert_matches_oracle(
+        df,
+        f"""
+        SELECT CAST(date_trunc('{grain}', o_orderdate) AS DATE) AS ts,
+               o_custkey,
+               ROUND(SUM(o_totalprice), 4) AS total_revenue
+        FROM orders GROUP BY 1, 2
+        """,
+        sf_dir,
+    )
+
+
 def test_all_grains(spark, sf_dir):
     comp = MetricCompiler(
         lambda m: spark.read.parquet(f"{sf_dir}/{m}.parquet")

@@ -100,6 +100,30 @@ def test_no_python_eval_in_hot_paths(spark):
         assert "ArrowEvalPython" not in plan, name
 
 
+def _n_jobs(spark) -> int:
+    return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "similarity_cosine_topk",
+        "similarity_lsh_topk",
+        "similarity_ivf_topk",
+        "similarity_multi_query_topk",
+    ],
+)
+def test_similarity_construction_runs_no_extra_jobs(spark, name):
+    """The demo query vector is derived in-plan (broadcast 1-row min-id
+    subquery join), not via a collect round-trip (VERDICT r1 item 4).
+    Every spark.read.parquet costs exactly one footer/schema job, so
+    construction may run at most that baseline; the old collect-based
+    wiring added a second, full-scan job."""
+    before = _n_jobs(spark)
+    run(spark, name)
+    assert _n_jobs(spark) - before <= 1, "query construction ran an extra job"
+
+
 def test_metric_agg_is_partial_then_final(spark):
     """Metric aggregation shuffles partial states, not raw rows: two
     HashAggregates split by one Exchange (SCALE.md: partial aggregation)."""

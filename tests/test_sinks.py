@@ -62,3 +62,50 @@ def test_rest_sink_batches_and_authenticates(spark, mock_server):
     sizes = [len(r["proposals"]) for r in received]
     assert max(sizes) <= 10
     assert len(received) < len(rows)
+    assert stats["n_sent"] == 25
+    assert stats["n_failed"] == 0
+
+
+@pytest.fixture()
+def failing_server():
+    """Mock endpoint that 500s every other request."""
+    counter = {"n": 0}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            self.rfile.read(n)
+            with lock:
+                counter["n"] += 1
+                fail = counter["n"] % 2 == 0
+            self.send_response(500 if fail else 200)
+            self.end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def test_rest_sink_isolates_batch_failures(spark, failing_server):
+    """ADVICE r1 (rest.py): an HTTP failure must be counted, not raised --
+    raising inside foreachPartition fails the task, and Spark's retry
+    would re-POST batches that already landed."""
+    rows = [
+        (f"urn:li:glossaryTerm:m{i}", "glossaryTermInfo", json.dumps({"i": i}))
+        for i in range(40)
+    ]
+    emissions = spark.createDataFrame(
+        rows, "entity_urn string, aspect_name string, payload string"
+    ).coalesce(1)  # single partition -> deterministic request ordering
+    stats = RestSink(failing_server, batch_size=10).emit(emissions)
+    # 4 batches, every other request 500s: the job must still complete
+    # with the failures surfaced in the counters
+    assert stats["n_sent"] + stats["n_failed"] == 40
+    assert stats["n_sent"] == 20
+    assert stats["n_failed"] == 20

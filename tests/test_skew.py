@@ -65,7 +65,43 @@ def test_salted_approx_distinct_merges_sketches(spark, sf_dir):
     assert abs(got - exact) / exact < 0.05
 
 
-def test_salted_rejects_exact_distinct(spark, sf_dir):
+def test_salted_rejects_exact_distinct_without_value_salt(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    with pytest.raises(ValueError, match="not salt-mergeable"):
+    with pytest.raises(ValueError, match="salt_on"):
         salted_agg(ev, ["event_type"], {"d": ("count_distinct", "event_id")})
+
+
+def test_salted_exact_distinct_with_value_salt(spark, sf_dir):
+    """Salting on the distinct column partitions the value space, so the
+    per-bucket exact distinct counts sum exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("event_id").alias("d"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: r["d"]
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {"d": ("count_distinct", "event_id")},
+            salt=8,
+            salt_on="event_id",
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_skew_demo_salted_matches_unsalted(spark, sf_dir):
+    """The bench skew demo's two paths must agree (the bench compares
+    their wall-time; this pins their answers)."""
+    from dbt_metrics_ingestion_script_spark.queries_ext import (
+        skew_demo_salted,
+        skew_demo_unsalted,
+    )
+
+    a = {(r["k"], r["n_distinct"]) for r in skew_demo_unsalted(spark, sf_dir).collect()}
+    b = {(r["k"], r["n_distinct"]) for r in skew_demo_salted(spark, sf_dir).collect()}
+    assert a == b

@@ -113,6 +113,78 @@ def test_stateful_streaming_dedup_first_wins(spark, events_dir):
     assert len(rows) == len(expected)  # each hash emitted exactly once
 
 
+def test_stateful_dedup_ttl_survives_duplicates(spark, tmp_path):
+    """A duplicate arrival must NOT disarm the state TTL: Spark clears a
+    group's timeout on every state-function invocation, so the function
+    has to re-arm it for existing keys.  Regression for ADVICE r1
+    (stateful.py): duplicate-then-idle key must still time out, proven by
+    the key re-emitting after the TTL window."""
+    import time
+
+    from dbt_metrics_ingestion_script_spark.streaming.stateful import (
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    ttl_ms = 10_000  # long enough that the duplicate lands inside the TTL
+
+    def emit_file(rows):
+        spark.createDataFrame(
+            rows, "content_hash long, event_id long"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    emit_file([(1, 1)])  # batch 1: first sighting of key 1
+    stream = spark.readStream.schema("content_hash long, event_id long").parquet(
+        str(src)
+    )
+    name = "dedup_ttl"
+    q = (
+        streaming_exact_dedup(stream, state_ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        def rows():
+            return {
+                (r["content_hash"], r["event_id"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+
+        def state_rows():
+            p = q.lastProgress
+            if not p or not p.get("stateOperators"):
+                return None
+            return p["stateOperators"][0]["numRowsTotal"]
+
+        def wait_for(pred, timeout=60.0):
+            t0 = time.time()
+            while time.time() - t0 < timeout:
+                if pred():
+                    return True
+                time.sleep(0.2)
+            return False
+
+        assert wait_for(lambda: (1, 1) in rows())
+        emit_file([(1, 2)])  # duplicate inside the TTL -> suppressed, TTL re-armed
+        # Deterministic eviction check: Spark keeps running micro-batches
+        # while processing-time timers are pending, so the state-row count
+        # dropping to 0 IS the TTL firing.  Under the old bug the
+        # duplicate invocation cleared the timer permanently and the
+        # count never drops.
+        assert wait_for(lambda: state_rows() == 0), (
+            "state never evicted: TTL was lost on the duplicate arrival"
+        )
+        assert (1, 2) not in rows()  # dedup held while state was live
+        emit_file([(1, 3)])  # key returns after eviction -> re-emitted
+        assert wait_for(lambda: (1, 3) in rows())
+    finally:
+        q.stop()
+
+
 def run_stream_to_memory_update(result, name, timeout_sec=120.0):
     q = (
         result.writeStream.format("memory")
