@@ -400,6 +400,18 @@ class MetricCompiler:
         """Expression over other metrics: compile inputs, equi-join on the
         shared group keys, evaluate the expression.
 
+        Null-propagation policy (explicit): inputs are FULL-joined, so
+        the output keeps the UNION of every input's group keys, and the
+        expression evaluates under standard SQL three-valued logic -- a
+        bucket where any referenced input is absent yields a NULL metric
+        value on a visible row.  Rationale: silently dropping buckets
+        (inner join) would let a gap in ONE input erase the other
+        inputs' data from the result, the wrong failure mode for
+        monitoring-style metrics; NULL-on-visible-row lets the consumer
+        distinguish 'no data anywhere' (no row) from 'partially defined'
+        (row with NULL value).  Pinned by
+        tests/test_metric_compiler.py::test_derived_disjoint_keys_null_policy.
+
         Input frames are grain-cardinality (already aggregated), so these
         joins are small; at scale AQE broadcast-joins them.  Cycles and
         missing inputs fail loudly (SURVEY.md §7 watch-list 1).

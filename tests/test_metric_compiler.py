@@ -67,6 +67,53 @@ def test_cumulative_requires_additive():
         comp.compile(spec, "month")
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_KEYS = ["2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a_keys=st.sets(st.sampled_from(_KEYS), min_size=1),
+    b_keys=st.sets(st.sampled_from(_KEYS), min_size=1),
+)
+def test_derived_disjoint_keys_null_policy(spark, a_keys, b_keys):
+    """Derived metrics FULL-join their inputs: output keys = union of
+    input keys, value NULL wherever a referenced input has no bucket
+    (documented policy in MetricCompiler._compile_derived)."""
+    import datetime
+
+    def frame(keys, val):
+        return spark.createDataFrame(
+            [(datetime.date.fromisoformat(k), float(val)) for k in sorted(keys)],
+            "d date, v double",
+        )
+
+    def resolver(model):
+        return frame(a_keys, 2.0) if model == "ma" else frame(b_keys, 4.0)
+
+    a = MetricSpec(name="a", calculation_method="sum", expression="v",
+                   model="ma", timestamp="d", time_grains=["month"])
+    b = MetricSpec(name="b", calculation_method="sum", expression="v",
+                   model="mb", timestamp="d", time_grains=["month"])
+    d = MetricSpec(name="r", metric_type="derived", expression="a / b",
+                   model="ma", timestamp="d", time_grains=["month"],
+                   input_metrics=["a", "b"])
+    comp = MetricCompiler(resolver, registry={"a": a, "b": b})
+    got = {str(r["ts"]): r["r"] for r in comp.compile(d, "month").collect()}
+    assert set(got) == a_keys | b_keys  # union of keys survives
+    for k in a_keys | b_keys:
+        if k in a_keys and k in b_keys:
+            assert got[k] == 0.5
+        else:
+            assert got[k] is None  # partial bucket -> visible row, NULL value
+
+
 @pytest.mark.parametrize("grain", ["week", "quarter", "year"])
 def test_total_revenue_grain_matches_oracle(spark, sf_dir, grain):
     """Differential coverage for the grains whose single-grain queries
