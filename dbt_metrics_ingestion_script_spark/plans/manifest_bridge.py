@@ -21,13 +21,29 @@ from .compiler import MetricCompiler
 from .metric_spec import MetricSpec
 
 
+_MAX_SPECS = 100_000  # driver-side guard; see docstring
+
+
 def specs_from_manifest(frames: ManifestFrames) -> dict[str, MetricSpec]:
     """All manifest metric records as a name -> MetricSpec registry.
 
     The record's executable model is its first non-metric dependency
     (dbt metrics depend on exactly one model/source plus, for derived
     metrics, other metrics).
+
+    Metric DEFINITIONS are driver-side metadata (each compiles to a
+    plan, so the driver must hold them anyway -- same posture as the
+    reference's json.load); the collect here is deliberate.  The guard
+    below turns a pathologically large manifest into a loud error
+    instead of a silent driver OOM.
     """
+    n = frames.metrics.count()
+    if n > _MAX_SPECS:
+        raise ValueError(
+            f"manifest has {n} metric records (> {_MAX_SPECS}); "
+            "a registry this size cannot be compiled driver-side -- "
+            "shard the manifest or raise _MAX_SPECS explicitly"
+        )
     specs: dict[str, MetricSpec] = {}
     for row in frames.metrics.collect():
         rec = row.asDict(recursive=True)

@@ -482,23 +482,31 @@ def metric_event_value_hour(spark, sf_dir):
 )
 def metric_approx_customer_count(spark, sf_dir):
     """approx_count_distinct (HLL) variant of A2 -- the 100 TB scale path
-    for distinct counts (SURVEY.md §4).  Compiles the spec through BOTH
-    compiler paths (exact and approx_distinct) and joins the
-    grain-cardinality results to emit a per-bucket error-bound check.
-    rsd=0.02; the bound is 5 sigma (HLL++ error is ~gaussian at this
-    cardinality, and Spark's sparse mode is near-exact below ~1.5k
-    distinct values, so 10% is comfortably conservative at every SF)."""
-    exact = _compiler(spark, sf_dir).compile(CUSTOMER_COUNT, "month")
-    approx = (
-        _compiler(spark, sf_dir, approx_distinct=True, rsd=0.02)
-        .compile(CUSTOMER_COUNT, "month")
-        .withColumnRenamed("customer_count", "approx_count")
+    for distinct counts (SURVEY.md §4).  The exact count and the HLL
+    estimate are computed in ONE aggregation pass (same compiler
+    vocabulary: grain_column + _agg_column twice in the same groupBy) --
+    one scan, one shuffle, no join -- and the output carries a
+    per-bucket error-bound check the oracle pins.  rsd=0.02; the bound
+    is 5 sigma (HLL++ error is ~gaussian at this cardinality, and
+    Spark's sparse mode is near-exact below ~1.5k distinct values, so
+    10% is comfortably conservative at every SF)."""
+    from .plans.compiler import _agg_column, grain_column
+
+    spec = CUSTOMER_COUNT
+    orders = load_table(spark, sf_dir, spec.model)
+    out = orders.groupBy(
+        grain_column(spec.timestamp, "month").alias("ts")
+    ).agg(
+        _agg_column(spec.calculation_method, spec.expression).alias("customer_count"),
+        _agg_column(
+            spec.calculation_method, spec.expression, approx_distinct=True, rsd=0.02
+        ).alias("__approx"),
     )
-    return exact.join(approx, "ts").select(
+    return out.select(
         "ts",
         "customer_count",
         (
-            F.abs(F.col("approx_count") - F.col("customer_count"))
+            F.abs(F.col("__approx") - F.col("customer_count"))
             <= 5 * 0.02 * F.col("customer_count")
         ).alias("approx_within_bound"),
     )

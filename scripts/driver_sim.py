@@ -1,0 +1,58 @@
+"""Local replica of the per-round driver: entry() smoke at sf0.001 plus
+the full 50-query differential oracle check at sf0.01.  Prints one
+status line per query and a final summary; exit code 1 on any failure.
+
+Usage: python scripts/driver_sim.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+from dbt_metrics_ingestion_script_spark.session import get_spark  # noqa: E402
+from tests.oracle import assert_matches_oracle  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="driver_sim", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = E.entry(spark).collect()
+    print(f"entry: {len(rows)} rows OK", flush=True)
+
+    queries, oracles = E.queries(), E.oracle_sql()
+    failed = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            if name in oracles:
+                assert_matches_oracle(df, oracles[name], sf_dir)
+                status = "match"
+            else:
+                n = df.count()
+                status = f"rows-only ({n})"
+            print(f"PASS {name}: {status} [{time.perf_counter() - t0:.1f}s]", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: {exc}", flush=True)
+            traceback.print_exc()
+    print(f"summary: {len(failed)} failed of {len(only) or len(queries)}")
+    if failed:
+        print("failed:", failed)
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

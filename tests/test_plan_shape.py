@@ -124,6 +124,14 @@ def test_similarity_construction_runs_no_extra_jobs(spark, name):
     assert _n_jobs(spark) - before <= 1, "query construction ran an extra job"
 
 
+def test_approx_bound_check_is_single_pass(spark):
+    """The self-verifying HLL query computes exact + approximate distinct
+    in ONE aggregation: one scan of orders, no self-join."""
+    plan = plan_of(run(spark, "metric_approx_customer_count"))
+    assert plan.count("orders.parquet") == 1
+    assert "Join" not in plan
+
+
 def test_metric_agg_is_partial_then_final(spark):
     """Metric aggregation shuffles partial states, not raw rows: two
     HashAggregates split by one Exchange (SCALE.md: partial aggregation)."""
