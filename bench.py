@@ -29,7 +29,6 @@ ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
 # bench -- the bench tracks the plans meant to run at 100 TB.
 HEADLINE = [
     # Layer B: metric compiler
-    "metric_total_revenue_month",
     "metric_customer_count_day",
     "metric_approx_customer_count",
     "metric_avg_order_value_month",
@@ -67,6 +66,11 @@ HEADLINE = [
     "multimodal_binary_stats",
     "events_salted_daily_agg",
     "events_json_props_extract",
+    # corpus preparation: decontaminate / sample / chunk / pack
+    "corpus_decontamination",
+    "corpus_stratified_sample",
+    "corpus_chunks_fixed",
+    "corpus_pack_next_fit",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -1,0 +1,159 @@
+"""Training-corpus preparation operators (SURVEY.md §2.11 EXT).
+
+The four operations every LLM data pipeline runs between "deduped
+corpus" and "training shards", each expressed as declarative DataFrame
+plans so Catalyst keeps them in whole-stage codegen:
+
+- decontaminate_ngram_overlap: flag training documents sharing word
+  n-grams with an evaluation/benchmark set (the GPT-3-style 13-gram
+  decontamination check).  The eval side of a decontamination run is
+  tiny relative to the corpus (benchmarks, not corpora), so its distinct
+  n-gram set is BROADCAST: the 100 TB scan stays map-side -- shuffle
+  only the surviving (doc_id, hit) pairs for the final count.
+- stratified_sample: deterministic per-stratum Bernoulli sampling via
+  the portable 31-bit hash -- pure map-side filter, zero shuffle,
+  reproducible across engines and retries (sampling decisions are a
+  function of (id, stratum), never of partitioning or RNG state).
+- chunk_fixed: overlapping fixed-width character chunks (the
+  context-window splitter).  Map-side explode only -- chunk identity is
+  (doc_id, chunk_offset), so no ordinality shuffle is needed.
+- pack_next_fit: next-fit sequence packing -- concatenate documents in
+  deterministic order and cut at capacity boundaries (how GPT-style
+  training streams are packed).  Packing is windowed PER SHARD
+  (partitionBy a shard key): a global packing order would serialize the
+  corpus through one partition at 100 TB; per-shard next-fit keeps the
+  window parallel and is how multi-file training shards are actually
+  written.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE31, hash31
+from .dedup import normalize_text, word_shingles
+
+
+def decontaminate_ngram_overlap(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Training docs whose normalized text shares >= min_overlap distinct
+    word n-grams with ANY eval document.
+
+    Output: (doc_id, n_overlap) for flagged docs.  n=13 is the published
+    decontamination standard; tests use smaller n to suit tiny fixtures.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(word_shingles(text_col, n), hash31)
+            ).alias("gram"),
+        )
+
+    eval_grams = grams(eval_set).select("gram").distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def sample_keep(id_col: Column | str, stratum: Column | str, rate: Column) -> Column:
+    """Deterministic Bernoulli keep-decision: hash31(id ':' stratum)
+    uniform on [0, 2^31-1) compared against rate * (2^31-1)."""
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    st = F.col(stratum) if isinstance(stratum, str) else stratum
+    h = hash31(F.concat_ws(":", idc.cast("string"), st))
+    return h < rate * F.lit(MERSENNE31)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep each row with its stratum's
+    rate.  Rebalances skewed corpora (e.g. downsample dominant languages)
+    with zero shuffle and retry-stable output."""
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.where(sample_keep(id_col, stratum_col, rate))
+
+
+def chunk_fixed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Overlapping fixed-width chunks of the normalized text.
+
+    Output: (doc_id, chunk_offset, chunk_len, chunk_hash) -- one row per
+    chunk, identified by its character offset (no ordinality needed, so
+    the plan is a pure map-side explode).  Empty documents produce one
+    empty chunk, so every input doc is represented downstream.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    norm = normalize_text(text_col)
+    base = df.select(F.col(id_col), norm.alias("__norm"))
+    offsets = F.sequence(
+        F.lit(0), F.greatest(F.length("__norm") - 1, F.lit(0)), F.lit(stride)
+    )
+    chunk = F.substring(F.col("__norm"), F.col("chunk_offset") + 1, chunk_chars)
+    return (
+        base.select(F.col(id_col), F.col("__norm"), F.explode(offsets).alias("chunk_offset"))
+        .select(
+            F.col(id_col),
+            "chunk_offset",
+            F.length(chunk).alias("chunk_len"),
+            F.conv(F.substring(F.md5(chunk), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("chunk_hash"),
+        )
+    )
+
+
+def pack_next_fit(
+    df: DataFrame,
+    shard_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 512,
+) -> DataFrame:
+    """Next-fit sequence packing per shard: documents are laid out in
+    deterministic (id) order inside each shard, the token stream is cut
+    every `capacity` tokens, and a document belongs to the bin its first
+    token lands in.
+
+    Output: (shard, bin_id, n_docs, n_tokens) -- the shard manifest a
+    training-data writer would materialize.
+    """
+    toks = F.size(F.split(normalize_text(text_col), " "))
+    return (
+        df.select(F.col(shard_col).alias("shard"), F.col(id_col), toks.alias("n_toks"))
+        .withColumn(
+            "bin_id",
+            F.floor(F.coalesce(F.sum("n_toks").over(
+                Window.partitionBy("shard")
+                .orderBy(id_col)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ), F.lit(0)) / capacity),
+        )
+        .groupBy("shard", "bin_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+    )

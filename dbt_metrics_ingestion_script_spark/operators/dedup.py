@@ -519,3 +519,75 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# X2d: duplicate-cluster resolution (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected duplicate-pair graph:
+    the post-pair stage every dedup pipeline runs so that A~B and B~C
+    collapse to ONE survivor (pairwise keep-lowest would keep A and B).
+
+    Min-label propagation to fixpoint: every node starts with the
+    smallest id among itself and its direct neighbors, then each
+    iteration takes the min over neighbors' labels.  Deterministic, so
+    the result is differentially checkable against a recursive-CTE
+    oracle.  Output: (doc_id, cluster_id) for every node of the pair
+    graph, cluster_id = min doc_id of its component.
+
+    Scale: each iteration is one shuffle join on node id; iterations
+    needed = graph diameter (dup clusters are shallow -- near-dup
+    components are cliques-ish, diameter < 5 in practice).  Frontiers
+    are persisted so the convergence probe doesn't recompute the chain;
+    at true 100 TB scale the loop would checkpoint every few iterations
+    to truncate lineage, and the label frame (2 longs/node of the PAIR
+    graph, not the corpus) fits executor memory comfortably.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("lbl"))
+        .withColumnRenamed("src", "node")
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+        )
+        converged = changed.isEmpty()
+        labels.unpersist()
+        labels = new_labels
+        if converged:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -172,6 +172,7 @@ FILTERED_REVENUE = MetricSpec(
            ROUND(SUM(o_totalprice), 4) AS total_revenue
     FROM orders GROUP BY 1, 2
     """,
+    driver=False,  # driver covers all grains via metric_total_revenue_all_grains
 )
 def metric_total_revenue_month(spark, sf_dir):
     df = _compiler(spark, sf_dir).compile(TOTAL_REVENUE, "month")
@@ -519,12 +520,16 @@ def metric_approx_customer_count(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all_query_modules()
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    return {name: qd.fn for name, qd in REGISTRY.items() if qd.driver}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all_query_modules()
-    return {name: qd.oracle.strip() for name, qd in REGISTRY.items() if qd.oracle}
+    return {
+        name: qd.oracle.strip()
+        for name, qd in REGISTRY.items()
+        if qd.driver and qd.oracle
+    }
 
 
 def _load_all_query_modules() -> None:
@@ -535,4 +540,4 @@ def _load_all_query_modules() -> None:
     that order, and round 1 showed the tail can be truncated (exactly
     the first 50 registered queries got CORRECTNESS rows)."""
     from . import queries_manifest  # noqa: F401
-    from . import queries_ext, queries_layer_a  # noqa: F401
+    from . import queries_corpus, queries_ext, queries_layer_a  # noqa: F401

@@ -1,0 +1,156 @@
+"""Training-corpus preparation queries (operators/corpus.py): the
+decontaminate -> sample -> chunk -> pack stages an LLM data pipeline
+runs between "deduped corpus" and "training shards", each with a full
+DuckDB oracle (all four stages are deterministic by construction --
+sampling decisions and bin layout derive from the portable hash and
+document ids, never from RNG state or partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashing import MERSENNE31
+from .operators import corpus
+from .registry import register
+from .sources.tables import load_table
+
+_H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_H31 = f"({_H} & {MERSENNE31})"
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+# eval split for the decontamination demo: every 19th doc plays the
+# benchmark set, the rest are the training corpus
+_EVAL_MOD = 19
+_DECON_N = 5  # word-shingle width (operator default is the published 13;
+# the synthetic fixture corpus needs a smaller window to have near-dup
+# contamination at all SFs)
+
+
+def _decon_oracle() -> str:
+    n = _DECON_N
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, {_NORM} AS norm FROM documents
+    ), tok AS (
+      SELECT doc_id, string_split(norm, ' ') AS toks FROM docs
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - {n} + 2),
+                         i -> array_to_string(toks[i:i+{n - 1}], ' ')))
+             END AS shingles
+      FROM tok
+    ), grams AS (
+      SELECT doc_id, {_H31.format(x='s.sh')} AS gram
+      FROM sh, unnest(shingles) AS s(sh)
+    )
+    SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_overlap
+    FROM (SELECT * FROM grams WHERE doc_id % {_EVAL_MOD} <> 0) t
+    JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % {_EVAL_MOD} = 0) e
+      USING (gram)
+    GROUP BY t.doc_id
+    """
+
+
+@register("corpus_decontamination", _decon_oracle())
+def corpus_decontamination(spark, sf_dir):
+    """Train/eval n-gram decontamination (GPT-3-style overlap check):
+    which training documents share a word {n}-gram with the eval split.
+    The eval n-gram set is broadcast, so the corpus scan stays map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % _EVAL_MOD != 0)
+    eval_set = docs.where(F.col("doc_id") % _EVAL_MOD == 0)
+    return corpus.decontaminate_ngram_overlap(train, eval_set, n=_DECON_N)
+
+
+_RATES = {"en": 0.5, "zh": 0.25, "de": 1.0}
+_DEFAULT_RATE = 0.75
+
+
+def _sample_oracle() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_RATES.items()))
+    h = _H31.format(x="doc_id::VARCHAR || ':' || lang")
+    return f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {h} < (CASE lang {whens} ELSE {_DEFAULT_RATE} END) * {MERSENNE31}
+    """
+
+
+@register("corpus_stratified_sample", _sample_oracle())
+def corpus_stratified_sample(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample (rebalance a skewed
+    corpus): keep-decision is a pure function of (doc_id, lang), so the
+    filter is map-side, shuffle-free, and stable under task retries."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return corpus.stratified_sample(
+        docs, "lang", _RATES, default_rate=_DEFAULT_RATE
+    )
+
+
+_CHUNK, _OVERLAP = 200, 50
+
+
+def _chunk_oracle() -> str:
+    stride = _CHUNK - _OVERLAP
+    chunk = f"substr(norm, chunk_offset + 1, {_CHUNK})"
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, {_NORM} AS norm FROM documents
+    ), pos AS (
+      SELECT doc_id, norm,
+             unnest(range(0, greatest(length(norm) - 1, 0) + 1, {stride}))
+               AS chunk_offset
+      FROM docs
+    )
+    SELECT doc_id, chunk_offset,
+           length({chunk}) AS chunk_len,
+           {_H.format(x=chunk)} AS chunk_hash
+    FROM pos
+    """
+
+
+@register("corpus_chunks_fixed", _chunk_oracle())
+def corpus_chunks_fixed(spark, sf_dir):
+    """Overlapping fixed-width chunking (context-window splitter); chunk
+    identity is (doc_id, chunk_offset) so the plan is a map-side explode
+    with no ordinality shuffle."""
+    return corpus.chunk_fixed(
+        load_table(spark, sf_dir, "documents"),
+        chunk_chars=_CHUNK,
+        overlap=_OVERLAP,
+    )
+
+
+_CAPACITY = 512
+
+
+def _pack_oracle() -> str:
+    return rf"""
+    WITH docs AS (
+      SELECT lang AS shard, doc_id,
+             len(string_split({_NORM}, ' ')) AS n_toks
+      FROM documents
+    ), binned AS (
+      SELECT shard, n_toks,
+             CAST(floor(COALESCE(SUM(n_toks) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) / {_CAPACITY}) AS BIGINT) AS bin_id
+      FROM docs
+    )
+    SELECT shard, bin_id, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens
+    FROM binned GROUP BY shard, bin_id
+    """
+
+
+@register("corpus_pack_next_fit", _pack_oracle())
+def corpus_pack_next_fit(spark, sf_dir):
+    """Next-fit sequence packing per language shard: deterministic
+    concat-and-cut layout of the token stream into capacity-sized bins,
+    windowed per shard so packing parallelizes across the corpus."""
+    return corpus.pack_next_fit(
+        load_table(spark, sf_dir, "documents"), "lang", capacity=_CAPACITY
+    )

@@ -231,6 +231,7 @@ _COS_T = 0.4
     FROM u a JOIN u b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.unit, b.unit) >= {_COS_T}
     """,
+    driver=False,  # O(n^2) verify baseline; LSH survivors is the driver-checked path
 )
 def dedup_embedding_cosine_pairs(spark, sf_dir):
     df = dedup.embedding_cosine_pairs(
@@ -339,6 +340,7 @@ def similarity_cosine_topk(spark, sf_dir):
       FROM embeddings
     ) GROUP BY label
     """,
+    driver=False,  # diagnostic stats; X3 driver coverage is the 4 top-k queries
 )
 def similarity_norm_stats_by_label(spark, sf_dir):
     df = similarity.norm_stats_by_label(load_table(spark, sf_dir, "embeddings"))
@@ -675,6 +677,7 @@ def multimodal_feature_extract(spark, sf_dir):
            16 AS width, 16 AS height
     FROM documents
     """,
+    driver=False,  # same mapInPandas plumbing as frame_sample, pytest-differential
 )
 def multimodal_resize(spark, sf_dir):
     assets = multimodal.synth_assets(load_table(spark, sf_dir, "documents"))

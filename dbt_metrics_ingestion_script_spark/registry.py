@@ -19,14 +19,17 @@ from pyspark.sql import functions as F
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
+    driver: bool = True  # exposed to the driver registry (≤50 slots);
+    # driver=False keeps the (fn, oracle) pair for pytest differential
+    # coverage without spending an evaluated-query slot
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None):
+def register(name: str, oracle: str | None, driver: bool = True):
     def deco(fn):
-        REGISTRY[name] = QueryDef(fn, oracle)
+        REGISTRY[name] = QueryDef(fn, oracle, driver)
         return fn
 
     return deco

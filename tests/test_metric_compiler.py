@@ -13,9 +13,19 @@ from .oracle import assert_matches_oracle
 
 ORACLE_BACKED = sorted(q.oracle_sql().keys())
 
+# registered with driver=False: outside the driver's 50-slot budget but
+# still differential-tested here on every run
+DEMOTED = sorted(n for n, qd in q.REGISTRY.items() if not qd.driver and qd.oracle)
+
 
 @pytest.mark.parametrize("name", ORACLE_BACKED)
 def test_query_matches_oracle(spark, sf_dir, name):
+    df = q.REGISTRY[name].fn(spark, sf_dir)
+    assert_matches_oracle(df, q.REGISTRY[name].oracle, sf_dir)
+
+
+@pytest.mark.parametrize("name", DEMOTED)
+def test_demoted_query_matches_oracle(spark, sf_dir, name):
     df = q.REGISTRY[name].fn(spark, sf_dir)
     assert_matches_oracle(df, q.REGISTRY[name].oracle, sf_dir)
 

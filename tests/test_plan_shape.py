@@ -132,6 +132,34 @@ def test_approx_bound_check_is_single_pass(spark):
     assert "Join" not in plan
 
 
+def test_corpus_sample_and_chunk_are_shuffle_free(spark):
+    """Stratified sampling is a pushdown-friendly map-side filter and
+    chunking a map-side explode: zero Exchanges in either plan, so both
+    scale linearly with input splits at 100 TB."""
+    for name in ("corpus_stratified_sample", "corpus_chunks_fixed"):
+        plan = plan_of(run(spark, name), "simple")
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_corpus_pack_reuses_window_partitioning(spark):
+    """Next-fit packing shuffles ONCE (window partitionBy shard); the
+    final (shard, bin) aggregation reuses that partitioning because the
+    grouping keys contain the window partition key."""
+    plan = plan_of(run(spark, "corpus_pack_next_fit"), "simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
+def test_corpus_decontamination_broadcasts_eval_side(spark):
+    """The eval n-gram set (benchmark-sized, tiny vs the corpus) is
+    broadcast: the 100 TB training-side scan never shuffles raw grams
+    into a join."""
+    plan = plan_of(run(spark, "corpus_decontamination"), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_metric_agg_is_partial_then_final(spark):
     """Metric aggregation shuffles partial states, not raw rows: two
     HashAggregates split by one Exchange (SCALE.md: partial aggregation)."""
