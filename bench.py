@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_near_minhash_survivors",
     "dedup_simhash_near_pairs",
     "dedup_ngram_jaccard_pairs",
+    "dedup_duplicate_clusters",
     "dedup_embedding_lsh_survivors",
     "similarity_cosine_topk",
     "similarity_multi_query_topk",

@@ -90,6 +90,59 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# X2d: duplicate-cluster resolution (connected components over the
+# verified near-dup pair graph -- the post-pair stage that collapses
+# A~B~C chains onto one survivor)
+# ---------------------------------------------------------------------------
+
+
+def _dup_clusters_oracle() -> str:
+    """Recursive-CTE min-label propagation over the same Jaccard>=0.2
+    edge set the pair query emits; converges to cluster_id = component
+    min, exactly what the Spark iterative loop computes."""
+    edges = (
+        _SHINGLE_CTE.replace("WITH docs AS (", "WITH RECURSIVE docs AS (", 1)
+        + f"""
+    , idx AS (
+      SELECT doc_id, len(shingles) AS n_sh,
+             {_H.format(x='s.sh')} AS sh_hash
+      FROM sh, unnest(shingles) AS s(sh)
+    ), jpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+      FROM idx a JOIN idx b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), edges AS (
+      SELECT id_a, id_b FROM jpairs
+      WHERE n_common / (n_a + n_b - n_common) >= 0.2
+    )"""
+    )
+    return (
+        edges
+        + """
+    , sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), walk(node, lbl) AS (
+      SELECT src, LEAST(src, MIN(dst)) FROM sym GROUP BY src
+      UNION
+      SELECT s.src, w.lbl FROM sym s JOIN walk w ON s.dst = w.node
+      WHERE w.lbl < s.src
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node
+    """
+    )
+
+
+@register("dedup_duplicate_clusters", _dup_clusters_oracle())
+def dedup_duplicate_clusters(spark, sf_dir):
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
 # X2: MinHash + LSH candidates (bit-identical sketch in both engines)
 # ---------------------------------------------------------------------------
 
@@ -547,6 +600,7 @@ def text_stats(spark, sf_dir):
              AS n_bpe_tokens
     FROM documents
     """,
+    driver=False,  # X4 keeps 4 driver slots; BPE counting pytest-differential
 )
 def text_token_count_bpe(spark, sf_dir):
     return text.token_count_bpe(load_table(spark, sf_dir, "documents"))

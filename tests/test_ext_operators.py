@@ -218,3 +218,27 @@ def test_decode_image_is_stubbed():
         pass
     with pytest.raises(NotImplementedError, match="codec"):
         multimodal.decode_image(b"\x89PNG fake")
+
+
+def test_duplicate_clusters_collapse_chains(spark):
+    """A~B and B~C must land in ONE cluster labeled min(A,B,C), even
+    though A and C share no pair; disconnected pairs stay separate."""
+    from dbt_metrics_ingestion_script_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 3), (50, 60), (70, 80), (80, 71)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {3: 3, 10: 3, 20: 3, 50: 50, 60: 50, 70: 70, 71: 70, 80: 70}
+
+
+def test_duplicate_clusters_long_path(spark):
+    """Label propagation crosses a diameter-6 path (min at one end)."""
+    from dbt_metrics_ingestion_script_spark.operators.dedup import duplicate_clusters
+
+    chain = [(i + 1, i) for i in range(1, 7)]  # 7-6-...-2-1
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(
+        spark.createDataFrame(chain, "id_a long, id_b long")
+    ).collect()}
+    assert got == {i: 1 for i in range(1, 8)}
