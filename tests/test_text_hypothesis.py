@@ -94,3 +94,64 @@ def test_text_ops_agree_on_degenerate_docs(spark, tmp_path_factory, degenerate):
         s_rows = sorted(map(repr, (tuple(r) for r in qd.fn(spark, tmpdir).collect())))
         _, o_rows = _run_duckdb(qd.oracle, tmpdir)
         assert len(s_rows) == len(o_rows), name
+
+
+CORPUS_QUERIES = [
+    "corpus_decontamination",
+    "corpus_stratified_sample",
+    "corpus_chunks_fixed",
+    "corpus_pack_next_fit",
+]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpora)
+def test_corpus_ops_agree_on_adversarial_corpora(spark, tmp_path_factory, texts):
+    """Same adversarial-corpus differential harness for the corpus
+    preparation queries (decontaminate / sample / chunk / pack)."""
+    q.queries()
+    tmpdir = str(tmp_path_factory.mktemp("hypcorpus"))
+    _write_documents(spark, tmpdir, texts)
+    for name in CORPUS_QUERIES:
+        qd = q.REGISTRY[name]
+        sdf = qd.fn(spark, tmpdir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        o_cols, o_rows = _run_duckdb(qd.oracle, tmpdir)
+        assert sorted(s_cols) == sorted(o_cols), name
+        order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+        order_o = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+        ns = sorted(
+            [tuple(_norm(r[i]) for i in order_s) for r in s_rows], key=repr
+        )
+        no = sorted(
+            [tuple(_norm(r[i]) for i in order_o) for r in o_rows], key=repr
+        )
+        assert ns == no, f"{name} diverged on {texts!r}:\n{ns}\nvs\n{no}"
+
+
+def test_duplicate_clusters_chain_corpus_matches_oracle(spark, tmp_path_factory):
+    """Three documents where A~B and B~C overlap enough for Jaccard>=0.2
+    but A and C don't: the recursive-CTE oracle and the iterative Spark
+    loop must both collapse them into one cluster."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base + " one two three four five",            # A: shares core with B
+        base + " six seven eight nine ten",           # B: shares core with A and C
+        "lambda mu " + base.replace("alpha beta ", "") + " six seven eight nine ten eleven",  # C
+        "completely different vocabulary with no overlap at all here",
+    ]
+    q.queries()
+    tmpdir = str(tmp_path_factory.mktemp("chaincorpus"))
+    _write_documents(spark, tmpdir, texts)
+    qd = q.REGISTRY["dedup_duplicate_clusters"]
+    s_rows = sorted(tuple(r) for r in qd.fn(spark, tmpdir).collect())
+    _, o_rows = _run_duckdb(qd.oracle, tmpdir)
+    assert s_rows == sorted(o_rows)
+    if s_rows:  # every flagged doc resolves to one shared min label
+        labels = {c for _, c in s_rows}
+        assert min(labels) == min(d for d, _ in s_rows)
