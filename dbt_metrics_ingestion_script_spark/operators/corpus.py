@@ -69,10 +69,14 @@ def decontaminate_ngram_overlap(
 
 def sample_keep(id_col: Column | str, stratum: Column | str, rate: Column) -> Column:
     """Deterministic Bernoulli keep-decision: hash31(id ':' stratum)
-    uniform on [0, 2^31-1) compared against rate * (2^31-1)."""
+    uniform on [0, 2^31-1) compared against rate * (2^31-1).
+
+    A NULL stratum hashes as the empty string (explicit coalesce so the
+    engine-specific NULL-concat semantics can't diverge: Spark's
+    concat_ws skips NULLs while ANSI || propagates them)."""
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
     st = F.col(stratum) if isinstance(stratum, str) else stratum
-    h = hash31(F.concat_ws(":", idc.cast("string"), st))
+    h = hash31(F.concat_ws(":", idc.cast("string"), F.coalesce(st, F.lit(""))))
     return h < rate * F.lit(MERSENNE31)
 
 

@@ -71,7 +71,7 @@ _DEFAULT_RATE = 0.75
 
 def _sample_oracle() -> str:
     whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_RATES.items()))
-    h = _H31.format(x="doc_id::VARCHAR || ':' || lang")
+    h = _H31.format(x="doc_id::VARCHAR || ':' || coalesce(lang, '')")
     return f"""
     SELECT doc_id, lang, source
     FROM documents

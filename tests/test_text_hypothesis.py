@@ -155,3 +155,28 @@ def test_duplicate_clusters_chain_corpus_matches_oracle(spark, tmp_path_factory)
     if s_rows:  # every flagged doc resolves to one shared min label
         labels = {c for _, c in s_rows}
         assert min(labels) == min(d for d, _ in s_rows)
+
+
+def test_corpus_ops_agree_on_null_rows(spark, tmp_path_factory):
+    """NULL text / NULL lang rows: every corpus query must agree with
+    its oracle on whether the row survives (the NULL-concat and
+    NULL-lambda semantics differ between engines unless pinned)."""
+    rows = [
+        (0, None, None, "hyp", 0),
+        (1, "", "en", "hyp", 0),
+        (2, "plain ok text here we go", None, "hyp", 24),
+        (3, "plain ok text here we go", "en", "hyp", 24),
+    ]
+    tmpdir = str(tmp_path_factory.mktemp("nullcorpus"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    q.queries()
+    for name in CORPUS_QUERIES + ["dedup_duplicate_clusters"]:
+        qd = q.REGISTRY[name]
+        s_rows = sorted(
+            map(repr, (tuple(r) for r in qd.fn(spark, tmpdir).collect()))
+        )
+        _, o_rows = _run_duckdb(qd.oracle, tmpdir)
+        o_rows = sorted(map(repr, (tuple(r) for r in o_rows)))
+        assert len(s_rows) == len(o_rows), (name, s_rows, o_rows)
