@@ -77,3 +77,50 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def streaming_decontaminate(
+    doc_stream: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Stream-static decontamination: drop streaming documents that
+    share any word n-gram with a STATIC eval/benchmark set.
+
+    The eval n-gram set is collapsed into ONE static row
+    (collect_set of 31-bit gram hashes) and broadcast into the stream:
+    each micro-batch row computes its own gram array and filters on
+    `arrays_overlap` -- completely stateless (no watermark, no streaming
+    aggregation, no stream-stream join), so the operator is a map-side
+    filter per micro-batch.  Benchmark eval sets are ~10^5-10^6 grams
+    (megabytes of int32), comfortably broadcastable; at extreme eval
+    sizes the same shape works with a bloom filter instead of the exact
+    set.  Converges to the batch `decontaminate_ngram_overlap` verdict
+    on the same inputs, which is how it is tested.
+    """
+    from ..functions.hashing import hash31
+    from ..operators.dedup import word_shingles
+
+    eval_grams = (
+        eval_set.select(
+            F.explode(F.transform(word_shingles(text_col, n), hash31)).alias("gram")
+        )
+        .agg(F.collect_set("gram").alias("__eval_grams"))
+    )
+    withg = doc_stream.withColumn(
+        "__grams", F.transform(word_shingles(text_col, n), hash31)
+    )
+    # NULL text => NULL gram array => arrays_overlap is NULL; batch
+    # decontamination never flags such docs, so keep them here too
+    return (
+        withg.join(F.broadcast(eval_grams))
+        .filter(
+            F.coalesce(
+                ~F.arrays_overlap(F.col("__grams"), F.col("__eval_grams")),
+                F.lit(True),
+            )
+        )
+        .drop("__grams", "__eval_grams")
+    )

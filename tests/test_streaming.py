@@ -213,3 +213,51 @@ def run_stream_to_memory_update(result, name, timeout_sec=120.0):
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def test_streaming_decontaminate_converges_to_batch(spark, tmp_path_factory):
+    """availableNow over a static documents directory must keep exactly
+    the docs the batch decontamination operator keeps (stream-static
+    broadcast filter, stateless)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators.corpus import (
+        decontaminate_ngram_overlap,
+    )
+    from dbt_metrics_ingestion_script_spark.streaming.metrics_stream import (
+        streaming_decontaminate,
+    )
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", d / "documents.parquet")
+    batch = spark.read.parquet(str(d))
+    eval_set = batch.where(F.col("doc_id") % 19 == 0)
+    train = batch.where(F.col("doc_id") % 19 != 0)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .where(F.col("doc_id") % 19 != 0)
+    )
+    result = streaming_decontaminate(stream, eval_set, n=5)
+    name = "stream_decon"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.sql(f"SELECT doc_id FROM {name}").collect()}
+
+    flagged = {
+        r["doc_id"]
+        for r in decontaminate_ngram_overlap(train, eval_set, n=5).collect()
+    }
+    expected = {r["doc_id"] for r in train.collect()} - flagged
+    assert kept == expected
+    assert flagged, "fixture produced no contamination; test is vacuous"
