@@ -75,3 +75,48 @@ def read_metric_range(
         & (F.col("__year") <= F.year(F.lit(end).cast("date")))
     ).filter((F.col(TS_COL) >= F.lit(start)) & (F.col(TS_COL) <= F.lit(end)))
     return pruned.drop("__year")
+
+
+def refresh_metric_incremental(
+    resolver,
+    spec,
+    grain: str,
+    new_facts: DataFrame,
+    store_path: str,
+) -> list[int]:
+    """Incremental refresh: recompute ONLY the year partitions whose
+    grain buckets are touched by `new_facts`, and dynamic-overwrite just
+    those under {store}/{metric}/{grain}/.
+
+    The affected unit is the YEAR OF THE GRAIN BUCKET, not of the raw
+    event: an early-January fact can land in a week bucket dated the
+    previous December, and the store partitions on year(bucket), so the
+    bucket year is what must be recomputed.  Recomputation reads the
+    FULL fact table filtered to those bucket-years (aggregates are not
+    incrementally mergeable in general -- avg/count_distinct can't be
+    updated from deltas -- so affected buckets recompute from base;
+    with facts laid out per SCALE.md the year filter prunes partitions,
+    bounding the rescan to the touched years, typically just the open
+    one).  Untouched year partitions are never rewritten (dynamic
+    overwrite), so history stays intact.
+
+    Works for any spec the compiler handles whose inputs share the
+    spec's timestamp (simple / ratio / cumulative -- the cumulative
+    fiscal-year reset partition IS the refresh unit, so resets stay
+    self-contained).  Returns the recomputed bucket-years.
+    """
+    from ..plans.compiler import MetricCompiler, grain_column
+
+    bucket_year = F.year(grain_column(spec.timestamp, grain))
+    years = sorted(
+        r["y"]
+        for r in new_facts.select(bucket_year.alias("y")).distinct().collect()
+        if r["y"] is not None
+    )
+    if not years:
+        return []
+    comp = MetricCompiler(
+        lambda model: resolver(model).where(bucket_year.isin(years))
+    )
+    write_metric(comp.compile(spec, grain), store_path, spec.name, grain)
+    return years

@@ -42,3 +42,65 @@ def test_metric_store_range_read_prunes_partitions(spark, sf_dir, tmp_path):
     }
     assert files and all("__year=1995" in f for f in files), files
     assert target.endswith("total_revenue/month")
+
+
+def test_incremental_refresh_touches_only_affected_years(spark, sf_dir, tmp_path):
+    """Refresh with new facts from one year must (a) make the touched
+    partitions equal a full recompute and (b) leave every other year
+    partition byte-for-byte alone -- proven by tampering an old year and
+    seeing the tamper survive."""
+    from dbt_metrics_ingestion_script_spark.sinks.metric_store import (
+        refresh_metric_incremental,
+    )
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    store = str(tmp_path / "store")
+    resolver = lambda model: load_table(spark, sf_dir, model)  # noqa: E731
+    full = _compiler(spark, sf_dir).compile(TOTAL_REVENUE, "month")
+    years = sorted(r["y"] for r in full.select(F.year("ts").alias("y")).distinct().collect())
+    assert len(years) >= 3, "fixture needs a multi-year fact table"
+    hot = years[-1]
+
+    # initial store: everything except the hot year, plus a TAMPERED row
+    # for the oldest year so untouched-partition preservation is provable
+    initial = full.where(F.year("ts") != hot)
+    tampered = initial.withColumn(
+        "total_revenue",
+        F.when(F.year("ts") == years[0], F.lit(-1.0)).otherwise(F.col("total_revenue")),
+    )
+    write_metric(tampered, store, "total_revenue", "month")
+
+    new_facts = resolver("orders").where(F.year("o_orderdate") == hot)
+    touched = refresh_metric_incremental(
+        resolver, TOTAL_REVENUE, "month", new_facts, store
+    )
+    assert touched == [hot]
+
+    back = read_metric(spark, store, "total_revenue", "month")
+    got_hot = {
+        (str(r["ts"]), r["o_custkey"]): round(r["total_revenue"], 4)
+        for r in back.where(F.year("ts") == hot).collect()
+    }
+    want_hot = {
+        (str(r["ts"]), r["o_custkey"]): round(r["total_revenue"], 4)
+        for r in full.where(F.year("ts") == hot).collect()
+    }
+    assert got_hot == want_hot  # touched year equals full recompute
+    # oldest year kept the tamper: its partition was not rewritten
+    assert all(
+        r["total_revenue"] == -1.0
+        for r in back.where(F.year("ts") == years[0]).collect()
+    )
+
+
+def test_incremental_refresh_empty_delta_is_noop(spark, sf_dir, tmp_path):
+    from dbt_metrics_ingestion_script_spark.sinks.metric_store import (
+        refresh_metric_incremental,
+    )
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    resolver = lambda model: load_table(spark, sf_dir, model)  # noqa: E731
+    empty = resolver("orders").where(F.lit(False))
+    assert refresh_metric_incremental(
+        resolver, TOTAL_REVENUE, "month", empty, str(tmp_path / "s")
+    ) == []

@@ -112,10 +112,19 @@ CORPUS_QUERIES = [
 @given(texts=corpora)
 def test_corpus_ops_agree_on_adversarial_corpora(spark, tmp_path_factory, texts):
     """Same adversarial-corpus differential harness for the corpus
-    preparation queries (decontaminate / sample / chunk / pack)."""
+    preparation queries (decontaminate / sample / chunk / pack), with
+    langs cycling through known / unknown-rate / empty-string strata so
+    multi-shard packing and the sampling default-rate branch are hit."""
     q.queries()
     tmpdir = str(tmp_path_factory.mktemp("hypcorpus"))
-    _write_documents(spark, tmpdir, texts)
+    langs = ["en", "zh", "", "xx"]
+    rows = [
+        (i, t, langs[i % len(langs)], "hypothesis", len(t))
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
     for name in CORPUS_QUERIES:
         qd = q.REGISTRY[name]
         sdf = qd.fn(spark, tmpdir)
