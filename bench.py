@@ -72,6 +72,7 @@ HEADLINE = [
     "corpus_stratified_sample",
     "corpus_chunks_fixed",
     "corpus_pack_next_fit",
+    "corpus_training_pipeline",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -128,6 +128,27 @@ def exact_dedup(
     )
 
 
+def exact_dedup_survivors(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Surviving ROWS of keep-first exact dedup (vs exact_dedup's digest
+    summary): row_number over the content digest, keep rank 1.
+
+    ONE full shuffle (hash-partition by digest) instead of the
+    digest-groupBy + survivor-rejoin shape, which would shuffle the
+    payload twice more (both rejoin sides) -- the right form when the
+    deduped payload continues through a pipeline."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__content_hash").orderBy(id_col)
+    return (
+        df.withColumn("__content_hash", hash64(normalize_text(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__content_hash")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2a: exact pairwise n-gram Jaccard via inverted index
 # ---------------------------------------------------------------------------

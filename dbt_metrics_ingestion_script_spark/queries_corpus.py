@@ -154,3 +154,81 @@ def corpus_pack_next_fit(spark, sf_dir):
     return corpus.pack_next_fit(
         load_table(spark, sf_dir, "documents"), "lang", capacity=_CAPACITY
     )
+
+
+def _pipeline_oracle() -> str:
+    """CTE chain replaying the full pipeline: Gopher quality filter ->
+    exact-dedup survivors -> stratified sample -> next-fit pack."""
+    from .operators.text import QUALITY_STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS)
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_RATES.items()))
+    h31 = _H31.format(x="doc_id::VARCHAR || ':' || coalesce(lang, '')")
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, lang, {_NORM} AS norm FROM documents
+    ), q AS (
+      SELECT doc_id,
+             greatest(len(string_split(norm, ' ')), 1) AS n_tokens,
+             len(list_filter(string_split(norm, ' '),
+                             x -> list_contains([{stop}], x))) AS n_stop,
+             len(regexp_extract_all(norm, '[^A-Za-z0-9 ]')) AS n_symbols,
+             length(norm) AS n_len
+      FROM docs
+    ), kept AS (
+      SELECT d.doc_id, d.lang, d.norm
+      FROM docs d JOIN q USING (doc_id)
+      WHERE q.n_tokens >= 5
+        AND (q.n_len - (q.n_tokens - 1)) / q.n_tokens BETWEEN 2.0 AND 12.0
+        AND q.n_stop / q.n_tokens >= 0.05
+        AND q.n_symbols / greatest(q.n_len, 1) <= 0.15
+    ), surv AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, {_H.format(x='norm')} AS h FROM kept)
+      GROUP BY h
+    ), dd AS (
+      SELECT k.doc_id, k.lang, k.norm FROM kept k JOIN surv USING (doc_id)
+    ), samp AS (
+      SELECT doc_id, lang, norm FROM dd
+      WHERE {h31} < (CASE lang {whens} ELSE {_DEFAULT_RATE} END) * {MERSENNE31}
+    ), toks AS (
+      SELECT lang AS shard, doc_id, len(string_split(norm, ' ')) AS n_toks
+      FROM samp
+    ), binned AS (
+      SELECT shard, n_toks,
+             CAST(floor(COALESCE(SUM(n_toks) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) / {_CAPACITY}) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT shard, bin_id, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens
+    FROM binned GROUP BY shard, bin_id
+    """
+
+
+@register("corpus_training_pipeline", _pipeline_oracle())
+def corpus_training_pipeline(spark, sf_dir):
+    """The end-to-end corpus preparation pipeline as ONE composed plan:
+    Gopher-style quality filter -> exact-dedup survivors (keep lowest
+    doc_id per content digest) -> deterministic stratified sample ->
+    per-shard next-fit packing.  Returns the training-shard manifest
+    (shard, bin_id, n_docs, n_tokens).
+
+    This is the composition a 100 TB run would execute: Catalyst fuses
+    the quality filter and sampling into the scan side, and the plan
+    carries exactly TWO full shuffles -- the dedup digest window
+    (row_number keep-first, one payload shuffle instead of
+    groupBy + survivor-rejoin) and the per-shard packing window."""
+    from .operators import dedup, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep_ids = (
+        text.quality_score(docs).where(F.col("quality_keep")).select("doc_id")
+    )
+    kept = docs.join(keep_ids, "doc_id")
+    deduped = dedup.exact_dedup_survivors(kept)
+    sampled = corpus.stratified_sample(
+        deduped, "lang", _RATES, default_rate=_DEFAULT_RATE
+    )
+    return corpus.pack_next_fit(sampled, "lang", capacity=_CAPACITY)

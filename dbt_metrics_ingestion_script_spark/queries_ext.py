@@ -365,6 +365,7 @@ def _min_id_query(emb):
     ORDER BY cosine_sim DESC, vec_id ASC
     LIMIT 10
     """,
+    driver=False,  # O(n) brute-force baseline; multi/LSH/IVF are the driver rows
 )
 def similarity_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")

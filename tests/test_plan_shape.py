@@ -160,6 +160,15 @@ def test_corpus_decontamination_broadcasts_eval_side(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_corpus_pipeline_two_shuffles_no_smj(spark):
+    """The composed quality->dedup->sample->pack pipeline carries exactly
+    two data shuffles (dedup digest window, per-shard packing window) and
+    one broadcast (quality id set): no sort-merge join anywhere."""
+    plan = plan_of(run(spark, "corpus_training_pipeline"), "simple")
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_metric_agg_is_partial_then_final(spark):
     """Metric aggregation shuffles partial states, not raw rows: two
     HashAggregates split by one Exchange (SCALE.md: partial aggregation)."""
