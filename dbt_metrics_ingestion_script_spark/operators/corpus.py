@@ -58,11 +58,15 @@ def decontaminate_ngram_overlap(
         )
 
     eval_grams = grams(eval_set).select("gram").distinct()
+    # word_shingles is array_distinct and eval_grams is distinct, so the
+    # inner join yields one row per (doc, gram): a plain count IS the
+    # distinct-overlap count, and it partial-aggregates map-side (one
+    # exchange; count_distinct would need two)
     return (
         grams(train)
         .join(F.broadcast(eval_grams), "gram")
         .groupBy(id_col)
-        .agg(F.count_distinct("gram").alias("n_overlap"))
+        .agg(F.count("*").alias("n_overlap"))
         .where(F.col("n_overlap") >= min_overlap)
     )
 

@@ -46,7 +46,7 @@ def _decon_oracle() -> str:
       SELECT doc_id, {_H31.format(x='s.sh')} AS gram
       FROM sh, unnest(shingles) AS s(sh)
     )
-    SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_overlap
+    SELECT t.doc_id, COUNT(*) AS n_overlap
     FROM (SELECT * FROM grams WHERE doc_id % {_EVAL_MOD} <> 0) t
     JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % {_EVAL_MOD} = 0) e
       USING (gram)
