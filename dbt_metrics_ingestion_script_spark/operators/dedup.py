@@ -572,10 +572,14 @@ def duplicate_clusters(
     to truncate lineage, and the label frame (2 longs/node of the PAIR
     graph, not the corpus) fits executor memory comfortably.
     """
+    # persist the symmetric edge list pre-partitioned on dst: every
+    # iteration joins on dst, so the cached partitioning is reused and
+    # only the (tiny) label frame moves per iteration
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition("dst")
         .persist()
     )
     labels = (
