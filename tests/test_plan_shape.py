@@ -79,25 +79,18 @@ def test_sketch_self_join_reuses_exchange(spark):
 
 
 def test_no_python_eval_in_hot_paths(spark):
-    """Zero row-level Python in dedup/similarity/text/metric plans
-    (SCALE.md UDF policy): no BatchEvalPython (pickled row UDF) anywhere,
-    and no ArrowEvalPython outside the explicitly-Arrow multimodal ops."""
-    for name in [
-        "metric_total_revenue_month",
-        "metric_derived_revenue_per_customer_month",
-        "dedup_minhash_lsh_candidates",
-        "dedup_simhash_near_pairs",
-        "dedup_ngram_jaccard_pairs",
-        "similarity_cosine_topk",
-        "similarity_ivf_topk",
-        "text_stats",
-        "text_language_id",
-        "text_doc_fingerprint",
-        "events_json_props_extract",
-    ]:
-        plan = plan_of(run(spark, name))
+    """Zero row-level Python in ANY registered plan (SCALE.md UDF
+    policy): no BatchEvalPython (pickled row UDF) anywhere; Arrow-batch
+    Python only in the explicitly-Arrow surfaces (multimodal mapInPandas,
+    streaming applyInPandasWithState)."""
+    for name, qd in q.REGISTRY.items():
+        if name.startswith("streaming_"):
+            continue  # applyInPandasWithState by design; covered in test_streaming
+        plan = plan_of(qd.fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
-        assert "ArrowEvalPython" not in plan, name
+        if not name.startswith("multimodal_"):
+            assert "ArrowEvalPython" not in plan, name
+            assert "MapInPandas" not in plan, name
 
 
 def _n_jobs(spark) -> int:
