@@ -67,6 +67,7 @@ HEADLINE = [
     "multimodal_binary_stats",
     "events_salted_daily_agg",
     "events_json_props_extract",
+    "events_sessionization",
     # corpus preparation: decontaminate / sample / chunk / pack
     "corpus_decontamination",
     "corpus_stratified_sample",

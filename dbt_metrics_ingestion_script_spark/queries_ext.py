@@ -959,3 +959,41 @@ def events_daily_agg(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W3: gap-based sessionization over events
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+
+@register(
+    "events_sessionization",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > {_SESSION_GAP_MIN * 60 * 1_000_000}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), idx AS (
+      SELECT user_id, ts, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           MAX(us) - MIN(us) AS duration_us
+    FROM idx GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionization(spark, sf_dir):
+    """W3: 30-minute-gap sessionization; micro-second integer time
+    arithmetic keeps both engines bit-identical at the gap boundary."""
+    from .operators.sessions import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=_SESSION_GAP_MIN)

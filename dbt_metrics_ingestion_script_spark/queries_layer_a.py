@@ -199,6 +199,7 @@ def lineage_transitive_closure(spark, sf_dir):
       ('source.webshop_analytics.shop.raw_customers', 'metric.webshop_analytics.customer_count', 2)
     ) AS t(node, impacted, depth)
     """,
+    driver=False,  # J4 driver row is lineage_transitive_closure; same BFS
 )
 def lineage_impact_analysis(spark, sf_dir):
     """J4 downstream form: which metrics break if this node changes?

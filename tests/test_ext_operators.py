@@ -242,3 +242,49 @@ def test_duplicate_clusters_long_path(spark):
         spark.createDataFrame(chain, "id_a long, id_b long")
     ).collect()}
     assert got == {i: 1 for i in range(1, 8)}
+
+
+def test_sessionize_gap_semantics(spark):
+    """Sessions split exactly when the gap EXCEEDS the timeout; boundary
+    gap == timeout stays in-session; sub-second gaps use integer micros."""
+    from datetime import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.sessions import sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(seconds, micro=0):
+        return datetime(2024, 1, 1, 0, 0, 0).fromtimestamp(
+            t0.timestamp() + seconds
+        ).replace(microsecond=micro)
+
+    rows = [
+        # user 1: events at 0s, +600s (same session), then +601s gap -> split
+        (1, 1, at(0)), (2, 1, at(600)), (3, 1, at(1201)),
+        # user 2: gap exactly the 10-min timeout -> SAME session
+        (10, 2, at(0)), (11, 2, at(600)),
+        # user 3: gap exceeds timeout by one microsecond -> split
+        (20, 3, at(0)), (21, 3, at(600, micro=1)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["session_idx"]): r["n_events"]
+        for r in sessionize(df, gap_minutes=10).collect()
+    }
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 2, (3, 1): 1, (3, 2): 1}
+
+
+def test_sessionize_duration_and_bounds(spark):
+    from datetime import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.sessions import sessionize
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0, 0, 250000)),
+        (2, 1, datetime(2024, 1, 1, 0, 5, 0, 750000)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    [r] = sessionize(df, gap_minutes=30).collect()
+    assert r["n_events"] == 2
+    assert r["duration_us"] == 300 * 1_000_000 + 500_000
+    assert r["session_start"] == rows[0][2] and r["session_end"] == rows[1][2]

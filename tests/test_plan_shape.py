@@ -153,6 +153,15 @@ def test_corpus_decontamination_broadcasts_eval_side(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_sessionization_single_shuffle(spark):
+    """Sessionization hash-partitions once on user_id: the lag and
+    cumsum windows share one sort, and the per-session aggregation
+    reuses the window partitioning (partial agg, no second Exchange)."""
+    plan = plan_of(run(spark, "events_sessionization"), "simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
 def test_corpus_pipeline_two_shuffles_no_smj(spark):
     """The composed quality->dedup->sample->pack pipeline carries exactly
     two data shuffles (dedup digest window, per-shard packing window) and
