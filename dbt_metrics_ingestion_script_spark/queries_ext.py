@@ -997,3 +997,38 @@ def events_sessionization(spark, sf_dir):
     from .operators.sessions import sessionize
 
     return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=_SESSION_GAP_MIN)
+
+
+# ---------------------------------------------------------------------------
+# A-class extension: exact percentile metrics (driver=False: the 50
+# driver slots carry the reference's calculation methods; percentiles
+# are an EXT method, differential-tested in pytest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "metric_percentile_order_value_month",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_order_value,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95_order_value
+    FROM orders GROUP BY 1
+    """,
+    driver=False,
+)
+def metric_percentile_order_value_month(spark, sf_dir):
+    """p50/p95 order value per month: Spark's exact `percentile`
+    (linear interpolation) matches DuckDB quantile_cont bit-for-bit
+    after 4dp rounding.  The 100 TB variant swaps in approx_percentile
+    (t-digest, mergeable sketch) exactly like A2's HLL swap."""
+    orders = load_table(spark, sf_dir, "orders")
+    df = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("ts")
+        )
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("p50_order_value"),
+            F.percentile("o_totalprice", 0.95).alias("p95_order_value"),
+        )
+    )
+    return round_cols(df, {"p50_order_value": 4, "p95_order_value": 4})
