@@ -176,3 +176,47 @@ def quality_score(
         F.round(symbol_ratio, 4).alias("symbol_ratio"),
         keep.alias("quality_keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-corpus hygiene stage)
+# ---------------------------------------------------------------------------
+
+# ASCII-only patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# no backreferences, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII counts + a digest of the redacted text.
+
+    One codegen projection: counts via regexp_extract_all on the raw
+    text, then a regexp_replace chain substitutes each match class with
+    a typed placeholder.  Returns (doc_id, n_email, n_phone, n_ipv4,
+    redacted_hash) -- the digest (not the text) so downstream exact
+    dedup can run on scrubbed content without reshuffling documents.
+
+    Replacement order is a fixed dict order and matters: IPv4 would
+    also match inside some phone formats, so each class counts on the
+    ORIGINAL text, never the partially-redacted one.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+            f"n_{name}"
+        )
+        for name, pat in PII_PATTERNS.items()
+    ]
+    redacted = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col),
+        *counts,
+        hash64(redacted).alias("redacted_hash"),
+    )

@@ -1032,3 +1032,25 @@ def metric_percentile_order_value_month(spark, sf_dir):
         )
     )
     return round_cols(df, {"p50_order_value": 4, "p95_order_value": 4})
+
+
+def _pii_oracle() -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in text.PII_PATTERNS.items()
+    )
+    red = "text"
+    for name, pat in text.PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+    SELECT doc_id, {counts},
+           {_H.format(x=red)} AS redacted_hash
+    FROM documents
+    """
+
+
+@register("text_pii_scrub", _pii_oracle(), driver=False)
+def text_pii_scrub(spark, sf_dir):
+    """PII hygiene stage: per-doc email/phone/IPv4 counts + digest of
+    the redacted text (one codegen projection; pytest-differential)."""
+    return text.pii_scrub(load_table(spark, sf_dir, "documents"))

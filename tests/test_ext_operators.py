@@ -288,3 +288,24 @@ def test_sessionize_duration_and_bounds(spark):
     assert r["n_events"] == 2
     assert r["duration_us"] == 300 * 1_000_000 + 500_000
     assert r["session_start"] == rows[0][2] and r["session_end"] == rows[1][2]
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from dbt_metrics_ingestion_script_spark.functions.hashing import hash64
+    from dbt_metrics_ingestion_script_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail me at a.b+c@ex-ample.org or call 555-123-4567 now"),
+        (2, "server at 10.0.0.1 and 192.168.1.255, no mail"),
+        (3, "clean document with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (1, 1, 0)
+    assert (got[2]["n_email"], got[2]["n_phone"], got[2]["n_ipv4"]) == (0, 0, 2)
+    assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ipv4"]) == (0, 0, 0)
+    # redaction replaces the matches: doc 3 digest equals its raw digest,
+    # doc 1 digest differs (text changed)
+    raw = {r["doc_id"]: r["h"] for r in df.select("doc_id", hash64(df.text).alias("h")).collect()}
+    assert got[3]["redacted_hash"] == raw[3]
+    assert got[1]["redacted_hash"] != raw[1]
