@@ -220,3 +220,32 @@ def pii_scrub(
         *counts,
         hash64(redacted).alias("redacted_hash"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition signals: the fraction of word bigrams occupied
+    by the single most frequent bigram (near-1.0 = templated/looped
+    text), plus distinct-bigram ratio.
+
+    Bigrams come from the single-pass lookahead regex WITHOUT
+    array_distinct (frequencies are the signal here, unlike shingling).
+    Shape: explode bigrams -> count per (doc, bigram) -> per-doc
+    max/sum/count -- two shuffles, both partial-aggregated, both keyed
+    by doc so at 100 TB the hot key is a single pathological document,
+    not a global skew point.  Docs with fewer than 2 tokens have no
+    bigrams and produce no row (repetition undefined).
+    """
+    pat = r"(?=(\S+ \S+))\S+ ?"
+    bigrams = df.select(
+        F.col(id_col), normalize_text(text_col).alias("__norm")
+    ).select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all("__norm", F.lit(pat), 1)).alias("bg"),
+    )
+    per_bigram = bigrams.groupBy(id_col, "bg").agg(F.count("*").alias("n"))
+    return per_bigram.groupBy(id_col).agg(
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_bigram_frac"),
+        F.round(F.count("*") / F.sum("n"), 6).alias("distinct_bigram_ratio"),
+    )

@@ -1054,3 +1054,31 @@ def text_pii_scrub(spark, sf_dir):
     """PII hygiene stage: per-doc email/phone/IPv4 counts + digest of
     the redacted text (one codegen projection; pytest-differential)."""
     return text.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_repetition_stats",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, string_split(norm, ' ') AS toks FROM docs
+    ), bg AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+      FROM tok, unnest(range(1, len(toks))) AS r(i)
+      WHERE len(toks) >= 2
+    ), per AS (
+      SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           ROUND(MAX(n) / SUM(n), 6) AS top_bigram_frac,
+           ROUND(COUNT(*) / SUM(n), 6) AS distinct_bigram_ratio
+    FROM per GROUP BY doc_id
+    """,
+    driver=False,  # X4 quality family; pytest-differential
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher repetition rules: top-bigram fraction + distinct-bigram
+    ratio per document (frequencies, so bigrams are NOT deduplicated)."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))

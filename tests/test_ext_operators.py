@@ -309,3 +309,19 @@ def test_pii_scrub_counts_and_redaction(spark):
     raw = {r["doc_id"]: r["h"] for r in df.select("doc_id", hash64(df.text).alias("h")).collect()}
     assert got[3]["redacted_hash"] == raw[3]
     assert got[1]["redacted_hash"] != raw[1]
+
+
+def test_repetition_stats_flags_templated_text(spark):
+    from dbt_metrics_ingestion_script_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "buy now " * 50),             # one bigram dominates
+        (2, "each word appears only once here today"),
+        (3, "short"),                     # < 2 tokens: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["top_bigram_frac"] > 0.45   # "now buy"/"buy now" alternate
+    assert got[2]["top_bigram_frac"] < 0.2
+    assert got[2]["distinct_bigram_ratio"] == 1.0
