@@ -189,3 +189,60 @@ def test_corpus_ops_agree_on_null_rows(spark, tmp_path_factory):
         _, o_rows = _run_duckdb(qd.oracle, tmpdir)
         o_rows = sorted(map(repr, (tuple(r) for r in o_rows)))
         assert len(s_rows) == len(o_rows), (name, s_rows, o_rows)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    deltas=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user id
+            st.integers(min_value=0, max_value=4000),   # seconds offset
+            st.integers(min_value=0, max_value=999999), # microseconds
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sessionization_agrees_on_random_events(spark, tmp_path_factory, deltas):
+    """Random users/offsets/micros (including duplicate timestamps and
+    gaps straddling the 30-min boundary) through BOTH engines."""
+    from datetime import datetime, timedelta
+
+    q.queries()
+    tmpdir = str(tmp_path_factory.mktemp("hypsessions"))
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=s, microseconds=us), u, "click", 1.0, "{}")
+        for i, (u, s, us) in enumerate(deltas)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    qd = q.REGISTRY["events_sessionization"]
+    sdf = qd.fn(spark, tmpdir)
+    s_rows = sorted(
+        [tuple(_norm(v) for v in r) for r in (tuple(r) for r in sdf.collect())],
+        key=repr,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmpdir}/events.parquet/*.parquet')"
+    )
+    o_rows = sorted(
+        [tuple(_norm(v) for v in r) for r in con.execute(qd.oracle).fetchall()],
+        key=repr,
+    )
+    # compare order-insensitively with columns aligned by name
+    s_cols, o_cols = sdf.columns, [d[0] for d in con.execute(qd.oracle).description]
+    assert sorted(s_cols) == sorted(o_cols)
+    so = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    oo = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+    assert sorted([tuple(r[i] for i in so) for r in s_rows], key=repr) == sorted(
+        [tuple(r[i] for i in oo) for r in o_rows], key=repr
+    ), deltas
