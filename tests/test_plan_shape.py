@@ -207,3 +207,14 @@ def test_shingling_stays_in_codegen(spark):
         docs.select("doc_id", word_shingles("text").alias("sh")), "simple"
     )
     assert "*(1) Project" in plan, plan
+
+
+def test_coverage_md_in_lockstep_with_registry(spark):
+    """Every registered query name (driver and demoted) appears in
+    COVERAGE.md, so the inventory can't drift from the registry
+    (VERDICT r1 item 10)."""
+    import pathlib
+
+    cov = (pathlib.Path(__file__).parent.parent / "COVERAGE.md").read_text()
+    missing = [n for n in q.REGISTRY if f"`{n}`" not in cov]
+    assert not missing, f"COVERAGE.md missing: {missing}"
