@@ -261,3 +261,40 @@ def test_streaming_decontaminate_converges_to_batch(spark, tmp_path_factory):
     expected = {r["doc_id"] for r in train.collect()} - flagged
     assert kept == expected
     assert flagged, "fixture produced no contamination; test is vacuous"
+
+
+def test_streaming_chunking_converges_to_batch(spark, tmp_path_factory):
+    """chunk_fixed is a stateless map-side explode, so the SAME operator
+    runs unchanged on a streaming frame; availableNow over a static
+    directory must produce exactly the batch chunk set."""
+    import shutil
+
+    from dbt_metrics_ingestion_script_spark.operators.corpus import chunk_fixed
+
+    d = tmp_path_factory.mktemp("docs_chunk_stream")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", d / "documents.parquet")
+    batch = spark.read.parquet(str(d))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    result = chunk_fixed(stream, chunk_chars=200, overlap=50)
+    name = "stream_chunks"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["chunk_offset"], r["chunk_len"], r["chunk_hash"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_offset"], r["chunk_len"], r["chunk_hash"])
+        for r in chunk_fixed(batch, chunk_chars=200, overlap=50).collect()
+    }
+    assert got == want and got
