@@ -104,3 +104,24 @@ def test_incremental_refresh_empty_delta_is_noop(spark, sf_dir, tmp_path):
     assert refresh_metric_incremental(
         resolver, TOTAL_REVENUE, "month", empty, str(tmp_path / "s")
     ) == []
+
+
+def test_incremental_refresh_week_grain_straddles_new_year(spark, sf_dir, tmp_path):
+    """A January fact whose WEEK bucket is dated the prior December must
+    refresh the PRIOR year partition (the store partitions on
+    year(bucket), not year(event))."""
+    from dbt_metrics_ingestion_script_spark.sinks.metric_store import (
+        refresh_metric_incremental,
+    )
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    resolver = lambda model: load_table(spark, sf_dir, model)  # noqa: E731
+    # 1997-01-01 is a Wednesday: its Monday-start week bucket is 1996-12-30
+    delta = resolver("orders").where(
+        F.col("o_orderdate").between("1997-01-01", "1997-01-05")
+    )
+    assert delta.count() > 0, "fixture has no facts in the straddling week"
+    touched = refresh_metric_incremental(
+        resolver, TOTAL_REVENUE, "week", delta, str(tmp_path / "store")
+    )
+    assert 1996 in touched, touched
