@@ -141,7 +141,7 @@ def _pack_oracle() -> str:
                   ), 0) / {_CAPACITY}) AS BIGINT) AS bin_id
       FROM docs
     )
-    SELECT shard, bin_id, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens
+    SELECT shard, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
     FROM binned GROUP BY shard, bin_id
     """
 
@@ -202,7 +202,7 @@ def _pipeline_oracle() -> str:
                   ), 0) / {_CAPACITY}) AS BIGINT) AS bin_id
       FROM toks
     )
-    SELECT shard, bin_id, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens
+    SELECT shard, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
     FROM binned GROUP BY shard, bin_id
     """
 

@@ -981,8 +981,8 @@ _SESSION_GAP_MIN = 30
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), idx AS (
       SELECT user_id, ts, us,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_idx
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM flagged
     )
     SELECT user_id, session_idx, COUNT(*) AS n_events,
