@@ -791,17 +791,27 @@ def streaming_running_totals(spark, sf_dir):
     from .streaming.stateful import running_totals_by_key
 
     d = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
-    name = "rt_" + uuid.uuid4().hex[:8]
-    q = (
-        running_totals_by_key(read_events_stream(spark, d))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+        name = "rt_" + uuid.uuid4().hex[:8]
+        q = (
+            running_totals_by_key(read_events_stream(spark, d))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # awaitTermination returns False on timeout: reading the memory
+        # sink mid-flight would nondeterministically corrupt the oracle
+        # comparison, so fail loudly instead (ADVICE r2 d).
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "streaming_running_totals did not drain within 120s"
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return spark.sql(
         f"""SELECT key AS event_type,
                    max(n_events) AS n_events,
@@ -838,22 +848,27 @@ def streaming_windowed_daily_agg(spark, sf_dir):
     )
 
     d = tempfile.mkdtemp(prefix="events_stream_w_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
-    stream = read_events_stream(spark, d)
-    # the staged copy reads TIMESTAMP(NANOS) as bigint (nanosAsLong);
-    # watermarks need a TIMESTAMP column, so rebuild from epoch micros
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    name = "wd_" + uuid.uuid4().hex[:8]
-    q = (
-        windowed_event_metrics(stream, grain="day", watermark="1 day")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+        # event-time coercion (bigint nanos / timestamp_ntz -> timestamp)
+        # happens inside read_events_stream at the streaming boundary
+        stream = read_events_stream(spark, d)
+        name = "wd_" + uuid.uuid4().hex[:8]
+        q = (
+            windowed_event_metrics(stream, grain="day", watermark="1 day")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "streaming_windowed_daily_agg did not drain within 120s"
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return spark.sql(
         f"""SELECT CAST(ts AS DATE) AS ts, event_type, n_events,
                    ROUND(total_value, 4) AS total_value

@@ -29,17 +29,39 @@ GRAIN_DURATION = {
 def read_events_stream(
     spark: SparkSession, events_dir: str, schema=None
 ) -> DataFrame:
-    """File-source stream over a directory of events parquet files."""
+    """File-source stream over a directory of events parquet files.
+
+    Event-time coercion happens HERE, at the streaming boundary, because
+    `withWatermark` requires a TIMESTAMP (with local timezone) column:
+
+    - a legacy TIMESTAMP(NANOS) fixture arrives as bigint nanos
+      (nanosAsLong) -> rebuild from epoch micros;
+    - a TIMESTAMP(MICROS, isAdjustedToUTC=false) fixture infers as
+      TIMESTAMP_NTZ, which watermarks reject
+      ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]) -> cast to timestamp.
+      The session timezone is pinned to UTC (session.py), so the
+      NTZ->LTZ cast is value-preserving and batch/oracle parity holds.
+
+    The batch loader (sources/tables.py:_load_events) deliberately keeps
+    NTZ -- date_trunc works fine there -- so only streams are coerced.
+    """
     if schema is None:
-        # events.parquet carries TIMESTAMP(NANOS); read nanos as long so
-        # schema inference doesn't reject it (see sources.tables._load_events)
+        # tolerate legacy TIMESTAMP(NANOS) fixtures during inference
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = spark.read.parquet(events_dir).schema
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def windowed_event_metrics(
@@ -76,7 +98,11 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream {query_name!r} did not drain within {timeout_sec}s"
+        )
 
 
 def streaming_decontaminate(

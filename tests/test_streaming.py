@@ -25,14 +25,14 @@ def events_dir(tmp_path_factory):
 
 def test_stream_converges_to_batch(spark, sf_dir, events_dir):
     batch = load_table(spark, sf_dir, "events")
+    # event-time coercion to watermark-compatible TIMESTAMP happens inside
+    # read_events_stream; session tz is pinned to UTC by the session factory
     stream = read_events_stream(spark, events_dir)
-    # nanos ts arrives as bigint in the staged copy; watermarks require
-    # TIMESTAMP (not NTZ), so build one from epoch micros (session tz is
-    # pinned to UTC by the session factory)
     from pyspark.sql import functions as F
 
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    assert dict(stream.dtypes)["ts"] == "timestamp", (
+        "read_events_stream must deliver a watermark-compatible ts"
+    )
     result = windowed_event_metrics(stream, grain="day")
     run_stream_to_memory(result, "stream_daily")
 
@@ -212,7 +212,9 @@ def run_stream_to_memory_update(result, name, timeout_sec=120.0):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"stream {name!r} did not drain within {timeout_sec}s")
 
 
 def test_streaming_decontaminate_converges_to_batch(spark, tmp_path_factory):
