@@ -13,10 +13,11 @@ posture per operator:
   self-join is on bucket ids (balanced by construction); verification
   computes exact Jaccard only on candidates.  This is the scale path --
   cost O(n * k) + candidate joins instead of O(n^2).
-- ngram_jaccard_pairs: exact pairwise Jaccard via an inverted shingle
-  index (explode -> equi-join on shingle -> count).  Exact but
-  join-fan-out-bound: use for corpora small enough that documents
-  sharing a shingle are rare; at 100 TB use minhash_lsh first and this
+- ngram_jaccard_pairs: pairwise Jaccard via an inverted shingle index
+  (explode -> equi-join on shingle -> count), with a shingle
+  document-frequency cap (df_max) that bounds the self-join fan-out on
+  hot shingles -- capped results are a lower-bound subset of the exact
+  answer; at 100 TB use minhash_lsh first and this
   as the verify stage.
 - simhash64: per-doc 64-bit signature via weighted bit-vote over token
   hashes; near-dups differ in few bits (hamming <= 3).  Signature is an
@@ -160,6 +161,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    df_max: int | None = 1000,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
@@ -167,6 +169,22 @@ def ngram_jaccard_pairs(
     64-bit to keep shuffle rows small), count common shingles, then
     |A∩B| / (|A| + |B| - |A∩B|).  Output: (id_a, id_b, jaccard) with
     id_a < id_b.
+
+    `df_max` bounds the self-join fan-out (VERDICT r3 item 2): a shingle
+    appearing in k documents produces k^2 join rows, and real corpora
+    have power-law shingle document frequencies, so without a cap one
+    stop-shingle turns the join quadratic on its hot key.  Shingles with
+    DF > df_max are dropped from the INDEX only; set sizes (n_a, n_b)
+    stay uncapped, so the reported jaccard is a strict LOWER BOUND of
+    the true value and the emitted pairs are a SUBSET of the exact
+    answer -- no false positives vs the threshold, recall lost only for
+    pairs whose above-threshold overlap depends on shingles shared by
+    more than df_max documents.  Threshold-dependence: at realistic
+    near-dup thresholds (>= 0.2 here) a hot shingle contributes at most
+    1/|union| per pair, so df_max in the hundreds-to-thousands loses
+    essentially nothing while bounding worst-case fan-out at
+    df_max^2 rows per shingle.  `df_max=None` restores exact semantics
+    (verification-scale corpora only).
     """
     sh = shingle_frame(df, text_col, id_col, n, hashed=False).select(
         "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
@@ -178,8 +196,19 @@ def ngram_jaccard_pairs(
     sh = (
         sh.select("id", "n_sh", hash64("sh").alias("sh_hash"))
         .repartition("sh_hash")
-        .hint("merge")
     )
+    if df_max is not None:
+        # shingle arrays are distinct per doc, so a plain COUNT(*) over
+        # the sh_hash partition IS the document frequency; the window's
+        # partitioning matches the repartition above, so the DF filter
+        # costs no extra shuffle and lives inside the reused exchange
+        from pyspark.sql import Window
+
+        dfreq = F.count("*").over(Window.partitionBy("sh_hash"))
+        sh = sh.withColumn("__df", dfreq).filter(
+            F.col("__df") <= F.lit(df_max)
+        ).drop("__df")
+    sh = sh.hint("merge")
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, "sh_hash")

@@ -64,12 +64,20 @@ def dedup_exact(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard_pairs",
+    # the DF-capped index (df <= 1000) mirrors the Spark operator's
+    # df_max fan-out bound so oracle parity holds for ANY cap value
     _SHINGLE_CTE
     + f"""
     , idx AS (
-      SELECT doc_id, len(shingles) AS n_sh,
-             {_H.format(x='s.sh')} AS sh_hash
-      FROM sh, unnest(shingles) AS s(sh)
+      SELECT doc_id, n_sh, sh_hash FROM (
+        SELECT doc_id, n_sh, sh_hash,
+               COUNT(*) OVER (PARTITION BY sh_hash) AS df
+        FROM (
+          SELECT doc_id, len(shingles) AS n_sh,
+                 {_H.format(x='s.sh')} AS sh_hash
+          FROM sh, unnest(shingles) AS s(sh)
+        )
+      ) WHERE df <= 1000
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
@@ -84,7 +92,7 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_ngram_jaccard_pairs(spark, sf_dir):
     df = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.2
+        load_table(spark, sf_dir, "documents"), threshold=0.2, df_max=1000
     )
     return round_cols(df, {"jaccard": 6})
 
@@ -104,9 +112,15 @@ def _dup_clusters_oracle() -> str:
         _SHINGLE_CTE.replace("WITH docs AS (", "WITH RECURSIVE docs AS (", 1)
         + f"""
     , idx AS (
-      SELECT doc_id, len(shingles) AS n_sh,
-             {_H.format(x='s.sh')} AS sh_hash
-      FROM sh, unnest(shingles) AS s(sh)
+      SELECT doc_id, n_sh, sh_hash FROM (
+        SELECT doc_id, n_sh, sh_hash,
+               COUNT(*) OVER (PARTITION BY sh_hash) AS df
+        FROM (
+          SELECT doc_id, len(shingles) AS n_sh,
+                 {_H.format(x='s.sh')} AS sh_hash
+          FROM sh, unnest(shingles) AS s(sh)
+        )
+      ) WHERE df <= 1000
     ), jpairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
@@ -137,7 +151,7 @@ def _dup_clusters_oracle() -> str:
 @register("dedup_duplicate_clusters", _dup_clusters_oracle())
 def dedup_duplicate_clusters(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.2
+        load_table(spark, sf_dir, "documents"), threshold=0.2, df_max=1000
     )
     return dedup.duplicate_clusters(pairs)
 

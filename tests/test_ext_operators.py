@@ -87,6 +87,47 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     assert len(missed) <= max(1, len(exact) // 10), f"LSH recall too low: missed {missed}"
 
 
+def test_ngram_df_cap_bounds_hot_shingle_fanout(spark):
+    """VERDICT r3 item 2: a shingle shared by every document must not
+    produce O(n^2) candidate pairs.  60 docs share exactly one hot
+    shingle and are otherwise unique: exact semantics (df_max=None)
+    yields all C(60,2)=1770 co-shingle pairs; the DF cap drops the hot
+    shingle from the index, leaving zero pairs -- the fan-out bound is
+    visible at the output because grouping preserves pair count."""
+    docs = spark.createDataFrame(
+        [(i, f"hot shingle words u{i}a u{i}b u{i}c u{i}d") for i in range(60)],
+        "doc_id long, text string",
+    )
+    exact = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.001, df_max=None
+    ).count()
+    capped = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.001, df_max=10
+    ).count()
+    assert exact == 60 * 59 // 2
+    assert capped == 0
+
+
+def test_ngram_df_cap_is_lower_bound_subset(spark, sf_dir):
+    """Capped pairs are a SUBSET of exact pairs with jaccard <= exact
+    jaccard (no false positives; the cap only loses recall on overlap
+    carried by hot shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.2, df_max=None
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2, df_max=5).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-9
+
+
 def test_near_dedup_removes_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     survivors = dedup.near_dedup_minhash(docs, k=16, bands=4, threshold=0.8)
