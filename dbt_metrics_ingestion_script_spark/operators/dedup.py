@@ -581,6 +581,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components over an undirected duplicate-pair graph:
     the post-pair stage every dedup pipeline runs so that A~B and B~C
@@ -596,10 +597,19 @@ def duplicate_clusters(
     Scale: each iteration is one shuffle join on node id; iterations
     needed = graph diameter (dup clusters are shallow -- near-dup
     components are cliques-ish, diameter < 5 in practice).  Frontiers
-    are persisted so the convergence probe doesn't recompute the chain;
-    at true 100 TB scale the loop would checkpoint every few iterations
-    to truncate lineage, and the label frame (2 longs/node of the PAIR
-    graph, not the corpus) fits executor memory comfortably.
+    are persisted so the convergence probe doesn't recompute the chain,
+    and every `checkpoint_every` iterations the label frame is
+    localCheckpoint-ed to truncate lineage -- without that, each
+    iteration's plan nests the previous one and deep graphs OOM the
+    DRIVER during planning, not the executors during compute.  (On a
+    real cluster with executor loss, substitute a reliable
+    `checkpoint()` against the cluster FS.)  The label frame is 2
+    longs/node of the PAIR graph, not the corpus, so it fits executor
+    memory comfortably.
+
+    Raises RuntimeError if labels are still moving after `max_iter`
+    iterations (ADVICE r2 b): returning unconverged labels would
+    silently split one duplicate cluster into several.
     """
     # persist the symmetric edge list pre-partitioned on dst: every
     # iteration joins on dst, so the cached partitioning is reused and
@@ -617,22 +627,26 @@ def duplicate_clusters(
         .withColumnRenamed("src", "node")
         .persist()
     )
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+            ).alias("lbl"),
         )
+        if (it + 1) % checkpoint_every == 0:
+            # truncate lineage: the checkpointed frame's plan is a leaf
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -644,4 +658,16 @@ def duplicate_clusters(
         if converged:
             break
     edges.unpersist()
+    if not converged:
+        # ADVICE r2 b: exiting with labels still moving means some
+        # component's min-label has not reached every node -- returning
+        # them would silently split one duplicate cluster into several.
+        labels.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            f"iterations; the pair graph's diameter exceeds the budget. "
+            f"Raise max_iter (iterations needed = component diameter; "
+            f"near-dup clusters are normally shallow, so a deep graph "
+            f"usually signals threshold-too-low pair generation)."
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -32,6 +32,13 @@ from pyspark.sql import functions as F
 _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 
+def _canon(c: Column) -> str:
+    """Canonical expression string for best-effort equality of column
+    expressions (Catalyst's toString; stable for the plain-column and
+    simple-expression forms salt_on takes in practice)."""
+    return c._jc.toString()
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str | Column],
@@ -78,6 +85,23 @@ def salted_agg(
                     f"measure {name!r}: exact count_distinct requires "
                     "salt_on=<the distinct column> so salt buckets "
                     "partition the value space (disjoint slices sum exactly)"
+                )
+            # ADVICE r2 c: per-bucket exact distinct counts only sum
+            # exactly when the buckets slice the DISTINCT VALUE SPACE --
+            # i.e. the salt hashes the distinct expression itself.  Any
+            # other salt_on spreads one value across buckets and
+            # double-counts it, silently.  Compare canonical expression
+            # strings (best-effort: catches the name-level mismatch this
+            # guards against; exotic but equivalent spellings should use
+            # the same spelling on both sides).
+            if _canon(e) != _canon(salt_src):
+                raise ValueError(
+                    f"measure {name!r}: exact count_distinct is salted on "
+                    f"{_canon(salt_src)!r} but counts distinct "
+                    f"{_canon(e)!r}; salt buckets must partition the "
+                    f"distinct value space, so salt_on must be that exact "
+                    f"expression (or use count_distinct_approx, whose HLL "
+                    f"sketches merge under any salt)"
                 )
             partials.append(F.count_distinct(e).alias(f"__p_{name}"))
             finals.append(F.sum(f"__p_{name}").alias(name))

@@ -16,6 +16,12 @@ from pyspark.sql import functions as F
 
 TS_COL = "ts"
 
+# Reset grains whose date_trunc windows always lie inside one calendar
+# year -- the precondition for per-year incremental refresh of
+# cumulative metrics.  'week' is excluded: a Monday-start week can
+# straddle Dec 31 / Jan 1.
+_YEAR_NESTED_RESET_GRAINS = {"year", "quarter", "month", "day"}
+
 
 def write_metric(
     df: DataFrame,
@@ -101,11 +107,29 @@ def refresh_metric_incremental(
     overwrite), so history stays intact.
 
     Works for any spec the compiler handles whose inputs share the
-    spec's timestamp (simple / ratio / cumulative -- the cumulative
-    fiscal-year reset partition IS the refresh unit, so resets stay
-    self-contained).  Returns the recomputed bucket-years.
+    spec's timestamp (simple / ratio / cumulative with a year-nested
+    reset -- the reset partition then lies inside the refresh unit, so
+    resets stay self-contained).  Cumulative specs whose reset windows
+    do NOT nest within a calendar year are rejected (ADVICE r2 a): an
+    unbounded running total (reset_grain=None) recomputed from one
+    year's facts silently loses all prior-year accumulation, and a week
+    reset straddles Dec/Jan so the straddled window would recompute
+    from partial facts.  Returns the recomputed bucket-years.
     """
     from ..plans.compiler import MetricCompiler, grain_column
+
+    if getattr(spec, "metric_type", None) == "cumulative":
+        rg = getattr(spec, "reset_grain", None)
+        if rg not in _YEAR_NESTED_RESET_GRAINS:
+            raise ValueError(
+                f"cumulative metric {spec.name!r}: incremental refresh "
+                f"recomputes whole year(bucket) partitions, which is only "
+                f"sound when every reset window nests inside one calendar "
+                f"year; reset_grain={rg!r} does not "
+                f"({sorted(_YEAR_NESTED_RESET_GRAINS)} do). Unbounded or "
+                f"week-reset running totals need a full recompute "
+                f"(write_metric over the complete fact table) instead."
+            )
 
     bucket_year = F.year(grain_column(spec.timestamp, grain))
     years = sorted(

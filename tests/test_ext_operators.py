@@ -274,6 +274,25 @@ def test_duplicate_clusters_collapse_chains(spark):
     assert got == {3: 3, 10: 3, 20: 3, 50: 50, 60: 50, 70: 70, 71: 70, 80: 70}
 
 
+def test_duplicate_clusters_raises_when_iteration_budget_too_small(spark):
+    """ADVICE r2 b: exhausting max_iter with labels still moving must
+    raise, not return silently-wrong split clusters.  A 23-node chain
+    has diameter 22 > max_iter=3; the same graph converges (one cluster,
+    label 0) with an adequate budget."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(22)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.duplicate_clusters(chain, max_iter=3)
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(chain, max_iter=30).collect()
+    }
+    assert labels == {i: 0 for i in range(23)}
+
+
 def test_duplicate_clusters_long_path(spark):
     """Label propagation crosses a diameter-6 path (min at one end)."""
     from dbt_metrics_ingestion_script_spark.operators.dedup import duplicate_clusters

@@ -106,6 +106,68 @@ def test_incremental_refresh_empty_delta_is_noop(spark, sf_dir, tmp_path):
     ) == []
 
 
+def test_incremental_refresh_rejects_non_year_nested_cumulative(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r2 a: per-year refresh of a cumulative metric is only sound
+    when every reset window nests inside one calendar year.  An unbounded
+    running total (reset_grain=None) or a week reset (straddles Dec/Jan)
+    must raise instead of silently dropping prior accumulation."""
+    import dataclasses
+
+    import pytest
+
+    from dbt_metrics_ingestion_script_spark.queries import CUMULATIVE_REVENUE
+    from dbt_metrics_ingestion_script_spark.sinks.metric_store import (
+        refresh_metric_incremental,
+    )
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    resolver = lambda model: load_table(spark, sf_dir, model)  # noqa: E731
+    delta = resolver("orders").limit(1)
+    for bad_reset in (None, "week"):
+        spec = dataclasses.replace(CUMULATIVE_REVENUE, reset_grain=bad_reset)
+        with pytest.raises(ValueError, match="reset"):
+            refresh_metric_incremental(
+                resolver, spec, "month", delta, str(tmp_path / "s")
+            )
+
+
+def test_incremental_refresh_year_reset_cumulative_is_allowed(
+    spark, sf_dir, tmp_path
+):
+    """The guard must NOT reject the sound case: a year-reset cumulative
+    refresh recomputes self-contained partitions and matches the full
+    recompute on the touched year."""
+    from dbt_metrics_ingestion_script_spark.queries import CUMULATIVE_REVENUE
+    from dbt_metrics_ingestion_script_spark.sinks.metric_store import (
+        refresh_metric_incremental,
+    )
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    store = str(tmp_path / "store")
+    resolver = lambda model: load_table(spark, sf_dir, model)  # noqa: E731
+    full = _compiler(spark, sf_dir).compile(CUMULATIVE_REVENUE, "month")
+    hot = max(
+        r["y"] for r in full.select(F.year("ts").alias("y")).distinct().collect()
+    )
+    delta = resolver("orders").where(F.year("o_orderdate") == hot)
+    touched = refresh_metric_incremental(
+        resolver, CUMULATIVE_REVENUE, "month", delta, store
+    )
+    assert touched == [hot]
+    back = read_metric(spark, store, "cumulative_revenue", "month")
+    got = {
+        str(r["ts"]): round(r["cumulative_revenue"], 4)
+        for r in back.where(F.year("ts") == hot).collect()
+    }
+    want = {
+        str(r["ts"]): round(r["cumulative_revenue"], 4)
+        for r in full.where(F.year("ts") == hot).collect()
+    }
+    assert got == want
+
+
 def test_incremental_refresh_week_grain_straddles_new_year(spark, sf_dir, tmp_path):
     """A January fact whose WEEK bucket is dated the prior December must
     refresh the PRIOR year partition (the store partitions on

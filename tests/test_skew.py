@@ -71,6 +71,21 @@ def test_salted_rejects_exact_distinct_without_value_salt(spark, sf_dir):
         salted_agg(ev, ["event_type"], {"d": ("count_distinct", "event_id")})
 
 
+def test_salted_rejects_exact_distinct_on_wrong_salt_column(spark, sf_dir):
+    """ADVICE r2 c: salting exact count_distinct on anything other than
+    the distinct expression spreads one value across buckets and
+    double-counts; the operator must reject it, not compute wrong."""
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="distinct value space"):
+        salted_agg(
+            ev,
+            ["event_type"],
+            {"d": ("count_distinct", "event_id")},
+            salt=8,
+            salt_on="user_id",  # would double-count event_ids across buckets
+        )
+
+
 def test_salted_exact_distinct_with_value_salt(spark, sf_dir):
     """Salting on the distinct column partitions the value space, so the
     per-bucket exact distinct counts sum exactly."""
