@@ -668,6 +668,129 @@ def duplicate_clusters(
             f"iterations; the pair graph's diameter exceeds the budget. "
             f"Raise max_iter (iterations needed = component diameter; "
             f"near-dup clusters are normally shallow, so a deep graph "
-            f"usually signals threshold-too-low pair generation)."
+            f"usually signals threshold-too-low pair generation), or use "
+            f"duplicate_clusters_star, which converges in O(log n) rounds "
+            f"regardless of diameter."
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 15,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., 'Connected Components in MapReduce and Beyond',
+    SoCC'14 -- a public algorithm): same output contract as
+    `duplicate_clusters` ((doc_id, cluster_id = component min) for every
+    node of the pair graph), but convergence takes O(log n) ROUNDS
+    instead of graph-diameter ITERATIONS.
+
+    Min-label propagation moves a label one hop per iteration, so a
+    path-shaped component of length d costs d shuffle rounds; the star
+    operations instead rewire whole neighborhoods onto local minima each
+    round, halving component height.  Near-dup graphs are usually
+    shallow (label propagation wins on constant factors there -- fewer
+    jobs per round); chain-shaped graphs (transcription drift, shingled
+    chunk overlaps, id-remap chains) are where this one is the only
+    shape that finishes.  Each round is two groupBy+join passes over the
+    EDGE frame only; lineage is truncated by periodic localCheckpoint
+    exactly as in the label version.
+
+    large-star(u): for every neighbor v > u, re-point v at
+    m = min(N(u) ∪ {u}).  small-star(u): re-point the neighbors ≤ u
+    (plus u itself) at their minimum.  Both preserve connectivity;
+    alternating them converges to a forest of stars rooted at each
+    component's minimum id.
+    """
+    # canonical undirected edge set (x < y), self-loops dropped
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        )
+        .distinct()
+        .persist()
+    )
+
+    def _signature(e: DataFrame) -> tuple[int, int]:
+        """(row_count, order-insensitive hash-fold): cheap whole-frame
+        equality probe -- one aggregate, no join -- used for the
+        fixpoint test.  bit_xor over row hashes is commutative and
+        overflow-free (a sum would trip ANSI long overflow); the edge
+        set is distinct so no pair can self-cancel.  A collision would
+        need two distinct edge sets with equal count AND equal 64-bit
+        fold, vanishingly unlikely and only reachable after the true
+        fixpoint's neighborhood."""
+        r = e.select(F.xxhash64("x", "y").alias("__h")).agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(__h)"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return r["n"], r["h"]
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y"))
+            .distinct()
+        )
+
+    sig = _signature(edges)
+    converged = False
+    for rnd in range(max_rounds):
+        # --- large-star: neighbors above u re-point at u's local min ---
+        sym = edges.select(F.col("x").alias("u"), F.col("y").alias("v")).union(
+            edges.select(F.col("y").alias("u"), F.col("x").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least("__mv", "u").alias("m"))
+        )
+        large = _canon(
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # --- small-star: neighbors at-or-below u (and u) re-point at
+        # their min; orientation v < u makes m = min(N≤(u)) ---
+        oriented = large.select(F.col("y").alias("u"), F.col("x").alias("v"))
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = _canon(
+            oriented.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+        )
+        if (rnd + 1) % checkpoint_every == 0:
+            new_edges = small.localCheckpoint(eager=True)
+        else:
+            new_edges = small.persist()
+        new_sig = _signature(new_edges)
+        edges.unpersist()
+        edges = new_edges
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge within "
+            f"max_rounds={max_rounds}; rounds needed is O(log n), so this "
+            f"signals a pathological input (or raise max_rounds)"
+        )
+    # converged: a forest of stars, every edge = (root=x < child=y)
+    children = edges.select(
+        F.col("y").alias("doc_id"), F.col("x").alias("cluster_id")
+    )
+    roots = edges.select(F.col("x").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    out = children.union(roots)
+    edges.unpersist()
+    return out

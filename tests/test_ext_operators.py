@@ -293,6 +293,46 @@ def test_duplicate_clusters_raises_when_iteration_budget_too_small(spark):
     assert labels == {i: 0 for i in range(23)}
 
 
+def test_duplicate_clusters_star_matches_label_propagation(spark, sf_dir):
+    """The O(log n)-round star algorithm must produce exactly the label
+    propagation clusters on the real near-dup pair graph."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    ).persist()
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.duplicate_clusters_star(pairs).collect()
+    }
+    pairs.unpersist()
+    assert got == want and got
+
+
+def test_duplicate_clusters_star_handles_deep_chains(spark):
+    """A 60-node chain (diameter 59) exceeds label propagation's default
+    iteration budget but star-contraction needs only O(log n) rounds:
+    the case the alternative algorithm exists for.  Also checks a mixed
+    graph: chain + separate triangle + isolated pair."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(59)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pair = [(200, 201)]
+    g = spark.createDataFrame(chain + tri + pair, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.duplicate_clusters(g)  # default max_iter=20 < diameter
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters_star(g).collect()
+    }
+    want = {i: 0 for i in range(60)}
+    want.update({100: 100, 101: 100, 102: 100, 200: 200, 201: 200})
+    assert labels == want
+
+
 def test_duplicate_clusters_long_path(spark):
     """Label propagation crosses a diameter-6 path (min at one end)."""
     from dbt_metrics_ingestion_script_spark.operators.dedup import duplicate_clusters
