@@ -35,8 +35,19 @@ _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 def _canon(c: Column) -> str:
     """Canonical expression string for best-effort equality of column
     expressions (Catalyst's toString; stable for the plain-column and
-    simple-expression forms salt_on takes in practice)."""
-    return c._jc.toString()
+    simple-expression forms salt_on takes in practice).
+
+    `Column._jc` is a classic-Spark private handle that does not exist
+    under Spark Connect (ADVICE r4); fall back to `str(col)` there --
+    same best-effort contract (the docstring of salted_agg already
+    requires the SAME SPELLING on both sides), different renderer."""
+    jc = getattr(c, "_jc", None)
+    if jc is not None:
+        try:
+            return jc.toString()
+        except Exception:
+            pass
+    return str(c)
 
 
 def salted_agg(

@@ -19,8 +19,9 @@ TS_COL = "ts"
 # Reset grains whose date_trunc windows always lie inside one calendar
 # year -- the precondition for per-year incremental refresh of
 # cumulative metrics.  'week' is excluded: a Monday-start week can
-# straddle Dec 31 / Jan 1.
-_YEAR_NESTED_RESET_GRAINS = {"year", "quarter", "month", "day"}
+# straddle Dec 31 / Jan 1.  'hour' nests like 'day' does (ADVICE r4:
+# date_trunc('hour', ts) never changes the year).
+_YEAR_NESTED_RESET_GRAINS = {"year", "quarter", "month", "day", "hour"}
 
 
 def write_metric(

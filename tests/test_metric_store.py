@@ -131,6 +131,13 @@ def test_incremental_refresh_rejects_non_year_nested_cumulative(
             refresh_metric_incremental(
                 resolver, spec, "month", delta, str(tmp_path / "s")
             )
+    # ADVICE r4 a: 'hour' nests inside a calendar year exactly like
+    # 'day', so an hour-reset cumulative must NOT be rejected
+    spec = dataclasses.replace(CUMULATIVE_REVENUE, reset_grain="hour")
+    touched = refresh_metric_incremental(
+        resolver, spec, "day", delta, str(tmp_path / "hr")
+    )
+    assert len(touched) == 1
 
 
 def test_incremental_refresh_year_reset_cumulative_is_allowed(
