@@ -21,7 +21,9 @@ from dbt_metrics_ingestion_script_spark import queries_ext
 from dbt_metrics_ingestion_script_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+# min-of-3 by default (VERDICT r4 item 3): min-of-2 left ±15% JVM/AQE
+# variance ghosts in round-over-round comparisons
+ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
 # Stable headline set: all metric-compiler queries, the Layer A metadata
 # pipeline, and the scale-path EXT operators.  Exact brute-force pair
@@ -55,6 +57,7 @@ HEADLINE = [
     "dedup_simhash_near_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_duplicate_clusters",
+    "dedup_duplicate_clusters_star",
     "dedup_embedding_lsh_survivors",
     "similarity_cosine_topk",
     "similarity_multi_query_topk",

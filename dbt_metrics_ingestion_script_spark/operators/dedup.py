@@ -155,13 +155,22 @@ def exact_dedup_survivors(
 # ---------------------------------------------------------------------------
 
 
+# Document-frequency cap used by the REGISTERED ngram-Jaccard queries
+# and mirrored verbatim into their DuckDB oracle SQL (queries_ext.py
+# interpolates this constant), so Spark/oracle parity holds for any
+# value of the cap.  ADVICE r4 c: the operator itself defaults to
+# df_max=None (exact semantics) -- the lower-bound-subset cap is an
+# opt-in at the scale-path call sites, never a silent default.
+NGRAM_DF_MAX = 1000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    df_max: int | None = 1000,
+    df_max: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
@@ -183,8 +192,10 @@ def ngram_jaccard_pairs(
     near-dup thresholds (>= 0.2 here) a hot shingle contributes at most
     1/|union| per pair, so df_max in the hundreds-to-thousands loses
     essentially nothing while bounding worst-case fan-out at
-    df_max^2 rows per shingle.  `df_max=None` restores exact semantics
-    (verification-scale corpora only).
+    df_max^2 rows per shingle.  The default `df_max=None` is EXACT
+    semantics (ADVICE r4 c: the cap changes results, so callers opt in
+    explicitly -- the registered scale-path queries pass NGRAM_DF_MAX,
+    which their oracle SQL mirrors); at 100 TB always pass a cap.
     """
     sh = shingle_frame(df, text_col, id_col, n, hashed=False).select(
         "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
@@ -582,6 +593,8 @@ def duplicate_clusters(
     id_b: str = "id_b",
     max_iter: int = 20,
     checkpoint_every: int = 5,
+    on_exhaustion: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected duplicate-pair graph:
     the post-pair stage every dedup pipeline runs so that A~B and B~C
@@ -607,10 +620,27 @@ def duplicate_clusters(
     longs/node of the PAIR graph, not the corpus, so it fits executor
     memory comfortably.
 
-    Raises RuntimeError if labels are still moving after `max_iter`
-    iterations (ADVICE r2 b): returning unconverged labels would
-    silently split one duplicate cluster into several.
+    If labels are still moving after `max_iter` iterations, returning
+    them would silently split one duplicate cluster into several
+    (ADVICE r2 b), so the loop never returns unconverged labels.
+    Instead (VERDICT r4 item 2) `on_exhaustion` picks the recovery:
+
+    - "star" (default): fall back to `duplicate_clusters_star`, whose
+      O(log n) round count is diameter-independent -- at scale,
+      aborting a job after max_iter shuffle rounds when a correct
+      answer is computable is strictly worse than computing it.  The
+      fallback runs on the original `pairs` frame; the common shallow
+      case never reaches it (no extra jobs -- fallback only executes
+      after exhaustion).
+    - "raise": RuntimeError (the pre-r5 behavior, for callers that
+      treat a deep pair graph as a data-quality signal).
+
+    `stats`, if provided, is populated with {"iterations": rounds run,
+    "fell_back": bool} so tests (and operators wrapping this one) can
+    assert the shallow path stayed shallow.
     """
+    if on_exhaustion not in ("star", "raise"):
+        raise ValueError(f"on_exhaustion must be 'star' or 'raise', got {on_exhaustion!r}")
     # persist the symmetric edge list pre-partitioned on dst: every
     # iteration joins on dst, so the cached partitioning is reused and
     # only the (tiny) label frame moves per iteration
@@ -656,6 +686,9 @@ def duplicate_clusters(
         labels.unpersist()
         labels = new_labels
         if converged:
+            if stats is not None:
+                stats["iterations"] = it + 1
+                stats["fell_back"] = False
             break
     edges.unpersist()
     if not converged:
@@ -663,6 +696,11 @@ def duplicate_clusters(
         # component's min-label has not reached every node -- returning
         # them would silently split one duplicate cluster into several.
         labels.unpersist()
+        if stats is not None:
+            stats["iterations"] = max_iter
+            stats["fell_back"] = on_exhaustion == "star"
+        if on_exhaustion == "star":
+            return duplicate_clusters_star(pairs, id_a=id_a, id_b=id_b)
         raise RuntimeError(
             f"duplicate_clusters did not converge within max_iter={max_iter} "
             f"iterations; the pair graph's diameter exceeds the budget. "
@@ -705,6 +743,24 @@ def duplicate_clusters_star(
     (plus u itself) at their minimum.  Both preserve connectivity;
     alternating them converges to a forest of stars rooted at each
     component's minimum id.
+
+    Convergence is detected by a DETERMINISTIC star-forest probe run
+    BEFORE each round (ADVICE r4 d replaced the probabilistic
+    (count, xor-fold) signature, whose collision would have silently
+    returned wrong clusters; r5 replaced the edge-set equality check,
+    which could only detect convergence one full -- and fully shuffled
+    -- round after the forest already existed): the answer is
+    extractable exactly when the edge set IS a star forest, i.e. no
+    node both appears as a child (y side) and carries any second edge.
+    Near-dup pair graphs are mostly disjoint pairs/stars already, so
+    the common case converges after zero or one round and the probe
+    (one groupBy over the edge frame) is what makes that cheap.
+
+    Within a round, the large-star stage skips its dedup: its output is
+    one (child, parent) row per directed edge, so |large| <= 2|edges|
+    regardless of duplicates -- no growth to bound -- and the
+    small-star distinct restores the canonical set before the next
+    round.  One distinct per round instead of two.
     """
     # canonical undirected edge set (x < y), self-loops dropped
     edges = (
@@ -717,21 +773,6 @@ def duplicate_clusters_star(
         .persist()
     )
 
-    def _signature(e: DataFrame) -> tuple[int, int]:
-        """(row_count, order-insensitive hash-fold): cheap whole-frame
-        equality probe -- one aggregate, no join -- used for the
-        fixpoint test.  bit_xor over row hashes is commutative and
-        overflow-free (a sum would trip ANSI long overflow); the edge
-        set is distinct so no pair can self-cancel.  A collision would
-        need two distinct edge sets with equal count AND equal 64-bit
-        fold, vanishingly unlikely and only reachable after the true
-        fixpoint's neighborhood."""
-        r = e.select(F.xxhash64("x", "y").alias("__h")).agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.expr("bit_xor(__h)"), F.lit(0)).alias("h"),
-        ).collect()[0]
-        return r["n"], r["h"]
-
     def _canon(e: DataFrame) -> DataFrame:
         return (
             e.filter(F.col("u") != F.col("v"))
@@ -739,26 +780,65 @@ def duplicate_clusters_star(
             .distinct()
         )
 
-    sig = _signature(edges)
     converged = False
-    for rnd in range(max_rounds):
-        # --- large-star: neighbors above u re-point at u's local min ---
-        sym = edges.select(F.col("x").alias("u"), F.col("y").alias("v")).union(
-            edges.select(F.col("y").alias("u"), F.col("x").alias("v"))
+    # frames from the PREVIOUS round, released only after the current
+    # round's probe has materialized the new frontier (unpersisting
+    # before materialization would cascade recomputes down the chain)
+    to_release: list[DataFrame] = []
+    for rnd in range(max_rounds + 1):  # +1: probe after the final build
+        # one groupBy over the symmetric edge view serves BOTH the
+        # convergence probe and the large-star min computation: per node
+        # u, its neighborhood min, degree, and whether u ever appears as
+        # a child (y side).  The canonical edge set is a star forest --
+        # i.e. the answer is extractable -- iff no child node carries a
+        # second edge (a child with a second edge is either also a root,
+        # a 2-hop path, or a doubly-parented node: not converged).
+        sym = edges.select(
+            F.col("x").alias("u"), F.col("y").alias("v"), F.lit(0).alias("ic")
+        ).union(
+            edges.select(
+                F.col("y").alias("u"), F.col("x").alias("v"), F.lit(1).alias("ic")
+            )
         )
-        mins = (
+        stats = (
             sym.groupBy("u")
-            .agg(F.min("v").alias("__mv"))
-            .select("u", F.least("__mv", "u").alias("m"))
+            .agg(
+                F.min("v").alias("__mv"),
+                F.count("*").alias("__n"),
+                F.max("ic").alias("__ic"),
+            )
+            .persist()
         )
-        large = _canon(
-            sym.join(mins, "u")
+        is_forest = stats.filter(
+            (F.col("__ic") == 1) & (F.col("__n") >= 2)
+        ).isEmpty()
+        # the probe materialized stats (and with it this round's edge
+        # frontier), so the previous round's caches are now safe to drop
+        for f in to_release:
+            f.unpersist()
+        to_release = []
+        if is_forest:
+            stats.unpersist()
+            converged = True
+            break
+        if rnd == max_rounds:
+            stats.unpersist()
+            break
+        # --- large-star: neighbors above u re-point at u's local min;
+        # emits one (child=v, parent=m) row per directed edge with
+        # m < v by construction (m = min(N(u) ∪ u) <= u < v), already
+        # the orientation small-star consumes -- no dedup needed,
+        # |large| <= 2|edges| ---
+        mins = stats.select("u", F.least("__mv", "u").alias("m"))
+        oriented = (
+            sym.drop("ic")
+            .join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        # --- small-star: neighbors at-or-below u (and u) re-point at
-        # their min; orientation v < u makes m = min(N≤(u)) ---
-        oriented = large.select(F.col("y").alias("u"), F.col("x").alias("v"))
+        # --- small-star: u's parents (all < u) re-point at their min;
+        # the single distinct per round lives here, restoring the
+        # canonical edge set ---
         mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
         small = _canon(
             oriented.join(mins2, "u")
@@ -770,13 +850,8 @@ def duplicate_clusters_star(
             new_edges = small.localCheckpoint(eager=True)
         else:
             new_edges = small.persist()
-        new_sig = _signature(new_edges)
-        edges.unpersist()
+        to_release = [edges, stats]
         edges = new_edges
-        if new_sig == sig:
-            converged = True
-            break
-        sig = new_sig
     if not converged:
         edges.unpersist()
         raise RuntimeError(
@@ -784,13 +859,15 @@ def duplicate_clusters_star(
             f"max_rounds={max_rounds}; rounds needed is O(log n), so this "
             f"signals a pathological input (or raise max_rounds)"
         )
-    # converged: a forest of stars, every edge = (root=x < child=y)
+    # converged: a forest of stars, every edge = (root=x < child=y).
+    # The star frame stays persisted and the result reads from it --
+    # unpersisting here would force the caller's collect to recompute
+    # the whole iteration chain (same convention as duplicate_clusters'
+    # label frame); the frame is 2 longs per edge of the PAIR graph.
     children = edges.select(
         F.col("y").alias("doc_id"), F.col("x").alias("cluster_id")
     )
     roots = edges.select(F.col("x").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
-    out = children.union(roots)
-    edges.unpersist()
-    return out
+    return children.union(roots)
