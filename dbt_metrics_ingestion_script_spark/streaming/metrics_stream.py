@@ -19,10 +19,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# grain -> (window duration, startTime offset).  F.window tumbles from
+# the unix epoch, 1970-01-01, a THURSDAY; batch date_trunc('week') is
+# Monday-aligned, so the week grain needs a +4 day origin shift or every
+# streaming week bucket lands 3 days off the batch answer (caught by the
+# week-grain convergence test, VERDICT r4 item 5).  Hour/day windows are
+# naturally epoch-aligned (session tz pinned to UTC).
 GRAIN_DURATION = {
-    "hour": "1 hour",
-    "day": "1 day",
-    "week": "7 days",
+    "hour": ("1 hour", None),
+    "day": ("1 day", None),
+    "week": ("7 days", "4 days"),
 }
 
 
@@ -78,23 +84,32 @@ def windowed_event_metrics(
     """
     if grain not in GRAIN_DURATION:
         raise ValueError(f"unsupported streaming grain {grain!r}")
+    dur, start = GRAIN_DURATION[grain]
+    win = (
+        F.window(ts_col, dur, dur, start) if start else F.window(ts_col, dur)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, GRAIN_DURATION[grain]).alias("w"), *dims)
+        .groupBy(win.alias("w"), *dims)
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
         .select(F.col("w.start").alias("ts"), *dims, "n_events", "total_value")
     )
 
 
 def run_stream_to_memory(
-    result: DataFrame, query_name: str, timeout_sec: float = 120.0
+    result: DataFrame,
+    query_name: str,
+    timeout_sec: float = 120.0,
+    output_mode: str = "complete",
 ) -> None:
     """Drive a streaming frame to completion into an in-memory sink
-    (test/debug harness; production would writeStream to a real sink)."""
+    (test/debug harness; production would writeStream to a real sink).
+    output_mode="append" emits only watermark-finalized windows --
+    the mode that exercises late-data drop semantics."""
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

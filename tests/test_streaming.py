@@ -57,6 +57,101 @@ def test_streaming_rejects_unknown_grain(spark, events_dir):
         windowed_event_metrics(stream, grain="fortnight")
 
 
+def test_stream_week_grain_converges_to_batch(spark, sf_dir, events_dir):
+    """VERDICT r4 item 5: the week grain must land on the SAME buckets
+    as batch date_trunc('week').  F.window tumbles from the epoch (a
+    Thursday) while date_trunc('week') is Monday-aligned, so this only
+    holds with the +4 day window origin shift -- without it every
+    streaming week is 3 days off and this test fails on the bucket
+    keys, not just the values."""
+    from pyspark.sql import functions as F
+
+    batch = load_table(spark, sf_dir, "events")
+    stream = read_events_stream(spark, events_dir)
+    result = windowed_event_metrics(stream, grain="week", watermark="1 day")
+    run_stream_to_memory(result, "stream_weekly")
+    got = {
+        (str(r["ts"]), r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+        for r in spark.sql("SELECT * FROM stream_weekly").collect()
+    }
+    expected = {
+        (str(r["ts"]), r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+        for r in batch.groupBy(
+            F.date_trunc("week", "ts").alias("ts"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_stream_watermark_drops_late_rows(spark, tmp_path):
+    """VERDICT r4 item 5: a row arriving after the watermark finalized
+    its window must be DROPPED, not merged and not re-emitted.
+
+    Three files processed as separate micro-batches (maxFilesPerTrigger=1,
+    file order pinned via mtime).  Batch 0 (day-0 + day-6 events) pushes
+    the watermark to day 5; during batch 1 (an on-time day-6 event) the
+    day-0 window's end falls behind that watermark, so it is finalized:
+    emitted once with n_events=1 and its state evicted.  Batch 2 then
+    replays a day-0 event 5 days behind the watermark -- if late drop
+    were broken it would either re-create day-0 state and duplicate the
+    day-0 output row, or bump its count to 2.  The memory sink must hold
+    exactly one day-0 row with n_events=1.  (The drop is only observable
+    AFTER finalization: a late-ish row landing in the same batch that
+    finalizes its window may still legitimately merge -- the watermark
+    is a finalization threshold, and this test pins the semantics that
+    actually matter: a closed window never changes.)"""
+    import datetime
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+
+    def write_file(name, rows, mtime):
+        # plain single parquet files (the shape the file source lists);
+        # mtime pins micro-batch order under maxFilesPerTrigger=1
+        path = f"{d}/{name}"
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "event_type": pa.array([r[2] for r in rows], pa.string()),
+                    "value": pa.array([r[3] for r in rows], pa.float64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (mtime, mtime))
+
+    day = lambda n, h=0: datetime.datetime(2024, 3, 1 + n, h)  # noqa: E731
+    now = _time.time()
+    # batch 0: day-0 + day-6 events -> watermark becomes day 5
+    write_file("a.parquet", [(1, day(0), "click", 1.0), (2, day(6), "click", 1.0)], now - 100)
+    # batch 1: on-time day-6 event; day-0 window finalizes this batch
+    write_file("b.parquet", [(3, day(6, 2), "click", 1.0)], now - 50)
+    # batch 2: LATE day-0 replay (5 days behind the watermark) + on-time
+    write_file("c.parquet", [(4, day(0, 1), "click", 1.0), (5, day(6, 3), "click", 1.0)], now - 10)
+
+    stream = read_events_stream(spark, d)
+    result = windowed_event_metrics(stream, grain="day", watermark="1 day")
+    run_stream_to_memory(result, "stream_late", output_mode="append")
+    rows = spark.sql("SELECT * FROM stream_late").collect()
+    day0 = [r for r in rows if str(r["ts"]).startswith("2024-03-01")]
+    assert len(day0) == 1, f"day-0 window must be emitted exactly once: {rows}"
+    assert day0[0]["n_events"] == 1, (
+        f"late day-0 replay leaked into the finalized window: {day0}"
+    )
+    # the still-open day-6 window is unemitted in append mode (its end
+    # never fell behind the final watermark)
+    assert not [r for r in rows if str(r["ts"]).startswith("2024-03-07")]
+
+
 def test_stateful_running_totals_converge_to_batch(spark, sf_dir, events_dir):
     from pyspark.sql import functions as F
 
