@@ -67,6 +67,7 @@ HEADLINE = [
     "text_language_id",
     "text_quality_score",
     "text_doc_fingerprint",
+    "text_tfidf_top_terms",
     "multimodal_binary_stats",
     "events_salted_daily_agg",
     "events_json_props_extract",

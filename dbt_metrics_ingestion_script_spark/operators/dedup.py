@@ -713,6 +713,74 @@ def duplicate_clusters(
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
+def _star_round(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One large-star + small-star round over a canonical (x<y,
+    distinct) edge frame.  Returns (stats, small):
+
+    - stats: ONE groupBy over the symmetric edge view serving BOTH the
+      convergence probe and the large-star min computation -- per node
+      u, its neighborhood min (__mv), degree (__n), and whether u ever
+      appears as a child / y side (__ic).
+    - small: the next canonical edge set after large-star (neighbors
+      above u re-point at u's local min; emitted directly in the
+      (child=v, parent=m) orientation small-star consumes, m < v by
+      construction, |out| <= 2|edges| so its dedup is elided) followed
+      by small-star (u's parents, all < u, re-point at their min; the
+      round's single distinct lives here).
+
+    small-star is a WINDOW pass, not a groupBy+self-join: per node u
+    the parent-min rides min(v) over (partition by u), and each row
+    then emits both small-star edges ((parent, min) and (u, min)) via a
+    2-element explode, deduped by the canonical distinct.  With the
+    join formulation the large-star frame was referenced three times
+    (join left, min aggregate, union branch) and recomputed three times
+    per round unless separately persisted; the window formulation
+    references every subtree exactly once, so a round is 4 shuffles
+    flat (stats groupBy, the directed-view join, the small-star window,
+    the canonical distinct) -- locked by test_plan_shape.
+
+    Module-level so plan-shape tests can lock the per-round shuffle
+    count without running the loop.
+    """
+    from pyspark.sql import Window
+
+    sym = edges.select(
+        F.col("x").alias("u"), F.col("y").alias("v"), F.lit(0).alias("ic")
+    ).union(
+        edges.select(
+            F.col("y").alias("u"), F.col("x").alias("v"), F.lit(1).alias("ic")
+        )
+    )
+    stats = sym.groupBy("u").agg(
+        F.min("v").alias("__mv"),
+        F.count("*").alias("__n"),
+        F.max("ic").alias("__ic"),
+    )
+    mins = stats.select("u", F.least("__mv", "u").alias("m"))
+    oriented = (
+        sym.drop("ic")
+        .join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    pre = oriented.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    small = (
+        pre.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("p"), F.col("m").alias("q")),
+                    F.struct(F.col("u").alias("p"), F.col("m").alias("q")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.p").alias("u"), F.col("e.q").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y"))
+        .distinct()
+    )
+    return stats, small
+
+
 def duplicate_clusters_star(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -773,42 +841,20 @@ def duplicate_clusters_star(
         .persist()
     )
 
-    def _canon(e: DataFrame) -> DataFrame:
-        return (
-            e.filter(F.col("u") != F.col("v"))
-            .select(F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y"))
-            .distinct()
-        )
-
     converged = False
     # frames from the PREVIOUS round, released only after the current
     # round's probe has materialized the new frontier (unpersisting
     # before materialization would cascade recomputes down the chain)
     to_release: list[DataFrame] = []
     for rnd in range(max_rounds + 1):  # +1: probe after the final build
-        # one groupBy over the symmetric edge view serves BOTH the
-        # convergence probe and the large-star min computation: per node
-        # u, its neighborhood min, degree, and whether u ever appears as
-        # a child (y side).  The canonical edge set is a star forest --
-        # i.e. the answer is extractable -- iff no child node carries a
-        # second edge (a child with a second edge is either also a root,
-        # a 2-hop path, or a doubly-parented node: not converged).
-        sym = edges.select(
-            F.col("x").alias("u"), F.col("y").alias("v"), F.lit(0).alias("ic")
-        ).union(
-            edges.select(
-                F.col("y").alias("u"), F.col("x").alias("v"), F.lit(1).alias("ic")
-            )
-        )
-        stats = (
-            sym.groupBy("u")
-            .agg(
-                F.min("v").alias("__mv"),
-                F.count("*").alias("__n"),
-                F.max("ic").alias("__ic"),
-            )
-            .persist()
-        )
+        # The canonical edge set is a star forest -- i.e. the answer is
+        # extractable -- iff no child node carries a second edge (a
+        # child with a second edge is either also a root, a 2-hop path,
+        # or a doubly-parented node: not converged).  The probe reads
+        # the same stats aggregate the round itself needs, so
+        # convergence detection adds no shuffle to non-final rounds.
+        stats, small = _star_round(edges)
+        stats = stats.persist()
         is_forest = stats.filter(
             (F.col("__ic") == 1) & (F.col("__n") >= 2)
         ).isEmpty()
@@ -824,28 +870,6 @@ def duplicate_clusters_star(
         if rnd == max_rounds:
             stats.unpersist()
             break
-        # --- large-star: neighbors above u re-point at u's local min;
-        # emits one (child=v, parent=m) row per directed edge with
-        # m < v by construction (m = min(N(u) ∪ u) <= u < v), already
-        # the orientation small-star consumes -- no dedup needed,
-        # |large| <= 2|edges| ---
-        mins = stats.select("u", F.least("__mv", "u").alias("m"))
-        oriented = (
-            sym.drop("ic")
-            .join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        # --- small-star: u's parents (all < u) re-point at their min;
-        # the single distinct per round lives here, restoring the
-        # canonical edge set ---
-        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        small = _canon(
-            oriented.join(mins2, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
-        )
         if (rnd + 1) % checkpoint_every == 0:
             new_edges = small.localCheckpoint(eager=True)
         else:

@@ -249,3 +249,67 @@ def repetition_stats(
         F.round(F.max("n") / F.sum("n"), 6).alias("top_bigram_frac"),
         F.round(F.count("*") / F.sum("n"), 6).alias("distinct_bigram_ratio"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: the classic IR primitive behind
+    keyword extraction, topic tagging, and per-source vocabulary drift
+    checks in corpus curation.  Output: (doc_id, term, score), k rows
+    per tokenizable document, deterministic (rounded-score desc, term
+    asc tie-break) so the DuckDB oracle hash-matches.
+
+    score = tf * (ln((N+1)/(df+1)) + 1) -- smoothed idf, N = number of
+    tokenized documents, df = documents containing the term.
+
+    Scale shape: tokens explode -> groupBy(doc, term) tf [shuffle 1,
+    partial-aggregated so the wire carries (doc, term, count) not raw
+    tokens] -> groupBy(term) df over the tf frame [shuffle 2 -- rows
+    are already unique per (doc, term), so this IS the document
+    frequency] -> term-keyed join tf x df [reuses shuffle 2's
+    partitioning on the df side] -> per-doc top-k window [shuffle 3].
+    N rides a 1-row broadcast crossJoin (the action-free pattern the
+    similarity queries use), never a driver-side count.  No shuffle
+    carries raw text: after the first aggregation everything is
+    (term, doc_id, numbers).  Hot terms (stopwords) concentrate on one
+    reducer in shuffle 2; at corpus scale cap them with a df ceiling
+    filter AFTER the df aggregate (they rank last anyway -- idf ~ 0) or
+    pre-hash terms to 64-bit to cheapen the keys.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tf.agg(F.count_distinct("doc_id").alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

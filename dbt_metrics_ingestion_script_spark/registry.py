@@ -19,9 +19,11 @@ from pyspark.sql import functions as F
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
-    driver: bool = True  # exposed to the driver registry (≤50 slots);
-    # driver=False keeps the (fn, oracle) pair for pytest differential
-    # coverage without spending an evaluated-query slot
+    driver: bool = True  # exposed to the driver registry (every entry
+    # is oracle-evaluated per round); driver=False keeps the
+    # (fn, oracle) pair for pytest differential coverage only -- used
+    # for O(n^2) brute-force baselines that exist to verify the
+    # registered scale paths, not to be run at scale themselves
 
 
 REGISTRY: dict[str, QueryDef] = {}

@@ -26,6 +26,7 @@ EXT_ORACLE_QUERIES = [
     "text_language_id",
     "text_quality_score",
     "text_doc_fingerprint",
+    "text_tfidf_top_terms",
     "multimodal_binary_stats",
     "multimodal_feature_extract",
     "multimodal_resize",
@@ -448,6 +449,37 @@ def test_duplicate_clusters_long_path(spark):
         spark.createDataFrame(chain, "id_a long, id_b long")
     ).collect()}
     assert got == {i: 1 for i in range(1, 8)}
+
+
+def test_tfidf_ranks_distinctive_terms_over_ubiquitous(spark):
+    """A term appearing in every document carries minimal idf, so a
+    doc-specific term must outrank it; k bounds rows per doc; docs with
+    no tokens produce no rows."""
+    from dbt_metrics_ingestion_script_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra zebra"),
+            (2, "common yak yak"),
+            (3, "common"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["term"], r["score"]))
+    assert set(by_doc) == {1, 2, 3}  # null/empty docs emit nothing
+    # per-doc rows already arrive rank-ordered (row_number filter)
+    assert by_doc[1][0][0] == "zebra"  # distinctive 2x beats shared 'common'
+    assert by_doc[2][0][0] == "yak"
+    assert by_doc[3] == [("common", by_doc[3][0][1])]  # only term, 1 row
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # ubiquitous term scores strictly below the distinctive ones
+    common_score = dict(by_doc[1])["common"]
+    assert dict(by_doc[1])["zebra"] > common_score
 
 
 def test_sessionize_gap_semantics(spark):

@@ -162,6 +162,30 @@ def test_sessionization_single_shuffle(spark):
     assert plan.count("HashAggregate") == 2  # partial + final
 
 
+def test_star_round_four_shuffles_no_rescan(spark):
+    """One large-star/small-star round is 4 data Exchanges flat -- the
+    fused probe/min stats groupBy, the directed-view join, the
+    small-star window, the canonical distinct -- with every subtree
+    referenced exactly once (the join formulation recomputed the
+    large-star frame three times per round) and no Python evaluation."""
+    from dbt_metrics_ingestion_script_spark.operators.dedup import _star_round
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "x long, y long"
+    )
+    stats, small = _star_round(edges)
+    plan = plan_of(small, "simple")
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 4, plan
+    assert "BatchEvalPython" not in plan
+    # window formulation: the large-star output feeds ONE window, never
+    # a self-join; the edge RDD is scanned by the two sym branches in
+    # the stats subtree and the two in the join subtree, no more
+    assert plan.count("Scan ExistingRDD") == 4, plan
+    stats_plan = plan_of(stats, "simple")
+    # the probe rides the round's own aggregate: one shuffle, partial+final
+    assert stats_plan.count("Exchange") == 1
+
+
 def test_corpus_pipeline_two_shuffles_no_smj(spark):
     """The composed quality->dedup->sample->pack pipeline carries exactly
     two data shuffles (dedup digest window, per-shard packing window) and
