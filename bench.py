@@ -63,6 +63,7 @@ HEADLINE = [
     "similarity_multi_query_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    "embeddings_quantize_int8",
     "text_stats",
     "text_language_id",
     "text_quality_score",
@@ -78,6 +79,7 @@ HEADLINE = [
     "corpus_chunks_fixed",
     "corpus_pack_next_fit",
     "corpus_training_pipeline",
+    "corpus_length_profile",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

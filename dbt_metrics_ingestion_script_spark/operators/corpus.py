@@ -165,3 +165,32 @@ def pack_next_fit(
         .groupBy("shard", "bin_id")
         .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
     )
+
+
+def length_profile(
+    documents: DataFrame,
+    stratum_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Per-stratum document-length profile: count, mean, and exact
+    interpolated p50/p90/p99 -- the distribution snapshot curation
+    pipelines use to pick chunk sizes, spot truncated scrapes, and
+    set packing budgets per source.
+
+    Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    same linear-interpolation definition, so the profile is fully
+    oracle-checkable.  One shuffle keyed by stratum; exact percentile
+    buffers each group's values on the reducer, which is fine for
+    per-source profiling (strata are few and the buffered value is one
+    long per doc).  For high-cardinality strata or corpus-wide
+    profiles switch to percentile_approx (t-digest, mergeable,
+    bounded memory) and drop the oracle to a tolerance check.
+    """
+    v = F.col(value_col)
+    return documents.groupBy(stratum_col).agg(
+        F.count(v).alias("n_docs"),
+        F.round(F.avg(v), 6).alias("mean_chars"),
+        F.round(F.percentile(v, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(v, F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(v, F.lit(0.99)), 6).alias("p99"),
+    )

@@ -305,3 +305,46 @@ def lsh_cosine_topk(
     if round_digits is not None:
         scored = scored.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: the compression step that
+    makes a 100 TB ANN index storable (4x smaller than float32, and
+    int8 dot kernels are the fast path on modern hardware).
+
+    Output: (vec_id, scale, qvec) with scale = max|x_i| (guarded away
+    from zero) rounded to 9dp and q_i = floor(x_i / scale * 127 + 0.5)
+    -- floor(x + 0.5) instead of round() because ANSI engines disagree
+    on round-half behavior while floor is identical everywhere, which
+    keeps the quantization bit-reproducible cross-engine (the DuckDB
+    oracle replays it exactly).
+
+    The scale lives in its own Project before the quantize lambda:
+    expressions referenced inside higher-order-function lambdas
+    re-evaluate PER ELEMENT (the SCALE.md lambda trap), so an inlined
+    max|x| subtree would turn O(dim) into O(dim^2) per row.  Map-side
+    only -- no shuffle, no UDF; at scale this runs inside the same scan
+    that feeds the LSH/IVF index builds.
+    """
+    staged = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("__v")
+    ).select(
+        id_col,
+        "__v",
+        F.greatest(
+            F.array_max(F.transform("__v", lambda x: F.abs(x))),
+            F.lit(1e-12),
+        ).alias("__s"),
+    )
+    return staged.select(
+        id_col,
+        F.round("__s", 9).alias("scale"),
+        F.transform(
+            "__v",
+            lambda x: F.floor(x / F.col("__s") * 127 + F.lit(0.5)).cast("int"),
+        ).alias("qvec"),
+    )

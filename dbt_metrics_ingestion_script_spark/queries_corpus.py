@@ -232,3 +232,21 @@ def corpus_training_pipeline(spark, sf_dir):
         deduped, "lang", _RATES, default_rate=_DEFAULT_RATE
     )
     return corpus.pack_next_fit(sampled, "lang", capacity=_CAPACITY)
+
+
+@register(
+    "corpus_length_profile",
+    # Spark exact percentile and DuckDB quantile_cont share the linear
+    # interpolation definition, so the profile hash-matches
+    """
+    SELECT source,
+           COUNT(n_chars) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS mean_chars,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+           ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_length_profile(spark, sf_dir):
+    return corpus.length_profile(load_table(spark, sf_dir, "documents"))

@@ -749,6 +749,47 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "embeddings_quantize_int8",
+    # the digest column makes the full int8 vector hash-comparable
+    # through the scalar-only driver compare; floor(x+0.5) instead of
+    # round() because ANSI engines disagree on round-half behavior
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             greatest(CAST(list_max(list_transform(embedding, x -> abs(x)))
+                           AS DOUBLE), 1e-12) AS s,
+             embedding
+      FROM embeddings
+    ), qq AS (
+      SELECT vec_id, s,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / s * 127 + 0.5) AS INT)) AS qv
+      FROM q
+    )
+    SELECT vec_id, ROUND(s, 9) AS scale, len(qv) AS n_dims,
+           {_H.format(x="array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')")} AS q_digest
+    FROM qq
+    """,
+)
+def embeddings_quantize_int8(spark, sf_dir):
+    """Int8 symmetric quantization of the embeddings table, emitted as
+    (vec_id, scale, n_dims, q_digest): the digest collapses the
+    quantized vector into one portable 64-bit value so the driver's
+    scalar hash compare covers every element of every vector."""
+    from .functions.hashing import hash64
+
+    q = similarity.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.size("qvec").alias("n_dims"),
+        hash64(
+            F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string")))
+        ).alias("q_digest"),
+    )
+
+
+@register(
     "multimodal_binary_stats",
     """
     SELECT doc_id AS asset_id,

@@ -27,6 +27,7 @@ EXT_ORACLE_QUERIES = [
     "text_quality_score",
     "text_doc_fingerprint",
     "text_tfidf_top_terms",
+    "embeddings_quantize_int8",
     "multimodal_binary_stats",
     "multimodal_feature_extract",
     "multimodal_resize",
@@ -449,6 +450,34 @@ def test_duplicate_clusters_long_path(spark):
         spark.createDataFrame(chain, "id_a long, id_b long")
     ).collect()}
     assert got == {i: 1 for i in range(1, 8)}
+
+
+def test_quantize_embeddings_round_trip_error_bound(spark, sf_dir):
+    """Dequantized values must sit within half a quantization step of
+    the originals (floor(x+0.5) rounds to nearest), q values must fit
+    int8, and the dequantized cosine against the original must stay
+    near 1 -- the property that makes int8 usable for ANN recall."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.quantize_embeddings(emb).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).limit(50).collect()
+    assert rows
+    for r in rows:
+        scale, qv, v = r["scale"], r["qvec"], r["embedding"]
+        assert len(qv) == len(v)
+        assert all(-127 <= q <= 127 for q in qv), "int8 range"
+        step = scale / 127.0
+        deq = [q * step for q in qv]
+        assert all(
+            abs(d - x) <= step / 2 + 1e-9 for d, x in zip(deq, v)
+        ), "round-to-nearest error bound"
+        dot = sum(d * x for d, x in zip(deq, v))
+        na = math.sqrt(sum(d * d for d in deq))
+        nb = math.sqrt(sum(x * x for x in v))
+        if na > 0 and nb > 0:
+            assert dot / (na * nb) > 0.995, "dequantized cosine degraded"
 
 
 def test_tfidf_ranks_distinctive_terms_over_ubiquitous(spark):

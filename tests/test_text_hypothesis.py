@@ -101,6 +101,7 @@ CORPUS_QUERIES = [
     "corpus_stratified_sample",
     "corpus_chunks_fixed",
     "corpus_pack_next_fit",
+    "corpus_length_profile",
 ]
 
 
