@@ -73,6 +73,7 @@ HEADLINE = [
     "events_salted_daily_agg",
     "events_json_props_extract",
     "events_sessionization",
+    "events_funnel_stages",
     # corpus preparation: decontaminate / sample / chunk / pack
     "corpus_decontamination",
     "corpus_stratified_sample",

@@ -64,3 +64,85 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         (F.max("__us") - F.min("__us")).alias("duration_us"),
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reached step i having
+    passed steps 0..i-1 IN TIME ORDER (first-touch semantics: step i's
+    match is the earliest qualifying event at-or-after the step i-1
+    match).  Output: (stage_idx, stage, n_users), one row per step.
+
+    Spark-first shape: ONE shuffle.  Each user's qualifying events
+    collapse to a sorted (ts, step_idx) array and a single
+    `F.aggregate` lambda walks it as a state machine (state = deepest
+    stage reached + its timestamp); the global stage counts are then
+    one conditional aggregation over 1 row per user.  The equivalent
+    relational form -- one min-join per step, the shape the DuckDB
+    oracle uses -- costs len(steps) shuffles over the full event table,
+    which is the difference between scanning 100 TB once and three
+    times.  The per-user array is bounded by that user's funnel events
+    (power users bound it with a ts-range filter upstream).
+
+    Tie discipline: the sort key is (ts, step_idx), so simultaneous
+    events resolve earlier-step-first and a same-instant next step
+    still matches -- exactly the oracle's `ts >= previous` semantics;
+    ordering by raw event_type strings instead would silently drop
+    same-instant progressions (e.g. 'click' sorts before 'view').
+    """
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    idx = F.array_position(step_arr, F.col(type_col))
+    per_user = (
+        events.filter(F.col(type_col).isin(*steps))
+        .select(
+            F.col(user_col),
+            F.struct(
+                F.col(ts_col).alias("ts"), (idx - 1).alias("step")
+            ).alias("ev"),
+        )
+        .groupBy(user_col)
+        .agg(F.sort_array(F.collect_list("ev")).alias("evs"))
+        .select(
+            user_col,
+            F.aggregate(
+                "evs",
+                F.struct(
+                    F.lit(0).cast("int").alias("stage"),
+                    F.lit(None).cast("timestamp").alias("t"),
+                ),
+                lambda acc, e: F.when(
+                    (acc["stage"] < F.lit(len(steps)))
+                    & (e["step"] == acc["stage"].cast("long")),
+                    F.struct(
+                        (acc["stage"] + 1).alias("stage"), e["ts"].alias("t")
+                    ),
+                ).otherwise(acc),
+            )["stage"].alias("final_stage"),
+        )
+    )
+    counts = per_user.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("final_stage") >= i + 1).cast("long")), F.lit(0)
+            ).alias(f"__s{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"__s{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(stages).alias("r")).select(
+        "r.stage_idx", "r.stage", "r.n_users"
+    )

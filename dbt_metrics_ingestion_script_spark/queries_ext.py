@@ -749,6 +749,37 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "events_funnel_stages",
+    # staged min-joins: the relational form of first-touch funnel
+    # matching (step i = earliest qualifying event at-or-after step
+    # i-1's match); the Spark side computes the same thing in ONE
+    # shuffle via a sorted-array state machine
+    """
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s1 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s1.t GROUP BY 1
+    )
+    SELECT 0 AS stage_idx, 'view' AS stage,
+           (SELECT count(*) FROM s0) AS n_users
+    UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+    UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    """,
+)
+def events_funnel_stages(spark, sf_dir):
+    from .operators.sessions import funnel_stages
+
+    return funnel_stages(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "embeddings_quantize_int8",
     # the digest column makes the full int8 vector hash-comparable
     # through the scalar-only driver compare; floor(x+0.5) instead of

@@ -28,6 +28,7 @@ EXT_ORACLE_QUERIES = [
     "text_doc_fingerprint",
     "text_tfidf_top_terms",
     "embeddings_quantize_int8",
+    "events_funnel_stages",
     "multimodal_binary_stats",
     "multimodal_feature_extract",
     "multimodal_resize",
@@ -509,6 +510,53 @@ def test_tfidf_ranks_distinctive_terms_over_ubiquitous(spark):
     # ubiquitous term scores strictly below the distinctive ones
     common_score = dict(by_doc[1])["common"]
     assert dict(by_doc[1])["zebra"] > common_score
+
+
+def test_funnel_first_touch_semantics(spark):
+    """Ordered-funnel edge cases: steps count only in time order
+    (a click before the first view does not progress the funnel), a
+    same-instant next step DOES progress it (ties resolve
+    earlier-step-first), and an earlier out-of-order final step is not
+    counted."""
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.sessions import funnel_stages
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: full funnel in order
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: click precedes the first view and never recurs -> stops at view
+        (2, t(0), "click"), (2, t(1), "view"),
+        # u3: same-instant view+click progresses; purchase happened BEFORE
+        # the click match -> not counted
+        (3, t(0), "purchase"), (3, t(1), "view"), (3, t(1), "click"),
+        # u4: only purchase -> contributes to no stage
+        (4, t(0), "purchase"),
+        # u5: no funnel events at all
+        (5, t(0), "error"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["stage"]: (r["stage_idx"], r["n_users"])
+        for r in funnel_stages(events).collect()
+    }
+    assert got == {"view": (0, 3), "click": (1, 2), "purchase": (2, 1)}
+    # monotone: stage counts can never increase down the funnel
+    counts = [got[s][1] for s in ("view", "click", "purchase")]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_funnel_empty_input_emits_zero_rows_per_stage(spark):
+    from dbt_metrics_ingestion_script_spark.operators.sessions import funnel_stages
+
+    empty = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    )
+    got = {(r["stage_idx"], r["stage"], r["n_users"]) for r in funnel_stages(empty).collect()}
+    assert got == {(0, "view", 0), (1, "click", 0), (2, "purchase", 0)}
 
 
 def test_sessionize_gap_semantics(spark):

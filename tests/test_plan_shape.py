@@ -186,6 +186,17 @@ def test_star_round_four_shuffles_no_rescan(spark):
     assert stats_plan.count("Exchange") == 1
 
 
+def test_funnel_single_data_shuffle(spark):
+    """The ordered funnel carries ONE data shuffle (user_id) -- the
+    sorted-array state machine collapses each user map-side -- plus a
+    single-partition merge of the 3 stage counters; the relational
+    min-join form would shuffle the event table once per step."""
+    plan = plan_of(run(spark, "events_funnel_stages"), "simple")
+    assert plan.count("Exchange") == 2, plan
+    assert "SinglePartition" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_corpus_pipeline_two_shuffles_no_smj(spark):
     """The composed quality->dedup->sample->pack pipeline carries exactly
     two data shuffles (dedup digest window, per-shard packing window) and
