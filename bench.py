@@ -74,6 +74,7 @@ HEADLINE = [
     "events_json_props_extract",
     "events_sessionization",
     "events_funnel_stages",
+    "events_asof_last_order",
     # corpus preparation: decontaminate / sample / chunk / pack
     "corpus_decontamination",
     "corpus_stratified_sample",

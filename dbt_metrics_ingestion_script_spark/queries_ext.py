@@ -749,6 +749,52 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "events_asof_last_order",
+    # DuckDB's NATIVE ASOF JOIN is the oracle for the Spark
+    # union+window formulation -- two entirely different algorithms,
+    # one contract.  The right side is pre-aggregated per
+    # (customer, day) so 'the latest row' is unique and deterministic.
+    """
+    WITH daily AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS last_order_ts,
+             COUNT(*) AS last_day_orders,
+             ROUND(SUM(o_totalprice), 4) AS last_day_total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           d.last_order_ts, d.last_day_orders, d.last_day_total
+    FROM events e ASOF LEFT JOIN daily d
+      ON e.user_id = d.user_id AND e.ts >= d.last_order_ts
+    """,
+)
+def events_asof_last_order(spark, sf_dir):
+    """Each event joined as-of to the customer's latest prior order-day
+    summary (most recent o_orderdate <= event ts)."""
+    from .operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("last_order_ts"),
+        )
+        .agg(
+            F.count("*").alias("last_day_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("last_day_total"),
+        )
+    )
+    return asof_join_backward(
+        ev,
+        daily,
+        on="user_id",
+        left_ts="ts",
+        right_ts="last_order_ts",
+        value_cols=["last_day_orders", "last_day_total"],
+    )
+
+
+@register(
     "events_funnel_stages",
     # staged min-joins: the relational form of first-touch funnel
     # matching (step i = earliest qualifying event at-or-after step

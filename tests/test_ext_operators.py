@@ -29,6 +29,7 @@ EXT_ORACLE_QUERIES = [
     "text_tfidf_top_terms",
     "embeddings_quantize_int8",
     "events_funnel_stages",
+    "events_asof_last_order",
     "multimodal_binary_stats",
     "multimodal_feature_extract",
     "multimodal_resize",
@@ -510,6 +511,80 @@ def test_tfidf_ranks_distinctive_terms_over_ubiquitous(spark):
     # ubiquitous term scores strictly below the distinctive ones
     common_score = dict(by_doc[1])["common"]
     assert dict(by_doc[1])["zebra"] > common_score
+
+
+def test_asof_join_backward_semantics(spark):
+    """<= tie matching, latest-prior-row selection, null fill when no
+    prior row exists, and ATOMIC row carry: a NULL value in the latest
+    right row must surface as NULL, not fall back to an older row's
+    value (the failure mode of carrying columns independently)."""
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, 10, t(5)),   # after r2 -> picks r2 (v=None, w=22)
+            (2, 10, t(2)),   # tie with r1's ts -> <= matches r1
+            (3, 10, t(1)),   # before any right row -> nulls
+            (4, 99, t(9)),   # key with no right rows at all -> nulls
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t(2), 11, 21),
+            (10, t(4), None, 22),  # latest for t>=4; v is NULL on purpose
+        ],
+        "user_id long, rts timestamp, v long, w long",
+    )
+    got = {
+        r["event_id"]: (r["rts"], r["v"], r["w"])
+        for r in asof_join_backward(
+            left, right, on="user_id", left_ts="ts", right_ts="rts",
+            value_cols=["v", "w"],
+        ).collect()
+    }
+    assert got[1] == (t(4), None, 22)  # atomic carry: v stays NULL
+    assert got[2] == (t(2), 11, 21)    # equal-timestamp right row matches
+    assert got[3] == (None, None, None)
+    assert got[4] == (None, None, None)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join_backward(
+            left, right.withColumnRenamed("v", "ts"),
+            on="user_id", left_ts="ts", right_ts="rts", value_cols=["ts"],
+        )
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of join carries ONE data exchange (the key
+    partition feeding the window) -- never a range join or per-left
+    argmax."""
+    from dbt_metrics_ingestion_script_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, None)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, None, 1)], "user_id long, rts timestamp, v long"
+    )
+    df = asof_join_backward(
+        left, right, on="user_id", left_ts="ts", right_ts="rts",
+        value_cols=["v"],
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
 
 
 def test_funnel_first_touch_semantics(spark):
