@@ -75,6 +75,7 @@ HEADLINE = [
     "events_sessionization",
     "events_funnel_stages",
     "events_asof_last_order",
+    "events_range_join_sessions",
     # corpus preparation: decontaminate / sample / chunk / pack
     "corpus_decontamination",
     "corpus_stratified_sample",

@@ -1,0 +1,82 @@
+"""Bucketized point-in-interval range join (SURVEY.md §2.11 X7; the
+second classic custom-operator gap named next to as-of joins).
+
+Spark's equi-join machinery cannot hash on `BETWEEN`; the naive form
+(key equi-join, then interval filter) replicates every point against
+EVERY interval of its key before filtering -- quadratic on keys with
+many intervals.  The scale form here BUCKETIZES time:
+
+    interval -> one replica per bucket it spans
+                (explode(sequence(floor(start/b), floor(end/b))))
+    point    -> its single bucket (floor(ts/b))
+    equi-join on (key, bucket), then the exact BETWEEN filter
+
+The join fan-out is bounded by points x intervals-overlapping-their-
+bucket instead of points x all-intervals-per-key, and the bucket id
+rides the hash join like any other key column.  A point meets each
+interval in at most ONE bucket (its own), so no post-join dedup is
+needed.  Bucket width trades replication (long intervals span more
+buckets) against join selectivity (wide buckets admit more false
+candidates for the filter); set it near the typical interval length.
+
+Time arithmetic is integer microseconds (`unix_micros`), the engine-
+portable convention sessionization established (SCALE.md): second-
+granularity casts would bucket boundary points differently per engine.
+Intervals are [start, end] INCLUSIVE on both ends; `sequence` raises
+loudly on start > end rather than silently dropping the interval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Rows of `points` joined to every `intervals` row of the same
+    `on` key whose [start_col, end_col] (inclusive) contains point_ts.
+
+    Non-key column names must be disjoint between the two frames
+    (select/rename first); validated here so a collision fails at plan
+    time, not with a silently ambiguous column.
+    """
+    if bucket_minutes <= 0:
+        raise ValueError(f"bucket_minutes must be positive, got {bucket_minutes}")
+    clash = (set(points.columns) & set(intervals.columns)) - {on}
+    if clash:
+        raise ValueError(
+            f"point/interval columns collide: {sorted(clash)}; rename first"
+        )
+    b_us = bucket_minutes * 60 * 1_000_000
+    pts = points.withColumn(
+        "__pus", F.unix_micros(F.col(point_ts).cast("timestamp"))
+    ).withColumn("__b", F.floor(F.col("__pus") / b_us))
+    iv = (
+        intervals.withColumn(
+            "__s", F.unix_micros(F.col(start_col).cast("timestamp"))
+        )
+        .withColumn("__e", F.unix_micros(F.col(end_col).cast("timestamp")))
+        .withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__s") / b_us), F.floor(F.col("__e") / b_us)
+                )
+            ),
+        )
+    )
+    return (
+        pts.join(iv, [on, "__b"])
+        .filter(
+            (F.col("__pus") >= F.col("__s")) & (F.col("__pus") <= F.col("__e"))
+        )
+        .drop("__b", "__pus", "__s", "__e")
+    )

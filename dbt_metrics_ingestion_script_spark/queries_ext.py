@@ -1182,6 +1182,64 @@ def events_daily_agg(spark, sf_dir):
 
 _SESSION_GAP_MIN = 30
 
+_SESSION_CTE = f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > {_SESSION_GAP_MIN * 60 * 1_000_000}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), idx AS (
+      SELECT user_id, ts, us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM flagged
+    )"""
+
+
+@register(
+    "events_range_join_sessions",
+    # point-in-interval membership recomputed relationally (BETWEEN
+    # join against the session bounds); the Spark side runs the
+    # bucketized range join, so the bucketization is verified against
+    # the direct interval predicate
+    _SESSION_CTE
+    + """
+    , sess AS (
+      SELECT user_id, session_idx,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM idx GROUP BY 1, 2
+    )
+    SELECT ev.event_id, ev.user_id, ev.ts, s.session_idx
+    FROM events ev JOIN sess s
+      ON ev.user_id = s.user_id
+     AND ev.ts BETWEEN s.session_start AND s.session_end
+    """,
+)
+def events_range_join_sessions(spark, sf_dir):
+    """Every event matched to its enclosing session interval via the
+    bucketized range join; gap-based sessions are disjoint per user, so
+    each event lands in exactly one interval (row count == event
+    count, which the oracle comparison enforces)."""
+    from .operators.ranges import range_join_points
+    from .operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, gap_minutes=_SESSION_GAP_MIN).select(
+        "user_id", "session_idx", "session_start", "session_end"
+    )
+    return range_join_points(
+        ev.select("event_id", "user_id", "ts"),
+        sess,
+        on="user_id",
+        point_ts="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bucket_minutes=60,
+    ).select("event_id", "user_id", "ts", "session_idx")
+
 
 @register(
     "events_sessionization",

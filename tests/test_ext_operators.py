@@ -30,6 +30,7 @@ EXT_ORACLE_QUERIES = [
     "embeddings_quantize_int8",
     "events_funnel_stages",
     "events_asof_last_order",
+    "events_range_join_sessions",
     "multimodal_binary_stats",
     "multimodal_feature_extract",
     "multimodal_resize",
@@ -511,6 +512,56 @@ def test_tfidf_ranks_distinctive_terms_over_ubiquitous(spark):
     # ubiquitous term scores strictly below the distinctive ones
     common_score = dict(by_doc[1])["common"]
     assert dict(by_doc[1])["zebra"] > common_score
+
+
+def test_range_join_bucketization_semantics(spark):
+    """Inclusive bounds on both ends, no duplicate match when an
+    interval spans many buckets, overlapping intervals each match, and
+    out-of-interval or wrong-key points drop."""
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.ranges import (
+        range_join_points,
+    )
+
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+    points = spark.createDataFrame(
+        [
+            (1, 10, t(0)),       # == start of iv1 (inclusive)
+            (2, 10, t(5)),       # == end of iv1 (inclusive, 5 buckets in)
+            (3, 10, t(6)),       # outside iv1
+            (4, 10, t(0, 30)),   # inside iv1 AND iv2 (overlap) -> 2 rows
+            (5, 99, t(1)),       # key with no intervals
+        ],
+        "pid long, user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, 100, t(0), t(5)),        # iv1: spans 6 hourly buckets
+            (10, 101, t(0, 15), t(0, 45)),  # iv2: sub-bucket overlap
+        ],
+        "user_id long, iv_id long, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iv_id"])
+        for r in range_join_points(
+            points, intervals, on="user_id", point_ts="ts",
+            start_col="s", end_col="e", bucket_minutes=60,
+        ).collect()
+    )
+    assert got == [(1, 100), (2, 100), (4, 100), (4, 101)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        range_join_points(
+            points, intervals.withColumnRenamed("iv_id", "pid"),
+            on="user_id", point_ts="ts", start_col="s", end_col="e",
+        )
+    with _pytest.raises(ValueError, match="bucket_minutes"):
+        range_join_points(
+            points, intervals, on="user_id", point_ts="ts",
+            start_col="s", end_col="e", bucket_minutes=0,
+        )
 
 
 def test_asof_join_backward_semantics(spark):
