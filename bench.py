@@ -76,6 +76,7 @@ HEADLINE = [
     "events_funnel_stages",
     "events_asof_last_order",
     "events_range_join_sessions",
+    "events_cohort_retention",
     # corpus preparation: decontaminate / sample / chunk / pack
     "corpus_decontamination",
     "corpus_stratified_sample",

@@ -146,3 +146,38 @@ def funnel_stages(
     return counts.select(F.explode(stages).alias("r")).select(
         "r.stage_idx", "r.stage", "r.n_users"
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by the week of
+    their FIRST event, counted in every week they were active, keyed by
+    whole-week offset from the cohort week.  Output: (cohort_week,
+    week_offset, n_users) -- the table behind every retention curve.
+
+    One scan, two shuffles: the user groupBy collapses each user to
+    (first_ts, distinct active weeks) in a single pass (min + a
+    collect_set bounded by that user's active-week count, not events),
+    then the exploded (cohort, offset) pairs aggregate map-side.  The
+    relational form -- a first-event subquery joined back to a distinct
+    activity frame, which is what the DuckDB oracle runs -- scans the
+    event table twice and shuffles three times.  Offsets divide
+    exactly (both sides are week-truncated), so the integer division
+    is engine-portable.
+    """
+    w_ts = F.date_trunc("week", F.col(ts_col))
+    per_user = events.groupBy(user_col).agg(
+        F.min(ts_col).alias("__first"),
+        F.collect_set(w_ts).alias("__weeks"),
+    )
+    exploded = per_user.select(
+        F.date_trunc("week", "__first").alias("__cw"),
+        F.explode("__weeks").alias("__w"),
+    )
+    return exploded.groupBy(
+        F.col("__cw").cast("date").alias("cohort_week"),
+        (F.datediff("__w", "__cw") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count("*").alias("n_users"))

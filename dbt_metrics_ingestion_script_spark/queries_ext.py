@@ -749,6 +749,31 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "events_cohort_retention",
+    # relational form: first-event subquery joined to the distinct
+    # activity frame (two scans, three shuffles); the Spark side runs
+    # the one-scan collect_set formulation
+    """
+    WITH fw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw
+      FROM events GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT CAST(fw.cw AS DATE) AS cohort_week,
+           CAST(datediff('day', fw.cw, act.w) / 7 AS INT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM fw JOIN act USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    from .operators.sessions import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "events_asof_last_order",
     # DuckDB's NATIVE ASOF JOIN is the oracle for the Spark
     # union+window formulation -- two entirely different algorithms,

@@ -31,6 +31,7 @@ EXT_ORACLE_QUERIES = [
     "events_funnel_stages",
     "events_asof_last_order",
     "events_range_join_sessions",
+    "events_cohort_retention",
     "multimodal_binary_stats",
     "multimodal_feature_extract",
     "multimodal_resize",
@@ -512,6 +513,39 @@ def test_tfidf_ranks_distinctive_terms_over_ubiquitous(spark):
     # ubiquitous term scores strictly below the distinctive ones
     common_score = dict(by_doc[1])["common"]
     assert dict(by_doc[1])["zebra"] > common_score
+
+
+def test_cohort_retention_semantics(spark):
+    """Week-0 retention equals cohort size (every user is active in
+    their first week by construction), offsets are never negative, and
+    a user active across a week boundary lands in both offsets."""
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.sessions import (
+        cohort_retention,
+    )
+
+    # 2024-01-01 is a Monday; week two starts 2024-01-08
+    d = lambda day, h=0: datetime.datetime(2024, 1, day, h)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            (1, d(1)), (1, d(3)), (1, d(9)),   # cohort w0, active w0+w1
+            (2, d(2)),                         # cohort w0, only w0
+            (3, d(10)), (3, d(22)),            # cohort w1, active w1+w3
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(events).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 2): 1,
+    }
+    assert all(off >= 0 for _, off in got)
 
 
 def test_range_join_bucketization_semantics(spark):
