@@ -251,3 +251,100 @@ def test_sessionization_agrees_on_random_events(spark, tmp_path_factory, deltas)
     assert sorted([tuple(r[i] for i in so) for r in s_rows], key=repr) == sorted(
         [tuple(r[i] for i in oo) for r in o_rows], key=repr
     ), deltas
+
+
+EVENT_ANALYTICS_QUERIES = [
+    "events_funnel_stages",
+    "events_range_join_sessions",
+    "events_cohort_retention",
+    "events_asof_last_order",
+]
+
+
+def _diff_event_query(spark, tmpdir: str, name: str) -> None:
+    """Run a registered event query and its oracle over the fixture dir
+    and compare order-insensitively with columns aligned by name."""
+    qd = q.REGISTRY[name]
+    sdf = qd.fn(spark, tmpdir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmpdir}/{t}.parquet/*.parquet')"
+        )
+    cur = con.execute(qd.oracle)
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+    s_cols = sdf.columns
+    assert sorted(s_cols) == sorted(o_cols), name
+    so = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    oo = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+    ns = sorted(
+        [tuple(_norm(r[i]) for i in so) for r in s_rows], key=repr
+    )
+    no = sorted(
+        [tuple(_norm(r[i]) for i in oo) for r in o_rows], key=repr
+    )
+    assert ns == no, f"{name} diverged:\n{ns}\nvs\n{no}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user id
+            st.integers(min_value=0, max_value=1_500_000),  # seconds offset (~17 days)
+            st.sampled_from([0, 500000]),                   # micros: frequent exact ties
+            st.integers(min_value=0, max_value=3),          # event type index
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # customer == user id space
+            st.integers(min_value=0, max_value=20),  # order day offset
+            st.integers(min_value=1, max_value=999), # price
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_event_analytics_agree_on_random_events(
+    spark, tmp_path_factory, events, orders
+):
+    """Funnel / range-join / cohort / as-of through BOTH engines on
+    random event streams with deliberate exact-timestamp ties (the
+    funnel and as-of tie rules), week-boundary-straddling activity
+    (cohort offsets), and orders that may precede, tie with, or miss
+    the event range entirely (as-of null fill)."""
+    from datetime import date, datetime, timedelta
+
+    q.queries()
+    tmpdir = str(tmp_path_factory.mktemp("hypevents"))
+    base = datetime(2024, 1, 1)
+    etypes = ["view", "click", "purchase", "error"]
+    ev_rows = [
+        (i, base + timedelta(seconds=s, microseconds=us), u, etypes[ti], 1.0, "{}")
+        for i, (u, s, us, ti) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        ev_rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    o_rows = [
+        (i, c, date(2023, 12, 25) + timedelta(days=d), float(p))
+        for i, (c, d, p) in enumerate(orders)
+    ]
+    spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/orders.parquet")
+    for name in EVENT_ANALYTICS_QUERIES:
+        _diff_event_query(spark, tmpdir, name)
