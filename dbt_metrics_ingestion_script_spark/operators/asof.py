@@ -53,12 +53,26 @@ def asof_join_backward(
     `right` must be unique per (on, right_ts) -- pre-aggregate it
     otherwise -- so the result is deterministic (a duplicate timestamp
     would make 'the latest row' ambiguous in any engine).
+
+    NULL timestamps: a right row with NULL right_ts can never satisfy
+    `right_ts <= left_ts` and is dropped up front -- without that
+    filter, Spark's nulls-first ascending sort would place it BEFORE
+    every real row and `last(ignorenulls)` would carry it into every
+    left row as a phantom '-infinity' match, where ASOF semantics
+    (and the DuckDB oracle) return no match.  A left row with NULL
+    left_ts sorts first, sees no prior right row, and gets the NULL
+    fill -- already the ASOF answer, no special-casing needed.
     """
     clash = (set(value_cols) | {right_ts}) & set(left.columns)
     if clash:
         raise ValueError(
             f"right columns collide with left columns: {sorted(clash)}; "
             f"rename on the right side first"
+        )
+    reserved = {"__ts", "__side", "__r"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"columns collide with internal names: {sorted(reserved)}; rename first"
         )
     carried = [right_ts] + list(value_cols)
     left_only = [c for c in left.columns if c not in (on, left_ts)]
@@ -77,7 +91,7 @@ def asof_join_backward(
         *[F.col(c) for c in left_only],
         F.lit(None).cast(r_struct_type).alias("__r"),
     )
-    r_tagged = right.select(
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on),
         F.col(right_ts).cast(ts_type).alias("__ts"),
         F.lit(0).alias("__side"),

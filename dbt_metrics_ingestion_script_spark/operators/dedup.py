@@ -690,7 +690,6 @@ def duplicate_clusters(
                 stats["iterations"] = it + 1
                 stats["fell_back"] = False
             break
-    edges.unpersist()
     if not converged:
         # ADVICE r2 b: exiting with labels still moving means some
         # component's min-label has not reached every node -- returning
@@ -700,7 +699,21 @@ def duplicate_clusters(
             stats["iterations"] = max_iter
             stats["fell_back"] = on_exhaustion == "star"
         if on_exhaustion == "star":
-            return duplicate_clusters_star(pairs, id_a=id_a, id_b=id_b)
+            # feed star the already-materialized symmetric edge frame
+            # (STILL persisted) rather than the raw pairs frame, whose
+            # lineage -- typically the expensive pair-generation
+            # self-join -- would otherwise recompute from scratch; the
+            # frame stays cached until star's first probe materializes
+            # its canonical set (same deliberate-leak convention as the
+            # returned label/star frames: 2 longs per edge).
+            return duplicate_clusters_star(
+                edges.select(
+                    F.col("src").alias(id_a), F.col("dst").alias(id_b)
+                ),
+                id_a=id_a,
+                id_b=id_b,
+            )
+        edges.unpersist()
         raise RuntimeError(
             f"duplicate_clusters did not converge within max_iter={max_iter} "
             f"iterations; the pair graph's diameter exceeds the budget. "
@@ -710,6 +723,7 @@ def duplicate_clusters(
             f"duplicate_clusters_star, which converges in O(log n) rounds "
             f"regardless of diameter."
         )
+    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -22,8 +22,13 @@ candidates for the filter); set it near the typical interval length.
 Time arithmetic is integer microseconds (`unix_micros`), the engine-
 portable convention sessionization established (SCALE.md): second-
 granularity casts would bucket boundary points differently per engine.
-Intervals are [start, end] INCLUSIVE on both ends; `sequence` raises
-loudly on start > end rather than silently dropping the interval.
+Intervals are [start, end] INCLUSIVE on both ends.  Inverted intervals
+(end < start) contain no timestamp -- BETWEEN is empty for them in any
+engine -- and are filtered out BEFORE replication: without that filter
+Spark's `sequence` would default to step -1 and silently fan the bad
+row out into a descending bucket list that matches nothing.  Intervals
+with a NULL bound are likewise unmatchable and drop in the same
+filter.
 """
 
 from __future__ import annotations
@@ -55,6 +60,13 @@ def range_join_points(
         raise ValueError(
             f"point/interval columns collide: {sorted(clash)}; rename first"
         )
+    reserved = {"__b", "__pus", "__s", "__e"} & (
+        set(points.columns) | set(intervals.columns)
+    )
+    if reserved:
+        raise ValueError(
+            f"columns collide with internal names: {sorted(reserved)}; rename first"
+        )
     b_us = bucket_minutes * 60 * 1_000_000
     pts = points.withColumn(
         "__pus", F.unix_micros(F.col(point_ts).cast("timestamp"))
@@ -64,6 +76,7 @@ def range_join_points(
             "__s", F.unix_micros(F.col(start_col).cast("timestamp"))
         )
         .withColumn("__e", F.unix_micros(F.col(end_col).cast("timestamp")))
+        .filter(F.col("__s") <= F.col("__e"))
         .withColumn(
             "__b",
             F.explode(

@@ -94,11 +94,19 @@ def funnel_stages(
     still matches -- exactly the oracle's `ts >= previous` semantics;
     ordering by raw event_type strings instead would silently drop
     same-instant progressions (e.g. 'click' sorts before 'view').
+
+    NULL timestamps cannot participate in an ORDERED funnel and are
+    dropped up front on both sides (the oracle's min-join carries the
+    same predicate) -- otherwise Spark's nulls-first array sort would
+    let a NULL-ts event advance the funnel that the oracle's
+    `ts >= previous` NULL comparison blocks.
     """
     step_arr = F.array(*[F.lit(s) for s in steps])
     idx = F.array_position(step_arr, F.col(type_col))
     per_user = (
-        events.filter(F.col(type_col).isin(*steps))
+        events.filter(
+            F.col(type_col).isin(*steps) & F.col(ts_col).isNotNull()
+        )
         .select(
             F.col(user_col),
             F.struct(
@@ -167,9 +175,14 @@ def cohort_retention(
     event table twice and shuffles three times.  Offsets divide
     exactly (both sides are week-truncated), so the integer division
     is engine-portable.
+
+    NULL timestamps carry no week and are excluded on both sides (the
+    oracle filters them in its CTEs); min/collect_set would skip them
+    anyway, so the explicit filter is the documented contract, not a
+    behavior change.
     """
     w_ts = F.date_trunc("week", F.col(ts_col))
-    per_user = events.groupBy(user_col).agg(
+    per_user = events.filter(F.col(ts_col).isNotNull()).groupBy(user_col).agg(
         F.min(ts_col).alias("__first"),
         F.collect_set(w_ts).alias("__weeks"),
     )

@@ -756,9 +756,10 @@ def text_tfidf_top_terms(spark, sf_dir):
     """
     WITH fw AS (
       SELECT user_id, date_trunc('week', min(ts)) AS cw
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ), act AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT CAST(fw.cw AS DATE) AS cohort_week,
            CAST(datediff('day', fw.cw, act.w) / 7 AS INT) AS week_offset,
@@ -781,15 +782,27 @@ def events_cohort_retention(spark, sf_dir):
     # (customer, day) so 'the latest row' is unique and deterministic.
     """
     WITH daily AS (
+      -- NULL-dated orders can never satisfy ts >= order_ts and are
+      -- filtered exactly as the Spark operator filters NULL right_ts
+      -- (DuckDB's ASOF would otherwise pair a NULL-ts event with a
+      -- NULL-dated order -- an engine quirk, not ASOF semantics)
       SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS last_order_ts,
              COUNT(*) AS last_day_orders,
              ROUND(SUM(o_totalprice), 4) AS last_day_total
-      FROM orders GROUP BY 1, 2
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     )
     SELECT e.event_id, e.user_id, e.ts,
            d.last_order_ts, d.last_day_orders, d.last_day_total
-    FROM events e ASOF LEFT JOIN daily d
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
+    ASOF LEFT JOIN daily d
       ON e.user_id = d.user_id AND e.ts >= d.last_order_ts
+    UNION ALL
+    -- a NULL left timestamp satisfies no inequality: NULL fill, the
+    -- pandas merge_asof / kdb aj convention the operator implements
+    -- (DuckDB's sort-based ASOF would instead pair it with the key's
+    -- LATEST row -- an implementation artifact, so it is bypassed)
+    SELECT event_id, user_id, ts, NULL, NULL, NULL
+    FROM events WHERE ts IS NULL
     """,
 )
 def events_asof_last_order(spark, sf_dir):
@@ -828,7 +841,7 @@ def events_asof_last_order(spark, sf_dir):
     """
     WITH s0 AS (
       SELECT user_id, min(ts) AS t FROM events
-      WHERE event_type = 'view' GROUP BY 1
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
     ), s1 AS (
       SELECT e.user_id, min(e.ts) AS t FROM events e
       JOIN s0 ON e.user_id = s0.user_id

@@ -265,18 +265,31 @@ def test_multimodal_frame_sampling_fans_out(spark, sf_dir):
 
 
 def test_decode_image_is_stubbed():
+    # per-codec guards: each stub assertion skips independently, so an
+    # environment with soundfile but not PIL (or vice versa) still runs
+    # the applicable half instead of failing the other
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("codec present; stub not applicable")
+        pil_present = True
     except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="codec"):
-        multimodal.decode_image(b"\x89PNG fake")
-    with pytest.raises(NotImplementedError, match="codec"):
-        multimodal.decode_audio(b"RIFF fake")
-    with pytest.raises(NotImplementedError, match="codec"):
-        multimodal.resize_images(None, decode="pil")  # guard precedes any plan
+        pil_present = False
+    try:
+        import soundfile  # noqa: F401
+
+        sf_present = True
+    except ImportError:
+        sf_present = False
+    if not pil_present:
+        with pytest.raises(NotImplementedError, match="codec"):
+            multimodal.decode_image(b"\x89PNG fake")
+        with pytest.raises(NotImplementedError, match="codec"):
+            multimodal.resize_images(None, decode="pil")  # guard precedes any plan
+    if not sf_present:
+        with pytest.raises(NotImplementedError, match="codec"):
+            multimodal.decode_audio(b"RIFF fake")
+    if pil_present and sf_present:
+        pytest.skip("both codecs present; stubs not applicable")
 
 
 # -- codec-gated REAL decode paths (VERDICT r4 item 4): skip cleanly in
@@ -591,11 +604,30 @@ def test_range_join_bucketization_semantics(spark):
             points, intervals.withColumnRenamed("iv_id", "pid"),
             on="user_id", point_ts="ts", start_col="s", end_col="e",
         )
+    with _pytest.raises(ValueError, match="internal names"):
+        range_join_points(
+            points.withColumnRenamed("pid", "__b"), intervals,
+            on="user_id", point_ts="ts", start_col="s", end_col="e",
+        )
     with _pytest.raises(ValueError, match="bucket_minutes"):
         range_join_points(
             points, intervals, on="user_id", point_ts="ts",
             start_col="s", end_col="e", bucket_minutes=0,
         )
+    # inverted and NULL-bounded intervals contain no timestamp: they
+    # must drop silently-but-correctly (BETWEEN is empty for them),
+    # never error out of sequence() or fan out descending buckets
+    bad_iv = spark.createDataFrame(
+        [(10, 200, t(5), t(0)), (10, 201, None, t(5)), (10, 202, t(0), None)],
+        "user_id long, iv_id long, s timestamp, e timestamp",
+    )
+    assert (
+        range_join_points(
+            points, bad_iv, on="user_id", point_ts="ts",
+            start_col="s", end_col="e", bucket_minutes=60,
+        ).count()
+        == 0
+    )
 
 
 def test_asof_join_backward_semantics(spark):
@@ -637,6 +669,20 @@ def test_asof_join_backward_semantics(spark):
     assert got[2] == (t(2), 11, 21)    # equal-timestamp right row matches
     assert got[3] == (None, None, None)
     assert got[4] == (None, None, None)
+    # a NULL-timestamp right row satisfies no inequality: it must never
+    # act as a '-infinity' match (nulls-first sort would otherwise
+    # carry it into every left row preceding the first real right row)
+    null_right = spark.createDataFrame(
+        [(10, None, 77, 78)], "user_id long, rts timestamp, v long, w long"
+    )
+    got_nr = {
+        r["event_id"]: (r["rts"], r["v"], r["w"])
+        for r in asof_join_backward(
+            left, null_right, on="user_id", left_ts="ts", right_ts="rts",
+            value_cols=["v", "w"],
+        ).collect()
+    }
+    assert all(v == (None, None, None) for v in got_nr.values())
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="collide"):

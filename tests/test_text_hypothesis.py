@@ -348,3 +348,46 @@ def test_event_analytics_agree_on_random_events(
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/orders.parquet")
     for name in EVENT_ANALYTICS_QUERIES:
         _diff_event_query(spark, tmpdir, name)
+
+
+def test_event_analytics_agree_on_null_timestamps(spark, tmp_path_factory):
+    """NULL event timestamps and NULL order dates through both engines:
+    the funnel drops them on both sides, cohort retention excludes them
+    from cohorts and activity, and the as-of join must NOT treat a
+    NULL-timestamp right row as a phantom '-infinity' match (Spark's
+    nulls-first sort would otherwise carry it into every left row where
+    ASOF semantics return no match).  events_range_join_sessions is
+    excluded: sessionization's contract assumes non-null event time
+    (the physical events table is non-null there)."""
+    from datetime import date, datetime
+
+    q.queries()
+    tmpdir = str(tmp_path_factory.mktemp("nullevents"))
+    t = lambda d, h=0: datetime(2024, 1, d, h)  # noqa: E731
+    ev_rows = [
+        (0, t(1), 0, "view", 1.0, "{}"),
+        (1, None, 0, "click", 1.0, "{}"),   # NULL ts: cannot progress funnel
+        (2, t(2), 0, "click", 1.0, "{}"),
+        (3, None, 1, "view", 1.0, "{}"),    # user 1: ONLY null-ts events
+        (4, t(9), 2, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        ev_rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    o_rows = [
+        (0, 0, date(2023, 12, 30), 10.0),
+        (1, 0, None, 999.0),   # NULL order date: must never match
+        (2, 2, None, 888.0),   # user 2's ONLY order row is NULL-dated
+    ]
+    spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/orders.parquet")
+    for name in (
+        "events_funnel_stages",
+        "events_cohort_retention",
+        "events_asof_last_order",
+    ):
+        _diff_event_query(spark, tmpdir, name)
