@@ -69,6 +69,7 @@ HEADLINE = [
     "text_quality_score",
     "text_doc_fingerprint",
     "text_tfidf_top_terms",
+    "text_unigram_logprob",
     "multimodal_binary_stats",
     "events_salted_daily_agg",
     "events_json_props_extract",

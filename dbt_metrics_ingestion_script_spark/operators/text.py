@@ -313,3 +313,61 @@ def tfidf_top_terms(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average unigram log-probability under a reference
+    corpus -- the perplexity-style quality filter corpus curation runs
+    to drop gibberish and boilerplate (low avg log-prob under a clean
+    reference = unusual token distribution).  Output: (doc_id,
+    n_tokens, avg_logprob), one row per tokenizable document.
+
+    Add-one (Laplace) smoothed unigram model over the reference's
+    vocabulary V: p(tok) = (count + 1) / (total + V + 1); a token
+    unseen in the reference gets 1 / (total + V + 1).  All quantities
+    are exact integers until the final ln(), so the model is
+    bit-reproducible in any engine and the DuckDB oracle replays it.
+
+    reference=None scores the corpus against itself (self-perplexity,
+    the shape used to find outliers WITHIN a crawl).
+
+    Scale shape: the reference collapses to (token, count) with
+    map-side partials [shuffle 1] -- the model is a dimension table
+    (one row per vocab type, not per token instance) that a broadcast
+    hint keeps off the shuffle when vocab fits (typical: millions of
+    types, tens of MB); the document tokens join it [shuffle 2 when
+    not broadcast] and aggregate per doc [shuffle 3, partial-
+    aggregated].  The totals (N, V) ride a 1-row broadcast crossJoin,
+    action-free.
+    """
+    if reference is None:
+        reference = df
+    tok = lambda frame: frame.select(  # noqa: E731
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    ref_counts = tok(reference).groupBy("term").agg(F.count("*").alias("__c"))
+    totals = ref_counts.agg(
+        F.sum("__c").alias("__n"), F.count("*").alias("__v")
+    )
+    scored = (
+        tok(df)
+        .join(F.broadcast(ref_counts), "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("__n") + F.col("__v") + F.lit(1.0))
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+    )

@@ -743,6 +743,34 @@ def text_tfidf_top_terms(spark, sf_dir):
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
 
 
+@register(
+    "text_unigram_logprob",
+    # add-one smoothed self-perplexity: integer counts until the final
+    # ln(), so the model replays bit-identically
+    _SHINGLE_CTE.split(", sh AS (")[0]
+    + """
+    , terms AS (
+      SELECT doc_id, t.term FROM tok, unnest(toks) AS t(term)
+      WHERE t.term <> ''
+    ), rc AS (
+      SELECT term, COUNT(*) AS c FROM terms GROUP BY 1
+    ), tot AS (
+      SELECT SUM(c) AS n, COUNT(*) AS v FROM rc
+    )
+    SELECT terms.doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(ln((rc.c + 1.0) / (tot.n + tot.v + 1.0))), 6)
+             AS avg_logprob
+    FROM terms JOIN rc USING (term) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Self-perplexity unigram quality score over the documents corpus
+    (reference = the corpus itself; every token is then seen, so the
+    left-join unseen branch is exercised by the unit fixture instead)."""
+    return text.unigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # X5: multimodal + JSON props + events
 # ---------------------------------------------------------------------------

@@ -27,6 +27,7 @@ EXT_ORACLE_QUERIES = [
     "text_quality_score",
     "text_doc_fingerprint",
     "text_tfidf_top_terms",
+    "text_unigram_logprob",
     "embeddings_quantize_int8",
     "events_funnel_stages",
     "events_asof_last_order",
@@ -467,6 +468,41 @@ def test_duplicate_clusters_long_path(spark):
         spark.createDataFrame(chain, "id_a long, id_b long")
     ).collect()}
     assert got == {i: 1 for i in range(1, 8)}
+
+
+def test_unigram_logprob_flags_out_of_distribution_text(spark):
+    """In-distribution text must outscore out-of-distribution gibberish
+    under an external reference; fully-unseen tokens score exactly the
+    smoothed floor ln(1/(N+V+1)); token-free docs emit no row."""
+    import math
+
+    from dbt_metrics_ingestion_script_spark.operators.text import (
+        unigram_logprob_score,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),        # all tokens seen, frequent
+            (2, "zzz qqq xyzzy"),      # all tokens unseen
+            (3, ""),                   # token-free: no output row
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob_score(docs, reference=ref).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1][0] == 3 and got[2][0] == 3
+    assert got[1][1] > got[2][1], "in-distribution must outscore gibberish"
+    # reference: N=12 tokens, V=7 types (the cat sat on mat dog rug)
+    # -> unseen floor = ln(1/(12+7+1)) = ln(1/20)
+    assert abs(got[2][1] - round(math.log(1.0 / 20.0), 6)) < 1e-9
 
 
 def test_quantize_embeddings_round_trip_error_bound(spark, sf_dir):
