@@ -64,6 +64,7 @@ HEADLINE = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "embeddings_quantize_int8",
+    "embeddings_kmeans_assign",
     "text_stats",
     "text_language_id",
     "text_quality_score",

@@ -528,24 +528,25 @@ def similarity_multi_query_topk(spark, sf_dir):
     return out.withColumn("cosine_sim", F.round("cosine_sim", 6))
 
 
-def _ivf_topk_oracle(n_centroids: int = 16, n_probe: int = 4, dim: int = 64, k: int = 10) -> str:
-    """Full differential oracle for the IVF ANN path.  The index build
-    is deterministic end to end (seed centroids = lowest-id vectors, one
-    Lloyd refinement, argmin assignment tie-broken on centroid_id), so
-    DuckDB can replay it: same seeds, same per-dimension means, same
-    probe set, same rounded scores.  d2 uses the identical arithmetic
-    shape as the Spark fold (sequential sum of squared per-dimension
-    diffs) so argmin comparisons see the same values."""
-    d2 = (
-        "list_dot_product("
-        "list_transform(range(1, {n} + 1), i -> {a}[i] - {b}[i]), "
-        "list_transform(range(1, {n} + 1), i -> {a}[i] - {b}[i]))"
-    )
+_IVF_D2 = (
+    "list_dot_product("
+    "list_transform(range(1, {n} + 1), i -> {a}[i] - {b}[i]), "
+    "list_transform(range(1, {n} + 1), i -> {a}[i] - {b}[i]))"
+)
+
+
+def _ivf_asg_cte(n_centroids: int = 16, dim: int = 64) -> str:
+    """CTE chain replaying the deterministic IVF k-means build through
+    the final assignment (seed centroids = lowest-id vectors, one Lloyd
+    refinement, argmin tie-broken on centroid_id).  d2 uses the
+    identical arithmetic shape as the Spark fold (sequential sum of
+    squared per-dimension diffs) so argmin comparisons see the same
+    values.  Shared by the IVF top-k oracle and the k-means assignment
+    oracle."""
+    d2 = _IVF_D2
     return f"""
     WITH e AS (
       SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
-    ), q AS (
-      SELECT vec AS qv FROM e WHERE id = (SELECT min(id) FROM e)
     ), seeds AS (
       SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS centroid_id, vec AS cvec
       FROM (SELECT id, vec FROM e ORDER BY id LIMIT {n_centroids})
@@ -573,6 +574,18 @@ def _ivf_topk_oracle(n_centroids: int = 16, n_probe: int = 4, dim: int = 64, k: 
                ) AS rn
         FROM e CROSS JOIN cent c
       ) WHERE rn = 1
+    )"""
+
+
+def _ivf_topk_oracle(n_centroids: int = 16, n_probe: int = 4, dim: int = 64, k: int = 10) -> str:
+    """Full differential oracle for the IVF ANN path: the shared
+    k-means CTE plus query probing and rounded-score top-k."""
+    d2 = _IVF_D2
+    return (
+        _ivf_asg_cte(n_centroids, dim)
+        + f"""
+    , q AS (
+      SELECT vec AS qv FROM e WHERE id = (SELECT min(id) FROM e)
     ), probes AS (
       SELECT c.centroid_id
       FROM cent c, q
@@ -587,6 +600,27 @@ def _ivf_topk_oracle(n_centroids: int = 16, n_probe: int = 4, dim: int = 64, k: 
     ORDER BY cosine_sim DESC, vec_id ASC
     LIMIT {k}
     """
+    )
+
+
+@register(
+    "embeddings_kmeans_assign",
+    # the shared CTE already replays the whole deterministic k-means
+    # build; the assignment table IS its asg stage
+    _ivf_asg_cte()
+    + """
+    SELECT id AS vec_id, centroid_id FROM asg
+    """,
+)
+def embeddings_kmeans_assign(spark, sf_dir):
+    """Deterministic k-means cluster assignments over the embeddings
+    table (the IVF index's partitioning function, exposed as a
+    first-class clustering query: corpus bucketing by semantic
+    neighborhood)."""
+    assignments, _ = similarity.ivf_index(
+        load_table(spark, sf_dir, "embeddings"), n_centroids=16
+    )
+    return assignments.select(F.col("id").alias("vec_id"), "centroid_id")
 
 
 @register("similarity_ivf_topk", _ivf_topk_oracle())

@@ -29,6 +29,7 @@ EXT_ORACLE_QUERIES = [
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     "embeddings_quantize_int8",
+    "embeddings_kmeans_assign",
     "events_funnel_stages",
     "events_asof_last_order",
     "events_range_join_sessions",
