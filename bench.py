@@ -79,6 +79,7 @@ HEADLINE = [
     "events_asof_last_order",
     "events_range_join_sessions",
     "events_cohort_retention",
+    "events_hopping_window_agg",
     # corpus preparation: decontaminate / sample / chunk / pack
     "corpus_decontamination",
     "corpus_stratified_sample",

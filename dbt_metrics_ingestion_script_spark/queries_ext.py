@@ -811,6 +811,42 @@ def text_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "events_hopping_window_agg",
+    # a 3h window hopping hourly assigns every event to EXACTLY the 3
+    # windows whose starts are trunc(ts,hour) - {0,1,2} hours (both
+    # engines hop from hour-aligned epoch boundaries), so the oracle
+    # replays the window assignment with a plain offset unnest
+    """
+    SELECT date_trunc('hour', ts) - INTERVAL (i.i) HOUR AS ts,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events, unnest([0, 1, 2]) AS i(i)
+    GROUP BY 1, 2
+    """,
+)
+def events_hopping_window_agg(spark, sf_dir):
+    """Sliding-window (hopping) aggregation: 3-hour windows advancing
+    hourly -- the batch shape of a trailing-window metric.  F.window
+    with a slide < duration emits one row per covering window; Catalyst
+    expands it to a projection + explode, so the only shuffle is the
+    final aggregation, map-side-partial over (window, type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "3 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("ts"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+@register(
     "events_cohort_retention",
     # relational form: first-event subquery joined to the distinct
     # activity frame (two scans, three shuffles); the Spark side runs

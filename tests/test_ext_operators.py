@@ -34,6 +34,7 @@ EXT_ORACLE_QUERIES = [
     "events_asof_last_order",
     "events_range_join_sessions",
     "events_cohort_retention",
+    "events_hopping_window_agg",
     "multimodal_binary_stats",
     "multimodal_feature_extract",
     "multimodal_resize",
@@ -563,6 +564,19 @@ def test_tfidf_ranks_distinctive_terms_over_ubiquitous(spark):
     # ubiquitous term scores strictly below the distinctive ones
     common_score = dict(by_doc[1])["common"]
     assert dict(by_doc[1])["zebra"] > common_score
+
+
+def test_hopping_window_covers_each_event_thrice(spark, sf_dir):
+    """A 3h/1h hopping window assigns every event to exactly 3 windows:
+    total assigned count must be 3x the event count."""
+    from dbt_metrics_ingestion_script_spark import queries_ext
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = queries_ext.events_hopping_window_agg(spark, sf_dir)
+    assert (
+        agg.agg(F.sum("n_events")).collect()[0][0] == 3 * ev.count()
+    )
 
 
 def test_cohort_retention_semantics(spark):
