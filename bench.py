@@ -80,6 +80,7 @@ HEADLINE = [
     "events_range_join_sessions",
     "events_cohort_retention",
     "events_hopping_window_agg",
+    "events_hopping_window_agg_daily6h",
     # corpus preparation: decontaminate / sample / chunk / pack
     "corpus_decontamination",
     "corpus_stratified_sample",

@@ -72,6 +72,7 @@ def funnel_stages(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users reached step i having
     passed steps 0..i-1 IN TIME ORDER (first-touch semantics: step i's
@@ -86,8 +87,17 @@ def funnel_stages(
     relational form -- one min-join per step, the shape the DuckDB
     oracle uses -- costs len(steps) shuffles over the full event table,
     which is the difference between scanning 100 TB once and three
-    times.  The per-user array is bounded by that user's funnel events
-    (power users bound it with a ts-range filter upstream).
+    times.  The per-user array is bounded by that user's funnel events;
+    `max_events_per_user` hardens the power-user tail: when set, each
+    user's state-machine walk covers only their EARLIEST k qualifying
+    events by (ts, step_idx) -- a `slice(sort_array(...))` inside the
+    existing aggregation, no new shuffle.  Truncation semantics: a user
+    whose funnel progression happens entirely within their first k
+    events is counted identically to the unbounded run (a cap at or
+    above the per-user event count is a strict no-op); progressions
+    that only complete after event k are (documented, deliberately)
+    not counted.  Default None = unbounded.  A ts-range filter upstream
+    remains the right first lever for pathological users.
 
     Tie discipline: the sort key is (ts, step_idx), so simultaneous
     events resolve earlier-step-first and a same-instant next step
@@ -114,7 +124,17 @@ def funnel_stages(
             ).alias("ev"),
         )
         .groupBy(user_col)
-        .agg(F.sort_array(F.collect_list("ev")).alias("evs"))
+        .agg(
+            (
+                F.sort_array(F.collect_list("ev"))
+                if max_events_per_user is None
+                else F.slice(
+                    F.sort_array(F.collect_list("ev")),
+                    1,
+                    max_events_per_user,
+                )
+            ).alias("evs")
+        )
         .select(
             user_col,
             F.aggregate(
@@ -160,6 +180,7 @@ def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    max_active_weeks_per_user: int | None = None,
 ) -> DataFrame:
     """Weekly cohort retention matrix: users cohorted by the week of
     their FIRST event, counted in every week they were active, keyed by
@@ -180,11 +201,25 @@ def cohort_retention(
     oracle filters them in its CTEs); min/collect_set would skip them
     anyway, so the explicit filter is the documented contract, not a
     behavior change.
+
+    Per-user state here is DISTINCT ACTIVE WEEKS (not events), already
+    a much smaller bound; `max_active_weeks_per_user` caps it for the
+    years-of-history tail: when set, only each user's EARLIEST k active
+    weeks survive (`slice(sort_array(collect_set(...)))` inside the
+    existing aggregation, no new shuffle).  The cohort week is the
+    earliest week and always survives the slice, so cohort assignment
+    never changes -- only retention rows at offsets beyond the user's
+    k-th active week are (documented, deliberately) dropped.  A cap at
+    or above every user's active-week count is a strict no-op.
+    Default None = unbounded.
     """
     w_ts = F.date_trunc("week", F.col(ts_col))
+    weeks = F.collect_set(w_ts)
+    if max_active_weeks_per_user is not None:
+        weeks = F.slice(F.sort_array(weeks), 1, max_active_weeks_per_user)
     per_user = events.filter(F.col(ts_col).isNotNull()).groupBy(user_col).agg(
         F.min(ts_col).alias("__first"),
-        F.collect_set(w_ts).alias("__weeks"),
+        weeks.alias("__weeks"),
     )
     exploded = per_user.select(
         F.date_trunc("week", "__first").alias("__cw"),

@@ -256,6 +256,7 @@ def tfidf_top_terms(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_ceiling: int | None = None,
 ) -> DataFrame:
     """Top-k TF-IDF terms per document: the classic IR primitive behind
     keyword extraction, topic tagging, and per-source vocabulary drift
@@ -276,9 +277,17 @@ def tfidf_top_terms(
     similarity queries use), never a driver-side count.  No shuffle
     carries raw text: after the first aggregation everything is
     (term, doc_id, numbers).  Hot terms (stopwords) concentrate on one
-    reducer in shuffle 2; at corpus scale cap them with a df ceiling
-    filter AFTER the df aggregate (they rank last anyway -- idf ~ 0) or
-    pre-hash terms to 64-bit to cheapen the keys.
+    reducer in shuffle 2; at corpus scale cap them with `df_ceiling`:
+    terms appearing in more than df_ceiling documents are dropped from
+    the tf x df join (and therefore from the rankings).  The ceiling is
+    applied AFTER the df aggregate, so every surviving term keeps its
+    EXACT document frequency and score -- the capped scored set is a
+    pure filter of the exact scored set (capped rows are a subset of
+    exact rows, same scores), mirroring the ngram `df_max` lockstep
+    pattern.  df_ceiling=None (the default, and the registered driver
+    query) is exact.  The hot-term shuffle-2 reducer itself is a
+    single-key partial-aggregated count and survives; the ceiling's win
+    is removing stopword rows from the join + window stages.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -286,6 +295,9 @@ def tfidf_top_terms(
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if df_ceiling is not None:
+        # AFTER the aggregate: surviving terms keep exact df/score
+        dfreq = dfreq.filter(F.col("df") <= F.lit(df_ceiling))
     n_docs = tf.agg(F.count_distinct("doc_id").alias("__n"))
     scored = (
         tf.join(dfreq, "term")
@@ -320,6 +332,7 @@ def unigram_logprob_score(
     reference: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_model: bool | str = True,
 ) -> DataFrame:
     """Per-document average unigram log-probability under a reference
     corpus -- the perplexity-style quality filter corpus curation runs
@@ -343,8 +356,25 @@ def unigram_logprob_score(
     types, tens of MB); the document tokens join it [shuffle 2 when
     not broadcast] and aggregate per doc [shuffle 3, partial-
     aggregated].  The totals (N, V) ride a 1-row broadcast crossJoin,
-    action-free.
+    action-free (1 row always broadcasts regardless of broadcast_model).
+
+    `broadcast_model` guards the model join against web-scale
+    vocabularies (hundreds of millions of types would blow a forced
+    broadcast):
+      * True (default, the registered driver query): force
+        F.broadcast -- right for any vocabulary that fits an executor.
+      * "auto": no hint; Catalyst + AQE pick broadcast vs shuffle from
+        the model's stats against spark.sql.autoBroadcastJoinThreshold.
+      * False: force the shuffled path (shuffle_hash hint -- both sides
+        hash-partition on term; the model never materializes whole on
+        any node), the web-scale fallback.
+    Results are identical on every path; only the physical join moves.
     """
+    if broadcast_model not in (True, False, "auto"):
+        raise ValueError(
+            f"broadcast_model must be True, False or 'auto', got "
+            f"{broadcast_model!r}"
+        )
     if reference is None:
         reference = df
     tok = lambda frame: frame.select(  # noqa: E731
@@ -355,9 +385,15 @@ def unigram_logprob_score(
     totals = ref_counts.agg(
         F.sum("__c").alias("__n"), F.count("*").alias("__v")
     )
+    if broadcast_model is True:
+        model = F.broadcast(ref_counts)
+    elif broadcast_model is False:
+        model = ref_counts.hint("shuffle_hash")
+    else:  # "auto": leave the choice to Catalyst/AQE stats
+        model = ref_counts
     scored = (
         tok(df)
-        .join(F.broadcast(ref_counts), "term", "left")
+        .join(model, "term", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",

@@ -810,31 +810,61 @@ def text_unigram_logprob(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "events_hopping_window_agg",
-    # a 3h window hopping hourly assigns every event to EXACTLY the 3
-    # windows whose starts are trunc(ts,hour) - {0,1,2} hours (both
-    # engines hop from hour-aligned epoch boundaries), so the oracle
-    # replays the window assignment with a plain offset unnest
+# Hopping-window geometry shared by the Spark queries and their DuckDB
+# oracles (single source of truth: a drift in either side is impossible
+# because both are generated from these pairs).  window must be an
+# integer multiple of hop; each non-NULL event then lands in exactly
+# window/hop windows whose starts are the hop-aligned trunc of ts minus
+# {0, hop, 2*hop, ...} seconds.  Both engines hop from the 1970-01-01
+# UTC epoch (Spark TimeWindow operates on raw UTC micros; the session
+# timezone is pinned UTC in session.py), so the oracle replays the
+# assignment with epoch arithmetic + an offset unnest.
+HOPPING_WINDOW_SPECS: dict[str, tuple[int, int]] = {
+    "events_hopping_window_agg": (3, 1),  # 3 h window advancing hourly
+    "events_hopping_window_agg_daily6h": (24, 6),  # 24 h window, 6 h hop
+}
+
+
+def _hopping_oracle_sql(window_hours: int, hop_hours: int) -> str:
+    """Offset-unnest oracle for a hopping-window aggregate.
+
+    `ts IS NOT NULL` mirrors Spark's F.window semantics exactly: Spark
+    drops NULL-timestamp rows from windowed aggregation, while DuckDB
+    would otherwise emit a NULL-window group counting each NULL-ts
+    event window/hop times.
     """
-    SELECT date_trunc('hour', ts) - INTERVAL (i.i) HOUR AS ts,
+    assert window_hours % hop_hours == 0, "window must be a multiple of hop"
+    hop_s = hop_hours * 3600
+    offsets = ", ".join(
+        str(i * hop_s) for i in range(window_hours // hop_hours)
+    )
+    return f"""
+    SELECT TIMESTAMP '1970-01-01' + INTERVAL (
+             (floor(epoch(ts) / {hop_s}) * {hop_s})::BIGINT - i.i
+           ) SECOND AS ts,
            event_type,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 4) AS total_value
-    FROM events, unnest([0, 1, 2]) AS i(i)
+    FROM events, unnest([{offsets}]) AS i(i)
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
-    """,
-)
-def events_hopping_window_agg(spark, sf_dir):
-    """Sliding-window (hopping) aggregation: 3-hour windows advancing
-    hourly -- the batch shape of a trailing-window metric.  F.window
-    with a slide < duration emits one row per covering window; Catalyst
-    expands it to a projection + explode, so the only shuffle is the
-    final aggregation, map-side-partial over (window, type)."""
+    """
+
+
+def _hopping_window_agg(spark, sf_dir, name: str):
+    """Sliding-window (hopping) aggregation -- the batch shape of a
+    trailing-window metric.  F.window with a slide < duration emits one
+    row per covering window; Catalyst expands it to a projection +
+    explode, so the only shuffle is the final aggregation,
+    map-side-partial over (window, type)."""
+    window_hours, hop_hours = HOPPING_WINDOW_SPECS[name]
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.window("ts", "3 hours", "1 hour").alias("w"), "event_type"
+            F.window("ts", f"{window_hours} hours", f"{hop_hours} hours").alias(
+                "w"
+            ),
+            "event_type",
         )
         .agg(
             F.count("*").alias("n_events"),
@@ -843,6 +873,29 @@ def events_hopping_window_agg(spark, sf_dir):
         .select(
             F.col("w.start").alias("ts"), "event_type", "n_events", "total_value"
         )
+    )
+
+
+@register(
+    "events_hopping_window_agg",
+    _hopping_oracle_sql(*HOPPING_WINDOW_SPECS["events_hopping_window_agg"]),
+)
+def events_hopping_window_agg(spark, sf_dir):
+    return _hopping_window_agg(spark, sf_dir, "events_hopping_window_agg")
+
+
+@register(
+    "events_hopping_window_agg_daily6h",
+    _hopping_oracle_sql(
+        *HOPPING_WINDOW_SPECS["events_hopping_window_agg_daily6h"]
+    ),
+)
+def events_hopping_window_agg_daily6h(spark, sf_dir):
+    """Second slide ratio (24 h window / 6 h hop) over the SAME shared
+    geometry table, so the offset unnest and the F.window spec cannot
+    drift independently."""
+    return _hopping_window_agg(
+        spark, sf_dir, "events_hopping_window_agg_daily6h"
     )
 
 

@@ -19,11 +19,15 @@ from pyspark.sql import functions as F
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
-    driver: bool = True  # exposed to the driver registry (every entry
-    # is oracle-evaluated per round); driver=False keeps the
-    # (fn, oracle) pair for pytest differential coverage only -- used
-    # for O(n^2) brute-force baselines that exist to verify the
-    # registered scale paths, not to be run at scale themselves
+    driver: bool = True  # exposed to the driver registry; every such
+    # entry is ELIGIBLE for the driver's sampled per-round oracle
+    # evaluation (the driver samples ~50 slots per round -- unsampled
+    # entries are covered by the committed full-registry
+    # scripts/driver_sim.py run, DRIVERSIM_r{N}.txt, and pytest).
+    # driver=False keeps the (fn, oracle) pair for pytest differential
+    # coverage only -- used for O(n^2) brute-force baselines that exist
+    # to verify the registered scale paths, not to be run at scale
+    # themselves
 
 
 REGISTRY: dict[str, QueryDef] = {}

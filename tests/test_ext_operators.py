@@ -566,6 +566,78 @@ def test_tfidf_ranks_distinctive_terms_over_ubiquitous(spark):
     assert dict(by_doc[1])["zebra"] > common_score
 
 
+def test_tfidf_df_ceiling_is_post_aggregate_filter(spark):
+    """`df_ceiling` (VERDICT r5 item 4) drops hot terms AFTER the df
+    aggregate: every capped row must appear in the exact un-capped
+    scored set with an IDENTICAL score (df computed over all docs, not
+    post-filter), capped rows are a pure subset, and exactly the terms
+    with df > ceiling disappear.  A large ceiling is a no-op."""
+    from dbt_metrics_ingestion_script_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra zebra stop stop stop"),  # 'stop' hot + high tf
+            (2, "common yak stop stop"),
+            (3, "common stop"),
+        ],
+        "doc_id long, text string",
+    )
+    # k large enough to rank every term -> the exact FULL scored set
+    exact = {
+        (r["doc_id"], r["term"]): r["score"]
+        for r in tfidf_top_terms(docs, k=100).collect()
+    }
+    # ceiling=2: drops 'common' and 'stop' (df=3 each), keeps the rest
+    capped = {
+        (r["doc_id"], r["term"]): r["score"]
+        for r in tfidf_top_terms(docs, k=100, df_ceiling=2).collect()
+    }
+    assert set(capped) <= set(exact), "capped must be a subset of exact"
+    for key, score in capped.items():
+        assert score == exact[key], f"score drifted for {key}"
+    dropped = {t for (_, t) in set(exact) - set(capped)}
+    assert dropped == {"common", "stop"}
+    # post-aggregate semantics: surviving 'zebra' keeps its exact score
+    assert (1, "zebra") in capped
+    # a ceiling above every df is a no-op
+    noop = {
+        (r["doc_id"], r["term"]): r["score"]
+        for r in tfidf_top_terms(docs, k=100, df_ceiling=10).collect()
+    }
+    assert noop == exact
+
+
+def test_unigram_broadcast_guard_paths_agree(spark):
+    """All three `broadcast_model` physical paths must produce identical
+    scores (only the join strategy moves); an invalid value raises."""
+    import pytest as _pytest
+
+    from dbt_metrics_ingestion_script_spark.operators.text import (
+        unigram_logprob_score,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zzz qqq xyzzy"), (3, "dog rug unseen")],
+        "doc_id long, text string",
+    )
+    results = {
+        mode: sorted(
+            tuple(r)
+            for r in unigram_logprob_score(
+                docs, reference=ref, broadcast_model=mode
+            ).collect()
+        )
+        for mode in (True, False, "auto")
+    }
+    assert results[True] == results[False] == results["auto"]
+    with _pytest.raises(ValueError, match="broadcast_model"):
+        unigram_logprob_score(docs, reference=ref, broadcast_model="yes")
+
+
 def test_hopping_window_covers_each_event_thrice(spark, sf_dir):
     """A 3h/1h hopping window assigns every event to exactly 3 windows:
     total assigned count must be 3x the event count."""
@@ -610,6 +682,84 @@ def test_cohort_retention_semantics(spark):
         ("2024-01-08", 2): 1,
     }
     assert all(off >= 0 for _, off in got)
+
+
+def test_funnel_and_cohort_power_user_guards(spark):
+    """`max_events_per_user` / `max_active_weeks_per_user` (VERDICT r5
+    item 5): a cap at or above reality is a strict no-op; a tight cap
+    truncates to the EARLIEST events/weeks with the documented
+    semantics (funnel progressions completing after event k don't
+    count; retention offsets past week k drop, cohort assignment never
+    changes)."""
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.sessions import (
+        cohort_retention,
+        funnel_stages,
+    )
+
+    d = lambda day, h=0: datetime.datetime(2024, 1, day, h)  # noqa: E731
+    # power user 1: 6 views then the click/purchase arrive as events
+    # 7-8 -- visible unbounded or with cap>=8, invisible at cap=4
+    ev_rows = [(1, d(1, h), "view") for h in range(6)] + [
+        (1, d(2, 0), "click"),
+        (1, d(2, 1), "purchase"),
+        (2, d(1), "view"),
+        (2, d(2), "click"),
+    ]
+    events = spark.createDataFrame(
+        ev_rows, "user_id long, ts timestamp, event_type string"
+    )
+    base = {
+        r["stage"]: r["n_users"] for r in funnel_stages(events).collect()
+    }
+    assert base == {"view": 2, "click": 2, "purchase": 1}
+    loose = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(events, max_events_per_user=100).collect()
+    }
+    assert loose == base, "cap above reality must be a no-op"
+    tight = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(events, max_events_per_user=4).collect()
+    }
+    # user 1's click/purchase fall beyond their first 4 events; user 2
+    # fits entirely
+    assert tight == {"view": 2, "click": 1, "purchase": 0}
+
+    # cohort: user 1 active in weeks 0,1,3 (2024-01-01 is a Monday)
+    c_events = spark.createDataFrame(
+        [(1, d(1)), (1, d(9)), (1, d(22)), (2, d(2))],
+        "user_id long, ts timestamp",
+    )
+    c_base = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(c_events).collect()
+    }
+    assert c_base == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+    }
+    c_loose = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(
+            c_events, max_active_weeks_per_user=10
+        ).collect()
+    }
+    assert c_loose == c_base, "cap above reality must be a no-op"
+    c_tight = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(
+            c_events, max_active_weeks_per_user=2
+        ).collect()
+    }
+    # earliest 2 weeks survive: offsets 0 and 1; week-3 activity drops,
+    # cohort week unchanged
+    assert c_tight == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+    }
 
 
 def test_range_join_bucketization_semantics(spark):

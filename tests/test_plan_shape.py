@@ -244,6 +244,30 @@ def test_shingling_stays_in_codegen(spark):
     assert "*(1) Project" in plan, plan
 
 
+def test_unigram_model_join_respects_broadcast_guard(spark):
+    """`broadcast_model` must actually move the physical model join
+    (VERDICT r5 item 3): True forces a BroadcastHashJoin on term;
+    False forces the shuffled path (ShuffledHashJoin or SortMergeJoin
+    -- the web-scale fallback where the vocabulary never materializes
+    whole on one node).  The 1-row totals crossJoin stays broadcast on
+    every path and is excluded by matching only the term equi-join."""
+    from dbt_metrics_ingestion_script_spark.operators.text import (
+        unigram_logprob_score,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    forced = plan_of(unigram_logprob_score(docs, broadcast_model=True), "simple")
+    assert "BroadcastHashJoin [term" in forced, forced
+    shuffled = plan_of(
+        unigram_logprob_score(docs, broadcast_model=False), "simple"
+    )
+    assert "BroadcastHashJoin [term" not in shuffled, shuffled
+    assert (
+        "ShuffledHashJoin [term" in shuffled
+        or "SortMergeJoin [term" in shuffled
+    ), shuffled
+
+
 def test_coverage_md_in_lockstep_with_registry(spark):
     """Every registered query name (driver and demoted) appears in
     COVERAGE.md, so the inventory can't drift from the registry
