@@ -72,6 +72,7 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     "multimodal_binary_stats",
+    "multimodal_decode_stats",
     "events_salted_daily_agg",
     "events_json_props_extract",
     "events_sessionization",
