@@ -700,19 +700,22 @@ def duplicate_clusters(
             stats["fell_back"] = on_exhaustion == "star"
         if on_exhaustion == "star":
             # feed star the already-materialized symmetric edge frame
-            # (STILL persisted) rather than the raw pairs frame, whose
-            # lineage -- typically the expensive pair-generation
-            # self-join -- would otherwise recompute from scratch; the
-            # frame stays cached until star's first probe materializes
-            # its canonical set (same deliberate-leak convention as the
-            # returned label/star frames: 2 longs per edge).
-            return duplicate_clusters_star(
-                edges.select(
-                    F.col("src").alias(id_a), F.col("dst").alias(id_b)
-                ),
-                id_a=id_a,
-                id_b=id_b,
-            )
+            # rather than the raw pairs frame, whose lineage --
+            # typically the expensive pair-generation self-join --
+            # would otherwise recompute from scratch.  The frame is
+            # snapshotted into an eager localCheckpoint leaf (computed
+            # from the still-warm cache) so the label-prop persist can
+            # be released HERE instead of leaking for the process
+            # lifetime (ADVICE r5): checkpoint blocks are owned by the
+            # returned star frames' lineage and the ContextCleaner
+            # reclaims them once the caller drops those, the same
+            # lifetime convention as the returned label/star frames
+            # (2 longs per edge either way).
+            ckpt_edges = edges.select(
+                F.col("src").alias(id_a), F.col("dst").alias(id_b)
+            ).localCheckpoint(eager=True)
+            edges.unpersist()
+            return duplicate_clusters_star(ckpt_edges, id_a=id_a, id_b=id_b)
         edges.unpersist()
         raise RuntimeError(
             f"duplicate_clusters did not converge within max_iter={max_iter} "
