@@ -78,6 +78,7 @@ HEADLINE = [
     "events_sessionization",
     "events_funnel_stages",
     "events_asof_last_order",
+    "events_asof_last_order_bucketed",
     "events_range_join_sessions",
     "events_cohort_retention",
     "events_hopping_window_agg",

@@ -984,6 +984,58 @@ def events_asof_last_order(spark, sf_dir):
 
 
 @register(
+    "events_asof_last_order_bucketed",
+    # SAME contract and oracle as events_asof_last_order (DuckDB's
+    # native ASOF JOIN), different physical shape: the data window
+    # partitions by (key, 90-day bucket) with a per-bucket carry-in, so
+    # a hot key's history never lands in one reducer run
+    """
+    WITH daily AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS last_order_ts,
+             COUNT(*) AS last_day_orders,
+             ROUND(SUM(o_totalprice), 4) AS last_day_total
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           d.last_order_ts, d.last_day_orders, d.last_day_total
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
+    ASOF LEFT JOIN daily d
+      ON e.user_id = d.user_id AND e.ts >= d.last_order_ts
+    UNION ALL
+    SELECT event_id, user_id, ts, NULL, NULL, NULL
+    FROM events WHERE ts IS NULL
+    """,
+)
+def events_asof_last_order_bucketed(spark, sf_dir):
+    """The unbounded-right-history as-of variant (VERDICT r5 item 6):
+    per-bucket latest-row summaries carry the cross-bucket dependency
+    while the data-sized window partitions by (user, bucket)."""
+    from .operators.asof import asof_join_backward_bucketed
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("last_order_ts"),
+        )
+        .agg(
+            F.count("*").alias("last_day_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("last_day_total"),
+        )
+    )
+    return asof_join_backward_bucketed(
+        ev,
+        daily,
+        on="user_id",
+        left_ts="ts",
+        right_ts="last_order_ts",
+        value_cols=["last_day_orders", "last_day_total"],
+        bucket="90 days",
+    )
+
+
+@register(
     "events_funnel_stages",
     # staged min-joins: the relational form of first-touch funnel
     # matching (step i = earliest qualifying event at-or-after step

@@ -919,6 +919,102 @@ def test_asof_join_single_shuffle(spark):
     assert "Window" in plan
 
 
+def test_asof_bucketed_equivalence_fixture(spark, sf_dir):
+    """The bucketized as-of (VERDICT r5 item 6) must reproduce the
+    plain union+window form EXACTLY on the events/orders fixture,
+    across bucket widths that put the whole history in one bucket,
+    split it across a few, and shatter it into many."""
+    from dbt_metrics_ingestion_script_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_backward_bucketed,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("last_order_ts"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    kw = dict(
+        on="user_id", left_ts="ts", right_ts="last_order_ts",
+        value_cols=["n_orders"],
+    )
+    base = sorted(
+        (tuple(r) for r in asof_join_backward(ev, daily, **kw).collect()),
+        key=repr,
+    )
+    for bucket in ("3650 days", "90 days", "7 days"):
+        got = sorted(
+            (
+                tuple(r)
+                for r in asof_join_backward_bucketed(
+                    ev, daily, bucket=bucket, **kw
+                ).collect()
+            ),
+            key=repr,
+        )
+        assert got == base, f"bucket={bucket} diverged"
+
+
+def test_asof_bucketed_edge_cases(spark):
+    """Bucketed-specific traps: the carry crosses EMPTY intermediate
+    buckets, a right row exactly at a bucket boundary beats the seed
+    (side ordering), NULL timestamps on either side behave like the
+    plain form, and the atomic-row carry survives the seed path."""
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_backward_bucketed,
+    )
+
+    t = lambda d, m=0: datetime.datetime(2024, 1, d, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, 10, t(25)),   # 24 days after the last right row: the
+                              # carry must cross many empty 1-day buckets
+            (2, 10, t(1, 2)), # same bucket as r1/r2
+            (3, 10, t(2, 0)), # exactly at a bucket boundary
+            (4, 10, None),    # NULL ts -> null fill
+            (5, 99, t(5)),    # keyless -> null fill
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t(1, 1), 11, 21),
+            (10, t(2, 0), None, 22),  # at the day-2 boundary; v NULL
+            (10, None, 77, 78),       # NULL ts: never matches
+        ],
+        "user_id long, rts timestamp, v long, w long",
+    )
+    kw = dict(
+        on="user_id", left_ts="ts", right_ts="rts", value_cols=["v", "w"]
+    )
+    base = {
+        r["event_id"]: (r["rts"], r["v"], r["w"])
+        for r in asof_join_backward(left, right, **kw).collect()
+    }
+    got = {
+        r["event_id"]: (r["rts"], r["v"], r["w"])
+        for r in asof_join_backward_bucketed(
+            left, right, bucket="1 day", **kw
+        ).collect()
+    }
+    assert got == base
+    # and the expectations themselves, independent of the plain form:
+    assert got[1] == (t(2, 0), None, 22)  # carried across empty buckets,
+    # atomically (v stays NULL)
+    assert got[2] == (t(1, 1), 11, 21)
+    assert got[3] == (t(2, 0), None, 22)  # boundary row beats the seed
+    assert got[4] == (None, None, None)
+    assert got[5] == (None, None, None)
+
+
 def test_funnel_first_touch_semantics(spark):
     """Ordered-funnel edge cases: steps count only in time order
     (a click before the first view does not progress the funnel), a

@@ -258,6 +258,7 @@ EVENT_ANALYTICS_QUERIES = [
     "events_range_join_sessions",
     "events_cohort_retention",
     "events_asof_last_order",
+    "events_asof_last_order_bucketed",
     "events_hopping_window_agg",
     "events_hopping_window_agg_daily6h",
 ]
@@ -391,6 +392,7 @@ def test_event_analytics_agree_on_null_timestamps(spark, tmp_path_factory):
         "events_funnel_stages",
         "events_cohort_retention",
         "events_asof_last_order",
+        "events_asof_last_order_bucketed",
         # hopping windows: Spark's F.window drops NULL-ts rows; the
         # oracle's WHERE ts IS NOT NULL must match (a bare offset
         # unnest would count each NULL-ts event window/hop times)
