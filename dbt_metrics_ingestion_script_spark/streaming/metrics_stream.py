@@ -96,6 +96,46 @@ def windowed_event_metrics(
     )
 
 
+def hopping_event_metrics(
+    events: DataFrame,
+    window_hours: int = 3,
+    hop_hours: int = 1,
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    dims: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Streaming counterpart of the batch hopping-window aggregation
+    (queries_ext.events_hopping_window_agg): a sliding F.window of
+    `window_hours` advancing every `hop_hours`, watermarked for late
+    data.  Same geometry contract as the batch side -- window must be a
+    multiple of hop, both hop from the UTC epoch -- so the stream
+    converges to the batch answer over the same static data (the
+    differential test drives it with availableNow and diffs against the
+    registered batch query built from HOPPING_WINDOW_SPECS).
+
+    State scale: one row per (window x dims) within the watermark
+    horizon, times window/hop overlapping windows per event -- the
+    multiplier is the slide ratio, so a 24h/6h window costs 4x the
+    tumbling state, bounded and predictable.
+    """
+    if window_hours % hop_hours != 0:
+        raise ValueError("window_hours must be a multiple of hop_hours")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(
+                ts_col, f"{window_hours} hours", f"{hop_hours} hours"
+            ).alias("w"),
+            *dims,
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("ts"), *dims, "n_events", "total_value")
+    )
+
+
 def run_stream_to_memory(
     result: DataFrame,
     query_name: str,

@@ -51,6 +51,46 @@ def test_stream_converges_to_batch(spark, sf_dir, events_dir):
     assert got == expected
 
 
+def test_stream_hopping_window_converges_to_batch(spark, sf_dir, events_dir):
+    """Streaming parity for the event-analytics hopping window (VERDICT
+    r5 stretch): both slide ratios from the shared batch geometry table
+    must converge, window for window, to the registered batch query
+    over the same static data."""
+    from dbt_metrics_ingestion_script_spark import queries_ext
+    from dbt_metrics_ingestion_script_spark.streaming.metrics_stream import (
+        hopping_event_metrics,
+    )
+
+    for name, (window_h, hop_h) in queries_ext.HOPPING_WINDOW_SPECS.items():
+        stream = read_events_stream(spark, events_dir)
+        result = hopping_event_metrics(
+            stream, window_hours=window_h, hop_hours=hop_h
+        )
+        sink = f"stream_hop_{window_h}_{hop_h}"
+        run_stream_to_memory(result, sink)
+        got = {
+            (str(r["ts"]), r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        }
+        expected = {
+            (str(r["ts"]), r["event_type"]): (r["n_events"], r["total_value"])
+            for r in queries_ext._hopping_window_agg(
+                spark, sf_dir, name
+            ).collect()
+        }
+        assert got == expected, f"{name} stream diverged from batch"
+
+
+def test_stream_hopping_window_rejects_bad_geometry(spark, events_dir):
+    from dbt_metrics_ingestion_script_spark.streaming.metrics_stream import (
+        hopping_event_metrics,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_event_metrics(stream, window_hours=5, hop_hours=2)
+
+
 def test_streaming_rejects_unknown_grain(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     with pytest.raises(ValueError, match="grain"):
