@@ -90,6 +90,8 @@ HEADLINE = [
     "corpus_pack_next_fit",
     "corpus_training_pipeline",
     "corpus_length_profile",
+    "corpus_quality_percentile_filter",
+    "corpus_temperature_sample",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

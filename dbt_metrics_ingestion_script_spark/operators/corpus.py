@@ -167,6 +167,94 @@ def pack_next_fit(
     )
 
 
+def percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    stratum_col: str,
+    q: float = 0.5,
+) -> DataFrame:
+    """Keep the top `q` fraction of rows PER STRATUM by `score_col`:
+    the corpus-curation stage that applies a quality bar relative to
+    each source/language instead of one global threshold (a global bar
+    would empty low-resource strata whose score distribution sits
+    lower).
+
+    Mechanics: `percent_rank()` over (stratum, score) and keep rows
+    with pct_rank >= 1 - q.  percent_rank is (rank-1)/(n-1) in every
+    ANSI engine and depends only on the ordering and tie structure, so
+    ordering by an already-ROUNDED score makes the filter bit-portable
+    (the registered oracle replays it verbatim).  Ties share a rank, so
+    the kept fraction can exceed q by the boundary tie group --
+    deterministic, never random tie-breaking.
+
+    Output: the input rows + pct_rank (rounded 6), filtered.
+
+    Scale shape: ONE shuffle, hash-partitioned on the stratum; reducer
+    state is the sort run of one stratum.  For strata too large to sort
+    in one task, switch to a two-pass threshold plan: per-stratum
+    `percentile_approx(score, 1-q)` (t-digest, mergeable, map-side
+    partials) broadcast back as a threshold join -- same contract,
+    tolerance-checked instead of exact.
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    w = Window.partitionBy(stratum_col).orderBy(F.col(score_col).asc())
+    return (
+        df.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .where(F.col("pct_rank") >= F.lit(1.0) - F.lit(float(q)))
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the multilingual-LM data
+    mixing rule): sample each stratum so kept counts are proportional
+    to c_s^alpha instead of c_s, flattening dominant strata while
+    keeping every rare stratum intact.  alpha=1 keeps the natural
+    distribution; alpha->0 approaches uniform.
+
+    Per-stratum keep rate: r_s = (c_min / c_s)^(1-alpha), so the
+    rarest stratum keeps rate 1.0 (never downsample the low-resource
+    tail) and a stratum k times larger keeps k^(alpha-1) of its rows.
+    The keep decision reuses `sample_keep`'s deterministic
+    hash(id:stratum) threshold -- map-side, retry-stable, engine-
+    portable.  Rates are rounded to 6 decimals BEFORE the threshold
+    compare, and alpha=0.5 computes via sqrt (IEEE correctly-rounded
+    in every engine) rather than pow (libm-dependent at the ulp), so
+    the oracle replays decisions bit-identically.
+
+    NULL strata count and hash as the empty string (one group), the
+    same conflation `sample_keep` already applies.
+
+    Scale shape: one partial-aggregated count shuffle over strata, a
+    1-row min broadcast, a broadcast rate join (|strata| rows), then a
+    map-side filter -- the corpus itself never shuffles.
+
+    Output: kept rows + their stratum's keep_rate.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    key = F.coalesce(F.col(stratum_col), F.lit("")).alias("__strat")
+    counts = df.select(key).groupBy("__strat").agg(F.count("*").alias("__c"))
+    cmin = counts.agg(F.min("__c").alias("__cmin"))
+    ratio = F.col("__cmin") / F.col("__c")
+    e = 1.0 - alpha
+    powed = F.sqrt(ratio) if e == 0.5 else F.pow(ratio, F.lit(e))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        "__strat", F.round(powed, 6).alias("keep_rate")
+    )
+    return (
+        df.withColumn("__strat", key)
+        .join(F.broadcast(rates), "__strat")
+        .where(sample_keep(id_col, stratum_col, F.col("keep_rate")))
+        .drop("__strat")
+    )
+
+
 def length_profile(
     documents: DataFrame,
     stratum_col: str = "source",

@@ -127,7 +127,10 @@ QUALITY_STOPWORDS = [
 
 
 def quality_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style quality heuristics per document, as one codegen
     projection over the normalized text (staged Project so the
@@ -139,11 +142,17 @@ def quality_score(
     filter a 100 TB corpus pipeline would partition on: enough tokens,
     word lengths in the natural-language band, some stopwords, few
     symbols.  Thresholds follow the published Gopher rules scaled to
-    the short synthetic documents."""
+    the short synthetic documents.
+
+    `extra_cols` pass through untouched (e.g. the stratum column a
+    downstream per-source percentile filter partitions on) so callers
+    don't need a doc_id re-join."""
+    extras = [F.col(c) for c in extra_cols]
     normed = df.select(
-        F.col(id_col), normalize_text(text_col).alias("__norm")
+        F.col(id_col), *extras, normalize_text(text_col).alias("__norm")
     ).select(
         F.col(id_col),
+        *extras,
         "__norm",
         F.split("__norm", " ").alias("__toks"),
         F.length("__norm").alias("__len"),
@@ -171,6 +180,7 @@ def quality_score(
     )
     return normed.select(
         F.col(id_col),
+        *extras,
         F.round(stopword_ratio, 4).alias("stopword_ratio"),
         F.round(mean_word_len, 4).alias("mean_word_len"),
         F.round(symbol_ratio, 4).alias("symbol_ratio"),

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from .functions.hashing import MERSENNE31
 from .operators import corpus
+from .operators.text import QUALITY_STOPWORDS
 from .registry import register
 from .sources.tables import load_table
 
@@ -250,3 +251,95 @@ def corpus_training_pipeline(spark, sf_dir):
 )
 def corpus_length_profile(spark, sf_dir):
     return corpus.length_profile(load_table(spark, sf_dir, "documents"))
+
+
+_PCT_Q = 0.5  # keep the top half of each source by stopword ratio
+
+
+def _percentile_filter_oracle() -> str:
+    # quality-score CTE (same arithmetic as text_quality_score's
+    # oracle), then the per-source percent_rank ANSI window: both
+    # engines define percent_rank as (rank-1)/(n-1) over the SAME
+    # rounded score, so tie structure and boundary values agree exactly
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, source, {_NORM} AS norm FROM documents
+    ), t AS (
+      SELECT doc_id, source,
+             greatest(len(string_split(norm, ' ')), 1) AS n_tokens,
+             len(list_filter(string_split(norm, ' '),
+                             x -> list_contains([{{stop}}], x))) AS n_stop
+      FROM docs
+    ), scored AS (
+      SELECT doc_id, source, ROUND(n_stop / n_tokens, 4) AS stopword_ratio
+      FROM t
+    ), ranked AS (
+      SELECT doc_id, source, stopword_ratio,
+             ROUND(PERCENT_RANK() OVER (
+               PARTITION BY source ORDER BY stopword_ratio
+             ), 6) AS pct_rank
+      FROM scored
+    )
+    SELECT doc_id, source, stopword_ratio, pct_rank
+    FROM ranked WHERE pct_rank >= 1.0 - {_PCT_Q}
+    """
+
+
+@register(
+    "corpus_quality_percentile_filter",
+    _percentile_filter_oracle().replace(
+        "{stop}", ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS)
+    ),
+)
+def corpus_quality_percentile_filter(spark, sf_dir):
+    """Per-source quality bar: keep the top half of each source by
+    stopword ratio (a RELATIVE bar per stratum -- a global threshold
+    would empty low-scoring sources entirely).  percent_rank over the
+    rounded score is bit-portable; one shuffle, partitioned by source."""
+    from .operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs, extra_cols=("source",)).select(
+        "doc_id", "source", "stopword_ratio"
+    )
+    return corpus.percentile_filter(
+        scored, score_col="stopword_ratio", stratum_col="source", q=_PCT_Q
+    )
+
+
+_TEMP_ALPHA = 0.5
+
+
+def _temperature_oracle() -> str:
+    h31 = _H31.format(x="doc_id::VARCHAR || ':' || coalesce(lang, '')")
+    # sqrt, not pow: IEEE-correctly-rounded in both engines, so the
+    # 6-decimal rounded rate (and with it every keep decision) is
+    # bit-identical -- the operator picks sqrt for alpha = 0.5 too
+    return f"""
+    WITH c AS (
+      SELECT coalesce(lang, '') AS strat, COUNT(*) AS c
+      FROM documents GROUP BY 1
+    ), m AS (SELECT MIN(c) AS cmin FROM c),
+    r AS (
+      SELECT strat, ROUND(SQRT(m.cmin::DOUBLE / c.c), 6) AS keep_rate
+      FROM c, m
+    )
+    SELECT d.doc_id, d.lang, d.source, r.keep_rate
+    FROM documents d JOIN r ON coalesce(d.lang, '') = r.strat
+    WHERE {h31} < r.keep_rate * {MERSENNE31}
+    """
+
+
+@register("corpus_temperature_sample", _temperature_oracle())
+def corpus_temperature_sample(spark, sf_dir):
+    """Temperature-based language rebalancing (alpha = 0.5): kept
+    counts become proportional to sqrt(c_lang), flattening the dominant
+    language while the rarest keeps rate 1.0.  Deterministic
+    hash-threshold decisions; the corpus never shuffles (one count
+    shuffle over strata + broadcast rate join + map-side filter)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return corpus.temperature_sample(
+        docs, stratum_col="lang", alpha=_TEMP_ALPHA
+    ).select("doc_id", "lang", "source", "keep_rate")

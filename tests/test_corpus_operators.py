@@ -176,3 +176,105 @@ def test_pack_conserves_tokens(spark, sf_dir):
     )
     for r in per_shard.collect():
         assert r["lo"] == 0 and r["n"] == r["hi"] + 1
+
+
+def test_percentile_filter_per_stratum_semantics(spark):
+    """Keeps the top q per stratum with deterministic tie handling: a
+    boundary tie group is kept whole (percent_rank gives equal scores
+    equal rank); strata are independent; q validates."""
+    import pytest
+
+    rows = [
+        # stratum A: scores 1..4 distinct -> top half = {3, 4}
+        (1, "A", 1.0), (2, "A", 2.0), (3, "A", 3.0), (4, "A", 4.0),
+        # stratum B: all-equal scores -> every row ties at rank 1,
+        # pct_rank 0 -> NOTHING reaches >= 0.5 (documented tie rule)
+        (5, "B", 7.0), (6, "B", 7.0), (7, "B", 7.0),
+        # stratum C: single row -> pct_rank 0 -> dropped at q=0.5
+        (8, "C", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+    kept = {
+        r["doc_id"]: r["pct_rank"]
+        for r in corpus.percentile_filter(
+            df, score_col="score", stratum_col="src", q=0.5
+        ).collect()
+    }
+    assert set(kept) == {3, 4}
+    assert kept[4] == 1.0
+    # q=1 keeps everything (pct_rank >= 0)
+    all_kept = corpus.percentile_filter(
+        df, score_col="score", stratum_col="src", q=1.0
+    ).count()
+    assert all_kept == len(rows)
+    with pytest.raises(ValueError, match="q must be"):
+        corpus.percentile_filter(df, score_col="score", stratum_col="src", q=0)
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    """Rate math: rarest stratum keeps rate 1.0, a stratum k times
+    larger keeps sqrt(1/k) at alpha=0.5; decisions are hash-stable
+    across runs; NULL strata group with ''; alpha=1 keeps everything;
+    alpha validates."""
+    import pytest
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "small") for i in range(100)]
+        + [(2000, None), (2001, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = corpus.temperature_sample(df, stratum_col="lang", alpha=0.5)
+    rates = {
+        r["lang"]: r["keep_rate"]
+        for r in out.select("lang", "keep_rate").distinct().collect()
+    }
+    # cmin = 2 (the NULL group): rates = sqrt(2/c)
+    assert rates.get(None) == 1.0
+    assert abs(rates["small"] - round((2 / 100) ** 0.5, 6)) < 1e-9
+    assert abs(rates["big"] - round((2 / 400) ** 0.5, 6)) < 1e-9
+    # deterministic: the same call keeps the same rows
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in corpus.temperature_sample(
+            df, stratum_col="lang", alpha=0.5
+        ).collect()
+    )
+    assert ids1 == ids2 and ids1  # non-empty
+    # kept counts trend toward sqrt proportions: big kept ~ 400*sqrt(2/400)=20
+    from collections import Counter
+
+    kept_by = Counter(r["lang"] for r in out.collect())
+    assert kept_by[None] == 2  # rate 1.0 keeps all
+    assert 0 < kept_by["big"] < 80  # way below the natural 400
+    # alpha=1: natural distribution, rate 1 everywhere
+    assert (
+        corpus.temperature_sample(df, stratum_col="lang", alpha=1.0).count()
+        == len(rows)
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        corpus.temperature_sample(df, stratum_col="lang", alpha=1.5)
+
+
+def test_temperature_sample_corpus_stays_mapside(spark, sf_dir):
+    """The corpus never shuffles: the only exchanges in the plan hash
+    tiny stratum frames (counts + broadcast of rates); the documents
+    scan feeds the filter directly."""
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    plan_df = corpus.temperature_sample(docs, stratum_col="lang")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = plan_df._jdf.queryExecution().explainString(jmode)
+    # the big side reaches the join through a BroadcastHashJoin probe,
+    # never through a shuffle exchange on doc rows
+    assert "BroadcastHashJoin" in plan
+    # exactly the aggregation exchanges (stratum counts): every
+    # Exchange in the plan is hashpartitioning on the stratum key
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert "__strat" in m.group(1), plan
