@@ -85,6 +85,7 @@ HEADLINE = [
     "events_hopping_window_agg_daily6h",
     # corpus preparation: decontaminate / sample / chunk / pack
     "corpus_decontamination",
+    "corpus_bloom_decontamination",
     "corpus_stratified_sample",
     "corpus_chunks_fixed",
     "corpus_pack_next_fit",

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MERSENNE31, hash31
+from ..functions.hashing import MERSENNE31, family_hash, hash31
 from .dedup import normalize_text, word_shingles
 
 
@@ -69,6 +69,77 @@ def decontaminate_ngram_overlap(
         .agg(F.count("*").alias("n_overlap"))
         .where(F.col("n_overlap") >= min_overlap)
     )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter decontamination -- the documented scale path for
+    eval sets whose exact n-gram set outgrows a broadcast
+    (`decontaminate_ngram_overlap` holds the exact set; a web-scale
+    held-out corpus doesn't fit).  A Bloom filter of m_bits bits and k
+    hash functions stores only SET BIT POSITIONS; a training n-gram
+    "hits" when all k of its positions are set.  One-sided error by
+    construction: every truly-overlapping gram hits (no false
+    negatives -- safe for decontamination, which must never MISS
+    contamination), while hash collisions can add false positives
+    (over-flagging, the conservative direction).  The pytest locks the
+    superset property against the exact operator.
+
+    Determinism across engines: positions come from the portable
+    md5-based 31-bit hash fed through the arithmetic universal-hash
+    family (`family_hash`), all mod m_bits -- so even the false
+    positives replay bit-identically in the DuckDB oracle.
+
+    Scale shape: the filter travels as a DISTINCT-position frame
+    (at most m_bits rows of one int, typically far fewer) through a
+    broadcast hash join keyed on position -- O(1) probe per position,
+    never a per-gram linear array scan.  The train side explodes to
+    (doc, gram, hash-index, position) rows, joins map-side, and two
+    partial-aggregated shuffles reduce to grams with all k positions
+    set, then to flagged docs.  Output: (doc_id, n_bloom_hits) for
+    flagged docs, like the exact operator's (doc_id, n_overlap).
+
+    At the extreme, materialize the position frame once and reuse it
+    across runs; a bitmap-packed UDF variant saves broadcast bytes but
+    gives up the pure-SQL portability this formulation keeps.
+    """
+    if k < 1 or m_bits < 2:
+        raise ValueError(f"need k >= 1 and m_bits >= 2, got k={k}, m_bits={m_bits}")
+
+    def gram_positions(df: DataFrame) -> DataFrame:
+        grams = df.select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, n)).alias("gram"),
+        ).select(F.col(id_col), hash31("gram").alias("__g"))
+        pos = F.array(
+            *[(family_hash(F.col("__g"), j) % m_bits).alias(str(j)) for j in range(k)]
+        )
+        return grams.select(
+            F.col(id_col), F.col("__g"), F.posexplode(pos).alias("__j", "__pos")
+        )
+
+    bloom = gram_positions(eval_set).select("__pos").distinct()
+    hits = (
+        gram_positions(train)
+        .join(F.broadcast(bloom), "__pos")
+        # count DISTINCT hash indices: == k means every position of
+        # this gram is set.  Distinct (not count(*)) so two same-doc
+        # grams colliding to one 31-bit value -- whose position rows
+        # are exact duplicates -- can't double-count an index
+        .groupBy(id_col, "__g")
+        .agg(F.count_distinct("__j").alias("__set"))
+        .where(F.col("__set") == k)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bloom_hits"))
+    )
+    return hits
 
 
 def sample_keep(id_col: Column | str, stratum: Column | str, rate: Column) -> Column:

@@ -343,3 +343,65 @@ def corpus_temperature_sample(spark, sf_dir):
     return corpus.temperature_sample(
         docs, stratum_col="lang", alpha=_TEMP_ALPHA
     ).select("doc_id", "lang", "source", "keep_rate")
+
+
+# Bloom geometry for the registered demo: m small enough that hash
+# collisions actually occur at sf0.01, proving the oracle replays even
+# the FALSE POSITIVES bit-identically (one-sided error, superset of the
+# exact operator -- locked by pytest)
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+def _bloom_oracle() -> str:
+    from .functions.hashing import _family_coeffs
+
+    n = _DECON_N
+    cases = " ".join(
+        f"WHEN {j} THEN ({a} * g + {b}) % {MERSENNE31}"
+        for j, (a, b) in ((j, _family_coeffs(j)) for j in range(_BLOOM_K))
+    )
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, {_NORM} AS norm FROM documents
+    ), tok AS (
+      SELECT doc_id, string_split(norm, ' ') AS toks FROM docs
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - {n} + 2),
+                         i -> array_to_string(toks[i:i+{n - 1}], ' ')))
+             END AS shingles
+      FROM tok
+    ), g AS (
+      SELECT doc_id, {_H31.format(x='s.sh')} AS g
+      FROM sh, unnest(shingles) AS s(sh)
+    ), pos AS (
+      SELECT doc_id, g, j.j AS j,
+             (CASE j.j {cases} END) % {_BLOOM_M} AS p
+      FROM g, unnest(range({_BLOOM_K})) AS j(j)
+    ), bloom AS (
+      SELECT DISTINCT p FROM pos WHERE doc_id % {_EVAL_MOD} = 0
+    )
+    SELECT doc_id, COUNT(*) AS n_bloom_hits FROM (
+      SELECT t.doc_id, t.g
+      FROM (SELECT * FROM pos WHERE doc_id % {_EVAL_MOD} <> 0) t
+      JOIN bloom USING (p)
+      GROUP BY t.doc_id, t.g
+      HAVING COUNT(DISTINCT t.j) = {_BLOOM_K}
+    ) GROUP BY doc_id
+    """
+
+
+@register("corpus_bloom_decontamination", _bloom_oracle())
+def corpus_bloom_decontamination(spark, sf_dir):
+    """Bloom-filter decontamination (the broadcast-too-big scale path):
+    the filter travels as a distinct set-bit-position frame through a
+    broadcast join; all hash arithmetic is the portable md5+universal
+    family, so the DuckDB oracle replays every decision -- including
+    the deliberate false positives at this m -- bit-identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % _EVAL_MOD != 0)
+    eval_set = docs.where(F.col("doc_id") % _EVAL_MOD == 0)
+    return corpus.decontaminate_bloom(
+        train, eval_set, n=_DECON_N, m_bits=_BLOOM_M, k=_BLOOM_K
+    )

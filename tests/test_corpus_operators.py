@@ -278,3 +278,40 @@ def test_temperature_sample_corpus_stays_mapside(spark, sf_dir):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
         assert "__strat" in m.group(1), plan
+
+
+def test_bloom_decontamination_superset_of_exact(spark, sf_dir):
+    """One-sided error, proven on the fixture corpus: every document
+    the exact n-gram decontamination flags is also bloom-flagged (no
+    false negatives at ANY m), and at the registered small m the bloom
+    over-flags (false positives exist -- the thing the driver oracle
+    replays bit-identically)."""
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 19 != 0)
+    eval_set = docs.where(F.col("doc_id") % 19 == 0)
+    exact = {
+        r["doc_id"]
+        for r in corpus.decontaminate_ngram_overlap(
+            train, eval_set, n=5
+        ).collect()
+    }
+    small_m = {
+        r["doc_id"]
+        for r in corpus.decontaminate_bloom(
+            train, eval_set, n=5, m_bits=4096, k=3
+        ).collect()
+    }
+    assert exact <= small_m, "bloom must never miss true contamination"
+    big_m = {
+        r["doc_id"]
+        for r in corpus.decontaminate_bloom(
+            train, eval_set, n=5, m_bits=1 << 24, k=3
+        ).collect()
+    }
+    assert exact <= big_m <= small_m
+    import pytest
+
+    with pytest.raises(ValueError, match="m_bits"):
+        corpus.decontaminate_bloom(train, eval_set, k=0)
