@@ -71,6 +71,7 @@ HEADLINE = [
     "text_doc_fingerprint",
     "text_tfidf_top_terms",
     "text_unigram_logprob",
+    "text_vocab_top_terms",
     "multimodal_binary_stats",
     "multimodal_decode_stats",
     "events_salted_daily_agg",

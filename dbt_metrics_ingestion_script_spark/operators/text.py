@@ -337,6 +337,42 @@ def tfidf_top_terms(
     )
 
 
+def vocab_top_terms(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Global vocabulary heavy hitters: the top-k terms by total
+    occurrence count with document frequency -- the statistics a
+    tokenizer-training / vocabulary-selection stage reads off the
+    corpus.  Output: (term, n_occurrences, n_docs), ordered
+    (n_occurrences desc, term asc) so the k-boundary tie is
+    deterministic and the oracle hash-matches.
+
+    Scale shape: tokens explode -> (doc, term) counts [shuffle 1,
+    partial-aggregated, so the wire carries counts not raw tokens] ->
+    (term) totals where the already-unique (doc, term) rows make a
+    plain count() the document frequency [shuffle 2, partial-
+    aggregated], and the global top-k runs as TakeOrderedAndProject
+    (per-partition top-k heaps merged on the driver, k rows each),
+    NEVER a full sort shuffle of the vocabulary.  `min_df` prunes
+    hapax noise before the ordering.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    per_doc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("__c"))
+    vocab = per_doc.groupBy("term").agg(
+        F.sum("__c").alias("n_occurrences"), F.count("*").alias("n_docs")
+    )
+    if min_df > 1:
+        vocab = vocab.where(F.col("n_docs") >= min_df)
+    return vocab.orderBy(F.desc("n_occurrences"), F.asc("term")).limit(k)
+
+
 def unigram_logprob_score(
     df: DataFrame,
     reference: DataFrame | None = None,

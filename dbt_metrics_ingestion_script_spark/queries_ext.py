@@ -1638,3 +1638,36 @@ def text_repetition_stats(spark, sf_dir):
     """Gopher repetition rules: top-bigram fraction + distinct-bigram
     ratio per document (frequencies, so bigrams are NOT deduplicated)."""
     return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+_VOCAB_K, _VOCAB_MIN_DF = 100, 2
+
+
+@register(
+    "text_vocab_top_terms",
+    # order-insensitive driver compare, but the k-boundary is still
+    # deterministic: both engines cut at (n_occurrences desc, term asc)
+    _SHINGLE_CTE.split(", sh AS (")[0]
+    + f"""
+    , terms AS (
+      SELECT doc_id, t.term FROM tok, unnest(toks) AS t(term)
+      WHERE t.term <> ''
+    ), pd AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM terms GROUP BY 1, 2
+    )
+    SELECT term, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+           COUNT(*) AS n_docs
+    FROM pd GROUP BY term
+    HAVING COUNT(*) >= {_VOCAB_MIN_DF}
+    ORDER BY n_occurrences DESC, term ASC
+    LIMIT {_VOCAB_K}
+    """,
+)
+def text_vocab_top_terms(spark, sf_dir):
+    """Global vocabulary heavy hitters (tokenizer-training statistics):
+    top-{_VOCAB_K} terms by occurrence count with document frequency;
+    distributed top-k via TakeOrderedAndProject, never a full vocabulary
+    sort."""
+    return text.vocab_top_terms(
+        load_table(spark, sf_dir, "documents"), k=_VOCAB_K, min_df=_VOCAB_MIN_DF
+    )

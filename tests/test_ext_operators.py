@@ -1143,3 +1143,32 @@ def test_repetition_stats_flags_templated_text(spark):
     assert got[1]["top_bigram_frac"] > 0.45   # "now buy"/"buy now" alternate
     assert got[2]["top_bigram_frac"] < 0.2
     assert got[2]["distinct_bigram_ratio"] == 1.0
+
+
+def test_vocab_top_terms_semantics(spark):
+    """Counts aggregate globally, doc frequency counts documents not
+    occurrences, min_df prunes, k bounds, and the (count desc, term
+    asc) boundary tie is deterministic."""
+    from dbt_metrics_ingestion_script_spark.operators.text import vocab_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry cherry"),
+            (3, "banana"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in vocab_top_terms(docs, k=10).collect()]
+    assert rows == [
+        ("apple", 3, 2),
+        ("banana", 2, 2),
+        ("cherry", 2, 1),
+    ]
+    # min_df=2 drops cherry (1 doc) even though it has 2 occurrences
+    rows = [tuple(r) for r in vocab_top_terms(docs, k=10, min_df=2).collect()]
+    assert rows == [("apple", 3, 2), ("banana", 2, 2)]
+    # k cuts at the deterministic boundary: banana beats cherry on term
+    rows = [tuple(r) for r in vocab_top_terms(docs, k=2).collect()]
+    assert rows == [("apple", 3, 2), ("banana", 2, 2)]

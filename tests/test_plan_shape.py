@@ -244,6 +244,17 @@ def test_shingling_stays_in_codegen(spark):
     assert "*(1) Project" in plan, plan
 
 
+def test_vocab_top_terms_distributed_topk(spark):
+    """The global heavy-hitter query must run its top-k as
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver)
+    on exactly two partial-aggregated exchanges -- a global Sort before
+    the limit would shuffle the whole vocabulary through one
+    partition."""
+    plan = plan_of(run(spark, "text_vocab_top_terms"), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange") == 2, plan
+
+
 def test_unigram_model_join_respects_broadcast_guard(spark):
     """`broadcast_model` must actually move the physical model join
     (VERDICT r5 item 3): True forces a BroadcastHashJoin on term;
