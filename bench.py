@@ -72,6 +72,7 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     "text_vocab_top_terms",
+    "text_source_term_kl",
     "multimodal_binary_stats",
     "multimodal_decode_stats",
     "events_salted_daily_agg",

@@ -373,6 +373,60 @@ def vocab_top_terms(
     return vocab.orderBy(F.desc("n_occurrences"), F.asc("term")).limit(k)
 
 
+def source_term_kl(
+    df: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source vocabulary drift: KL(P_source || P_corpus) over
+    unigram distributions -- the monitoring metric curation pipelines
+    use to spot outlier sources (scraped boilerplate, wrong-language
+    feeds, template farms) whose term distribution diverges from the
+    corpus.  Output: (source, n_terms, n_tokens, kl_divergence), one
+    row per stratum, kl = sum_t p_st * ln(p_st / p_t) over the
+    source's observed terms (p_st > 0; p_t > 0 always, because the
+    corpus distribution includes every source's counts -- no smoothing
+    needed, unlike the reverse direction).
+
+    All mass functions are ratios of exact integer counts, so both
+    engines compute identical doubles; the final sum is rounded to 6
+    (ulp-level ln/accumulation-order drift only).
+
+    Scale shape: (source, term) counts [shuffle 1, partial-aggregated;
+    the wire carries counts, not tokens] -> global term counts by
+    re-aggregating that frame [shuffle 2] -> join back on term
+    [reuses shuffle 2's partitioning] with per-source and corpus
+    totals riding broadcast (|sources| rows and 1 row) -> per-source
+    sum [shuffle 3, partial-aggregated].  No raw text moves after the
+    first aggregate; the term-keyed stages shard the vocabulary, so a
+    hot stratum never concentrates.
+    """
+    toks = df.select(
+        F.col(stratum_col).alias("__src"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    st = toks.groupBy("__src", "term").agg(F.count("*").alias("__cst"))
+    term_tot = st.groupBy("term").agg(F.sum("__cst").alias("__ct"))
+    src_tot = st.groupBy("__src").agg(F.sum("__cst").alias("__cs"))
+    corpus_tot = term_tot.agg(F.sum("__ct").alias("__n"))
+    p_st = F.col("__cst") / F.col("__cs")
+    p_t = F.col("__ct") / F.col("__n")
+    return (
+        st.join(term_tot, "term")
+        .join(F.broadcast(src_tot), "__src")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy(F.col("__src").alias(stratum_col))
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("__cst").alias("n_tokens"),
+            F.round(F.sum(p_st * F.log(p_st / p_t)), 6).alias(
+                "kl_divergence"
+            ),
+        )
+    )
+
+
 def unigram_logprob_score(
     df: DataFrame,
     reference: DataFrame | None = None,

@@ -1671,3 +1671,47 @@ def text_vocab_top_terms(spark, sf_dir):
     return text.vocab_top_terms(
         load_table(spark, sf_dir, "documents"), k=_VOCAB_K, min_df=_VOCAB_MIN_DF
     )
+
+
+@register(
+    "text_source_term_kl",
+    # exact-integer mass functions; only the final sum is rounded, so
+    # the oracle replays the divergence to 6 decimals
+    r"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, source, string_split(norm, ' ') AS toks FROM docs
+    )
+    , terms AS (
+      SELECT source, t.term FROM tok, unnest(toks) AS t(term)
+      WHERE t.term <> ''
+    ), st AS (
+      SELECT source, term, COUNT(*) AS cst FROM terms GROUP BY 1, 2
+    ), tt AS (
+      SELECT term, SUM(cst) AS ct FROM st GROUP BY 1
+    ), srct AS (
+      SELECT source, SUM(cst) AS cs FROM st GROUP BY 1
+    ), tot AS (
+      SELECT SUM(ct) AS n FROM tt
+    )
+    SELECT st.source,
+           COUNT(*) AS n_terms,
+           CAST(SUM(st.cst) AS BIGINT) AS n_tokens,
+           ROUND(SUM((st.cst / srct.cs) *
+                     ln((st.cst / srct.cs) / (tt.ct / tot.n))), 6)
+             AS kl_divergence
+    FROM st
+    JOIN tt USING (term)
+    JOIN srct USING (source)
+    CROSS JOIN tot
+    GROUP BY st.source
+    """,
+)
+def text_source_term_kl(spark, sf_dir):
+    """Per-source vocabulary-drift monitor: KL(P_source || P_corpus)
+    over unigram distributions; flags sources whose term distribution
+    diverges (boilerplate farms, wrong-language feeds)."""
+    return text.source_term_kl(load_table(spark, sf_dir, "documents"))

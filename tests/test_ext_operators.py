@@ -1172,3 +1172,31 @@ def test_vocab_top_terms_semantics(spark):
     # k cuts at the deterministic boundary: banana beats cherry on term
     rows = [tuple(r) for r in vocab_top_terms(docs, k=2).collect()]
     assert rows == [("apple", 3, 2), ("banana", 2, 2)]
+
+
+def test_source_term_kl_semantics(spark):
+    """KL properties on a constructed corpus: sources with the
+    corpus-identical term distribution score ~0, an outlier source
+    scores strictly higher, every divergence is non-negative, and the
+    token/term accounting is exact."""
+    from dbt_metrics_ingestion_script_spark.operators.text import source_term_kl
+
+    rows = [
+        # A and B share the same distribution {x:2, y:1} per doc
+        (1, "A", "x x y"),
+        (2, "A", "x x y"),
+        (3, "B", "x x y"),
+        # C is disjoint vocabulary -> maximal drift from the corpus mix
+        (4, "C", "zzz qqq zzz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in source_term_kl(docs).collect()}
+    assert set(got) == {"A", "B", "C"}
+    for r in got.values():
+        assert r["kl_divergence"] >= 0
+    assert got["A"]["n_tokens"] == 6 and got["A"]["n_terms"] == 2
+    assert got["C"]["n_tokens"] == 3 and got["C"]["n_terms"] == 2
+    # A and B have identical distributions -> identical (small) drift;
+    # the disjoint-vocabulary source dominates both
+    assert got["A"]["kl_divergence"] == got["B"]["kl_divergence"]
+    assert got["C"]["kl_divergence"] > got["A"]["kl_divergence"]
