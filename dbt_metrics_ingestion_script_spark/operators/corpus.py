@@ -258,6 +258,13 @@ def percentile_filter(
     the kept fraction can exceed q by the boundary tie group --
     deterministic, never random tie-breaking.
 
+    NULL scores are dropped BEFORE ranking: an unscorable row cannot
+    pass a quality bar, and the engines disagree on NULL placement
+    (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST -- the
+    latter would crown every NULL-score row top-quality).  The
+    explicit filter pins the semantics and keeps the (n-1) rank
+    denominator identical on both sides.
+
     Output: the input rows + pct_rank (rounded 6), filtered.
 
     Scale shape: ONE shuffle, hash-partitioned on the stratum; reducer
@@ -271,7 +278,8 @@ def percentile_filter(
         raise ValueError(f"q must be in (0, 1], got {q}")
     w = Window.partitionBy(stratum_col).orderBy(F.col(score_col).asc())
     return (
-        df.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        df.where(F.col(score_col).isNotNull())
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
         .where(F.col("pct_rank") >= F.lit(1.0) - F.lit(float(q)))
     )
 

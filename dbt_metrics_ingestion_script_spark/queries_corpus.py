@@ -271,8 +271,11 @@ def _percentile_filter_oracle() -> str:
                              x -> list_contains([{{stop}}], x))) AS n_stop
       FROM docs
     ), scored AS (
+      -- NULL scores dropped on BOTH sides before ranking (engines
+      -- disagree on NULL sort placement; an unscorable doc cannot
+      -- pass a quality bar)
       SELECT doc_id, source, ROUND(n_stop / n_tokens, 4) AS stopword_ratio
-      FROM t
+      FROM t WHERE n_stop / n_tokens IS NOT NULL
     ), ranked AS (
       SELECT doc_id, source, stopword_ratio,
              ROUND(PERCENT_RANK() OVER (

@@ -98,10 +98,15 @@ def test_text_ops_agree_on_degenerate_docs(spark, tmp_path_factory, degenerate):
 
 CORPUS_QUERIES = [
     "corpus_decontamination",
+    "corpus_bloom_decontamination",
     "corpus_stratified_sample",
+    "corpus_temperature_sample",
     "corpus_chunks_fixed",
     "corpus_pack_next_fit",
     "corpus_length_profile",
+    "corpus_quality_percentile_filter",
+    "text_vocab_top_terms",
+    "text_source_term_kl",
 ]
 
 
