@@ -65,6 +65,8 @@ HEADLINE = [
     "similarity_ivf_topk",
     "embeddings_quantize_int8",
     "embeddings_kmeans_assign",
+    "embeddings_pq_codes",
+    "similarity_pq_adc_topk",
     "text_stats",
     "text_language_id",
     "text_quality_score",

@@ -348,3 +348,167 @@ def quantize_embeddings(
             lambda x: F.floor(x / F.col("__s") * 127 + F.lit(0.5)).cast("int"),
         ).alias("qvec"),
     )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization: split each dim-d vector into `m` subvectors
+    of dim/m dims, learn a deterministic `n_codes`-entry codebook PER
+    SUBSPACE (same seed rule as the IVF index: the n_codes lowest-id
+    vectors' subvectors, one Lloyd refinement, argmin ties broken on
+    code id), and encode every vector as m small integers -- the
+    compression behind billion-scale ANN (m * log2(n_codes) bits per
+    vector instead of dim * 64).
+
+    Returns (codes, codebooks):
+      codes     -- (id, subspace, code), m rows per vector (the
+                   exploded layout travels better than an array column
+                   and joins directly against ADC distance tables);
+      codebooks -- (subspace, code, cvec).
+
+    Determinism: seeds, the Lloyd mean, and the argmin tie-break are
+    all order-free or id-tie-broken, so the encoding is bit-reproducible
+    and the DuckDB oracle replays it exactly (the same property the
+    kmeans/IVF oracles rely on).
+
+    Scale shape: ALL m subspaces train in ONE plan -- the subvector
+    explode keys every stage by (subspace, ...), so there is no
+    per-subspace driver loop; codebooks are m * n_codes rows and ride
+    broadcasts; the two assignment passes are map-side
+    broadcast-join + partial-agg argmin over (id, subspace); the only
+    wide state is the per-(subspace, code, pos) mean, bounded by
+    m * n_codes * dim/m = n_codes * dim rows.  At 100 TB the encode is
+    two scans of the vector table with nothing but (id, subspace,
+    code) shuffling.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    d_sub = dim // m
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    )
+    subs = vecs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice("vec", j * d_sub + 1, d_sub).alias("svec"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "s.subspace", "s.svec")
+
+    w = Window.partitionBy("subspace").orderBy("id")
+    seeds = (
+        subs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_codes)
+        .select(
+            "subspace",
+            (F.col("__rn") - 1).alias("code"),
+            F.col("svec").alias("cvec"),
+        )
+    )
+
+    def assign(frame: DataFrame, books: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col("svec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            frame.join(F.broadcast(books), "subspace")
+            .select(
+                "id",
+                "subspace",
+                "svec",
+                F.struct(d2.alias("d2"), F.col("code")).alias("dc"),
+            )
+            .groupBy("id", "subspace")
+            .agg(F.min("dc").alias("dc"), F.first("svec").alias("svec"))
+            .select("id", "subspace", "svec", F.col("dc.code").alias("code"))
+        )
+
+    a0 = assign(subs, seeds)
+    codebooks = (
+        a0.select("subspace", "code", F.posexplode("svec").alias("pos", "x"))
+        .groupBy("subspace", "code", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("subspace", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+    )
+    codes = assign(subs, codebooks).select("id", "subspace", "code")
+    return codes, codebooks
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes: the
+    query stays exact, every database vector is its m codebook entries,
+    and the distance is the sum of m precomputed subspace distances --
+    a lookup-join scan that never touches the original vectors.
+
+    Output: (vec_id, adc_d2), ascending (closest first), ties on id.
+
+    Scale shape: the distance table is m * n_codes rows (query x
+    codebook, broadcast both ways), the scan is codes JOIN dists on
+    (subspace, code) -- broadcast, map-side -- then a partial-agg sum
+    per id and a TakeOrdered top-k.  The original vector column is
+    read ONCE at encode time; query time touches only (id, subspace,
+    code) plus the tiny tables.
+    """
+    codes, codebooks = pq_encode(
+        embeddings, m=m, n_codes=n_codes, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    d_sub = dim // m
+    q_subs = query.select(as_double(vec_col).alias("vec")).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice("vec", j * d_sub + 1, d_sub).alias("qsub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s")
+    ).select("s.subspace", "s.qsub")
+    d2 = F.aggregate(
+        F.zip_with(F.col("qsub"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = codebooks.join(F.broadcast(q_subs), "subspace").select(
+        "subspace", "code", d2.alias("__d2")
+    )
+    return (
+        codes.join(F.broadcast(dists), ["subspace", "code"])
+        .groupBy("id")
+        .agg(F.round(F.sum("__d2"), 6).alias("adc_d2"))
+        .select(F.col("id").alias(id_col), "adc_d2")
+        .orderBy(F.asc("adc_d2"), F.asc(id_col))
+        .limit(k)
+    )

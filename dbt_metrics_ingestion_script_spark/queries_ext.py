@@ -1715,3 +1715,112 @@ def text_source_term_kl(spark, sf_dir):
     over unigram distributions; flags sources whose term distribution
     diverges (boilerplate farms, wrong-language feeds)."""
     return text.source_term_kl(load_table(spark, sf_dir, "documents"))
+
+
+_PQ_M, _PQ_CODES, _PQ_DIM = 8, 16, 64
+
+
+def _pq_cte(m: int = _PQ_M, n_codes: int = _PQ_CODES, dim: int = _PQ_DIM) -> str:
+    """CTE chain replaying the deterministic per-subspace PQ codebook
+    build (same seed/Lloyd/tie rules as the IVF oracle, applied to
+    subvector slices) through the final code assignment."""
+    d_sub = dim // m
+    d2 = _IVF_D2
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), subs AS (
+      SELECT id, j.j AS subspace,
+             vec[j.j * {d_sub} + 1 : j.j * {d_sub} + {d_sub}] AS svec
+      FROM e, unnest(range({m})) AS j(j)
+    ), seeds AS (
+      SELECT subspace,
+             ROW_NUMBER() OVER (PARTITION BY subspace ORDER BY id) - 1 AS code,
+             svec AS cvec
+      FROM subs
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY subspace ORDER BY id) <= {n_codes}
+    ), a0 AS (
+      SELECT id, subspace, svec, code FROM (
+        SELECT s.id, s.subspace, s.svec, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.id, s.subspace
+                 ORDER BY {d2.format(n=d_sub, a='s.svec', b='c.cvec')}, c.code
+               ) AS rn
+        FROM subs s JOIN seeds c USING (subspace)
+      ) WHERE rn = 1
+    ), cm AS (
+      SELECT subspace, code, i.i AS pos, AVG(svec[i.i]) AS mmean
+      FROM a0, unnest(range(1, {d_sub} + 1)) AS i(i)
+      GROUP BY 1, 2, 3
+    ), books AS (
+      SELECT subspace, code, list(mmean ORDER BY pos) AS cvec
+      FROM cm GROUP BY 1, 2
+    ), asg AS (
+      SELECT id, subspace, code FROM (
+        SELECT s.id, s.subspace, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.id, s.subspace
+                 ORDER BY {d2.format(n=d_sub, a='s.svec', b='c.cvec')}, c.code
+               ) AS rn
+        FROM subs s JOIN books c USING (subspace)
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "embeddings_pq_codes",
+    _pq_cte()
+    + """
+    SELECT id AS vec_id, subspace, code FROM asg
+    """,
+)
+def embeddings_pq_codes(spark, sf_dir):
+    """Product-quantization encoding: every embedding compressed to
+    m=8 codebook ids (one per 8-dim subspace), codebooks learned
+    deterministically per subspace in ONE plan (no per-subspace
+    driver loop); the oracle replays seeds, Lloyd means, and argmin
+    tie-breaks exactly."""
+    codes, _ = similarity.pq_encode(
+        load_table(spark, sf_dir, "embeddings"),
+        m=_PQ_M, n_codes=_PQ_CODES, dim=_PQ_DIM,
+    )
+    return codes.select(F.col("id").alias("vec_id"), "subspace", "code")
+
+
+def _pq_adc_oracle(k: int = 10) -> str:
+    d_sub = _PQ_DIM // _PQ_M
+    d2 = _IVF_D2
+    return (
+        _pq_cte()
+        + f"""
+    , q AS (
+      SELECT vec FROM e WHERE id = (SELECT min(id) FROM e)
+    ), qsubs AS (
+      SELECT j.j AS subspace,
+             vec[j.j * {d_sub} + 1 : j.j * {d_sub} + {d_sub}] AS qsub
+      FROM q, unnest(range({_PQ_M})) AS j(j)
+    ), dists AS (
+      SELECT b.subspace, b.code,
+             {d2.format(n=d_sub, a='qs.qsub', b='b.cvec')} AS dd
+      FROM books b JOIN qsubs qs USING (subspace)
+    )
+    SELECT asg.id AS vec_id, ROUND(SUM(dists.dd), 6) AS adc_d2
+    FROM asg JOIN dists USING (subspace, code)
+    GROUP BY asg.id
+    ORDER BY adc_d2 ASC, vec_id ASC
+    LIMIT {k}
+    """
+    )
+
+
+@register("similarity_pq_adc_topk", _pq_adc_oracle())
+def similarity_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-k over PQ codes: query-time work is a
+    broadcast of m*n_codes lookup distances against the (id, subspace,
+    code) frame -- the original vectors are never touched after
+    encoding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb, _min_id_query(emb), k=10,
+        m=_PQ_M, n_codes=_PQ_CODES, dim=_PQ_DIM,
+    )

@@ -1200,3 +1200,121 @@ def test_source_term_kl_semantics(spark):
     # the disjoint-vocabulary source dominates both
     assert got["A"]["kl_divergence"] == got["B"]["kl_divergence"]
     assert got["C"]["kl_divergence"] > got["A"]["kl_divergence"]
+
+
+def test_pq_encode_structure_and_determinism(spark, sf_dir):
+    """m code rows per vector, codes in [0, n_codes), bit-identical
+    across runs, and dim must divide by m."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = similarity.pq_encode(emb, m=8, n_codes=16, dim=64)
+    n_vec = emb.count()
+    rows = codes.collect()
+    assert len(rows) == 8 * n_vec
+    assert all(0 <= r["code"] < 16 and 0 <= r["subspace"] < 8 for r in rows)
+    again = similarity.pq_encode(emb, m=8, n_codes=16, dim=64)[0].collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    bk = books.collect()
+    assert len(bk) <= 8 * 16
+    assert all(len(r["cvec"]) == 8 for r in bk)
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_encode(emb, m=7, dim=64)
+
+
+def test_pq_lloyd_refinement_reduces_distortion(spark, sf_dir):
+    """The one-Lloyd codebook must reconstruct vectors at least as well
+    as the raw seed codebook (k-means monotonicity), measured as total
+    squared reconstruction error over the corpus."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = similarity.pq_encode(emb, m=8, n_codes=16, dim=64)
+
+    def distortion(codes_df, books_df):
+        sub = similarity.as_double("embedding")
+        vecs = emb.select(F.col("vec_id").alias("id"), sub.alias("vec"))
+        joined = (
+            codes_df.join(books_df, ["subspace", "code"]).join(vecs, "id")
+        )
+        err = F.aggregate(
+            F.zip_with(
+                F.slice("vec", F.col("subspace") * 8 + 1, 8),
+                "cvec",
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return joined.agg(F.sum(err)).collect()[0][0]
+
+    refined = distortion(codes, books)
+    # seed codebook = the n_codes lowest-id subvectors, assignment only
+    vecs = emb.select(F.col("vec_id").alias("id"), similarity.as_double("embedding").alias("vec"))
+    from pyspark.sql import Window
+
+    subs = vecs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice("vec", j * 8 + 1, 8).alias("svec"),
+                    )
+                    for j in range(8)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "s.subspace", "s.svec")
+    w = Window.partitionBy("subspace").orderBy("id")
+    seed_books = (
+        subs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 16)
+        .select("subspace", (F.col("__rn") - 1).alias("code"), F.col("svec").alias("cvec"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    seed_err = (
+        subs.join(F.broadcast(seed_books), "subspace")
+        .groupBy("id", "subspace")
+        .agg(F.min(d2).alias("d"))
+        .agg(F.sum("d"))
+        .collect()[0][0]
+    )
+    assert refined <= seed_err + 1e-6, (refined, seed_err)
+
+
+def test_pq_adc_topk_sanity(spark, sf_dir):
+    """ADC is an approximation of exact L2: the query's own vector must
+    rank first (its codes are its nearest codebook entries by
+    construction of the distance), distances ascend, and the overlap
+    with exact top-20 is non-trivial even on this near-orthogonal
+    synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qid = emb.agg(F.min("vec_id")).collect()[0][0]
+    query = emb.filter(F.col("vec_id") == qid)
+    adc = similarity.pq_adc_topk(emb, query, k=20).collect()
+    assert adc[0]["vec_id"] == qid
+    dists = [r["adc_d2"] for r in adc]
+    assert dists == sorted(dists)
+    vecs = emb.select("vec_id", similarity.as_double("embedding").alias("v"))
+    qv = query.select(similarity.as_double("embedding").alias("q"))
+    d2 = F.aggregate(
+        F.zip_with("v", "q", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    exact = [
+        r["vec_id"]
+        for r in vecs.crossJoin(F.broadcast(qv))
+        .select("vec_id", d2.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(20)
+        .collect()
+    ]
+    overlap = len({r["vec_id"] for r in adc} & set(exact))
+    assert overlap >= 3, f"ADC degenerated: {overlap}/20"
