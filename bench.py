@@ -80,6 +80,7 @@ HEADLINE = [
     "events_salted_daily_agg",
     "events_json_props_extract",
     "events_sessionization",
+    "events_session_window_agg",
     "events_funnel_stages",
     "events_asof_last_order",
     "events_asof_last_order_bucketed",

@@ -66,6 +66,52 @@ def sessionize(
     )
 
 
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Spark-NATIVE gap sessionization via `F.session_window` -- the
+    same aggregation shape works on a batch frame and on a watermarked
+    stream, which is exactly why it exists alongside the window-function
+    `sessionize`: streaming jobs can't run lag/cumsum windows, but they
+    can run session_window state merges.
+
+    Output: (user_id, session_start, session_end, n_events,
+    total_value).  session_end is the session-window END, i.e. last
+    event + gap, not the last event time.  The merge rule matches
+    `sessionize`: windows merge while the next window's start is
+    <= the previous end, so an EXACTLY-gap step still merges (both
+    boundary behaviors are pinned by pytest; a naive half-open `>=`
+    oracle splits that step and diverges).
+
+    NULL timestamps are dropped by session_window (same analyzer
+    rewrite as F.window); the oracle pins `ts IS NOT NULL`.
+
+    Scale: one shuffle on user_id; Catalyst's session-window merge
+    sorts each user's run -- the hot-key posture matches `sessionize`
+    (SCALE.md), and on streams the state store holds open sessions
+    only, bounded by the watermark.
+    """
+    return (
+        events.groupBy(
+            F.session_window(ts_col, gap).alias("w"), user_col
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def funnel_stages(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),

@@ -1824,3 +1824,48 @@ def similarity_pq_adc_topk(spark, sf_dir):
         emb, _min_id_query(emb), k=10,
         m=_PQ_M, n_codes=_PQ_CODES, dim=_PQ_DIM,
     )
+
+
+_SESSION_WINDOW_GAP_MIN = 30
+
+
+@register(
+    "events_session_window_agg",
+    # half-open merge rule: a new session starts when the next event
+    # lands AT or past prev + gap (session windows are [start, end)),
+    # unlike events_sessionization's `gap >` rule which merges an
+    # exactly-gap step; session_end = last event + gap
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value, epoch_us(ts) AS us
+      FROM events WHERE ts IS NOT NULL
+    ), flagged AS (
+      SELECT user_id, event_id, ts, value, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > {_SESSION_WINDOW_GAP_MIN * 60 * 1_000_000}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), idx AS (
+      SELECT user_id, event_id, ts, value, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {_SESSION_WINDOW_GAP_MIN} MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM idx GROUP BY user_id, session_idx
+    """,
+)
+def events_session_window_agg(spark, sf_dir):
+    """Spark-native session_window sessionization (the streaming-capable
+    shape); oracle replays the half-open gap-merge rule with integer
+    microseconds."""
+    from .operators.sessions import session_window_stats
+
+    return session_window_stats(
+        load_table(spark, sf_dir, "events"),
+        gap=f"{_SESSION_WINDOW_GAP_MIN} minutes",
+    )

@@ -435,3 +435,109 @@ def test_streaming_chunking_converges_to_batch(spark, tmp_path_factory):
         for r in chunk_fixed(batch, chunk_chars=200, overlap=50).collect()
     }
     assert got == want and got
+
+
+def test_stream_session_window_converges_to_batch(
+    spark, sf_dir, events_dir, tmp_path_factory
+):
+    """Native session_window sessionization is the streaming-capable
+    shape: the same aggregation over the watermarked stream (update
+    mode, one micro-batch over the staged file) must equal the batch
+    frame."""
+    from dbt_metrics_ingestion_script_spark.operators.sessions import (
+        session_window_stats,
+    )
+
+    # session windows stream in APPEND mode only (update/complete are
+    # rejected), and append emits a session only once the watermark
+    # passes its end -- so a far-future sentinel event (second
+    # micro-batch via mtime order) pushes the watermark beyond every
+    # real session before the stream drains
+    import datetime
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("session_stream"))
+    src = f"{events_dir}/events.parquet"
+    _shutil.copy(src, f"{d}/events.parquet")
+    now = _time.time()
+    os.utime(f"{d}/events.parquet", (now - 100, now - 100))
+    t = pq.read_table(src)
+    far = datetime.datetime(2100, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([999_999], pa.int64()),
+                "ts": pa.array([far], pa.timestamp("us")),
+                "user_id": pa.array([-999], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            },
+            schema=pa.schema(
+                [(f.name, f.type) for f in t.schema]
+            ),
+        ),
+        f"{d}/zz_sentinel.parquet",
+    )
+    os.utime(f"{d}/zz_sentinel.parquet", (now - 10, now - 10))
+
+    stream = read_events_stream(spark, d)
+    result = session_window_stats(stream.withWatermark("ts", "1 day"))
+    run_stream_to_memory(result, "stream_sessions", output_mode="append")
+    got = sorted(
+        (
+            r["user_id"], str(r["session_start"]), str(r["session_end"]),
+            r["n_events"], r["total_value"],
+        )
+        for r in spark.sql(
+            "SELECT * FROM stream_sessions WHERE user_id <> -999"
+        ).collect()
+    )
+    expected = sorted(
+        (
+            r["user_id"], str(r["session_start"]), str(r["session_end"]),
+            r["n_events"], r["total_value"],
+        )
+        for r in session_window_stats(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_session_window_gap_boundary(spark):
+    """Boundary pin (empirically verified): Spark's session_window
+    MERGES an exactly-gap step (windows merge while next start <=
+    previous end) -- the same `gap >` split rule as sessionize; one
+    microsecond past the gap splits.  A naive half-open `>=` oracle
+    would split the exact step and diverge."""
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.sessions import (
+        session_window_stats,
+        sessionize,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(delta):
+        return spark.createDataFrame(
+            [
+                (0, t0, 7, "view", 1.0, "{}"),
+                (1, t0 + delta, 7, "view", 1.0, "{}"),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    exact = mk(datetime.timedelta(minutes=30))
+    assert len(session_window_stats(exact, gap="30 minutes").collect()) == 1
+    assert len(sessionize(exact, gap_minutes=30).collect()) == 1
+    past = mk(datetime.timedelta(minutes=30, microseconds=1))
+    assert len(session_window_stats(past, gap="30 minutes").collect()) == 2
+    assert len(sessionize(past, gap_minutes=30).collect()) == 2
