@@ -52,6 +52,7 @@ HEADLINE = [
     "lineage_transitive_closure",
     # EXT: dedup / similarity / text / multimodal / events
     "dedup_exact",
+    "dedup_incremental_against_index",
     "dedup_minhash_lsh_candidates",
     "dedup_near_minhash_survivors",
     "dedup_simhash_near_pairs",

@@ -150,6 +150,50 @@ def exact_dedup_survivors(
     )
 
 
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Incremental exact dedup: drop new documents whose normalized
+    content digest already exists in a corpus INDEX -- the continual-
+    ingestion shape (every crawl batch dedups against everything
+    already ingested), where re-running `exact_dedup` over the union
+    would rescan the whole historical corpus per batch.
+
+    `index` is a digest frame (hash_col) as produced by
+    `exact_dedup`'s output (or any persisted digest table).  Also
+    dedups WITHIN the batch (keep-first), so appending the survivors'
+    digests to the index keeps it exact.
+
+    Output: the surviving new rows.
+
+    Scale shape: one anti-join keyed on the 64-bit digest -- the new
+    batch (small) against the index (huge): Spark builds/streams the
+    BATCH side against the index scan, and with the index bucketed or
+    partitioned by digest the join prunes; the batch-internal
+    keep-first is a row_number window on the same digest key, so AQE
+    reuses the batch's digest partitioning.  Documents never shuffle
+    with their text -- the digest is computed map-side first.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__h").orderBy(id_col)
+    hashed = new_docs.withColumn("__h", hash64(normalize_text(text_col)))
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .join(
+            index.select(F.col(hash_col).alias("__h")).distinct(),
+            "__h",
+            "left_anti",
+        )
+        .drop("__rn", "__h")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2a: exact pairwise n-gram Jaccard via inverted index
 # ---------------------------------------------------------------------------

@@ -1869,3 +1869,43 @@ def events_session_window_agg(spark, sf_dir):
         load_table(spark, sf_dir, "events"),
         gap=f"{_SESSION_WINDOW_GAP_MIN} minutes",
     )
+
+
+_INDEX_MOD = 3  # docs with id % 3 == 0 play the already-ingested corpus
+
+
+@register(
+    "dedup_incremental_against_index",
+    # the index is the historical corpus's digest set; the batch keeps
+    # its first row per digest, then anti-joins the index
+    rf"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    , hashed AS (
+      SELECT doc_id, source, {_H.format(x='norm')} AS h FROM docs
+    ), batch AS (
+      SELECT doc_id, source, h,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM hashed WHERE doc_id % {_INDEX_MOD} <> 0
+    ), idx AS (
+      SELECT DISTINCT h FROM hashed WHERE doc_id % {_INDEX_MOD} = 0
+    )
+    SELECT doc_id, source FROM batch
+    WHERE rn = 1 AND h NOT IN (SELECT h FROM idx)
+    """,
+)
+def dedup_incremental_against_index(spark, sf_dir):
+    """Continual-ingestion exact dedup: the new crawl batch anti-joins
+    the historical corpus's digest index (never rescanning history)
+    after an in-batch keep-first."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    index = dedup.exact_dedup(
+        docs.where(F.col("doc_id") % _INDEX_MOD == 0)
+    ).select("content_hash")
+    batch = docs.where(F.col("doc_id") % _INDEX_MOD != 0)
+    return dedup.dedup_against_index(batch, index).select("doc_id", "source")

@@ -1318,3 +1318,27 @@ def test_pq_adc_topk_sanity(spark, sf_dir):
     ]
     overlap = len({r["vec_id"] for r in adc} & set(exact))
     assert overlap >= 3, f"ADC degenerated: {overlap}/20"
+
+
+def test_dedup_against_index_semantics(spark):
+    """In-batch keep-first + index anti-join: a batch row whose digest
+    is indexed drops; duplicate batch rows keep the lowest id;
+    normalization jitter still matches the index; fresh content
+    survives."""
+    index_docs = spark.createDataFrame(
+        [(100, "known document text")], "doc_id long, text string"
+    )
+    index = dedup.exact_dedup(index_docs).select("content_hash")
+    batch = spark.createDataFrame(
+        [
+            (1, "KNOWN   document TEXT"),   # jitter: still indexed -> drop
+            (2, "fresh content a"),
+            (3, "fresh content a"),         # in-batch dup -> keep 2 only
+            (4, "fresh content b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in dedup.dedup_against_index(batch, index).collect()
+    )
+    assert got == [2, 4]
