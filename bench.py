@@ -83,6 +83,7 @@ HEADLINE = [
     "events_sessionization",
     "events_session_window_agg",
     "events_funnel_stages",
+    "events_funnel_conversion_window",
     "events_asof_last_order",
     "events_asof_last_order_bucketed",
     "events_range_join_sessions",

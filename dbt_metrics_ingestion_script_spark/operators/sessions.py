@@ -119,6 +119,7 @@ def funnel_stages(
     ts_col: str = "ts",
     type_col: str = "event_type",
     max_events_per_user: int | None = None,
+    max_span_us: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users reached step i having
     passed steps 0..i-1 IN TIME ORDER (first-touch semantics: step i's
@@ -156,6 +157,17 @@ def funnel_stages(
     same predicate) -- otherwise Spark's nulls-first array sort would
     let a NULL-ts event advance the funnel that the oracle's
     `ts >= previous` NULL comparison blocks.
+
+    `max_span_us` is the CONVERSION WINDOW: when set, steps 1..n-1
+    only count within max_span_us microseconds of the user's step-0
+    match -- "viewed, then purchased within 7 days".  First-touch,
+    no chain restart (the window anchors on the EARLIEST step-0 event;
+    a later in-window chain is deliberately not searched -- that
+    variant needs per-chain state and a different, non-min-join
+    oracle).  Semantics stay equivalent to the relational min-join
+    chain with `ts <= t0 + span` on every step, which is exactly what
+    the registered oracle runs.  Integer-microsecond arithmetic keeps
+    the boundary (<=) engine-exact.
     """
     step_arr = F.array(*[F.lit(s) for s in steps])
     idx = F.array_position(step_arr, F.col(type_col))
@@ -188,12 +200,32 @@ def funnel_stages(
                 F.struct(
                     F.lit(0).cast("int").alias("stage"),
                     F.lit(None).cast("timestamp").alias("t"),
+                    F.lit(None).cast("timestamp").alias("t0"),
                 ),
                 lambda acc, e: F.when(
                     (acc["stage"] < F.lit(len(steps)))
-                    & (e["step"] == acc["stage"].cast("long")),
+                    & (e["step"] == acc["stage"].cast("long"))
+                    & (
+                        F.lit(True)
+                        if max_span_us is None
+                        else (
+                            (acc["stage"] == 0)
+                            # cast: batch loads surface TIMESTAMP_NTZ;
+                            # session tz is pinned UTC so the cast is
+                            # value-preserving
+                            | (
+                                F.unix_micros(e["ts"].cast("timestamp"))
+                                - F.unix_micros(acc["t0"].cast("timestamp"))
+                                <= F.lit(max_span_us)
+                            )
+                        )
+                    ),
                     F.struct(
-                        (acc["stage"] + 1).alias("stage"), e["ts"].alias("t")
+                        (acc["stage"] + 1).alias("stage"),
+                        e["ts"].alias("t"),
+                        F.when(acc["stage"] == 0, e["ts"])
+                        .otherwise(acc["t0"])
+                        .alias("t0"),
                     ),
                 ).otherwise(acc),
             )["stage"].alias("final_stage"),

@@ -1909,3 +1909,46 @@ def dedup_incremental_against_index(spark, sf_dir):
     ).select("content_hash")
     batch = docs.where(F.col("doc_id") % _INDEX_MOD != 0)
     return dedup.dedup_against_index(batch, index).select("doc_id", "source")
+
+
+_FUNNEL_SPAN_US = 2 * 86_400 * 1_000_000  # 2-day conversion window
+
+
+@register(
+    "events_funnel_conversion_window",
+    # the min-join chain with `ts <= t0 + span` on every post-0 step:
+    # the relational form of the conversion-window state machine (t0 =
+    # the user's step-0 match; first-touch, no chain restart)
+    f"""
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+    ), s1 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(s0.t) AS t0 FROM events e
+      JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s0.t
+        AND epoch_us(e.ts) - epoch_us(s0.t) <= {_FUNNEL_SPAN_US}
+      GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+        AND epoch_us(e.ts) - epoch_us(s1.t0) <= {_FUNNEL_SPAN_US}
+      GROUP BY 1
+    )
+    SELECT 0 AS stage_idx, 'view' AS stage,
+           (SELECT count(*) FROM s0) AS n_users
+    UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+    UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    """,
+)
+def events_funnel_conversion_window(spark, sf_dir):
+    """Conversion-window funnel ("viewed, then purchased within 2
+    days"): the ordered funnel with every post-0 step constrained to
+    max_span of the user's step-0 match; same one-shuffle state
+    machine, span checked in integer microseconds."""
+    from .operators.sessions import funnel_stages
+
+    return funnel_stages(
+        load_table(spark, sf_dir, "events"), max_span_us=_FUNNEL_SPAN_US
+    )

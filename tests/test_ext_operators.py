@@ -1342,3 +1342,39 @@ def test_dedup_against_index_semantics(spark):
         r["doc_id"] for r in dedup.dedup_against_index(batch, index).collect()
     )
     assert got == [2, 4]
+
+
+def test_funnel_conversion_window_semantics(spark):
+    """max_span_us anchors on the user's step-0 match: in-window
+    conversions count, the exact boundary (<=) counts, past-boundary
+    steps don't, the window does NOT restart on a later step-0 event,
+    and max_span_us=None reproduces the unwindowed funnel."""
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.sessions import funnel_stages
+
+    h = lambda n: datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=n)  # noqa: E731
+    span_us = 24 * 3600 * 1_000_000  # 1 day
+    rows = [
+        # u1: click at exactly +24h (boundary counts), purchase at +25h (out)
+        (1, h(0), 1, "view"), (2, h(24), 1, "click"), (3, h(25), 1, "purchase"),
+        # u2: full funnel within the day
+        (4, h(0), 2, "view"), (5, h(1), 2, "click"), (6, h(2), 2, "purchase"),
+        # u3: click only past the window; a SECOND view inside the gap
+        # must NOT restart the window (first-touch anchor)
+        (7, h(0), 3, "view"), (8, h(30), 3, "view"), (9, h(31), 3, "click"),
+    ]
+    events = spark.createDataFrame(
+        [(i, ts, u, t, 1.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    windowed = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(events, max_span_us=span_us).collect()
+    }
+    assert windowed == {"view": 3, "click": 2, "purchase": 1}
+    unwindowed = {
+        r["stage"]: r["n_users"] for r in funnel_stages(events).collect()
+    }
+    assert unwindowed == {"view": 3, "click": 3, "purchase": 2}
