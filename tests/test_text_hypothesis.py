@@ -260,6 +260,8 @@ def test_sessionization_agrees_on_random_events(spark, tmp_path_factory, deltas)
 
 EVENT_ANALYTICS_QUERIES = [
     "events_funnel_stages",
+    "events_funnel_conversion_window",
+    "events_session_window_agg",
     "events_range_join_sessions",
     "events_cohort_retention",
     "events_asof_last_order",
@@ -395,6 +397,8 @@ def test_event_analytics_agree_on_null_timestamps(spark, tmp_path_factory):
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/orders.parquet")
     for name in (
         "events_funnel_stages",
+        "events_funnel_conversion_window",
+        "events_session_window_agg",
         "events_cohort_retention",
         "events_asof_last_order",
         "events_asof_last_order_bucketed",
