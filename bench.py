@@ -79,6 +79,7 @@ HEADLINE = [
     "multimodal_binary_stats",
     "multimodal_decode_stats",
     "events_salted_daily_agg",
+    "events_salted_join_customer_stats",
     "events_json_props_extract",
     "events_sessionization",
     "events_session_window_agg",

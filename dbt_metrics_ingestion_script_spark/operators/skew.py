@@ -131,3 +131,57 @@ def salted_agg(
     phase1 = salted.groupBy(*key_cols, F.col("__salt")).agg(*partials)
     out_keys = [c for c in phase1.columns if not c.startswith("__")]
     return phase1.groupBy(*[F.col(c) for c in out_keys]).agg(*finals)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Explicit skew-salted equi-join: the manual fallback for join-key
+    skew in the places AQE's runtime skew split cannot reach (AQE only
+    splits sort-merge partitions mid-shuffle; a join feeding a
+    co-partitioned window, running inside a cached subtree, or running
+    on an engine without AQE still funnels a hot key through one task).
+
+    The BIG side gets a deterministic salt from `salt_key` (a unique or
+    near-unique column -- retries and speculative tasks then re-derive
+    identical salts, unlike rand()); the SMALL side is replicated once
+    per salt value via a literal-array explode (no shuffle -- the
+    replication happens map-side and multiplies the small side by
+    n_salts, which is the price of spreading each hot key over n_salts
+    reducers).  The join keys become (on..., __salt), so rows of one
+    hot key land in n_salts different partitions.  The salt never
+    changes the JOIN RESULT -- every big row still meets every matching
+    small row exactly once (in its salt slice) -- so correctness is
+    checkable against the plain join verbatim.
+
+    `how` supports the left-preserving flavors ("inner", "left"); the
+    small side is replicated, so right/full joins would duplicate
+    unmatched small rows once per salt and are rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} "
+            f"(right/full would duplicate unmatched replicated rows)"
+        )
+    if "__salt" in big.columns or "__salt" in small.columns:
+        raise ValueError("columns collide with internal name '__salt'")
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_key)), F.lit(n_salts))
+    )
+    small_s = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)])),
+    )
+    # force the shuffled-hash path: salting exists precisely for the
+    # case where the small side is too big to broadcast (a broadcast
+    # join has no reducer skew to fix) -- without the hint the local
+    # fixture would broadcast and the plan under test would not be the
+    # plan the operator is for
+    return big_s.join(
+        small_s.hint("shuffle_hash"), [*on, "__salt"], how
+    ).drop("__salt")

@@ -1952,3 +1952,39 @@ def events_funnel_conversion_window(spark, sf_dir):
     return funnel_stages(
         load_table(spark, sf_dir, "events"), max_span_us=_FUNNEL_SPAN_US
     )
+
+
+@register(
+    "events_salted_join_customer_stats",
+    # the salt never changes the join result, so the oracle is the
+    # PLAIN join -- what gets verified is that the salted physical
+    # shape is a pure optimization
+    """
+    WITH co AS (
+      SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 4) AS total_spend
+      FROM orders GROUP BY 1
+    )
+    SELECT e.event_id, e.user_id, co.n_orders, co.total_spend
+    FROM events e LEFT JOIN co USING (user_id)
+    """,
+)
+def events_salted_join_customer_stats(spark, sf_dir):
+    """Skew-salted enrichment join: every event joined to its
+    customer's order summary with the hot user keys spread across
+    n_salts reducers (deterministic event_id salt on the big side,
+    map-side replicate on the small side, shuffled-hash join)."""
+    from .operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    co = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        )
+    )
+    return salted_join(
+        ev, co, on=["user_id"], salt_key="event_id", n_salts=8, how="left"
+    ).select("event_id", "user_id", "n_orders", "total_spend")

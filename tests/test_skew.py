@@ -120,3 +120,49 @@ def test_skew_demo_salted_matches_unsalted(spark, sf_dir):
     a = {(r["k"], r["n_distinct"]) for r in skew_demo_unsalted(spark, sf_dir).collect()}
     b = {(r["k"], r["n_distinct"]) for r in skew_demo_salted(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """The salt must never change the join result: inner and left
+    flavors equal the plain join on the fixture; invalid how and name
+    collisions raise; the physical plan carries a ShuffledHashJoin on
+    (keys + salt), never a broadcast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators.skew import salted_join
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    co = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    for how in ("inner", "left"):
+        salted = sorted(
+            tuple(r)
+            for r in salted_join(
+                ev, co, on=["user_id"], salt_key="event_id", n_salts=8, how=how
+            ).select("event_id", "user_id", "n_orders").collect()
+        )
+        plain = sorted(
+            tuple(r) for r in ev.join(co, "user_id", how)
+            .select("event_id", "user_id", "n_orders").collect()
+        )
+        assert salted == plain, how
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(ev, co, on=["user_id"], salt_key="event_id", how="right")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(
+            ev.withColumn("__salt", F.lit(1)), co,
+            on=["user_id"], salt_key="event_id",
+        )
+    df = salted_join(ev, co, on=["user_id"], salt_key="event_id", n_salts=8)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "ShuffledHashJoin [user_id" in plan, plan
+    assert "__salt" in plan.split("ShuffledHashJoin", 1)[1].split("\n")[0]
+    assert "BroadcastHashJoin" not in plan
