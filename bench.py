@@ -38,6 +38,8 @@ HEADLINE = [
     "metric_order_count_day_status",
     "metric_ratio_discount_rate_month",
     "metric_cumulative_revenue_month",
+    "metric_trailing_7d_revenue",
+    "metric_revenue_mom_growth",
     "metric_cumulative_revenue_month_by_status",
     "metric_derived_revenue_per_customer_month",
     "metric_star_revenue_by_region_month",

@@ -275,6 +275,10 @@ class MetricCompiler:
             return self._compile_ratio(spec, grain)
         if spec.metric_type == "cumulative":
             return self._compile_cumulative(spec, grain)
+        if spec.metric_type == "trailing":
+            return self._compile_trailing(spec, grain)
+        if spec.metric_type == "growth":
+            return self._compile_growth(spec, grain)
         if spec.metric_type in ("derived", "expression"):
             return self._compile_derived(spec, grain, visiting)
         raise ValueError(f"unsupported metric type {spec.metric_type!r}")
@@ -394,6 +398,102 @@ class MetricCompiler:
             TS_COL,
             *spec.dimensions,
             acc(F.col("__bucket_value")).over(w).alias(spec.name),
+        )
+
+    def _bucketed_with_index(
+        self, spec: MetricSpec, grain: str
+    ) -> DataFrame:
+        """Grain-aggregated base frame plus an integer bucket index
+        (consecutive buckets differ by exactly 1) -- the ordering key
+        calendar-correct window frames need: a RANGE frame over the
+        index consumes window width for MISSING buckets too, where a
+        ROWS frame would silently stretch over gaps.  The index
+        formulas are plain integer arithmetic replayed verbatim by the
+        DuckDB oracles."""
+        base_spec = MetricSpec(
+            name="__bucket_value",
+            calculation_method=spec.calculation_method,
+            expression=spec.expression,
+            model=spec.model,
+            timestamp=spec.timestamp,
+            dimensions=spec.dimensions,
+            filters=spec.filters,
+        )
+        bucketed = self._compile_simple(base_spec, grain)
+        ts = F.col(TS_COL)
+        if grain == "hour":
+            idx = F.floor(
+                F.unix_micros(ts.cast("timestamp")) / F.lit(3_600_000_000)
+            )
+        elif grain == "day":
+            idx = F.datediff(ts, F.lit("1970-01-01")).cast("long")
+        elif grain == "week":
+            idx = F.floor(F.datediff(ts, F.lit("1970-01-01")) / F.lit(7))
+        elif grain == "month":
+            idx = (F.year(ts) * 12 + F.month(ts)).cast("long")
+        elif grain == "quarter":
+            idx = (F.year(ts) * 4 + F.quarter(ts)).cast("long")
+        elif grain == "year":
+            idx = F.year(ts).cast("long")
+        else:
+            raise ValueError(
+                f"metric {spec.name!r}: grain {grain!r} has no bucket index"
+            )
+        return bucketed.withColumn("__idx", idx)
+
+    def _compile_trailing(self, spec: MetricSpec, grain: str | None) -> DataFrame:
+        """Trailing-window aggregate over the last `window_buckets`
+        grain buckets (e.g. trailing-7-day revenue, per day).
+
+        Same two-stage shape as cumulative: ONE shuffle aggregates base
+        data to the grain, then the window runs over the tiny bucket
+        frame.  The frame is RANGE over the bucket index, so a missing
+        bucket still consumes width (calendar semantics), unlike a ROWS
+        frame which would reach further back across gaps.  Only
+        re-aggregable methods compose across buckets."""
+        if spec.calculation_method not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"trailing metric {spec.name!r}: method "
+                f"{spec.calculation_method!r} is not re-aggregable across buckets"
+            )
+        if not grain or grain == "all_time":
+            raise ValueError(f"trailing metric {spec.name!r} requires a time grain")
+        bucketed = self._bucketed_with_index(spec, grain)
+        w = (
+            Window.partitionBy(*[F.col(d) for d in spec.dimensions])
+            .orderBy("__idx")
+            .rangeBetween(-(spec.window_buckets - 1), 0)
+        )
+        acc = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}[
+            spec.calculation_method
+        ]
+        return bucketed.select(
+            TS_COL,
+            *spec.dimensions,
+            acc(F.col("__bucket_value")).over(w).alias(spec.name),
+        )
+
+    def _compile_growth(self, spec: MetricSpec, grain: str | None) -> DataFrame:
+        """Period-over-period growth: (value - prev) / prev against the
+        previous CALENDAR bucket (RANGE frame [-1, -1] over the bucket
+        index -- a lag() would silently compare against the last
+        EXISTING bucket across gaps).  NULL when the previous bucket is
+        missing or zero (division semantics diverge across engines at
+        zero, so the guard is part of the contract)."""
+        if not grain or grain == "all_time":
+            raise ValueError(f"growth metric {spec.name!r} requires a time grain")
+        bucketed = self._bucketed_with_index(spec, grain)
+        w = (
+            Window.partitionBy(*[F.col(d) for d in spec.dimensions])
+            .orderBy("__idx")
+            .rangeBetween(-1, -1)
+        )
+        prev = F.max("__bucket_value").over(w)
+        cur = F.col("__bucket_value")
+        return bucketed.select(
+            TS_COL,
+            *spec.dimensions,
+            F.when(prev != 0, (cur - prev) / prev).alias(spec.name),
         )
 
     def _compile_derived(self, spec: MetricSpec, grain: str | None, visiting: tuple) -> DataFrame:

@@ -27,7 +27,10 @@ VALID_CALC_METHODS = {
     "median",
 }
 
-VALID_TYPES = {"simple", "ratio", "derived", "cumulative", "expression"}
+VALID_TYPES = {
+    "simple", "ratio", "derived", "cumulative", "expression",
+    "trailing", "growth",
+}
 
 VALID_GRAINS = {"hour", "day", "week", "month", "quarter", "year", "all_time"}
 
@@ -75,6 +78,11 @@ class MetricSpec:
     # (fiscal_year reset: /root/reference/example_dbt_metrics.yml:89);
     # None = never reset (all-time running total)
     reset_grain: str | None = None
+    # trailing metrics: rolling window width in grain buckets (e.g.
+    # grain=day, window_buckets=7 -> trailing 7 days); calendar-correct
+    # (a RANGE frame over the bucket index, so missing buckets still
+    # consume window width)
+    window_buckets: int | None = None
     # metadata passthrough (Layer A)
     unique_id: str = ""
     description: str = ""
@@ -100,6 +108,12 @@ class MetricSpec:
             raise ValueError(f"ratio metric {self.name!r} needs numerator and denominator")
         if self.metric_type == "derived" and not self.input_metrics:
             raise ValueError(f"derived metric {self.name!r} needs input_metrics")
+        if self.metric_type == "trailing" and (
+            self.window_buckets is None or self.window_buckets < 1
+        ):
+            raise ValueError(
+                f"trailing metric {self.name!r} needs window_buckets >= 1"
+            )
 
     @classmethod
     def from_manifest_record(cls, record: dict) -> "MetricSpec":

@@ -541,3 +541,81 @@ def _load_all_query_modules() -> None:
     the first 50 registered queries got CORRECTNESS rows)."""
     from . import queries_manifest  # noqa: F401
     from . import queries_corpus, queries_ext, queries_layer_a  # noqa: F401
+
+
+@register(
+    "metric_trailing_7d_revenue",
+    # calendar-correct trailing window: RANGE over the integer day
+    # index, so days with no orders still consume window width; the
+    # oracle replays the identical index + frame
+    """
+    WITH bucketed AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS ts,
+             SUM(o_totalprice) AS v
+      FROM orders GROUP BY 1
+    )
+    SELECT ts,
+           ROUND(SUM(v) OVER (
+             ORDER BY datediff('day', DATE '1970-01-01', ts)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 4) AS trailing_7d_revenue
+    FROM bucketed
+    """,
+)
+def metric_trailing_7d_revenue(spark, sf_dir):
+    """W2-class trailing-window METRIC TYPE (not just a filter): rolling
+    7-day revenue per day via the compiler's `trailing` type."""
+    spec = MetricSpec(
+        name="trailing_7d_revenue",
+        calculation_method="sum",
+        expression="o_totalprice",
+        metric_type="trailing",
+        model="orders",
+        timestamp="o_orderdate",
+        time_grains=["day"],
+        window_buckets=7,
+    )
+    df = MetricCompiler(lambda m: load_table(spark, sf_dir, m)).compile(spec, "day")
+    return _round(df, {"trailing_7d_revenue": 4})
+
+
+@register(
+    "metric_revenue_mom_growth",
+    # previous CALENDAR month via RANGE [-1,-1] over year*12+month (a
+    # lag() would compare across gaps); NULL when the previous month is
+    # missing or zero -- the zero guard is part of the contract because
+    # engines disagree on division by zero
+    """
+    WITH bucketed AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+             SUM(o_totalprice) AS v
+      FROM orders GROUP BY 1
+    ), g AS (
+      SELECT ts, v,
+             MAX(v) OVER (
+               ORDER BY year(ts) * 12 + month(ts)
+               RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING
+             ) AS prev
+      FROM bucketed
+    )
+    SELECT ts,
+           ROUND(CASE WHEN prev <> 0 THEN (v - prev) / prev END, 6)
+             AS revenue_mom_growth
+    FROM g
+    """,
+)
+def metric_revenue_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth via the compiler's `growth`
+    metric type (period-over-period against the previous calendar
+    bucket)."""
+    spec = MetricSpec(
+        name="revenue_mom_growth",
+        calculation_method="sum",
+        expression="o_totalprice",
+        metric_type="growth",
+        model="orders",
+        timestamp="o_orderdate",
+        time_grains=["month"],
+    )
+    df = MetricCompiler(lambda m: load_table(spark, sf_dir, m)).compile(spec, "month")
+    return _round(df, {"revenue_mom_growth": 6})

@@ -151,3 +151,91 @@ def test_all_grains(spark, sf_dir):
     assert set(frames) == {"day", "week", "month", "quarter", "year"}
     counts = {g: f.count() for g, f in frames.items()}
     assert counts["year"] <= counts["quarter"] <= counts["month"] <= counts["day"]
+
+
+def test_trailing_metric_calendar_gap_semantics(spark, tmp_path):
+    """RANGE-over-bucket-index semantics: a missing day still consumes
+    trailing-window width (day 10 must NOT see day 1-2 through the
+    gap), adjacent days sum, and validation rejects a missing window
+    and non-re-aggregable methods."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dbt_metrics_ingestion_script_spark.plans.compiler import MetricCompiler
+    from dbt_metrics_ingestion_script_spark.plans.metric_spec import MetricSpec
+
+    d = lambda n: datetime.date(2024, 1, n)  # noqa: E731
+    orders = spark.createDataFrame(
+        [(1, d(1), 10.0), (2, d(2), 20.0), (3, d(10), 40.0)],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    spec = MetricSpec(
+        name="t3",
+        calculation_method="sum",
+        expression="o_totalprice",
+        metric_type="trailing",
+        model="orders",
+        timestamp="o_orderdate",
+        window_buckets=3,
+    )
+    got = {
+        str(r["ts"]): r["t3"]
+        for r in MetricCompiler(lambda m: orders).compile(spec, "day").collect()
+    }
+    assert got == {
+        "2024-01-01": 10.0,
+        "2024-01-02": 30.0,   # day1+day2 inside the 3-day window
+        "2024-01-10": 40.0,   # the gap consumed the window: alone
+    }
+    with pytest.raises(ValueError, match="window_buckets"):
+        MetricSpec(
+            name="bad", metric_type="trailing", model="orders",
+            calculation_method="sum", expression="o_totalprice",
+            timestamp="o_orderdate",
+        )
+    with pytest.raises(ValueError, match="re-aggregable"):
+        MetricCompiler(lambda m: orders).compile(
+            MetricSpec(
+                name="bad2", metric_type="trailing", model="orders",
+                calculation_method="average", expression="o_totalprice",
+                timestamp="o_orderdate", window_buckets=3,
+            ),
+            "day",
+        )
+
+
+def test_growth_metric_calendar_and_zero_semantics(spark):
+    """Growth compares against the previous CALENDAR bucket: the month
+    after a gap yields NULL (not growth vs the pre-gap month), the
+    first bucket yields NULL, and a zero previous month yields NULL
+    rather than an engine-dependent division."""
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.plans.compiler import MetricCompiler
+    from dbt_metrics_ingestion_script_spark.plans.metric_spec import MetricSpec
+
+    m = lambda n, v: (n, datetime.date(2024, n, 15), v)  # noqa: E731
+    orders = spark.createDataFrame(
+        [m(1, 100.0), m(2, 150.0), m(4, 300.0), (5, datetime.date(2024, 6, 1), 0.0),
+         (6, datetime.date(2024, 7, 1), 50.0)],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    spec = MetricSpec(
+        name="g",
+        calculation_method="sum",
+        expression="o_totalprice",
+        metric_type="growth",
+        model="orders",
+        timestamp="o_orderdate",
+    )
+    got = {
+        str(r["ts"]): r["g"]
+        for r in MetricCompiler(lambda m: orders).compile(spec, "month").collect()
+    }
+    assert got["2024-01-01"] is None            # no previous bucket
+    assert abs(got["2024-02-01"] - 0.5) < 1e-12
+    assert got["2024-04-01"] is None            # March missing: calendar gap
+    assert got["2024-06-01"] is None            # May missing
+    assert got["2024-07-01"] is None            # previous month sums to 0
