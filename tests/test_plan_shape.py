@@ -244,6 +244,29 @@ def test_shingling_stays_in_codegen(spark):
     assert "*(1) Project" in plan, plan
 
 
+def test_trailing_and_growth_are_two_stage(spark):
+    """Trailing/growth metrics follow the cumulative discipline: ONE
+    exchange aggregates base data to the grain; the window runs over
+    the tiny bucket frame (a second exchange only for the window's
+    single-partition ordering), never over raw rows."""
+    for name in ("metric_trailing_7d_revenue", "metric_revenue_mom_growth"):
+        plan = plan_of(run(spark, name), "simple")
+        # base agg partial+final pairs around exactly one shuffle, plus
+        # the window ordering exchange over the bucket frame
+        assert plan.count("Exchange") == 2, (name, plan)
+        assert "Window" in plan, name
+
+
+def test_pq_paths_broadcast_only(spark):
+    """PQ encode + ADC never sort-merge-join: codebooks and distance
+    tables ride broadcasts; the only exchanges are the argmin /
+    codebook-mean partial aggregations and the top-k."""
+    for name in ("embeddings_pq_codes", "similarity_pq_adc_topk"):
+        plan = plan_of(run(spark, name), "simple")
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, name
+
+
 def test_vocab_top_terms_distributed_topk(spark):
     """The global heavy-hitter query must run its top-k as
     TakeOrderedAndProject (per-partition heaps, k rows to the driver)
