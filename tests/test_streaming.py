@@ -541,3 +541,77 @@ def test_session_window_gap_boundary(spark):
     past = mk(datetime.timedelta(minutes=30, microseconds=1))
     assert len(session_window_stats(past, gap="30 minutes").collect()) == 2
     assert len(sessionize(past, gap_minutes=30).collect()) == 2
+
+
+def test_streaming_sampling_converges_to_batch(spark, tmp_path_factory):
+    """stratified_sample and temperature_sample's FILTER stage are
+    deterministic map-side decisions, so they run unchanged on a
+    streaming frame.  Temperature rates come from a batch count pass
+    (the rates are a tiny dimension computed offline and refreshed out
+    of band at scale); the stream then applies the same hash-threshold
+    filter and must keep exactly the batch's kept set."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators.corpus import (
+        sample_keep,
+        stratified_sample,
+        temperature_sample,
+    )
+
+    d = tmp_path_factory.mktemp("docs_sample_stream")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", d / "documents.parquet")
+    batch = spark.read.parquet(str(d))
+
+    def drain(result, name):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {r["doc_id"] for r in spark.sql(f"SELECT doc_id FROM {name}").collect()}
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rates = {"en": 0.5, "zh": 0.25, "de": 1.0}
+    got = drain(
+        stratified_sample(stream, "lang", rates, default_rate=0.75),
+        "stream_strat_sample",
+    )
+    want = {
+        r["doc_id"]
+        for r in stratified_sample(batch, "lang", rates, default_rate=0.75)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and got
+
+    # temperature: rates precomputed from the BATCH counts (a tiny
+    # dimension), filter applied to the stream
+    batch_kept = temperature_sample(batch, stratum_col="lang", alpha=0.5)
+    rate_rows = {
+        r["lang"]: r["keep_rate"]
+        for r in batch_kept.select("lang", "keep_rate").distinct().collect()
+    }
+    rate_col = F.lit(None).cast("double")
+    for lang, rate in sorted(rate_rows.items(), key=lambda kv: str(kv[0])):
+        cond = F.col("lang").isNull() if lang is None else (F.col("lang") == lang)
+        rate_col = F.when(cond, F.lit(rate)).otherwise(rate_col)
+    stream2 = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got_t = drain(
+        stream2.where(sample_keep("doc_id", "lang", rate_col)),
+        "stream_temp_sample",
+    )
+    want_t = {r["doc_id"] for r in batch_kept.select("doc_id").collect()}
+    assert got_t == want_t and got_t
