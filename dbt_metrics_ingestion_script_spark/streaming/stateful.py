@@ -139,3 +139,94 @@ def streaming_exact_dedup(
             update, DEDUP_SCHEMA, _SEEN_STATE_SCHEMA, "update", timeout
         )
     )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [StructField("stage", LongType()), StructField("t0_us", LongType())]
+)
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("final_stage", LongType()),
+    ]
+)
+
+
+def streaming_funnel_stages(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_us: int | None = None,
+) -> DataFrame:
+    """Stateful streaming funnel: per-user funnel progression maintained
+    across micro-batches (state = deepest stage reached + the step-0
+    anchor timestamp for the optional conversion window), emitting the
+    user's current final_stage in `update` mode whenever a batch
+    touches the user.  The streaming analogue of
+    `sessions.funnel_stages` -- the state machine is IDENTICAL (same
+    first-touch, same (ts, step) tie ordering, same span rule), so the
+    drained stream converges to the batch per-user stages, which is how
+    it is tested.
+
+    Ordering contract: events are sorted within each micro-batch, and
+    state only advances, so the stream computes the batch answer when
+    each user's events arrive batch-monotonically (per-user event-time
+    order across batches -- the shape log streams and watermark-sorted
+    feeds provide).  A cross-batch out-of-order event can under-count a
+    progression, never over-count (the state machine skips
+    non-qualifying events); bound disorder upstream with a watermark +
+    sorting stage when the source needs it.
+
+    State per user is two longs -- flat at any corpus scale; the
+    groupBy key is the shuffle key, so state is partition-local.
+    """
+    step_idx = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        stage, t0_us = state.get if state.exists else (0, None)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.dropna(subset=[ts_col])
+        if len(batch):
+            batch["__step"] = batch[type_col].map(step_idx)
+            batch = batch.dropna(subset=["__step"]).copy()
+            batch["__step"] = batch["__step"].astype("int64")
+            # unit-robust: pandas surfaces parquet timestamps as ns OR
+            # us depending on version; normalize through datetime64[us]
+            batch["__us"] = (
+                batch[ts_col].values.astype("datetime64[us]").astype("int64")
+            )
+            batch = batch.sort_values([ts_col, "__step"])
+            for us, step in zip(batch["__us"], batch["__step"]):
+                if stage >= n_steps or step != stage:
+                    continue
+                if (
+                    max_span_us is not None
+                    and stage > 0
+                    and us - t0_us > max_span_us
+                ):
+                    continue
+                if stage == 0:
+                    t0_us = int(us)
+                stage += 1
+        state.update((int(stage), t0_us))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "final_stage": [int(stage)]}
+        )
+
+    return (
+        events.select(user_col, ts_col, type_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            FUNNEL_OUT_SCHEMA,
+            FUNNEL_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -615,3 +615,126 @@ def test_streaming_sampling_converges_to_batch(spark, tmp_path_factory):
     )
     want_t = {r["doc_id"] for r in batch_kept.select("doc_id").collect()}
     assert got_t == want_t and got_t
+
+
+def test_streaming_funnel_converges_to_batch(spark, sf_dir, events_dir):
+    """The stateful streaming funnel's drained per-user stages must
+    aggregate to exactly the batch funnel's stage counts, with and
+    without the conversion window (same state machine, streamed)."""
+    from collections import defaultdict
+
+    from dbt_metrics_ingestion_script_spark.operators.sessions import (
+        funnel_stages,
+    )
+    from dbt_metrics_ingestion_script_spark.streaming.stateful import (
+        streaming_funnel_stages,
+    )
+
+    span = 2 * 86_400 * 1_000_000
+    for tag, kw in (("plain", {}), ("span", {"max_span_us": span})):
+        stream = read_events_stream(spark, events_dir)
+        result = streaming_funnel_stages(stream, **kw)
+        sink = f"stream_funnel_{tag}"
+        q = (
+            result.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        # update mode re-emits a user's row per touching batch; state is
+        # monotone, so the final stage is the max emitted
+        final = defaultdict(int)
+        for r in spark.sql(f"SELECT * FROM {sink}").collect():
+            final[r["user_id"]] = max(final[r["user_id"]], r["final_stage"])
+        got = {
+            i: sum(1 for s in final.values() if s >= i + 1) for i in range(3)
+        }
+        want = {
+            r["stage_idx"]: r["n_users"]
+            for r in funnel_stages(
+                load_table(spark, sf_dir, "events"), **kw
+            ).collect()
+        }
+        assert got == want, tag
+
+
+def test_streaming_funnel_state_survives_micro_batches(
+    spark, sf_dir, tmp_path_factory
+):
+    """Split the event history into two time-ordered files (two
+    micro-batches under maxFilesPerTrigger=1): users whose funnel
+    progression STRADDLES the batch boundary must still complete --
+    proving the per-user state actually carries across batches rather
+    than resetting."""
+    import os
+    import time as _time
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators.sessions import (
+        funnel_stages,
+    )
+    from dbt_metrics_ingestion_script_spark.streaming.stateful import (
+        streaming_funnel_stages,
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    # EARLY cut (p10): most progressions then complete in batch 2 while
+    # batch 1 already advanced some users to stage >= 1, so cross-batch
+    # state carry is genuinely exercised (a median cut leaves most
+    # funnels fully inside one half at this SF)
+    cut = batch.agg(
+        F.expr("timestamp_micros(cast(percentile(unix_micros(cast(ts as timestamp)), 0.1) as long))")
+    ).collect()[0][0]
+    d = str(tmp_path_factory.mktemp("funnel_two_batches"))
+    batch.where(F.col("ts") <= cut).coalesce(1).write.parquet(f"{d}/part_a")
+    batch.where(F.col("ts") > cut).coalesce(1).write.parquet(f"{d}/part_b")
+    # flatten: the file source lists leaf files; pin order via mtime
+    now = _time.time()
+    files = []
+    for sub, age in (("part_a", 100), ("part_b", 10)):
+        for f in os.listdir(f"{d}/{sub}"):
+            if f.endswith(".parquet"):
+                src = f"{d}/{sub}/{f}"
+                dst = f"{d}/{sub}.parquet"
+                os.rename(src, dst)
+                os.utime(dst, (now - age, now - age))
+                files.append(dst)
+    assert len(files) == 2
+    schema = spark.read.parquet(files[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    result = streaming_funnel_stages(stream)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("stream_funnel_2b")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = defaultdict(int)
+    for r in spark.sql("SELECT * FROM stream_funnel_2b").collect():
+        final[r["user_id"]] = max(final[r["user_id"]], r["final_stage"])
+    got = {i: sum(1 for s in final.values() if s >= i + 1) for i in range(3)}
+    want = {
+        r["stage_idx"]: r["n_users"] for r in funnel_stages(batch).collect()
+    }
+    assert got == want
+    # sanity: the split actually exercises cross-batch state (some user
+    # progressed in BOTH halves -- i.e. the second batch raised stages)
+    straddlers = (
+        funnel_stages(batch.where(F.col("ts") <= cut)).collect(),
+        funnel_stages(batch).collect(),
+    )
+    n_before = {r["stage_idx"]: r["n_users"] for r in straddlers[0]}
+    n_after = {r["stage_idx"]: r["n_users"] for r in straddlers[1]}
+    assert any(
+        n_after[i] > n_before.get(i, 0) for i in range(3)
+    ), "fixture split produced no cross-batch progressions; pick a new cut"
