@@ -1988,3 +1988,84 @@ def events_salted_join_customer_stats(spark, sf_dir):
     return salted_join(
         ev, co, on=["user_id"], salt_key="event_id", n_salts=8, how="left"
     ).select("event_id", "user_id", "n_orders", "total_spend")
+
+
+@register(
+    "streaming_funnel_stages",
+    # the converged stateful stream equals the batch funnel, so the
+    # oracle is the batch min-join chain (same SQL as
+    # events_funnel_stages)
+    """
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+    ), s1 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s1.t GROUP BY 1
+    )
+    SELECT 0 AS stage_idx, 'view' AS stage,
+           (SELECT count(*) FROM s0) AS n_users
+    UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+    UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    """,
+)
+def streaming_funnel_stages(spark, sf_dir):
+    """Stateful streaming funnel (applyInPandasWithState) driven to
+    completion with availableNow; the drained per-user stages aggregate
+    to the batch funnel's stage counts, which the oracle replays as the
+    relational min-join chain."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.metrics_stream import read_events_stream
+    from .streaming.stateful import streaming_funnel_stages as _sfs
+
+    steps = ("view", "click", "purchase")
+    d = tempfile.mkdtemp(prefix="events_funnel_stream_")
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+        name = "fn_" + uuid.uuid4().hex[:8]
+        q = (
+            _sfs(read_events_stream(spark, d), steps=steps)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "streaming_funnel_stages did not drain within 120s"
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # update mode re-emits per touching batch; state is monotone, so a
+    # user's final stage is their max emit
+    per_user = spark.sql(
+        f"SELECT user_id, max(final_stage) AS fs FROM {name} GROUP BY user_id"
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.coalesce(
+                    F.sum((F.col("fs") >= i + 1).cast("long")), F.lit(0)
+                ).alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return (
+        per_user.agg(stages.alias("__s"))
+        .select(F.explode("__s").alias("r"))
+        .select("r.stage_idx", "r.stage", "r.n_users")
+    )
