@@ -91,6 +91,7 @@ HEADLINE = [
     "events_asof_last_order_bucketed",
     "events_range_join_sessions",
     "events_cohort_retention",
+    "events_rolling_retention",
     "events_hopping_window_agg",
     "events_hopping_window_agg_daily6h",
     # corpus preparation: decontaminate / sample / chunk / pack

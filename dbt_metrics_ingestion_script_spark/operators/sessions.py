@@ -254,6 +254,70 @@ def funnel_stages(
     )
 
 
+def rolling_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Week-over-week rolling retention: of the users active in week w,
+    how many are also active in week w+1 -- the curve product teams
+    watch alongside the cohort matrix (cohort_retention anchors on the
+    FIRST week ever; rolling retention re-anchors every week, so it
+    answers "are this week's actives coming back" rather than "how do
+    signup cohorts decay").
+
+    Output: (week, n_active, n_retained, retention_rate), one row per
+    active week; the LAST active week has no w+1 data and is emitted
+    with NULL retained/rate rather than a misleading 0 (the oracle
+    carries the same convention).
+
+    One scan, two shuffles: distinct (user, week) [shuffle 1,
+    partial-aggregated], then a per-user `lead(week)` window re-using
+    nothing heavier than the (user, week) frame [shuffle 2 on user],
+    and the final week aggregation rides map-side partials.  The
+    relational form -- the activity frame self-joined on
+    (user, week+1), which the DuckDB oracle runs -- scans the distinct
+    frame twice.  NULL timestamps carry no week and are excluded on
+    both sides.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    activity = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), wk.alias("__w"))
+        .distinct()
+    )
+    w = Window.partitionBy("__u").orderBy("__w")
+    flagged = activity.withColumn("__next", F.lead("__w").over(w)).withColumn(
+        "__ret",
+        (F.datediff(F.col("__next"), F.col("__w")) == 7).cast("int"),
+    )
+    max_week = activity.agg(F.max("__w").alias("__maxw"))
+    return (
+        flagged.groupBy(F.col("__w").cast("date").alias("week"))
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum("__ret").alias("__n_ret"),
+        )
+        .crossJoin(F.broadcast(max_week))
+        .select(
+            "week",
+            "n_active",
+            F.when(
+                F.col("week") < F.col("__maxw").cast("date"),
+                F.coalesce(F.col("__n_ret"), F.lit(0)),
+            ).alias("n_retained"),
+            F.round(
+                F.when(
+                    F.col("week") < F.col("__maxw").cast("date"),
+                    F.coalesce(F.col("__n_ret"), F.lit(0))
+                    / F.col("n_active"),
+                ),
+                6,
+            ).alias("retention_rate"),
+        )
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

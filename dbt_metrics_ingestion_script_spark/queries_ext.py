@@ -2069,3 +2069,36 @@ def streaming_funnel_stages(spark, sf_dir):
         .select(F.explode("__s").alias("r"))
         .select("r.stage_idx", "r.stage", "r.n_users")
     )
+
+
+@register(
+    "events_rolling_retention",
+    # relational form: the distinct activity frame self-joined on
+    # (user, week+7d); the Spark side runs the one-scan lead() window.
+    # The last active week has no w+1 data: NULL retained/rate (not 0)
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+      FROM events WHERE ts IS NOT NULL
+    ), ret AS (
+      SELECT a.w, COUNT(*) AS n_active,
+             COUNT(b.user_id) AS n_ret
+      FROM act a
+      LEFT JOIN act b
+        ON a.user_id = b.user_id AND b.w = a.w + INTERVAL 7 DAY
+      GROUP BY a.w
+    ), mx AS (SELECT MAX(w) AS maxw FROM act)
+    SELECT CAST(ret.w AS DATE) AS week, n_active,
+           CASE WHEN ret.w < mx.maxw THEN n_ret END AS n_retained,
+           ROUND(CASE WHEN ret.w < mx.maxw
+                      THEN n_ret / n_active END, 6) AS retention_rate
+    FROM ret, mx
+    """,
+)
+def events_rolling_retention(spark, sf_dir):
+    """Week-over-week rolling retention (re-anchored every week, unlike
+    the cohort matrix): one-scan lead() formulation vs the oracle's
+    self-join."""
+    from .operators.sessions import rolling_retention
+
+    return rolling_retention(load_table(spark, sf_dir, "events"))

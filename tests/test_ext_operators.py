@@ -1378,3 +1378,33 @@ def test_funnel_conversion_window_semantics(spark):
         r["stage"]: r["n_users"] for r in funnel_stages(events).collect()
     }
     assert unwindowed == {"view": 3, "click": 3, "purchase": 2}
+
+
+def test_rolling_retention_semantics(spark):
+    """Retention counts only week w -> w+1 returns (a w+2 return after
+    a gap is NOT retained for w), the last active week emits NULL (not
+    0), rates divide active counts, and NULL timestamps drop."""
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.sessions import (
+        rolling_retention,
+    )
+
+    d = lambda day: datetime.datetime(2024, 1, day)  # noqa: E731
+    # 2024-01-01 is a Monday: weeks start 1, 8, 15, 22
+    rows = [
+        (1, d(1)), (1, d(8)), (1, d(15)),  # active w1,w2,w3: retained twice
+        (2, d(1)), (2, d(15)),             # gap week: NOT retained for w1
+        (3, d(1)),                         # one-week wonder
+        (4, None),                         # NULL ts: excluded
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        str(r["week"]): (r["n_active"], r["n_retained"], r["retention_rate"])
+        for r in rolling_retention(events).collect()
+    }
+    assert got == {
+        "2024-01-01": (3, 1, round(1 / 3, 6)),  # only user 1 returns in w2
+        "2024-01-08": (1, 1, 1.0),
+        "2024-01-15": (2, None, None),          # last week: unknown, not 0
+    }

@@ -264,6 +264,7 @@ EVENT_ANALYTICS_QUERIES = [
     "events_session_window_agg",
     "events_range_join_sessions",
     "events_cohort_retention",
+    "events_rolling_retention",
     "events_asof_last_order",
     "events_asof_last_order_bucketed",
     "events_hopping_window_agg",
@@ -400,6 +401,7 @@ def test_event_analytics_agree_on_null_timestamps(spark, tmp_path_factory):
         "events_funnel_conversion_window",
         "events_session_window_agg",
         "events_cohort_retention",
+        "events_rolling_retention",
         "events_asof_last_order",
         "events_asof_last_order_bucketed",
         # hopping windows: Spark's F.window drops NULL-ts rows; the
