@@ -81,6 +81,7 @@ HEADLINE = [
     "multimodal_binary_stats",
     "multimodal_decode_stats",
     "events_salted_daily_agg",
+    "events_daily_anomaly_zscore",
     "events_salted_join_customer_stats",
     "events_json_props_extract",
     "events_sessionization",

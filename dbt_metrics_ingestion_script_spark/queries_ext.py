@@ -2102,3 +2102,62 @@ def events_rolling_retention(spark, sf_dir):
     from .operators.sessions import rolling_retention
 
     return rolling_retention(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_daily_anomaly_zscore",
+    # per-type mean/stddev over the daily series, z-score per day;
+    # stddev_samp shares the ANSI sample definition, z rounds to 4.
+    # A single-day series has NULL stddev -> NULL z (never flagged),
+    # and a zero-variance series likewise yields NULL (engines diverge
+    # on 0/0), both pinned here
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ROUND(SUM(value), 4) AS v
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, AVG(v) AS mu, STDDEV_SAMP(v) AS sigma
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.v AS total_value,
+           ROUND(CASE WHEN s.sigma <> 0 THEN (d.v - s.mu) / s.sigma END, 4)
+             AS zscore,
+           COALESCE(CASE WHEN s.sigma <> 0
+                         THEN abs((d.v - s.mu) / s.sigma) > 3.0 END,
+                    FALSE) AS is_anomaly
+    FROM daily d JOIN stats s USING (event_type)
+    """,
+)
+def events_daily_anomaly_zscore(spark, sf_dir):
+    """Metric anomaly detection: z-score of each day's per-type total
+    against that type's own daily distribution, |z| > 3 flagged -- the
+    monitoring pass a metric platform runs over its own output.
+
+    Scale shape: one partial-aggregated shuffle to the daily series,
+    a per-type stats aggregate over the TINY daily frame, and a
+    broadcast join back -- the event table is scanned once and never
+    re-shuffled.  Degenerate series are pinned: a single-day or
+    zero-variance type yields NULL z (engines diverge at 0/0) and is
+    never flagged."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("v").alias("__mu"), F.stddev_samp("v").alias("__sigma")
+    )
+    z = F.when(
+        F.col("__sigma") != 0, (F.col("v") - F.col("__mu")) / F.col("__sigma")
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("v").alias("total_value"),
+            F.round(z, 4).alias("zscore"),
+            F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+        )
+    )

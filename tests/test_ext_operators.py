@@ -1408,3 +1408,37 @@ def test_rolling_retention_semantics(spark):
         "2024-01-08": (1, 1, 1.0),
         "2024-01-15": (2, None, None),          # last week: unknown, not 0
     }
+
+
+def test_daily_anomaly_zscore_semantics(spark, tmp_path):
+    """A constructed outlier day is flagged, normal days are not, and a
+    zero-variance type yields NULL z / never flags (the 0/0 pin)."""
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark import queries_ext
+
+    d = lambda n: datetime.datetime(2024, 1, n)  # noqa: E731
+    rows = (
+        # 'view': 10 quiet days of ~1.0 then a 100.0 spike
+        [(i, d(i + 1), 1, "view", 1.0, "{}") for i in range(10)]
+        + [(10, d(11), 1, "view", 100.0, "{}")]
+        # 'flat': identical every day -> zero variance
+        + [(100 + i, d(i + 1), 2, "flat", 5.0, "{}") for i in range(5)]
+    )
+    tmpdir = str(tmp_path / "anomaly")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    out = {
+        (r["event_type"], str(r["day"])): (r["zscore"], r["is_anomaly"])
+        for r in queries_ext.events_daily_anomaly_zscore(
+            spark, tmpdir
+        ).collect()
+    }
+    assert out[("view", "2024-01-11")][1] is True
+    quiet = [v for (t, day), v in out.items() if t == "view" and day != "2024-01-11"]
+    assert all(not a for _, a in quiet)
+    flat = [v for (t, _), v in out.items() if t == "flat"]
+    assert all(z is None and a is False for z, a in flat)
