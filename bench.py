@@ -55,6 +55,7 @@ HEADLINE = [
     # EXT: dedup / similarity / text / multimodal / events
     "dedup_exact",
     "dedup_incremental_against_index",
+    "dedup_near_incremental_vs_corpus",
     "dedup_minhash_lsh_candidates",
     "dedup_near_minhash_survivors",
     "dedup_simhash_near_pairs",

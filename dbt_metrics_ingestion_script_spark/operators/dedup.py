@@ -298,33 +298,24 @@ def minhash_signature(hashes: Column, k: int = 32) -> Column:
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    k: int = 32,
-    bands: int = 8,
+def _banded_minhash(
+    df: DataFrame, text_col: str, id_col: str, n: int, k: int, bands: int
 ) -> DataFrame:
-    """Candidate near-dup pairs: equal MinHash band in >= 1 of `bands`
-    bands (rows per band r = k/bands; P[candidate] ~ 1-(1-j^r)^bands).
+    """(id, band, bucket) banded MinHash frame -- the LSH index layout.
 
-    Output: (id_a, id_b) distinct, id_a < id_b.  The only joins are on
-    (band, bucket-hash) -- no document content moves.
-    """
+    Staged projections (shingle_frame) so shingles / hashes each
+    materialize once before the signature lambdas; the k family hashes
+    are cheap linear arithmetic over the already-md5'd 31-bit shingle
+    hashes.  (An exploded groupBy(id) min-aggregate variant measured
+    slower end to end at bench scale: the extra shuffle costs more
+    than the k in-row array passes save.)"""
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    # staged projections (shingle_frame) so shingles / hashes each
-    # materialize once before the signature lambdas; the k family
-    # hashes are cheap linear arithmetic over the already-md5'd 31-bit
-    # shingle hashes.  (An exploded groupBy(id) min-aggregate variant
-    # measured slower end to end at bench scale: the extra shuffle
-    # costs more than the k in-row array passes save.)
     sig = shingle_frame(df, text_col, id_col, n).select(
         "id", minhash_signature(F.col("shingles"), k).alias("sig")
     )
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.transform(
@@ -343,6 +334,23 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs: equal MinHash band in >= 1 of `bands`
+    bands (rows per band r = k/bands; P[candidate] ~ 1-(1-j^r)^bands).
+
+    Output: (id_a, id_b) distinct, id_a < id_b.  The only joins are on
+    (band, bucket-hash) -- no document content moves.
+    """
+    banded = _banded_minhash(df, text_col, id_col, n, k, bands)
     # identical shuffle on both sides -> signature subtree computed once
     # (exchange reuse); banded signatures are never broadcast at scale
     banded = banded.repartition("band", "bucket").hint("merge")
@@ -353,6 +361,65 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def near_dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental NEAR-dedup: drop new documents whose shingle-set
+    Jaccard with ANY document of the existing corpus reaches
+    `threshold` -- the fuzzy sibling of `dedup_against_index` (a crawl
+    batch near-duplicating already-ingested content is the common case;
+    exact digests only catch verbatim copies).
+
+    Same LSH discipline as the self-join path, but the band join runs
+    BETWEEN the batch's banded signatures and the corpus's: at scale
+    the corpus side is a PRECOMPUTED banded index (materialize
+    `_banded_minhash` + `shingle_frame` once, bucketed by
+    (band, bucket) / id), so each incremental batch costs one
+    batch-sized signature pass plus joins that only shuffle the batch
+    side -- history is never re-signatured.  Candidates verify with
+    exact hashed-shingle Jaccard before any drop (LSH alone
+    over-flags), and only BATCH rows are ever dropped -- the corpus is
+    immutable history.
+
+    Output: surviving new rows.
+    """
+    b_banded = _banded_minhash(new_docs, text_col, id_col, n, k, bands)
+    c_banded = _banded_minhash(corpus, text_col, id_col, n, k, bands)
+    cands = (
+        b_banded.join(
+            c_banded.withColumnRenamed("id", "cid"), ["band", "bucket"]
+        )
+        .select(F.col("id").alias("id_new"), F.col("cid").alias("id_corpus"))
+        .distinct()
+    )
+    sh_new = shingle_frame(new_docs, text_col, id_col, n).select(
+        F.col("id").alias("id_new"), F.col("shingles").alias("sh_n")
+    )
+    sh_corpus = shingle_frame(corpus, text_col, id_col, n).select(
+        F.col("id").alias("id_corpus"), F.col("shingles").alias("sh_c")
+    )
+    flagged = (
+        cands.join(sh_new, "id_new")
+        .join(sh_corpus, "id_corpus")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_n", "sh_c"))
+            / F.size(F.array_union("sh_n", "sh_c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(flagged, id_col, "left_anti")
 
 
 def near_dedup_minhash(

@@ -2161,3 +2161,49 @@ def events_daily_anomaly_zscore(spark, sf_dir):
             F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
         )
     )
+
+
+def _near_dedup_vs_corpus_oracle() -> str:
+    """The minhash CTE chain (bit-identical banding) with the band join
+    split across the batch/corpus boundary instead of a<b, hashed
+    Jaccard verify, survivors = unflagged batch rows."""
+    return (
+        _minhash_oracle().replace(
+            "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b",
+            """, cand AS (
+      SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus""",
+        ).replace(
+            "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id",
+            f"""ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id % {_INDEX_MOD} <> 0 AND b.doc_id % {_INDEX_MOD} = 0""",
+        )
+        + f"""
+    ), flagged AS (
+      SELECT DISTINCT c.id_new
+      FROM cand c
+      JOIN hs ha ON ha.doc_id = c.id_new
+      JOIN hs hb ON hb.doc_id = c.id_corpus
+      WHERE len(list_distinct(list_intersect(ha.hashes, hb.hashes)))::DOUBLE
+            / len(list_distinct(list_cat(ha.hashes, hb.hashes))) >= 0.8
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % {_INDEX_MOD} <> 0
+      AND doc_id NOT IN (SELECT id_new FROM flagged)
+    """
+    )
+
+
+@register("dedup_near_incremental_vs_corpus", _near_dedup_vs_corpus_oracle())
+def dedup_near_incremental_vs_corpus(spark, sf_dir):
+    """Incremental NEAR-dedup: the crawl batch LSH-joins the corpus's
+    banded signature index, verifies exact hashed-shingle Jaccard, and
+    drops only batch rows -- fuzzy sibling of the exact
+    dedup_incremental_against_index."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus_side = docs.where(F.col("doc_id") % _INDEX_MOD == 0)
+    batch = docs.where(F.col("doc_id") % _INDEX_MOD != 0)
+    return dedup.near_dedup_against_corpus(
+        batch, corpus_side, k=_K, bands=_BANDS, threshold=0.8
+    ).select("doc_id", "lang", "source")

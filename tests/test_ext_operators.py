@@ -1442,3 +1442,32 @@ def test_daily_anomaly_zscore_semantics(spark, tmp_path):
     assert all(not a for _, a in quiet)
     flat = [v for (t, _), v in out.items() if t == "flat"]
     assert all(z is None and a is False for z, a in flat)
+
+
+def test_near_dedup_against_corpus_semantics(spark):
+    """A batch doc near-duplicating a corpus doc drops (normalization
+    jitter included); distinct batch content survives; the corpus is
+    never modified; exact verification gates LSH candidates (a doc
+    sharing a band by chance but below threshold survives)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus_side = spark.createDataFrame(
+        [(100, base), (101, "completely unrelated corpus record here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "THE  quick   brown fox jumps over the lazy dog again and again"),
+            (2, "a genuinely fresh document about spark engines"),
+            # shares a prefix with base but mostly different: candidate
+            # via some band is possible, jaccard far below 0.8
+            (3, base.split(" and ")[0] + " but then something else entirely happened here"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup_against_corpus(
+            batch, corpus_side, k=16, bands=4, threshold=0.8
+        ).collect()
+    )
+    assert survivors == [2, 3]
