@@ -271,14 +271,17 @@ def rolling_retention(
     with NULL retained/rate rather than a misleading 0 (the oracle
     carries the same convention).
 
-    One scan, two shuffles: distinct (user, week) [shuffle 1,
-    partial-aggregated], then a per-user `lead(week)` window re-using
-    nothing heavier than the (user, week) frame [shuffle 2 on user],
-    and the final week aggregation rides map-side partials.  The
-    relational form -- the activity frame self-joined on
-    (user, week+1), which the DuckDB oracle runs -- scans the distinct
-    frame twice.  NULL timestamps carry no week and are excluded on
-    both sides.
+    ONE scan of the event table (plan-asserted), three shuffles, the
+    last two over week-cardinality frames: distinct (user, week)
+    [shuffle 1, partial-aggregated], a per-user `lead(week)` window
+    [shuffle 2 on user], the week aggregation [shuffle 3], and the
+    last-week marker via a single-partition `max` window over the
+    ~weeks-rows aggregate (NOT a separate max subquery, which would
+    re-scan the event table -- Spark recomputes twice-referenced
+    subtrees).  The relational form -- the activity frame self-joined
+    on (user, week+1), which the DuckDB oracle runs -- scans the
+    distinct frame twice.  NULL timestamps carry no week and are
+    excluded on both sides.
     """
     wk = F.date_trunc("week", F.col(ts_col))
     activity = (
@@ -291,30 +294,25 @@ def rolling_retention(
         "__ret",
         (F.datediff(F.col("__next"), F.col("__w")) == 7).cast("int"),
     )
-    max_week = activity.agg(F.max("__w").alias("__maxw"))
-    return (
-        flagged.groupBy(F.col("__w").cast("date").alias("week"))
-        .agg(
-            F.count("*").alias("n_active"),
-            F.sum("__ret").alias("__n_ret"),
-        )
-        .crossJoin(F.broadcast(max_week))
-        .select(
-            "week",
-            "n_active",
+    agged = flagged.groupBy(F.col("__w").cast("date").alias("week")).agg(
+        F.count("*").alias("n_active"),
+        F.sum("__ret").alias("__n_ret"),
+    )
+    w_all = Window.partitionBy()  # ~weeks rows: single partition is fine
+    return agged.withColumn("__maxw", F.max("week").over(w_all)).select(
+        "week",
+        "n_active",
+        F.when(
+            F.col("week") < F.col("__maxw"),
+            F.coalesce(F.col("__n_ret"), F.lit(0)),
+        ).alias("n_retained"),
+        F.round(
             F.when(
-                F.col("week") < F.col("__maxw").cast("date"),
-                F.coalesce(F.col("__n_ret"), F.lit(0)),
-            ).alias("n_retained"),
-            F.round(
-                F.when(
-                    F.col("week") < F.col("__maxw").cast("date"),
-                    F.coalesce(F.col("__n_ret"), F.lit(0))
-                    / F.col("n_active"),
-                ),
-                6,
-            ).alias("retention_rate"),
-        )
+                F.col("week") < F.col("__maxw"),
+                F.coalesce(F.col("__n_ret"), F.lit(0)) / F.col("n_active"),
+            ),
+            6,
+        ).alias("retention_rate"),
     )
 
 

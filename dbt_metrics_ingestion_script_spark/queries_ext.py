@@ -2135,31 +2135,32 @@ def events_daily_anomaly_zscore(spark, sf_dir):
     against that type's own daily distribution, |z| > 3 flagged -- the
     monitoring pass a metric platform runs over its own output.
 
-    Scale shape: one partial-aggregated shuffle to the daily series,
-    a per-type stats aggregate over the TINY daily frame, and a
-    broadcast join back -- the event table is scanned once and never
-    re-shuffled.  Degenerate series are pinned: a single-day or
-    zero-variance type yields NULL z (engines diverge at 0/0) and is
-    never flagged."""
+    Scale shape: ONE scan of the event table (plan-asserted) -- one
+    partial-aggregated shuffle to the daily series, then the per-type
+    mean/stddev via a WINDOW over the tiny daily frame (a separate
+    stats-aggregate-plus-join subtree would re-scan the event table:
+    Spark recomputes twice-referenced subtrees).  Degenerate series
+    are pinned: a single-day or zero-variance type yields NULL z
+    (engines diverge at 0/0) and is never flagged."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.round(F.sum("value"), 4).alias("v"))
-    stats = daily.groupBy("event_type").agg(
-        F.avg("v").alias("__mu"), F.stddev_samp("v").alias("__sigma")
+    w = Window.partitionBy("event_type")
+    with_stats = daily.withColumn("__mu", F.avg("v").over(w)).withColumn(
+        "__sigma", F.stddev_samp("v").over(w)
     )
     z = F.when(
         F.col("__sigma") != 0, (F.col("v") - F.col("__mu")) / F.col("__sigma")
     )
-    return (
-        daily.join(F.broadcast(stats), "event_type")
-        .select(
-            "event_type",
-            "day",
-            F.col("v").alias("total_value"),
-            F.round(z, 4).alias("zscore"),
-            F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
-        )
+    return with_stats.select(
+        "event_type",
+        "day",
+        F.col("v").alias("total_value"),
+        F.round(z, 4).alias("zscore"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
 
 

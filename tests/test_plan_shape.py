@@ -244,6 +244,27 @@ def test_shingling_stays_in_codegen(spark):
     assert "*(1) Project" in plan, plan
 
 
+def test_rolling_retention_single_event_scan(spark):
+    """Rolling retention scans the event table ONCE: the last-week
+    marker is a single-partition max window over the ~weeks-rows
+    aggregate, not a separate max subquery (Spark recomputes
+    twice-referenced subtrees, so the subquery form scanned events
+    twice -- caught by this test)."""
+    plan = plan_of(run(spark, "events_rolling_retention"), "simple")
+    assert plan.count("events.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_anomaly_zscore_single_event_scan(spark):
+    """The anomaly monitor scans events once: daily aggregation, then
+    per-type stats via a WINDOW over the tiny daily frame (the
+    stats-aggregate-plus-join form scanned events twice -- caught by
+    this test)."""
+    plan = plan_of(run(spark, "events_daily_anomaly_zscore"), "simple")
+    assert plan.count("events.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_trailing_and_growth_are_two_stage(spark):
     """Trailing/growth metrics follow the cumulative discipline: ONE
     exchange aggregates base data to the grain; the window runs over
