@@ -319,13 +319,15 @@ def temperature_sample(
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     key = F.coalesce(F.col(stratum_col), F.lit("")).alias("__strat")
     counts = df.select(key).groupBy("__strat").agg(F.count("*").alias("__c"))
-    cmin = counts.agg(F.min("__c").alias("__cmin"))
-    ratio = F.col("__cmin") / F.col("__c")
+    # cmin via a single-partition window over the |strata|-row counts
+    # frame -- a separate min() aggregate would re-derive the counts
+    # subtree from a second corpus scan (Spark recomputes
+    # twice-referenced subtrees)
+    w_all = Window.partitionBy()
+    ratio = F.min("__c").over(w_all) / F.col("__c")
     e = 1.0 - alpha
     powed = F.sqrt(ratio) if e == 0.5 else F.pow(ratio, F.lit(e))
-    rates = counts.crossJoin(F.broadcast(cmin)).select(
-        "__strat", F.round(powed, 6).alias("keep_rate")
-    )
+    rates = counts.select("__strat", F.round(powed, 6).alias("keep_rate"))
     return (
         df.withColumn("__strat", key)
         .join(F.broadcast(rates), "__strat")

@@ -279,10 +279,11 @@ def tfidf_top_terms(
 
     Scale shape: tokens explode -> groupBy(doc, term) tf [shuffle 1,
     partial-aggregated so the wire carries (doc, term, count) not raw
-    tokens] -> groupBy(term) df over the tf frame [shuffle 2 -- rows
-    are already unique per (doc, term), so this IS the document
-    frequency] -> term-keyed join tf x df [reuses shuffle 2's
-    partitioning on the df side] -> per-doc top-k window [shuffle 3].
+    tokens] -> df via a term-partitioned WINDOW over the tf frame
+    [shuffle 2 -- rows are unique per (doc, term), so the window count
+    IS the document frequency; a separate df aggregate + join would
+    re-derive the explode lineage from a second corpus scan] ->
+    per-doc top-k window [shuffle 3].
     N rides a 1-row broadcast crossJoin (the action-free pattern the
     similarity queries use), never a driver-side count.  No shuffle
     carries raw text: after the first aggregation everything is
@@ -303,14 +304,22 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "")
+    from pyspark.sql import Window
+
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df via a term-partitioned WINDOW over the tf frame (rows are
+    # unique per (doc, term), so the window count IS the document
+    # frequency): same term-keyed shuffle the groupBy would take, but
+    # no join and no second corpus scan -- a separate df aggregate
+    # would re-derive tf's explode lineage from the raw text (Spark
+    # recomputes twice-referenced subtrees)
+    with_df = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     if df_ceiling is not None:
         # AFTER the aggregate: surviving terms keep exact df/score
-        dfreq = dfreq.filter(F.col("df") <= F.lit(df_ceiling))
+        with_df = with_df.filter(F.col("df") <= F.lit(df_ceiling))
     n_docs = tf.agg(F.count_distinct("doc_id").alias("__n"))
     scored = (
-        tf.join(dfreq, "term")
+        with_df
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

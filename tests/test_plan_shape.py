@@ -265,6 +265,16 @@ def test_anomaly_zscore_single_event_scan(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_tfidf_and_temperature_scan_budget(spark):
+    """TF-IDF and temperature sampling each carry exactly TWO document
+    scans: the data path plus the action-free 1-row totals re-derivation
+    (SCALE.md scan-count audit, bucket 4).  A regression to the
+    aggregate+join forms (three scans) fails here."""
+    for name in ("text_tfidf_top_terms", "corpus_temperature_sample"):
+        plan = plan_of(run(spark, name), "simple")
+        assert plan.count("documents.parquet") == 2, (name, plan)
+
+
 def test_trailing_and_growth_are_two_stage(spark):
     """Trailing/growth metrics follow the cumulative discipline: ONE
     exchange aggregates base data to the grain; the window runs over
