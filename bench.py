@@ -91,6 +91,7 @@ HEADLINE = [
     "events_funnel_conversion_window",
     "events_asof_last_order",
     "events_asof_last_order_bucketed",
+    "events_asof_last_order_lookup",
     "events_range_join_sessions",
     "events_cohort_retention",
     "events_rolling_retention",

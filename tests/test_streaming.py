@@ -738,3 +738,53 @@ def test_streaming_funnel_state_survives_micro_batches(
     assert any(
         n_after[i] > n_before.get(i, 0) for i in range(3)
     ), "fixture split produced no cross-batch progressions; pick a new cut"
+
+
+def test_streaming_asof_lookup_converges_to_batch(spark, sf_dir, events_dir):
+    """The sorted-history-lookup as-of is STATELESS per event, so the
+    identical operator runs on a streaming left side (stream-static
+    equi-join + array pick, append mode, no watermark); the drained
+    stream must equal the batch union+window as-of exactly."""
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators.asof import (
+        asof_join_backward,
+        asof_lookup_static,
+    )
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("last_order_ts"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    kw = dict(
+        on="user_id", left_ts="ts", right_ts="last_order_ts",
+        value_cols=["n_orders"],
+    )
+    stream = read_events_stream(spark, events_dir).select(
+        "event_id", "user_id", "ts"
+    )
+    result = asof_lookup_static(stream, daily, **kw)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("stream_asof")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["user_id"], str(r["ts"]), str(r["last_order_ts"]), r["n_orders"])
+        for r in spark.sql("SELECT * FROM stream_asof").collect()
+    )
+    batch_ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    want = sorted(
+        (r["event_id"], r["user_id"], str(r["ts"]), str(r["last_order_ts"]), r["n_orders"])
+        for r in asof_join_backward(batch_ev, daily, **kw).collect()
+    )
+    assert got == want and got
