@@ -105,6 +105,7 @@ HEADLINE = [
     "corpus_pack_next_fit",
     "corpus_training_pipeline",
     "corpus_length_profile",
+    "corpus_duplication_report",
     "corpus_quality_percentile_filter",
     "corpus_temperature_sample",
 ]

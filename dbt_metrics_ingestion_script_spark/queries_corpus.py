@@ -408,3 +408,42 @@ def corpus_bloom_decontamination(spark, sf_dir):
     return corpus.decontaminate_bloom(
         train, eval_set, n=_DECON_N, m_bits=_BLOOM_M, k=_BLOOM_K
     )
+
+
+@register(
+    "corpus_duplication_report",
+    # within-source exact-duplication rate off the normalized-text
+    # digest -- the corpus-health number curation dashboards track per
+    # feed (a jump means a scraper started re-ingesting)
+    rf"""
+    WITH h AS (
+      SELECT source,
+             {_H.format(x=_NORM)} AS ch
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT ch) AS n_unique,
+           ROUND(1 - COUNT(DISTINCT ch)::DOUBLE / COUNT(*), 6) AS dup_rate
+    FROM h GROUP BY source
+    """,
+)
+def corpus_duplication_report(spark, sf_dir):
+    """Per-source exact-duplication rate: docs vs distinct content
+    digests per feed.  One scan; the shuffle carries (source, digest)
+    pairs and Spark's two-phase distinct rewrite keeps the hot source
+    partial-aggregated."""
+    from .functions.hashing import hash64
+    from .operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "source", hash64(normalize_text("text")).alias("__ch")
+    )
+    return hashed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("__ch").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.count_distinct("__ch") / F.count("*"), 6
+        ).alias("dup_rate"),
+    )

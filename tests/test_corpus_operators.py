@@ -368,3 +368,32 @@ def test_length_profile_approx_within_rank_error(spark, sf_dir):
         assert abs(approx[src]["mean_chars"] - exact[src]["mean_chars"]) < 1e-6
         for p, (lo, hi) in ps.items():
             assert lo - 1e-9 <= approx[src][p] <= hi + 1e-9, (src, p)
+
+
+def test_duplication_report_semantics(spark, tmp_path):
+    """Digest-based: normalization jitter counts as a dup; rates are
+    per source; a dup shared ACROSS sources does not raise either
+    source's within-source rate."""
+    from dbt_metrics_ingestion_script_spark import queries_corpus
+
+    rows = [
+        (0, "same text here", "en", "A", 14),
+        (1, "SAME   text HERE", "en", "A", 16),  # jitter dup of 0
+        (2, "unique a", "en", "A", 8),
+        (3, "same text here", "en", "B", 14),    # cross-source: B-unique
+        (4, "unique b", "en", "B", 8),
+    ]
+    tmpdir = str(tmp_path / "dupes")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    got = {
+        r["source"]: (r["n_docs"], r["n_unique"], r["dup_rate"])
+        for r in queries_corpus.corpus_duplication_report(
+            spark, tmpdir
+        ).collect()
+    }
+    assert got == {
+        "A": (3, 2, round(1 - 2 / 3, 6)),
+        "B": (2, 2, 0.0),
+    }
