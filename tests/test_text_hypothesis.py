@@ -104,6 +104,7 @@ CORPUS_QUERIES = [
     "corpus_chunks_fixed",
     "corpus_pack_next_fit",
     "corpus_length_profile",
+    "corpus_duplication_report",
     "corpus_quality_percentile_filter",
     "text_vocab_top_terms",
     "text_source_term_kl",
