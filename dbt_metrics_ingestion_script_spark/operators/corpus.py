@@ -336,6 +336,90 @@ def temperature_sample(
     )
 
 
+def line_dedup(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_words: int = 5,
+    dup_threshold: int = 2,
+) -> DataFrame:
+    """CCNet-style duplicated-segment removal: drop every segment whose
+    normalized content occurs >= `dup_threshold` times corpus-wide
+    (boilerplate headers, navigation chrome, license blocks), then
+    reassemble each document from its surviving segments in order.
+
+    Corpora with explicit line structure would segment on newlines; the
+    token-stream form here segments the normalized text into fixed
+    `segment_words`-word spans (the same fixed-width segmentation a
+    tokenized corpus gets), which keeps segmentation a pure map-side
+    explode -- segment identity is (doc_id, seg_idx), no ordinality
+    shuffle.  Removal counts total occurrences (a segment repeated
+    inside ONE doc still counts), matching CCNet's drop-all semantics:
+    no copy of a duplicated segment survives, unlike keep-first
+    document dedup.
+
+    Output: (doc_id, n_segments, n_removed, text_kept).  Documents
+    whose every segment was removed stay in the output with
+    text_kept = ''.
+
+    Scale: exactly two shuffles -- a window count partitioned by the
+    64-bit segment digest (the segment frame moves ONCE; a groupBy +
+    rejoin formulation would shuffle it twice since the distinct-
+    segment count frame is corpus-sized, never broadcastable), then
+    the per-doc reassembly aggregation.  All arithmetic is integer /
+    string, so the DuckDB oracle replays every decision bit-identically
+    (shared md5-derived digest on both sides, hash collisions
+    included).
+    """
+    if segment_words < 1:
+        raise ValueError("segment_words must be >= 1")
+    w = segment_words
+    base = documents.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
+    )
+    n_seg = F.ceil(F.size("__toks") / F.lit(w))
+    seg_text = F.concat_ws(
+        " ", F.slice("__toks", F.col("__seg_idx") * w + 1, w)
+    )
+    from ..functions.hashing import hash64
+
+    segs = base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_seg - 1)).alias(
+            "__seg_idx"
+        ),
+        "__toks",
+    ).select(F.col(id_col), "__seg_idx", seg_text.alias("__seg"))
+    flagged = segs.select(
+        F.col(id_col),
+        "__seg_idx",
+        "__seg",
+        (
+            F.count("*").over(
+                Window.partitionBy(hash64(F.col("__seg")))
+            )
+            >= dup_threshold
+        ).alias("__dup"),
+    )
+    parts = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("__seg_idx").alias("i"),
+                F.col("__dup").alias("d"),
+                F.col("__seg").alias("s"),
+            )
+        )
+    )
+    kept = F.transform(
+        F.filter(parts, lambda x: ~x["d"]), lambda x: x["s"]
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("__dup").cast("long")).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_kept"),
+    )
+
+
 def length_profile(
     documents: DataFrame,
     stratum_col: str = "source",

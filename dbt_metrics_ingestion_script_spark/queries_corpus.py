@@ -410,6 +410,52 @@ def corpus_bloom_decontamination(spark, sf_dir):
     )
 
 
+_SEG_W, _SEG_T = 5, 2  # segment width (words) / removal threshold, shared
+# between the Spark call site and the oracle so geometry cannot drift
+
+
+def _line_dedup_oracle() -> str:
+    w, t = _SEG_W, _SEG_T
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+    ), seg AS (
+      SELECT doc_id, i.i AS seg_idx,
+             array_to_string(toks[i.i*{w}+1 : i.i*{w}+{w}], ' ') AS seg
+      FROM docs,
+           unnest(range(CAST(ceil(len(toks)::DOUBLE / {w}) AS BIGINT))) AS i(i)
+    ), cnt AS (
+      SELECT {_H.format(x='seg')} AS seg_h, COUNT(*) AS c
+      FROM seg GROUP BY 1
+    ), j AS (
+      SELECT s.doc_id, s.seg_idx, s.seg, (c.c >= {t}) AS dup
+      FROM seg s JOIN cnt c ON {_H.format(x='s.seg')} = c.seg_h
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE NOT dup), '') AS text_kept
+    FROM j GROUP BY doc_id
+    """
+
+
+@register("corpus_line_dedup", _line_dedup_oracle())
+def corpus_line_dedup(spark, sf_dir):
+    """CCNet-style duplicated-segment removal: segments occurring >=
+    {t} times corpus-wide (boilerplate) are dropped from EVERY document
+    they appear in, and each doc is reassembled from its surviving
+    segments in order.  Two shuffles: a window count over the segment
+    digest (the segment frame moves once) + the per-doc reassembly.
+    The oracle replays the identical segmentation, digest, and
+    threshold, so even hash-collision merges match bit-for-bit."""
+    return corpus.line_dedup(
+        load_table(spark, sf_dir, "documents"),
+        segment_words=_SEG_W,
+        dup_threshold=_SEG_T,
+    )
+
+
 @register(
     "corpus_duplication_report",
     # within-source exact-duplication rate off the normalized-text

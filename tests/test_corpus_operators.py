@@ -397,3 +397,79 @@ def test_duplication_report_semantics(spark, tmp_path):
         "A": (3, 2, round(1 - 2 / 3, 6)),
         "B": (2, 2, 0.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# line (segment) dedup
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_removes_all_copies_of_duplicated_segments(spark):
+    """CCNet drop-all semantics: a segment occurring >= threshold times
+    vanishes from EVERY document carrying it -- including the first."""
+    boiler = "all rights reserved site map"  # 5 words = one segment
+    docs = _docs(
+        spark,
+        [
+            (1, boiler + " unique alpha beta gamma delta", "en"),
+            (2, boiler + " other epsilon zeta eta theta", "en"),
+            (3, "fully unique text with five words", "en"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpus.line_dedup(docs, segment_words=5).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_segments"] == 2 and got[1]["n_removed"] == 1
+    assert got[1]["text_kept"] == "unique alpha beta gamma delta"
+    assert got[2]["text_kept"] == "other epsilon zeta eta theta"
+    assert got[3]["n_removed"] == 0
+    assert got[3]["text_kept"] == "fully unique text with five words"
+
+
+def test_line_dedup_counts_within_doc_repeats(spark):
+    """A segment repeated inside ONE doc reaches the threshold by
+    itself (total occurrences, not distinct docs)."""
+    seg = "spam spam spam spam spam"
+    docs = _docs(spark, [(1, seg + " " + seg + " tail words only here now", "en")])
+    row = corpus.line_dedup(docs, segment_words=5).collect()[0]
+    assert row["n_segments"] == 3
+    assert row["n_removed"] == 2
+    assert row["text_kept"] == "tail words only here now"
+
+
+def test_line_dedup_fully_removed_doc_survives_with_empty_text(spark):
+    docs = _docs(spark, [(1, "a b c d e", "en"), (2, "a b c d e", "en")])
+    rows = {r["doc_id"]: r for r in corpus.line_dedup(docs, segment_words=5).collect()}
+    assert set(rows) == {1, 2}
+    assert all(r["text_kept"] == "" and r["n_removed"] == 1 for r in rows.values())
+
+
+def test_line_dedup_unreachable_threshold_is_identity(spark):
+    """With a threshold no segment reaches, reassembly reproduces the
+    normalized text exactly -- segmentation + ordered concat is
+    lossless, including the short final segment."""
+    docs = _docs(
+        spark,
+        [
+            (1, "  ONE two   Three four five six seven  ", "en"),
+            (2, "alpha beta", "en"),
+            (3, "", "en"),
+        ],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.line_dedup(docs, segment_words=3, dup_threshold=99).collect()
+    }
+    assert rows[1]["text_kept"] == "one two three four five six seven"
+    assert rows[1]["n_segments"] == 3 and rows[1]["n_removed"] == 0
+    assert rows[2]["text_kept"] == "alpha beta"
+    assert rows[3]["text_kept"] == ""
+
+
+def test_line_dedup_rejects_bad_width(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        corpus.line_dedup(_docs(spark, [(1, "x", "en")]), segment_words=0)
