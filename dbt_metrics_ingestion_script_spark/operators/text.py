@@ -516,3 +516,80 @@ def unigram_logprob_score(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("__lp"), 6).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing linear classifier
+# ---------------------------------------------------------------------------
+
+HASHED_LINEAR_HALF = (1 << 30) - 1  # (MERSENNE31 - 1) / 2: weight midpoint
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    weight_seed: int = 0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Feature-hashing linear text classifier (the fastText /
+    hash-kernel shape: Weinberger et al., ICML'09): each token hashes
+    into one of `n_buckets` feature buckets, the document's score is
+    the mean bucket weight over its token stream (repeats count), and
+    `keep` thresholds the score -- the model-based quality gate
+    curation pipelines run after the rule-based (Gopher) filters.
+
+    The weight vector here is the deterministic surrogate
+    w(bucket) = family_hash(bucket, weight_seed) - 2^30 + 1 (zero-mean
+    over the hash range): integer arithmetic end-to-end until the
+    final normalization, so the score is bit-reproducible and the
+    DuckDB oracle replays every decision.  A TRAINED model drops in by
+    replacing that expression with a lookup against an exported
+    (bucket, weight) table -- at n_buckets typical for fastText (2M),
+    a broadcast join against the exploded token stream; the plan shape
+    below stays otherwise identical.
+
+    Output: (doc_id, n_tokens, score, keep); score in [-1, 1], the
+    mean weight normalized by the weight half-range and rounded to 6
+    decimals BEFORE thresholding so the keep decision is portable.
+
+    Scale: ZERO shuffles -- tokenization, hashing, the weight fold
+    (F.aggregate over int64, exact and order-free), and the threshold
+    are one map-side projection; at 100 TB this runs at scan speed
+    with full pushdown beneath it.
+    """
+    from ..functions.hashing import MERSENNE31, _family_coeffs, hash31
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    a, b = _family_coeffs(weight_seed)
+    base = df.select(
+        F.col(id_col),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
+    )
+    weight = lambda t: (  # noqa: E731
+        (F.lit(a) * (hash31(t) % n_buckets) + F.lit(b))
+        % F.lit(MERSENNE31)
+        - F.lit(HASHED_LINEAR_HALF)
+    )
+    folded = base.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.aggregate(
+            F.transform("__toks", weight),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("__wsum"),
+    )
+    score = F.round(
+        F.col("__wsum")
+        / (F.col("n_tokens") * F.lit(float(HASHED_LINEAR_HALF))),
+        6,
+    )
+    return folded.select(
+        F.col(id_col),
+        "n_tokens",
+        score.alias("score"),
+        (score >= threshold).alias("keep"),
+    )

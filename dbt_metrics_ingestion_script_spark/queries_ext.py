@@ -805,6 +805,53 @@ def text_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob_score(load_table(spark, sf_dir, "documents"))
 
 
+def _hashed_linear_oracle() -> str:
+    from .functions.hashing import MERSENNE31, _family_coeffs
+    from .operators.text import HASHED_LINEAR_HALF
+
+    d, seed, thr = _CLS_BUCKETS, _CLS_SEED, _CLS_THRESHOLD
+    a, b = _family_coeffs(seed)
+    h31 = f"({_H.format(x='x')} & {MERSENNE31})"
+    w = f"(({a} * ({h31} % {d}) + {b}) % {MERSENNE31} - {HASHED_LINEAR_HALF})"
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               AS toks
+      FROM documents
+    ), folded AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> {w})) AS BIGINT) AS wsum
+      FROM docs
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(wsum::DOUBLE / (n_tokens * {float(HASHED_LINEAR_HALF)}), 6)
+             AS score,
+           (ROUND(wsum::DOUBLE / (n_tokens * {float(HASHED_LINEAR_HALF)}), 6)
+              >= {thr}) AS keep
+    FROM folded
+    """
+
+
+_CLS_BUCKETS, _CLS_SEED, _CLS_THRESHOLD = 1024, 0, 0.0
+
+
+@register("text_quality_classifier", _hashed_linear_oracle())
+def text_quality_classifier(spark, sf_dir):
+    """Feature-hashing linear classifier score (fastText shape) over
+    the documents corpus: token -> bucket -> deterministic zero-mean
+    integer weight, folded per doc with an exact int64 F.aggregate --
+    ZERO shuffles, runs at scan speed.  The oracle replays bucket ids,
+    weights, and the rounded-before-threshold keep decision
+    bit-identically."""
+    return text.hashed_linear_score(
+        load_table(spark, sf_dir, "documents"),
+        n_buckets=_CLS_BUCKETS,
+        weight_seed=_CLS_SEED,
+        threshold=_CLS_THRESHOLD,
+    )
+
+
 # ---------------------------------------------------------------------------
 # X5: multimodal + JSON props + events
 # ---------------------------------------------------------------------------

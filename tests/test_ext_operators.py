@@ -1471,3 +1471,59 @@ def test_near_dedup_against_corpus_semantics(spark):
         ).collect()
     )
     assert survivors == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing linear classifier
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_linear_score_bounds_and_determinism(spark):
+    from dbt_metrics_ingestion_script_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zzz")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.hashed_linear_score(docs).collect()}
+    # identical text -> identical score (pure function of content)
+    assert rows[1]["score"] == rows[2]["score"]
+    # mean of zero-mean weights normalized by the half-range stays in [-1, 1]
+    assert all(-1.0 <= r["score"] <= 1.0 for r in rows.values())
+    # keep is the thresholded ROUNDED score
+    assert all(r["keep"] == (r["score"] >= 0.0) for r in rows.values())
+
+
+def test_hashed_linear_score_single_bucket_is_constant(spark):
+    """n_buckets=1 collapses every token to bucket 0: every doc's score
+    is the same constant w(0)/HALF regardless of content."""
+    from dbt_metrics_ingestion_script_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "some words here"), (2, "totally different content now")],
+        "doc_id long, text string",
+    )
+    scores = {r["score"] for r in T.hashed_linear_score(docs, n_buckets=1).collect()}
+    assert len(scores) == 1
+
+
+def test_hashed_linear_score_seed_changes_model(spark):
+    from dbt_metrics_ingestion_script_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} filler tokens go here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    s0 = {r["doc_id"]: r["score"] for r in T.hashed_linear_score(docs, weight_seed=0).collect()}
+    s1 = {r["doc_id"]: r["score"] for r in T.hashed_linear_score(docs, weight_seed=7).collect()}
+    assert s0 != s1  # a different seed is a different weight vector
+
+
+def test_hashed_linear_score_rejects_bad_buckets(spark):
+    import pytest
+
+    from dbt_metrics_ingestion_script_spark.operators import text as T
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        T.hashed_linear_score(docs, n_buckets=0)

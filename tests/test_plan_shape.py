@@ -342,3 +342,25 @@ def test_coverage_md_in_lockstep_with_registry(spark):
     cov = (pathlib.Path(__file__).parent.parent / "COVERAGE.md").read_text()
     missing = [n for n in q.REGISTRY if f"`{n}`" not in cov]
     assert not missing, f"COVERAGE.md missing: {missing}"
+
+
+def test_quality_classifier_is_shuffle_free(spark):
+    """The feature-hashing classifier is one map-side projection: token
+    hashing, the int64 weight fold, and the threshold all run inside
+    the scan stage -- zero Exchanges, zero Joins, zero Python eval."""
+    plan = plan_of(run(spark, "text_quality_classifier"), "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_line_dedup_two_shuffles_segment_frame_moves_once(spark):
+    """line_dedup is exactly two data Exchanges: the window count over
+    the segment digest (the segment frame moves ONCE -- a groupBy +
+    rejoin would move it twice, since the distinct-segment count frame
+    is corpus-sized and never broadcastable) and the per-doc
+    reassembly aggregation."""
+    plan = plan_of(run(spark, "corpus_line_dedup"), "simple")
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2, plan
+    assert "BroadcastExchange" not in plan
+    assert "Join" not in plan
