@@ -474,3 +474,75 @@ def length_profile_approx(
         F.round(F.percentile_approx(v, F.lit(0.9), acc), 6).alias("p90"),
         F.round(F.percentile_approx(v, F.lit(0.99), acc), 6).alias("p99"),
     )
+
+
+def source_cap_topk(
+    df: DataFrame,
+    stratum_col: str = "source",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Per-source document cap: keep the top `k` documents of each
+    stratum by score -- the domain-cap rule crawl curation applies so
+    no single site dominates the corpus (the complement of
+    temperature_sample: a hard per-stratum ceiling instead of a
+    proportional rate).
+
+    Ranking is row_number over (score DESC, id ASC): the id tiebreak
+    makes the cut deterministic under score ties, so results are
+    stable across engines, retries, and partitionings.
+
+    Output: (id, stratum, score, rank), rank in [1, k].  One shuffle
+    (the per-stratum window); at 100 TB this is the canonical top-k
+    pattern -- the window state per reducer is one stratum's rows, and
+    a heavily skewed stratum can be pre-thinned with a per-partition
+    partial top-k before the window if needed.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(id_col, stratum_col, score_col)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic training-order shuffle: a reproducible
+    pseudorandom permutation of the corpus, materialized the way
+    training-data writers actually lay it out -- `n_buckets` shard
+    files, each internally ordered.  shuffle_key = hash(id : seed)
+    gives a content-independent pseudorandom order; bucket = key mod
+    n_buckets is the shard a document lands in; pos is its offset
+    within the shard (ordered by key, id-tiebroken).  Changing the
+    seed reshuffles everything; replaying the same seed reproduces the
+    exact epoch order on any engine and any partitioning.
+
+    Output: (id, bucket, pos).  One shuffle (the per-bucket window) --
+    a single GLOBAL row_number would serialize 100 TB through one
+    reducer; per-bucket positions keep all reducers busy and the
+    consumer reads shards in bucket order for the full epoch order.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from ..functions.hashing import hash64
+
+    key = hash64(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(F.col(id_col), key.alias("__key"))
+        .withColumn("bucket", F.col("__key") % n_buckets)
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "bucket", "pos")
+    )

@@ -410,6 +410,61 @@ def corpus_bloom_decontamination(spark, sf_dir):
     )
 
 
+_CAP_K = 10
+
+
+@register(
+    "corpus_source_cap",
+    f"""
+    SELECT doc_id, source, n_chars, rank FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+             ) AS rank
+      FROM documents
+    ) WHERE rank <= {_CAP_K}
+    """,
+)
+def corpus_source_cap(spark, sf_dir):
+    """Per-source document cap (domain-cap curation rule): keep the top
+    {k} docs of each source by length, id-tiebroken so score ties cut
+    deterministically.  One per-stratum window shuffle."""
+    return corpus.source_cap_topk(
+        load_table(spark, sf_dir, "documents"), k=_CAP_K
+    )
+
+
+_SHUF_SEED, _SHUF_BUCKETS = 42, 16
+
+
+def _global_shuffle_oracle() -> str:
+    key = _H.format(x=f"doc_id::VARCHAR || ':{_SHUF_SEED}'")
+    return f"""
+    WITH k AS (
+      SELECT doc_id, {key} AS key FROM documents
+    )
+    SELECT doc_id, key % {_SHUF_BUCKETS} AS bucket,
+           ROW_NUMBER() OVER (
+             PARTITION BY key % {_SHUF_BUCKETS} ORDER BY key, doc_id
+           ) AS pos
+    FROM k
+    """
+
+
+@register("corpus_global_shuffle", _global_shuffle_oracle())
+def corpus_global_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle: reproducible pseudorandom
+    epoch order as (shard bucket, in-shard position) -- per-bucket
+    row_number keeps the permutation parallel where a global
+    row_number would serialize the corpus through one reducer.  The
+    oracle replays key, bucket, and position bit-identically."""
+    return corpus.global_shuffle(
+        load_table(spark, sf_dir, "documents"),
+        seed=_SHUF_SEED,
+        n_buckets=_SHUF_BUCKETS,
+    )
+
+
 _SEG_W, _SEG_T = 5, 2  # segment width (words) / removal threshold, shared
 # between the Spark call site and the oracle so geometry cannot drift
 

@@ -473,3 +473,54 @@ def test_line_dedup_rejects_bad_width(spark):
 
     with pytest.raises(ValueError):
         corpus.line_dedup(_docs(spark, [(1, "x", "en")]), segment_words=0)
+
+
+# ---------------------------------------------------------------------------
+# source cap + global shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_source_cap_bounds_and_tiebreak(spark):
+    rows = [(i, "t", "en", "srcA" if i < 8 else "srcB", 100) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = corpus.source_cap_topk(df, k=3).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # at most k rows per stratum; all scores tie, so the id ASC
+    # tiebreak keeps the LOWEST ids deterministically
+    assert sorted(by_src["srcA"]) == [0, 1, 2]
+    assert sorted(by_src["srcB"]) == [8, 9, 10]
+    assert all(1 <= r["rank"] <= 3 for r in got)
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(100)], "doc_id long, text string"
+    )
+    out = corpus.global_shuffle(df, seed=1, n_buckets=8).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(100))  # every doc once
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["pos"])
+    # in-shard positions are contiguous 1..n
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_bucket.values())
+
+
+def test_global_shuffle_seed_reproducible_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id long, text string"
+    )
+    order = lambda seed: [  # noqa: E731
+        r["doc_id"]
+        for r in sorted(
+            corpus.global_shuffle(df, seed=seed, n_buckets=4).collect(),
+            key=lambda r: (r["bucket"], r["pos"]),
+        )
+    ]
+    a, b, c = order(7), order(7), order(8)
+    assert a == b          # same seed -> identical epoch order
+    assert a != c          # different seed -> different permutation
+    assert a != list(range(50))  # and it actually shuffles
