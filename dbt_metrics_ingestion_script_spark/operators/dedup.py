@@ -505,7 +505,7 @@ def embedding_cosine_pairs(
     )
 
 
-def embedding_near_dedup(
+def embedding_near_pairs(
     df: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
@@ -514,11 +514,12 @@ def embedding_near_dedup(
     probe_hamming: int = 2,
     dim: int = 64,
 ) -> DataFrame:
-    """Scale-path embedding dedup: LSH-bucket candidate pairs (same
-    random-hyperplane signature within `probe_hamming` bits via banded
-    buckets), exact cosine verify, drop the higher id of each duplicate
-    pair.  Returns surviving input rows.  `dim` must equal the embedding
-    length (plane vectors are plan literals of that length).
+    """Verified embedding near-dup PAIRS -- the LSH candidate +
+    exact-cosine-verify stage shared by `embedding_near_dedup` (which
+    drops the higher id of each pair) and semantic clustering (which
+    feeds the pairs into connected components).  Output: (id_a, id_b),
+    id_a < id_b, cosine >= threshold, candidates limited to bucket
+    signatures within `probe_hamming` bits.
 
     The candidate join is on (band, bucket) ids -- vector payloads move
     only for the verified-candidate rescore, so shuffle volume is
@@ -572,7 +573,26 @@ def embedding_near_dedup(
         .join(vecs.withColumnRenamed("id", "id_b"), "id_b")
         .filter(dot(F.col("unit_a"), F.col("unit")) >= threshold)
     )
-    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return verified.select("id_a", "id_b")
+
+
+def embedding_near_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale-path embedding dedup: verified LSH near-dup pairs
+    (`embedding_near_pairs`), then drop the higher id of each duplicate
+    pair.  Returns surviving input rows.  `dim` must equal the embedding
+    length (plane vectors are plan literals of that length)."""
+    pairs = embedding_near_pairs(
+        df, threshold, id_col, vec_col, n_planes, probe_hamming, dim
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

@@ -325,11 +325,10 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
     return round_cols(df, {"cosine_sim": 6})
 
 
-def _embedding_lsh_oracle(n_planes: int = 8, dim: int = 64, probe: int = 2) -> str:
-    """The hyperplane signature uses deterministic plan-literal planes,
-    and the banded probe is an exact pigeonhole cover of
-    hamming <= probe, so survivors are SQL-expressible: drop the higher
-    id of every pair with bucket-hamming <= probe and cosine >= t."""
+def _embedding_bucket_cte(n_planes: int = 8, dim: int = 64) -> str:
+    """Shared u/bk CTE body: unit vectors + the deterministic
+    plan-literal hyperplane signature (same planes the Spark operator
+    renders into its plan)."""
     from .operators.similarity import _plane_component
 
     planes = [
@@ -340,8 +339,7 @@ def _embedding_lsh_oracle(n_planes: int = 8, dim: int = 64, probe: int = 2) -> s
         f"(CASE WHEN list_dot_product(unit, {planes[p]}) > 0 THEN {1 << p} ELSE 0 END)"
         for p in range(n_planes)
     )
-    return f"""
-    WITH u AS (
+    return f"""u AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[],
                x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
@@ -350,7 +348,16 @@ def _embedding_lsh_oracle(n_planes: int = 8, dim: int = 64, probe: int = 2) -> s
       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ), bk AS (
       SELECT vec_id, unit, ({bucket})::BIGINT AS bucket FROM u
-    ), losers AS (
+    )"""
+
+
+def _embedding_lsh_oracle(n_planes: int = 8, dim: int = 64, probe: int = 2) -> str:
+    """The hyperplane signature uses deterministic plan-literal planes,
+    and the banded probe is an exact pigeonhole cover of
+    hamming <= probe, so survivors are SQL-expressible: drop the higher
+    id of every pair with bucket-hamming <= probe and cosine >= t."""
+    return f"""
+    WITH {_embedding_bucket_cte(n_planes, dim)}, losers AS (
       SELECT DISTINCT b.vec_id
       FROM bk a JOIN bk b ON a.vec_id < b.vec_id
       WHERE bit_count(xor(a.bucket, b.bucket)) <= {probe}
@@ -367,6 +374,48 @@ def dedup_embedding_lsh_survivors(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"), threshold=_COS_T
     )
     return out.select("vec_id", "label")
+
+
+def _semantic_clusters_oracle(n_planes: int = 8, dim: int = 64, probe: int = 2) -> str:
+    """Recursive-CTE min-label propagation over the verified embedding
+    near-dup edge set -- the same walk the text-cluster oracles use,
+    on edges DuckDB re-derives from the identical plan-literal planes,
+    banded probe, and cosine verify."""
+    return f"""
+    WITH RECURSIVE {_embedding_bucket_cte(n_planes, dim)}, edges AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.bucket, b.bucket)) <= {probe}
+        AND list_dot_product(a.unit, b.unit) >= {_COS_T}
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), walk(node, lbl) AS (
+      SELECT src, LEAST(src, MIN(dst)) FROM sym GROUP BY src
+      UNION
+      SELECT s.src, w.lbl FROM sym s JOIN walk w ON s.dst = w.node
+      WHERE w.lbl < s.src
+    )
+    SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node
+    """
+
+
+@register("dedup_semantic_clusters", _semantic_clusters_oracle())
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style semantic duplicate clusters: verified embedding
+    near-dup pairs (LSH candidates + exact cosine verify) resolved
+    into connected components by the O(log n)-round star algorithm.
+    Collapsing A~B~C cosine chains onto one representative is how
+    embedding-level dedup actually ships -- pairwise drops alone leave
+    transitive duplicates behind.  Every stage is the scale path:
+    banded candidate join, pair-only shuffles, star rounds over the
+    edge frame."""
+    pairs = dedup.embedding_near_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=_COS_T
+    )
+    return dedup.duplicate_clusters_star(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1527,3 +1527,34 @@ def test_hashed_linear_score_rejects_bad_buckets(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         T.hashed_linear_score(docs, n_buckets=0)
+
+
+def test_semantic_clusters_collapse_cosine_chains(spark):
+    """embedding_near_pairs -> star CC: a chain of pairwise-similar
+    vectors lands in ONE cluster labeled by the component minimum; a
+    dissimilar vector generates no pairs and stays out of the graph."""
+    import math
+
+    from dbt_metrics_ingestion_script_spark.operators import dedup as D
+
+    def vec(theta, axis2):
+        v = [0.0] * 64
+        v[0] = math.cos(theta)
+        v[axis2] = math.sin(theta)
+        return v
+
+    rows = [
+        (0, vec(0.00, 1), 0),
+        (1, vec(0.15, 1), 0),   # cos 0.15 rad ~ 0.989 to v0
+        (2, vec(0.30, 1), 0),   # ~0.989 to v1, ~0.955 to v0
+        (9, [0.0] * 32 + [1.0] + [0.0] * 31, 1),  # orthogonal loner
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    pairs = D.embedding_near_pairs(emb, threshold=0.9)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.duplicate_clusters_star(pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0}
