@@ -400,6 +400,40 @@ def _semantic_clusters_oracle(n_planes: int = 8, dim: int = 64, probe: int = 2) 
     """
 
 
+def _semantic_survivors_oracle() -> str:
+    """Survivors = everything except non-representative cluster members
+    (nodes whose component min is some other node)."""
+    walk = _semantic_clusters_oracle()
+    return (
+        walk.rsplit("SELECT node AS vec_id", 1)[0]
+        + """
+    , drops AS (
+      SELECT node FROM walk GROUP BY node HAVING MIN(lbl) <> node
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM drops)
+    """
+    )
+
+
+@register("dedup_semantic_survivors", _semantic_survivors_oracle())
+def dedup_semantic_survivors(spark, sf_dir):
+    """SemDeDup's output stage: one representative per semantic
+    cluster (the component-minimum id), everything unclustered kept.
+    Unlike pairwise `dedup_embedding_lsh_survivors` -- which drops the
+    higher id of each PAIR and can strand transitive duplicates when
+    A~B and B~C but A is not C's pair -- this drops every
+    non-representative member of each connected component."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = dedup.duplicate_clusters_star(
+        dedup.embedding_near_pairs(emb, threshold=_COS_T)
+    )
+    drops = clusters.where(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")
+
+
 @register("dedup_semantic_clusters", _semantic_clusters_oracle())
 def dedup_semantic_clusters(spark, sf_dir):
     """SemDeDup-style semantic duplicate clusters: verified embedding
