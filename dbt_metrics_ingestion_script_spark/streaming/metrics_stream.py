@@ -205,3 +205,63 @@ def streaming_decontaminate(
         )
         .drop("__grams", "__eval_grams")
     )
+
+
+def anomaly_baseline(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-type (mu, sigma) over the daily total series -- the BATCH
+    side of the streaming anomaly monitor.  Recomputed out of band
+    (nightly, like the streaming sampler's temperature rates) from
+    history; the stream only scores against it."""
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("day", ts_col).cast("date").alias("day")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+
+
+def streaming_anomaly_zscore(
+    events_stream: DataFrame,
+    baseline_stats: DataFrame,
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Stream-static metric anomaly monitor: the live stream aggregates
+    each day's per-type total (tumbling window + watermark); the
+    per-type baseline (event_type, mu, sigma) is STATIC -- computed
+    batch-side by `anomaly_baseline` over history and broadcast into
+    every micro-batch (stream-static join after the windowed agg is a
+    stateless projection, so the only streaming state is the window
+    aggregation itself).
+
+    Output schema matches the batch `events_daily_anomaly_zscore`
+    monitor: (event_type, day, total_value, zscore, is_anomaly), with
+    the same degenerate-series pinning -- NULL/zero sigma yields NULL z
+    and is never flagged (left join keeps days for types absent from
+    the baseline; they surface with NULL z rather than vanishing,
+    since an unknown type is exactly what a monitor must not drop).
+
+    Convergence: over the same static data with the baseline computed
+    from it, the drained stream equals the batch monitor row for row
+    (the differential test drives availableNow and diffs)."""
+    daily = (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 day").alias("w"), "event_type")
+        .agg(F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    z = F.when(
+        F.col("sigma") != 0,
+        (F.col("total_value") - F.col("mu")) / F.col("sigma"),
+    )
+    return daily.join(F.broadcast(baseline_stats), "event_type", "left").select(
+        "event_type",
+        F.col("w.start").cast("date").alias("day"),
+        "total_value",
+        F.round(z, 4).alias("zscore"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -788,3 +788,29 @@ def test_streaming_asof_lookup_converges_to_batch(spark, sf_dir, events_dir):
         for r in asof_join_backward(batch_ev, daily, **kw).collect()
     )
     assert got == want and got
+
+
+def test_streaming_anomaly_converges_to_batch_monitor(spark, sf_dir, events_dir):
+    """Stream-static anomaly scoring: with the baseline computed from
+    the same static history, the drained stream must reproduce the
+    batch events_daily_anomaly_zscore monitor row for row -- including
+    NULL-z degenerate series never being flagged."""
+    from dbt_metrics_ingestion_script_spark import queries_ext
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+    from dbt_metrics_ingestion_script_spark.streaming.metrics_stream import (
+        anomaly_baseline,
+        streaming_anomaly_zscore,
+    )
+
+    baseline = anomaly_baseline(load_table(spark, sf_dir, "events"))
+    stream = read_events_stream(spark, events_dir)
+    result = streaming_anomaly_zscore(stream, baseline)
+    run_stream_to_memory(result, "stream_anomaly")
+    key = lambda r: (r["event_type"], str(r["day"]))  # noqa: E731
+    val = lambda r: (r["total_value"], r["zscore"], r["is_anomaly"])  # noqa: E731
+    got = {key(r): val(r) for r in spark.sql("SELECT * FROM stream_anomaly").collect()}
+    expected = {
+        key(r): val(r)
+        for r in queries_ext.events_daily_anomaly_zscore(spark, sf_dir).collect()
+    }
+    assert got == expected
