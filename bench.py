@@ -108,6 +108,11 @@ HEADLINE = [
     "corpus_duplication_report",
     "corpus_quality_percentile_filter",
     "corpus_temperature_sample",
+    "corpus_line_dedup",
+    "corpus_source_cap",
+    "corpus_global_shuffle",
+    "text_quality_classifier",
+    "dedup_semantic_clusters",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -530,28 +530,7 @@ def embedding_near_pairs(
     unit = _unit_vectors(df, id_col, vec_col).withColumn(
         "bucket", lsh_bucket(F.col("unit"), n_planes, dim)
     )
-    # pigeonhole banding over the signature bits: pairs within
-    # probe_hamming bits agree on >= 1 band
-    nbands = probe_hamming + 1
-    width = max(n_planes // nbands, 1)
-    banded = unit.select(
-        "id",
-        "unit",
-        "bucket",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        F.shiftrightunsigned("bucket", bnd * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for bnd in range(nbands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bucket", "bb.band", "bb.key")
+    banded = _banded_buckets(unit, n_planes, probe_hamming)
     banded = banded.repartition("band", "key").hint("merge")
     a, b = banded.alias("a"), banded.alias("b")
     # dedup candidate PAIRS before rejoining vectors: distinct over two
@@ -576,6 +555,35 @@ def embedding_near_pairs(
     return verified.select("id_a", "id_b")
 
 
+def _banded_buckets(
+    unit: DataFrame, n_planes: int, probe_hamming: int
+) -> DataFrame:
+    """Pigeonhole banding of the hyperplane signature: vectors within
+    `probe_hamming` bits agree on >= 1 of probe_hamming+1 bands, so an
+    equi-join on (band, key) is an exact candidate cover for the
+    hamming probe.  Output: (id, bucket, band, key)."""
+    nbands = probe_hamming + 1
+    width = max(n_planes // nbands, 1)
+    return unit.select(
+        "id",
+        "unit",
+        "bucket",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.shiftrightunsigned("bucket", bnd * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for bnd in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bucket", "bb.band", "bb.key")
+
+
 def embedding_near_dedup(
     df: DataFrame,
     threshold: float = 0.4,
@@ -594,6 +602,70 @@ def embedding_near_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def embedding_dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Incremental SEMANTIC dedup: drop batch vectors cosine-similar
+    (>= threshold) to ANY vector already in the corpus -- the
+    embedding-space sibling of `near_dedup_against_corpus` (text
+    MinHash) and `dedup_against_index` (exact digests), completing the
+    incremental-ingestion family.
+
+    Only batch rows drop; the corpus is never rescanned row-by-row --
+    in production its (id, bucket, unit) signature index is
+    materialized once (`_unit_vectors` + `lsh_bucket`, the same
+    deterministic plan-literal planes, so index and query signatures
+    can never drift) and the per-batch cost is
+    O(batch bands x matching corpus buckets), independent of corpus
+    growth beyond bucket occupancy.  Batch-INTERNAL near-dups are
+    deliberately kept (resolved by `embedding_near_dedup` /
+    `duplicate_clusters_star` in-batch before this check, mirroring the
+    exact-dedup split).
+
+    The candidate join is banded (band, key) equi-join + hamming
+    probe -- an exact pigeonhole cover, so the DuckDB oracle replays
+    every drop decision from the same plane literals.
+    """
+    from .similarity import dot, lsh_bucket
+
+    sig = lambda df_: _unit_vectors(df_, id_col, vec_col).withColumn(  # noqa: E731
+        "bucket", lsh_bucket(F.col("unit"), n_planes, dim)
+    )
+    b_unit, c_unit = sig(batch), sig(corpus)
+    bb = _banded_buckets(b_unit, n_planes, probe_hamming).alias("a")
+    cb = _banded_buckets(c_unit, n_planes, probe_hamming).alias("b")
+    cands = (
+        bb.join(cb, ["band", "key"])
+        .filter(
+            F.bit_count(F.col("a.bucket").bitwiseXOR(F.col("b.bucket")))
+            <= probe_hamming
+        )
+        .select(F.col("a.id").alias("id_b"), F.col("b.id").alias("id_c"))
+        .distinct()
+    )
+    hits = (
+        cands.join(
+            b_unit.select(F.col("id").alias("id_b"), F.col("unit").alias("unit_b")),
+            "id_b",
+        )
+        .join(
+            c_unit.select(F.col("id").alias("id_c"), F.col("unit").alias("unit_c")),
+            "id_c",
+        )
+        .filter(dot(F.col("unit_b"), F.col("unit_c")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return batch.join(hits, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

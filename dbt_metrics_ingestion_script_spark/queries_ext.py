@@ -400,6 +400,42 @@ def _semantic_clusters_oracle(n_planes: int = 8, dim: int = 64, probe: int = 2) 
     """
 
 
+_EMB_CORPUS_MOD = 3  # vec_id % 3 == 0 plays the already-ingested corpus
+
+
+def _embedding_vs_corpus_oracle(
+    n_planes: int = 8, dim: int = 64, probe: int = 2
+) -> str:
+    m = _EMB_CORPUS_MOD
+    return f"""
+    WITH {_embedding_bucket_cte(n_planes, dim)}, hits AS (
+      SELECT DISTINCT b.vec_id
+      FROM bk b JOIN bk c
+        ON b.vec_id % {m} <> 0 AND c.vec_id % {m} = 0
+       AND bit_count(xor(b.bucket, c.bucket)) <= {probe}
+      WHERE list_dot_product(b.unit, c.unit) >= {_COS_T}
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id % {m} <> 0
+      AND vec_id NOT IN (SELECT vec_id FROM hits)
+    """
+
+
+@register("dedup_embedding_incremental_vs_corpus", _embedding_vs_corpus_oracle())
+def dedup_embedding_incremental_vs_corpus(spark, sf_dir):
+    """Incremental SEMANTIC dedup: the new embedding batch LSH-joins
+    the corpus's precomputed signature index, cosine-verifies, and
+    drops only batch rows -- the embedding sibling of the exact and
+    MinHash incremental checks, closing the incremental-ingestion
+    family across all three dedup levels."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_side = emb.where(F.col("vec_id") % _EMB_CORPUS_MOD == 0)
+    batch = emb.where(F.col("vec_id") % _EMB_CORPUS_MOD != 0)
+    return dedup.embedding_dedup_against_corpus(
+        batch, corpus_side, threshold=_COS_T
+    ).select("vec_id", "label")
+
+
 def _semantic_survivors_oracle() -> str:
     """Survivors = everything except non-representative cluster members
     (nodes whose component min is some other node)."""

@@ -1558,3 +1558,35 @@ def test_semantic_clusters_collapse_cosine_chains(spark):
         for r in D.duplicate_clusters_star(pairs).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_embedding_dedup_against_corpus_semantics(spark):
+    """Corpus-similar batch vectors drop; batch-INTERNAL near-dups and
+    genuinely fresh vectors survive; the corpus frame never loses rows
+    (only batch rows are judged)."""
+    import math
+
+    from dbt_metrics_ingestion_script_spark.operators import dedup as D
+
+    def vec(theta, axis2):
+        v = [0.0] * 64
+        v[0] = math.cos(theta)
+        v[axis2] = math.sin(theta)
+        return v
+
+    corpus = spark.createDataFrame(
+        [(100, vec(0.0, 1), 0)], "vec_id long, embedding array<double>, label int"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, vec(0.05, 1), 0),   # ~0.999 cosine to corpus -> drop
+            (2, vec(1.57, 2), 0),   # orthogonal to corpus -> keep
+            (3, vec(1.60, 2), 0),   # near-dup OF ANOTHER BATCH ROW -> keep
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = sorted(
+        r["vec_id"]
+        for r in D.embedding_dedup_against_corpus(batch, corpus, threshold=0.9).collect()
+    )
+    assert out == [2, 3]
