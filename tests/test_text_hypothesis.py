@@ -108,6 +108,10 @@ CORPUS_QUERIES = [
     "corpus_quality_percentile_filter",
     "text_vocab_top_terms",
     "text_source_term_kl",
+    "corpus_line_dedup",
+    "corpus_source_cap",
+    "corpus_global_shuffle",
+    "text_quality_classifier",
 ]
 
 
