@@ -241,6 +241,25 @@ def ngram_jaccard_pairs(
     explicitly -- the registered scale-path queries pass NGRAM_DF_MAX,
     which their oracle SQL mirrors); at 100 TB always pass a cap.
     """
+    common = _ngram_common_counts(df, text_col, id_col, n, df_max)
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return common.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _ngram_common_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    df_max: int | None,
+) -> DataFrame:
+    """Shared inverted-index core of the pairwise shingle-overlap
+    operators: (id_a, id_b, n_a, n_b, n_common) for every pair sharing
+    >= 1 indexed shingle, id_a < id_b.  See `ngram_jaccard_pairs` for
+    the df_max cap semantics (index-only drop: counts are a lower
+    bound, set sizes stay exact)."""
     sh = shingle_frame(df, text_col, id_col, n, hashed=False).select(
         "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
@@ -265,7 +284,7 @@ def ngram_jaccard_pairs(
         ).drop("__df")
     sh = sh.hint("merge")
     a, b = sh.alias("a"), sh.alias("b")
-    common = (
+    return (
         a.join(b, "sh_hash")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(
@@ -276,10 +295,44 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_common"))
     )
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    df_max: int | None = None,
+) -> DataFrame:
+    """Doc-in-doc detection: pairs where the SMALLER shingle set is
+    mostly contained in the other -- containment
+    C = |A∩B| / min(|A|, |B|) >= threshold.  Catches quotations,
+    article-plus-boilerplate wrappers, and chunk/full-document
+    overlaps that Jaccard misses entirely: a 50-shingle doc embedded
+    verbatim in a 5000-shingle page has C = 1.0 but Jaccard ~ 0.01,
+    so no symmetric-similarity threshold finds it.
+
+    Output: (id_a, id_b, contained_id, containment), id_a < id_b;
+    contained_id is the doc with the smaller shingle set (ties -> the
+    lower id), i.e. the one to drop if deduplicating containments.
+
+    Same inverted-index core, plan, and df_max cap semantics as
+    `ngram_jaccard_pairs` (capped counts make containment a lower
+    bound -- emitted pairs stay a subset of the exact answer); at
+    100 TB run it behind the MinHash candidate stage like the Jaccard
+    verify."""
+    common = _ngram_common_counts(df, text_col, id_col, n, df_max)
+    cont = F.col("n_common") / F.least("n_a", "n_b")
+    contained = F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a")).otherwise(
+        F.col("id_b")
+    )
     return common.select(
-        "id_a", "id_b", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+        "id_a",
+        "id_b",
+        contained.alias("contained_id"),
+        cont.alias("containment"),
+    ).filter(F.col("containment") >= threshold)
 
 
 # ---------------------------------------------------------------------------

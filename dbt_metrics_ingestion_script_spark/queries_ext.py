@@ -62,11 +62,12 @@ def dedup_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_ngram_jaccard_pairs",
-    # the DF-capped index mirrors the Spark call site's df_max fan-out
-    # bound via the SAME constant (dedup.NGRAM_DF_MAX, ADVICE r4 c), so
-    # oracle parity holds for ANY cap value
+# Shared inverted-index pair CTE: the DF-capped index mirrors the
+# Spark call sites' df_max fan-out bound via the SAME constant
+# (dedup.NGRAM_DF_MAX, ADVICE r4 c), so oracle parity holds for ANY
+# cap value.  Both the Jaccard and containment oracles select from it,
+# exactly as both operators share _ngram_common_counts.
+_NGRAM_PAIRS_CTE = (
     _SHINGLE_CTE
     + f"""
     , idx AS (
@@ -84,7 +85,14 @@ def dedup_exact(spark, sf_dir):
              a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
       FROM idx a JOIN idx b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
-    )
+    )"""
+)
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    _NGRAM_PAIRS_CTE
+    + """
     SELECT id_a, id_b,
            ROUND(n_common / (n_a + n_b - n_common), 6) AS jaccard
     FROM pairs
@@ -98,6 +106,34 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
         df_max=dedup.NGRAM_DF_MAX,
     )
     return round_cols(df, {"jaccard": 6})
+
+
+_CONTAIN_T = 0.6
+
+
+@register(
+    "dedup_containment_pairs",
+    _NGRAM_PAIRS_CTE
+    + f"""
+    SELECT id_a, id_b,
+           CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS contained_id,
+           ROUND(n_common / LEAST(n_a, n_b), 6) AS containment
+    FROM pairs
+    WHERE n_common / LEAST(n_a, n_b) >= {_CONTAIN_T}
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Doc-in-doc detection: containment |A∩B|/min(|A|,|B|) finds the
+    quotation/wrapper/chunk overlaps Jaccard structurally misses (a
+    small doc verbatim inside a big one has J ~ |A|/|B| but C = 1.0).
+    Shares the inverted-index core and df-cap with the Jaccard pairs;
+    contained_id names the smaller-set doc -- the drop candidate."""
+    df = dedup.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=_CONTAIN_T,
+        df_max=dedup.NGRAM_DF_MAX,
+    )
+    return round_cols(df, {"containment": 6})
 
 
 # ---------------------------------------------------------------------------

@@ -1590,3 +1590,33 @@ def test_embedding_dedup_against_corpus_semantics(spark):
         for r in D.embedding_dedup_against_corpus(batch, corpus, threshold=0.9).collect()
     )
     assert out == [2, 3]
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """A small doc embedded verbatim in a much larger one: containment
+    1.0, Jaccard tiny -- the wrapper/quotation case only the
+    containment metric finds."""
+    from dbt_metrics_ingestion_script_spark.operators import dedup as D
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, small), (2, small + " " + filler)], "doc_id long, text string"
+    )
+    got = D.ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"], r["contained_id"]) == (1, 2, 1)
+    assert r["containment"] == 1.0
+    # the symmetric similarity never sees it
+    assert D.ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_containment_tie_prefers_lower_id(spark):
+    from dbt_metrics_ingestion_script_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "x y z w v u"), (2, "x y z w v u")], "doc_id long, text string"
+    )
+    r = D.ngram_containment_pairs(docs, threshold=0.9).collect()[0]
+    assert r["contained_id"] == 1 and r["containment"] == 1.0
