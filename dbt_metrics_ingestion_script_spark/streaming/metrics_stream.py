@@ -265,3 +265,53 @@ def streaming_anomaly_zscore(
         F.round(z, 4).alias("zscore"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def streaming_embedding_dedup(
+    vec_stream: DataFrame,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+):
+    """Streaming incremental SEMANTIC dedup: every micro-batch of new
+    vectors is deduped against the STATIC corpus signature index with
+    the full batch operator (`embedding_dedup_against_corpus`) inside
+    `foreachBatch`, and survivors append to `out_dir`.
+
+    foreachBatch is the right streaming shape here -- not a
+    stream-static join in the streaming plan -- because the banded
+    candidate join + cosine verify + anti-join composition needs a
+    per-row "no band matched" decision: expressed directly on a
+    band-exploded stream it would require a watermarked de-duplicating
+    aggregation (state), while per micro-batch it is the plain
+    stateless batch plan, bit-identical to the batch operator.  The
+    corpus index is re-used across batches exactly like the streaming
+    sampler's static rates; refresh it out of band as ingestion
+    appends survivors.
+
+    Batch-INTERNAL near-dups within one micro-batch are kept (same
+    contract as the batch operator); cross-micro-batch near-dups are
+    caught only once their survivors enter the corpus index -- the
+    documented eventual-consistency window every incremental dedup
+    index has.
+
+    Returns the started StreamingQuery (availableNow-compatible; the
+    caller awaits termination)."""
+    from ..operators.dedup import embedding_dedup_against_corpus
+
+    def _dedup_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        out = embedding_dedup_against_corpus(
+            batch_df, corpus, threshold, id_col, vec_col, **lsh_kwargs
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    return (
+        vec_stream.writeStream.foreachBatch(_dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -814,3 +814,44 @@ def test_streaming_anomaly_converges_to_batch_monitor(spark, sf_dir, events_dir)
         for r in queries_ext.events_daily_anomaly_zscore(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_streaming_embedding_dedup_converges_to_batch(spark, sf_dir, tmp_path):
+    """foreachBatch incremental semantic dedup: the union of per-micro-
+    batch survivors equals the batch operator over the whole new-vector
+    side (each row's fate depends only on the static corpus index, so
+    micro-batch boundaries cannot change decisions).  Two staged files
+    force at least two micro-batches, proving cross-batch statelessness."""
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators.dedup import (
+        embedding_dedup_against_corpus,
+    )
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+    from dbt_metrics_ingestion_script_spark.streaming.metrics_stream import (
+        streaming_embedding_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 3 == 0)
+    batch = emb.where(F.col("vec_id") % 3 != 0)
+
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    batch.where(F.col("vec_id") % 2 == 0).write.parquet(str(src / "f0.parquet"))
+    batch.where(F.col("vec_id") % 2 == 1).write.parquet(str(src / "f1.parquet"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = streaming_embedding_dedup(stream, corpus, out, ckpt, threshold=0.4)
+    assert q.awaitTermination(120)
+
+    got = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    expected = sorted(
+        r["vec_id"]
+        for r in embedding_dedup_against_corpus(batch, corpus, 0.4).collect()
+    )
+    assert got == expected and len(expected) > 0
