@@ -548,3 +548,107 @@ def corpus_duplication_report(spark, sf_dir):
             F.lit(1.0) - F.count_distinct("__ch") / F.count("*"), 6
         ).alias("dup_rate"),
     )
+
+
+def _semantic_pipeline_oracle() -> str:
+    """Full curation-chain replay: hashed-linear quality gate ->
+    keep-first exact dedup -> semantic-cluster drops (recursive-CTE
+    walk over the embedding near-dup graph, vec_id == doc_id)."""
+    from .functions.hashing import _family_coeffs
+    from .operators.text import HASHED_LINEAR_HALF
+    from .queries_ext import (
+        _CLS_BUCKETS,
+        _CLS_SEED,
+        _CLS_THRESHOLD,
+        _COS_T,
+        _embedding_bucket_cte,
+    )
+
+    a, b = _family_coeffs(_CLS_SEED)
+    h31 = f"({_H.format(x='x')} & {MERSENNE31})"
+    w = (
+        f"(({a} * ({h31} % {_CLS_BUCKETS}) + {b}) % {MERSENNE31}"
+        f" - {HASHED_LINEAR_HALF})"
+    )
+    return rf"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, lang, source, {_NORM} AS norm FROM documents
+    ), folded AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> {w})) AS BIGINT) AS wsum
+      FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM docs)
+    ), q AS (
+      SELECT doc_id FROM folded
+      WHERE ROUND(wsum::DOUBLE / (n_tokens * {float(HASHED_LINEAR_HALF)}), 6)
+              >= {_CLS_THRESHOLD}
+    ), kept AS (
+      SELECT d.* FROM docs d JOIN q USING (doc_id)
+    ), surv AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, {_H.format(x='norm')} AS h FROM kept)
+      GROUP BY h
+    ), dd AS (
+      SELECT k.doc_id, k.lang, k.source FROM kept k JOIN surv USING (doc_id)
+    ), {_embedding_bucket_cte()}, edges AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.bucket, b.bucket)) <= 2
+        AND list_dot_product(a.unit, b.unit) >= {_COS_T}
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), walk(node, lbl) AS (
+      SELECT src, LEAST(src, MIN(dst)) FROM sym GROUP BY src
+      UNION
+      SELECT s.src, w.lbl FROM sym s JOIN walk w ON s.dst = w.node
+      WHERE w.lbl < s.src
+    ), drops AS (
+      SELECT node FROM walk GROUP BY node HAVING MIN(lbl) <> node
+    )
+    SELECT doc_id, lang, source FROM dd
+    WHERE doc_id NOT IN (SELECT node FROM drops)
+    """
+
+
+@register("corpus_semantic_pipeline", _semantic_pipeline_oracle())
+def corpus_semantic_pipeline(spark, sf_dir):
+    """The MODEL-ERA curation chain, composed end to end: feature-
+    hashing quality gate (map-side, zero shuffle) -> keep-first exact
+    dedup (one digest-window shuffle) -> semantic drop of
+    non-representative embedding-cluster members (LSH pairs -> star
+    components over the embeddings table, vec_id == doc_id by fixture
+    contract).  The complement of `corpus_training_pipeline`'s
+    rule-based chain: learned quality score instead of Gopher rules,
+    embedding-space dedup instead of lexical.
+
+    Not one job -- the star stage is iterative (its convergence probes
+    are actions) -- but every stage is the documented scale path, and
+    the document payload shuffles exactly once (the digest window);
+    cluster drops arrive as a slim id frame anti-joined at the end."""
+    from .operators import dedup, text
+    from .queries_ext import _CLS_BUCKETS, _CLS_SEED, _CLS_THRESHOLD, _COS_T
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        text.hashed_linear_score(
+            docs,
+            n_buckets=_CLS_BUCKETS,
+            weight_seed=_CLS_SEED,
+            threshold=_CLS_THRESHOLD,
+        )
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = docs.join(keep, "doc_id")
+    dd = dedup.exact_dedup_survivors(kept)
+    clusters = dedup.duplicate_clusters_star(
+        dedup.embedding_near_pairs(
+            load_table(spark, sf_dir, "embeddings"), threshold=_COS_T
+        )
+    )
+    drops = clusters.where(F.col("cluster_id") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    return dd.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
