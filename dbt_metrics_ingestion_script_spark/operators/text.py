@@ -593,3 +593,58 @@ def hashed_linear_score(
         score.alias("score"),
         (score >= threshold).alias("keep"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_k: int = 100,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum vocabulary coverage: the fraction of token
+    OCCURRENCES covered by the global top-`vocab_k` vocabulary -- the
+    fit statistic a tokenizer-selection stage reads per source (a feed
+    with low coverage under the corpus vocabulary will fragment into
+    byte fallbacks and inflate its token counts).
+
+    Output: (stratum, n_tokens, n_covered, coverage), coverage rounded
+    to 6.  The vocabulary boundary is (count DESC, term ASC) -- the
+    same deterministic tie rule as `vocab_top_terms`, so the k-th slot
+    is engine-portable.
+
+    Scale shape: (stratum, term) counts [shuffle 1, partial-aggregated
+    -- the wire carries counts, not tokens] -> global term totals by
+    re-aggregating that slim frame [shuffle 2] -> top-k via
+    TakeOrderedAndProject (never a full vocabulary sort) riding a
+    BROADCAST join back onto the (stratum, term) frame -> per-stratum
+    sums [shuffle 3].  k rows always broadcast; no raw text moves
+    after the first aggregate.
+    """
+    toks = df.select(
+        F.col(stratum_col).alias("__strat"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    st = toks.groupBy("__strat", "term").agg(F.count("*").alias("__c"))
+    vocab = (
+        st.groupBy("term")
+        .agg(F.sum("__c").alias("__ct"))
+        .orderBy(F.desc("__ct"), F.asc("term"))
+        .limit(vocab_k)
+        .select("term")
+    )
+    covered = (
+        st.join(F.broadcast(vocab), "term")
+        .groupBy("__strat")
+        .agg(F.sum("__c").alias("n_covered"))
+    )
+    totals = st.groupBy("__strat").agg(F.sum("__c").alias("n_tokens"))
+    nc = F.coalesce(F.col("n_covered"), F.lit(0)).cast("long")
+    return (
+        totals.join(covered, "__strat", "left")
+        .select(
+            F.col("__strat").alias(stratum_col),
+            "n_tokens",
+            nc.alias("n_covered"),
+            F.round(nc / F.col("n_tokens"), 6).alias("coverage"),
+        )
+    )

@@ -1875,6 +1875,53 @@ def text_vocab_top_terms(spark, sf_dir):
     )
 
 
+_COVERAGE_K = 50
+
+
+@register(
+    "text_vocab_coverage",
+    rf"""
+    WITH docs AS (
+      SELECT source,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), terms AS (
+      SELECT source, t.term
+      FROM (SELECT source, string_split(norm, ' ') AS toks FROM docs),
+           unnest(toks) AS t(term)
+      WHERE t.term <> ''
+    ), st AS (
+      SELECT source, term, COUNT(*) AS c FROM terms GROUP BY 1, 2
+    ), tt AS (
+      SELECT term, SUM(c) AS ct FROM st GROUP BY 1
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY ct DESC, term ASC) AS rn
+        FROM tt
+      ) WHERE rn <= {_COVERAGE_K}
+    ), cov AS (
+      SELECT s.source, SUM(s.c) AS nc
+      FROM st s JOIN vocab USING (term) GROUP BY 1
+    ), tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens FROM st GROUP BY 1
+    )
+    SELECT t.source, t.n_tokens,
+           CAST(COALESCE(cov.nc, 0) AS BIGINT) AS n_covered,
+           ROUND(COALESCE(cov.nc, 0)::DOUBLE / t.n_tokens, 6) AS coverage
+    FROM tot t LEFT JOIN cov ON t.source = cov.source
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Per-source vocabulary coverage under the global top-{k}
+    vocabulary -- the tokenizer-fit statistic (a low-coverage feed
+    fragments into byte fallbacks).  Deterministic (count desc, term)
+    vocabulary boundary; top-k rides TakeOrderedAndProject + a
+    broadcast join, never a full vocabulary sort."""
+    return text.vocab_coverage(
+        load_table(spark, sf_dir, "documents"), vocab_k=_COVERAGE_K
+    )
+
+
 @register(
     "text_source_term_kl",
     # exact-integer mass functions; only the final sum is rounded, so

@@ -1620,3 +1620,21 @@ def test_containment_tie_prefers_lower_id(spark):
     )
     r = D.ngram_containment_pairs(docs, threshold=0.9).collect()[0]
     assert r["contained_id"] == 1 and r["containment"] == 1.0
+
+
+def test_vocab_coverage_full_vocab_is_total(spark):
+    """With vocab_k >= |vocabulary| every occurrence is covered; with a
+    tiny vocab the dominant term alone sets the coverage."""
+    from dbt_metrics_ingestion_script_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b", "s1"), (2, "a c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    full = {r["source"]: r for r in T.vocab_coverage(docs, vocab_k=10).collect()}
+    assert all(r["coverage"] == 1.0 for r in full.values())
+    assert full["s1"]["n_tokens"] == 4 and full["s2"]["n_tokens"] == 2
+    one = {r["source"]: r for r in T.vocab_coverage(docs, vocab_k=1).collect()}
+    # top-1 vocab is 'a' (4 occurrences)
+    assert one["s1"]["n_covered"] == 3 and one["s2"]["n_covered"] == 1
+    assert one["s1"]["coverage"] == 0.75 and one["s2"]["coverage"] == 0.5

@@ -112,6 +112,7 @@ CORPUS_QUERIES = [
     "corpus_source_cap",
     "corpus_global_shuffle",
     "text_quality_classifier",
+    "text_vocab_coverage",
 ]
 
 
