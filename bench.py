@@ -112,7 +112,10 @@ HEADLINE = [
     "corpus_source_cap",
     "corpus_global_shuffle",
     "text_quality_classifier",
+    "text_vocab_coverage",
     "dedup_semantic_clusters",
+    "dedup_containment_pairs",
+    "dedup_embedding_incremental_vs_corpus",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

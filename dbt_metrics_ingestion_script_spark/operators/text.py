@@ -614,11 +614,15 @@ def vocab_coverage(
 
     Scale shape: (stratum, term) counts [shuffle 1, partial-aggregated
     -- the wire carries counts, not tokens] -> global term totals by
-    re-aggregating that slim frame [shuffle 2] -> top-k via
-    TakeOrderedAndProject (never a full vocabulary sort) riding a
-    BROADCAST join back onto the (stratum, term) frame -> per-stratum
-    sums [shuffle 3].  k rows always broadcast; no raw text moves
-    after the first aggregate.
+    re-aggregating that slim frame with top-k via
+    TakeOrderedAndProject (never a full vocabulary sort) -> the k-row
+    vocabulary BROADCAST back onto the (stratum, term) frame as a
+    membership flag -> ONE per-stratum conditional aggregation
+    [shuffle 2] computing totals and covered together.  Two scans of
+    the corpus (the data path + the pruned vocabulary derivation --
+    in production the vocabulary is a precomputed dimension, making
+    this single-scan); a separate covered/total join formulation
+    would cost a third scan and shuffle.
     """
     toks = df.select(
         F.col(stratum_col).alias("__strat"),
@@ -630,21 +634,12 @@ def vocab_coverage(
         .agg(F.sum("__c").alias("__ct"))
         .orderBy(F.desc("__ct"), F.asc("term"))
         .limit(vocab_k)
-        .select("term")
+        .select("term", F.lit(True).alias("__in_vocab"))
     )
-    covered = (
-        st.join(F.broadcast(vocab), "term")
-        .groupBy("__strat")
-        .agg(F.sum("__c").alias("n_covered"))
-    )
-    totals = st.groupBy("__strat").agg(F.sum("__c").alias("n_tokens"))
-    nc = F.coalesce(F.col("n_covered"), F.lit(0)).cast("long")
-    return (
-        totals.join(covered, "__strat", "left")
-        .select(
-            F.col("__strat").alias(stratum_col),
-            "n_tokens",
-            nc.alias("n_covered"),
-            F.round(nc / F.col("n_tokens"), 6).alias("coverage"),
-        )
+    flagged = st.join(F.broadcast(vocab), "term", "left")
+    nc = F.sum(F.when(F.col("__in_vocab"), F.col("__c")).otherwise(F.lit(0)))
+    return flagged.groupBy(F.col("__strat").alias(stratum_col)).agg(
+        F.sum("__c").alias("n_tokens"),
+        nc.cast("long").alias("n_covered"),
+        F.round(nc / F.sum("__c"), 6).alias("coverage"),
     )

@@ -364,3 +364,14 @@ def test_line_dedup_two_shuffles_segment_frame_moves_once(spark):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2, plan
     assert "BroadcastExchange" not in plan
     assert "Join" not in plan
+
+
+def test_vocab_coverage_scan_budget(spark):
+    """Vocabulary coverage reads the corpus exactly twice: the data
+    path and the pruned top-k vocabulary derivation (a precomputed
+    dimension in production).  The covered/total pair is ONE
+    conditional aggregation -- a separate covered-join formulation
+    would cost a third scan."""
+    plan = plan_of(run(spark, "text_vocab_coverage"), "simple")
+    assert plan.count("documents.parquet") == 2, plan
+    assert "BroadcastExchange" in plan  # the k-row vocabulary flag join
