@@ -445,11 +445,45 @@ def near_dedup_against_corpus(
 
     Output: surviving new rows.
     """
+    return near_dedup_against_corpus_index(
+        new_docs,
+        _banded_minhash(corpus, text_col, id_col, n, k, bands),
+        shingle_frame(corpus, text_col, id_col, n),
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        k=k,
+        bands=bands,
+        threshold=threshold,
+    )
+
+
+def near_dedup_against_corpus_index(
+    new_docs: DataFrame,
+    corpus_banded: DataFrame,
+    corpus_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """`near_dedup_against_corpus` against the MATERIALIZED corpus
+    index -- the production incremental form: `corpus_banded` is the
+    (id, band, bucket) frame and `corpus_shingles` the
+    (id, shingles) frame written once by
+    `sinks.signature_index.write_minhash_index` (or any prior batch's
+    signature pass).  The geometry (n, k, bands) MUST match the one
+    the index was built with -- the writer records it and the reader
+    checks, because a mismatched batch signature silently finds no
+    candidates.  History is never re-signatured: each batch costs one
+    batch-sized signature pass plus joins that shuffle the batch side
+    and only the matching index buckets."""
     b_banded = _banded_minhash(new_docs, text_col, id_col, n, k, bands)
-    c_banded = _banded_minhash(corpus, text_col, id_col, n, k, bands)
     cands = (
         b_banded.join(
-            c_banded.withColumnRenamed("id", "cid"), ["band", "bucket"]
+            corpus_banded.withColumnRenamed("id", "cid"), ["band", "bucket"]
         )
         .select(F.col("id").alias("id_new"), F.col("cid").alias("id_corpus"))
         .distinct()
@@ -457,7 +491,7 @@ def near_dedup_against_corpus(
     sh_new = shingle_frame(new_docs, text_col, id_col, n).select(
         F.col("id").alias("id_new"), F.col("shingles").alias("sh_n")
     )
-    sh_corpus = shingle_frame(corpus, text_col, id_col, n).select(
+    sh_corpus = corpus_shingles.select(
         F.col("id").alias("id_corpus"), F.col("shingles").alias("sh_c")
     )
     flagged = (
@@ -688,12 +722,54 @@ def embedding_dedup_against_corpus(
     probe -- an exact pigeonhole cover, so the DuckDB oracle replays
     every drop decision from the same plane literals.
     """
-    from .similarity import dot, lsh_bucket
+    return embedding_dedup_against_index(
+        batch,
+        embedding_signature_index(corpus, id_col, vec_col, n_planes, dim),
+        threshold,
+        id_col,
+        vec_col,
+        n_planes,
+        probe_hamming,
+        dim,
+    )
 
-    sig = lambda df_: _unit_vectors(df_, id_col, vec_col).withColumn(  # noqa: E731
+
+def embedding_signature_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, unit, bucket): the embedding LSH signature index --
+    materialize once per corpus (sinks.signature_index) and every
+    incremental batch joins it instead of re-signaturing history.
+    Deterministic plan-literal planes, so index and query signatures
+    can never drift."""
+    from .similarity import lsh_bucket
+
+    return _unit_vectors(df, id_col, vec_col).withColumn(
         "bucket", lsh_bucket(F.col("unit"), n_planes, dim)
     )
-    b_unit, c_unit = sig(batch), sig(corpus)
+
+
+def embedding_dedup_against_index(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """`embedding_dedup_against_corpus` against the MATERIALIZED
+    (id, unit, bucket) signature index; n_planes/dim must match the
+    index build (writer records, reader checks)."""
+    from .similarity import dot
+
+    b_unit = embedding_signature_index(batch, id_col, vec_col, n_planes, dim)
+    c_unit = corpus_index
     bb = _banded_buckets(b_unit, n_planes, probe_hamming).alias("a")
     cb = _banded_buckets(c_unit, n_planes, probe_hamming).alias("b")
     cands = (

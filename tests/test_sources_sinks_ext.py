@@ -89,3 +89,86 @@ def test_shard_writer_bounds_file_sizes(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="max_records_per_file"):
         write_corpus_shards(docs, out, max_records_per_file=0)
+
+
+# ---------------------------------------------------------------------------
+# materialized signature indexes
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_index_roundtrip_matches_inline(spark, sf_dir, tmp_path):
+    """Incremental near-dedup against the MATERIALIZED index must equal
+    the inline-signatured path row for row -- signatures are pure
+    functions of content, so materialization cannot change decisions."""
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators import dedup
+    from dbt_metrics_ingestion_script_spark.sinks import signature_index as si
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 4 == 0)
+    batch = docs.where(F.col("doc_id") % 4 != 0)
+    d = str(tmp_path / "mh_index")
+    si.write_minhash_index(corpus, d, k=16, bands=4)
+    banded, shingles = si.read_minhash_index(spark, d, k=16, bands=4)
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup_against_corpus_index(
+            batch, banded, shingles, k=16, bands=4, threshold=0.8
+        ).collect()
+    )
+    expected = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup_against_corpus(
+            batch, corpus, k=16, bands=4, threshold=0.8
+        ).collect()
+    )
+    assert got == expected and 0 < len(got) <= batch.count()
+
+
+def test_embedding_index_roundtrip_matches_inline(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators import dedup
+    from dbt_metrics_ingestion_script_spark.sinks import signature_index as si
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 3 == 0)
+    batch = emb.where(F.col("vec_id") % 3 != 0)
+    d = str(tmp_path / "emb_index")
+    si.write_embedding_index(corpus, d)
+    index = si.read_embedding_index(spark, d)
+    got = sorted(
+        r["vec_id"]
+        for r in dedup.embedding_dedup_against_index(batch, index, 0.4).collect()
+    )
+    expected = sorted(
+        r["vec_id"]
+        for r in dedup.embedding_dedup_against_corpus(batch, corpus, 0.4).collect()
+    )
+    assert got == expected and 0 < len(got) <= batch.count()
+
+
+def test_signature_index_geometry_mismatch_is_loud(spark, sf_dir, tmp_path):
+    """Geometry drift must raise, never silently return an index whose
+    signatures can't match the batch's (recall collapse = everything
+    passes the dedup gate)."""
+    import pytest
+
+    from dbt_metrics_ingestion_script_spark.sinks import signature_index as si
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = str(tmp_path / "geom_index")
+    si.write_minhash_index(docs, d, k=16, bands=4)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        si.read_minhash_index(spark, d, k=32, bands=8)
+    with pytest.raises(ValueError, match="no signature index"):
+        si.read_minhash_index(spark, str(tmp_path / "nowhere"), k=16, bands=4)
+    # band partitioning on disk: one directory per band
+    import os
+
+    bands = [p for p in os.listdir(d + "/banded") if p.startswith("band=")]
+    assert len(bands) == 4
