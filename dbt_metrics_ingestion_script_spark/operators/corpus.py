@@ -371,25 +371,9 @@ def line_dedup(
     (shared md5-derived digest on both sides, hash collisions
     included).
     """
-    if segment_words < 1:
-        raise ValueError("segment_words must be >= 1")
-    w = segment_words
-    base = documents.select(
-        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
-    )
-    n_seg = F.ceil(F.size("__toks") / F.lit(w))
-    seg_text = F.concat_ws(
-        " ", F.slice("__toks", F.col("__seg_idx") * w + 1, w)
-    )
     from ..functions.hashing import hash64
 
-    segs = base.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0).cast("long"), n_seg - 1)).alias(
-            "__seg_idx"
-        ),
-        "__toks",
-    ).select(F.col(id_col), "__seg_idx", seg_text.alias("__seg"))
+    segs = _segments(documents, text_col, id_col, segment_words)
     flagged = segs.select(
         F.col(id_col),
         "__seg_idx",
@@ -401,6 +385,37 @@ def line_dedup(
             >= dup_threshold
         ).alias("__dup"),
     )
+    return _reassemble(flagged, id_col)
+
+
+def _segments(
+    documents: DataFrame, text_col: str, id_col: str, segment_words: int
+) -> DataFrame:
+    """(id, __seg_idx, __seg): fixed-word segmentation of the
+    normalized text, a pure map-side explode (shared by line_dedup and
+    its incremental-index variant)."""
+    if segment_words < 1:
+        raise ValueError("segment_words must be >= 1")
+    w = segment_words
+    base = documents.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
+    )
+    n_seg = F.ceil(F.size("__toks") / F.lit(w))
+    seg_text = F.concat_ws(
+        " ", F.slice("__toks", F.col("__seg_idx") * w + 1, w)
+    )
+    return base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_seg - 1)).alias(
+            "__seg_idx"
+        ),
+        "__toks",
+    ).select(F.col(id_col), "__seg_idx", seg_text.alias("__seg"))
+
+
+def _reassemble(flagged: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc ordered reassembly of non-dup segments: one aggregation
+    shuffle; output (id, n_segments, n_removed, text_kept)."""
     parts = F.sort_array(
         F.collect_list(
             F.struct(
@@ -418,6 +433,66 @@ def line_dedup(
         F.sum(F.col("__dup").cast("long")).alias("n_removed"),
         F.concat_ws(" ", kept).alias("text_kept"),
     )
+
+
+def segment_count_index(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_words: int = 5,
+) -> DataFrame:
+    """(seg_h, c): corpus-wide segment-occurrence counts keyed by the
+    64-bit segment digest -- the boilerplate-frequency index
+    `line_dedup_against_index` consumes.  Materialize once over the
+    reference corpus (CCNet computes its line frequencies over a
+    reference shard, then strips matching lines from everything);
+    counts are content-pure, so batches append by re-aggregating."""
+    from ..functions.hashing import hash64
+
+    return (
+        _segments(documents, text_col, id_col, segment_words)
+        .groupBy(hash64(F.col("__seg")).alias("seg_h"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def line_dedup_against_index(
+    batch: DataFrame,
+    segment_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_words: int = 5,
+    dup_threshold: int = 2,
+) -> DataFrame:
+    """Incremental line-level dedup: strip from each batch document
+    every segment whose count in the HISTORICAL index
+    (`segment_count_index`) reaches `dup_threshold` -- boilerplate
+    known from the reference corpus is removed without rescanning it.
+    Batch-INTERNAL duplication deliberately does NOT count (mirroring
+    the whole incremental family: in-batch effects are handled by the
+    batch operator `line_dedup`; refresh the index with the batch's
+    segments out of band).
+
+    Segment width must match the index build -- same contract as the
+    signature indexes.  Output schema == line_dedup's.
+
+    Scale: batch segmentation is map-side; ONE shuffled join against
+    the index keyed on the segment digest (the index is corpus-sized,
+    never broadcast) + the per-doc reassembly shuffle."""
+    segs = _segments(batch, text_col, id_col, segment_words)
+    from ..functions.hashing import hash64
+
+    flagged = (
+        segs.withColumn("seg_h", hash64(F.col("__seg")))
+        .join(segment_counts, "seg_h", "left")
+        .select(
+            F.col(id_col),
+            "__seg_idx",
+            "__seg",
+            (F.coalesce(F.col("c"), F.lit(0)) >= dup_threshold).alias("__dup"),
+        )
+    )
+    return _reassemble(flagged, id_col)
 
 
 def length_profile(

@@ -511,6 +511,53 @@ def corpus_line_dedup(spark, sf_dir):
     )
 
 
+_LINE_IDX_MOD = 2  # even doc_ids play the historical reference corpus
+
+
+def _line_dedup_index_oracle() -> str:
+    w, t, m = _SEG_W, _SEG_T, _LINE_IDX_MOD
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+    ), seg AS (
+      SELECT doc_id, i.i AS seg_idx,
+             array_to_string(toks[i.i*{w}+1 : i.i*{w}+{w}], ' ') AS seg
+      FROM docs,
+           unnest(range(CAST(ceil(len(toks)::DOUBLE / {w}) AS BIGINT))) AS i(i)
+    ), cnt AS (
+      SELECT {_H.format(x='seg')} AS seg_h, COUNT(*) AS c
+      FROM seg WHERE doc_id % {m} = 0 GROUP BY 1
+    ), j AS (
+      SELECT s.doc_id, s.seg_idx, s.seg,
+             (COALESCE(c.c, 0) >= {t}) AS dup
+      FROM (SELECT * FROM seg WHERE doc_id % {m} <> 0) s
+      LEFT JOIN cnt c ON {_H.format(x='s.seg')} = c.seg_h
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE NOT dup), '') AS text_kept
+    FROM j GROUP BY doc_id
+    """
+
+
+@register("corpus_line_dedup_incremental", _line_dedup_index_oracle())
+def corpus_line_dedup_incremental(spark, sf_dir):
+    """Incremental boilerplate stripping: the batch's segments are
+    judged against the HISTORICAL segment-frequency index (built from
+    the reference half of the corpus) -- known boilerplate is removed
+    without rescanning history; batch-internal duplication
+    deliberately does not count (the incremental-family contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % _LINE_IDX_MOD == 0)
+    batch = docs.where(F.col("doc_id") % _LINE_IDX_MOD != 0)
+    index = corpus.segment_count_index(ref, segment_words=_SEG_W)
+    return corpus.line_dedup_against_index(
+        batch, index, segment_words=_SEG_W, dup_threshold=_SEG_T
+    )
+
+
 @register(
     "corpus_duplication_report",
     # within-source exact-duplication rate off the normalized-text

@@ -524,3 +524,31 @@ def test_global_shuffle_seed_reproducible_and_distinct(spark):
     assert a == b          # same seed -> identical epoch order
     assert a != c          # different seed -> different permutation
     assert a != list(range(50))  # and it actually shuffles
+
+
+def test_line_dedup_against_index_batch_internal_not_counted(spark):
+    """Only index frequencies matter: a segment spammed within the
+    batch but absent from history survives; a known-boilerplate
+    segment is stripped even on its first batch appearance."""
+    boiler = "all rights reserved site map"
+    ref = _docs(
+        spark,
+        [(100, boiler + " old content words here now", "en"),
+         (102, boiler + " other history text goes here", "en")],
+    )
+    batch = _docs(
+        spark,
+        [(1, boiler + " fresh unique alpha beta gamma", "en"),
+         (3, "spam spam spam spam spam " + "spam spam spam spam spam", "en")],
+    )
+    index = corpus.segment_count_index(ref, segment_words=5)
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.line_dedup_against_index(
+            batch, index, segment_words=5, dup_threshold=2
+        ).collect()
+    }
+    assert rows[1]["n_removed"] == 1
+    assert rows[1]["text_kept"] == "fresh unique alpha beta gamma"
+    # doc 3's repeated segment never appeared in history -> untouched
+    assert rows[3]["n_removed"] == 0 and rows[3]["n_segments"] == 2
