@@ -113,6 +113,8 @@ CORPUS_QUERIES = [
     "corpus_global_shuffle",
     "text_quality_classifier",
     "text_vocab_coverage",
+    "corpus_line_dedup_incremental",
+    "dedup_containment_pairs",
 ]
 
 
