@@ -532,6 +532,7 @@ def hashed_linear_score(
     n_buckets: int = 1024,
     weight_seed: int = 0,
     threshold: float = 0.0,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Feature-hashing linear text classifier (the fastText /
     hash-kernel shape: Weinberger et al., ICML'09): each token hashes
@@ -558,14 +559,20 @@ def hashed_linear_score(
     (F.aggregate over int64, exact and order-free), and the threshold
     are one map-side projection; at 100 TB this runs at scan speed
     with full pushdown beneath it.
+
+    `extra_cols` pass through untouched (same contract as
+    quality_score) so pipeline compositions can filter on `keep`
+    without a doc_id re-join -- keeping the composed plan single-scan.
     """
     from ..functions.hashing import MERSENNE31, _family_coeffs, hash31
 
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     a, b = _family_coeffs(weight_seed)
+    extras = [F.col(c) for c in extra_cols]
     base = df.select(
         F.col(id_col),
+        *extras,
         F.split(normalize_text(text_col), " ").alias("__toks"),
     )
     weight = lambda t: (  # noqa: E731
@@ -575,6 +582,7 @@ def hashed_linear_score(
     )
     folded = base.select(
         F.col(id_col),
+        *extras,
         F.size("__toks").alias("n_tokens"),
         F.aggregate(
             F.transform("__toks", weight),
@@ -589,6 +597,7 @@ def hashed_linear_score(
     )
     return folded.select(
         F.col(id_col),
+        *extras,
         "n_tokens",
         score.alias("score"),
         (score >= threshold).alias("keep"),

@@ -676,17 +676,15 @@ def corpus_semantic_pipeline(spark, sf_dir):
     from .queries_ext import _CLS_BUCKETS, _CLS_SEED, _CLS_THRESHOLD, _COS_T
 
     docs = load_table(spark, sf_dir, "documents")
-    keep = (
-        text.hashed_linear_score(
-            docs,
-            n_buckets=_CLS_BUCKETS,
-            weight_seed=_CLS_SEED,
-            threshold=_CLS_THRESHOLD,
-        )
-        .where(F.col("keep"))
-        .select("doc_id")
-    )
-    kept = docs.join(keep, "doc_id")
+    # extra_cols passthrough keeps the gate single-scan: the classifier
+    # is a projection over the same scan, no doc_id re-join
+    kept = text.hashed_linear_score(
+        docs,
+        n_buckets=_CLS_BUCKETS,
+        weight_seed=_CLS_SEED,
+        threshold=_CLS_THRESHOLD,
+        extra_cols=("lang", "source", "text"),
+    ).where(F.col("keep"))
     dd = dedup.exact_dedup_survivors(kept)
     clusters = dedup.duplicate_clusters_star(
         dedup.embedding_near_pairs(

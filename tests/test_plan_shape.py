@@ -375,3 +375,11 @@ def test_vocab_coverage_scan_budget(spark):
     plan = plan_of(run(spark, "text_vocab_coverage"), "simple")
     assert plan.count("documents.parquet") == 2, plan
     assert "BroadcastExchange" in plan  # the k-row vocabulary flag join
+
+
+def test_semantic_pipeline_document_payload_single_scan(spark):
+    """The composed semantic pipeline reads the documents table ONCE:
+    the classifier gate is an extra_cols projection over the same scan
+    (a doc_id re-join formulation would scan twice)."""
+    plan = plan_of(run(spark, "corpus_semantic_pipeline"), "simple")
+    assert plan.count("documents.parquet") == 1, plan
