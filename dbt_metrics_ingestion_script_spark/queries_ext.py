@@ -1423,6 +1423,50 @@ def multimodal_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_phash",
+    # the aHash is exact integer arithmetic over the decoded pixels
+    # (bit i = gray_i * n > total, no float division), and the fixture
+    # pixels are an analytic function of the id -- so DuckDB replays
+    # the full fingerprint while Spark computes it from genuinely
+    # decoded BMP/PPM bytes; one flipped row or BGR mixup changes bits
+    """
+    WITH geo AS (
+      SELECT doc_id AS asset_id,
+             (1 + doc_id % 8) AS w, (1 + doc_id % 5) AS h,
+             doc_id % 256 AS seed
+      FROM documents WHERE doc_id % 2 = 0
+    ), px AS (
+      SELECT asset_id, w, h,
+             list_transform(range(w * h),
+               i -> (seed + 3*i) % 256 + (seed + 3*i + 1) % 256
+                    + (seed + 3*i + 2) % 256) AS g
+      FROM geo
+    ), agg AS (
+      SELECT asset_id, w, h, g, list_sum(g) AS total FROM px
+    )
+    SELECT asset_id, w::INT AS width, h::INT AS height,
+           CAST(list_sum(list_transform(range(len(g)),
+                  i -> CASE WHEN g[i+1] * (w*h) > total
+                            THEN (1::BIGINT << i) ELSE 0 END))
+                AS BIGINT) AS phash
+    FROM agg
+    """,
+)
+def multimodal_phash(spark, sf_dir):
+    """Perceptual image fingerprints (aHash) from REAL decoded pixels:
+    the content-defined, format-independent identity image dedup runs
+    on (BMP and PPM carrying the same pixels hash identically --
+    pytest-locked), computed through the stdlib codecs inside an Arrow
+    mapInPandas kernel; audio assets are pruned before the Python
+    stage.  Near-dup pairing runs over these hashes with pigeonhole
+    banding (`phash_near_pairs`), never all-pairs."""
+    assets = multimodal.synth_media_assets(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.perceptual_hash(assets)
+
+
+@register(
     "events_json_props_extract",
     """
     SELECT event_id, event_type,

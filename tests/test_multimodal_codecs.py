@@ -214,3 +214,69 @@ def test_synth_media_assets_payloads_are_genuine_files(spark):
         else:
             assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
             decode_wav_pcm16(blob)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash over decoded pixels
+# ---------------------------------------------------------------------------
+
+
+def _asset_rows(spark, rows):
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        MEDIA_ASSET_SCHEMA,
+    )
+
+    return spark.createDataFrame(rows, MEDIA_ASSET_SCHEMA)
+
+
+def test_phash_is_format_independent(spark):
+    """The same pixels under BMP and PPM headers must produce the SAME
+    fingerprint -- the hash is content-defined, so a codec asymmetry
+    (BMP's bottom-up BGR vs PPM's top-down RGB) would break this."""
+    from dbt_metrics_ingestion_script_spark.operators import multimodal as M
+
+    w, h = 4, 3
+    rgb = bytes((7 * i + 13) % 256 for i in range(w * h * 3))
+    rows = [
+        (1, "image/bmp", M.encode_bmp(w, h, rgb), 0),
+        (2, "image/x-portable-pixmap", M.encode_ppm(w, h, rgb), 0),
+        (3, "audio/wav", M.encode_wav_pcm16([0, 1, 2]), 0),
+    ]
+    got = {r["asset_id"]: r for r in M.perceptual_hash(_asset_rows(spark, rows)).collect()}
+    assert set(got) == {1, 2}  # audio pruned before the Python stage
+    assert got[1]["phash"] == got[2]["phash"] != 0
+    assert (got[1]["width"], got[1]["height"]) == (w, h)
+
+
+def test_phash_near_pairs_banding_finds_perturbed_copy(spark):
+    """A one-pixel perturbation flips few bits: the banded pairing must
+    surface the (original, perturbed) pair with a small nonzero
+    hamming, while an unrelated image stays unpaired."""
+    from dbt_metrics_ingestion_script_spark.operators import multimodal as M
+
+    w, h = 5, 4
+    rgb = bytes((11 * i + 3) % 256 for i in range(w * h * 3))
+    bumped = bytearray(rgb)
+    bumped[0:3] = b"\xff\xff\xff"  # dark first pixel -> pure white: its bit must flip
+    other = bytes((251 * i + 17) % 256 for i in range(w * h * 3))
+    rows = [
+        (1, "image/bmp", M.encode_bmp(w, h, rgb), 0),
+        (2, "image/bmp", M.encode_bmp(w, h, bytes(bumped)), 0),
+        (3, "image/bmp", M.encode_bmp(w, h, other), 0),
+    ]
+    hashes = M.perceptual_hash(_asset_rows(spark, rows))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.phash_near_pairs(hashes, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and 1 <= pairs[(1, 2)] <= 3
+    assert all(3 not in p for p in pairs)
+
+
+def test_ahash_rejects_oversized_images():
+    import pytest
+
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import ahash_bits
+
+    with pytest.raises(ValueError, match="63 pixels"):
+        ahash_bits(bytes(64 * 3), 64)
