@@ -116,6 +116,8 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "dedup_containment_pairs",
     "dedup_embedding_incremental_vs_corpus",
+    "corpus_line_dedup_incremental",
+    "multimodal_phash",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

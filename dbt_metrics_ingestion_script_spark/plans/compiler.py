@@ -169,6 +169,66 @@ def grain_column(ts_field: str, grain: str) -> Column:
     return F.date_trunc(grain, F.col(ts_field)).cast("date")
 
 
+GRAIN_INTERVAL = {
+    "hour": "1 hour",
+    "day": "1 day",
+    "week": "7 days",  # buckets are Monday-truncated; a 7-day step stays aligned
+    "month": "1 month",
+    "quarter": "3 months",
+    "year": "1 year",
+}
+
+
+def fill_time_gaps(
+    metric_df: DataFrame,
+    grain: str,
+    value_cols: dict[str, float],
+    ts_col: str = TS_COL,
+    dims: tuple[str, ...] = (),
+) -> DataFrame:
+    """Calendar-spine zero-fill (the dbt metrics date-spine behavior):
+    a compiled metric frame only has rows for buckets with data, but
+    dashboards and window math need EVERY calendar bucket -- a missing
+    month reads as "no row" instead of "zero revenue", and trailing /
+    growth windows silently skip it.  This right-joins the metric onto
+    the complete bucket spine from its own min to max ts, filling each
+    value column with its declared default.
+
+    The spine is derived ACTION-FREE: a 1-row (min, max) aggregate
+    exploded through `sequence(mn, mx, interval <grain step>)` -- no
+    driver-side collect, so the plan composes and the bounds ride a
+    1-row broadcast.  Bucket starts come from the compiled frame, so
+    the stepping is exactly grain-aligned in any engine (week buckets
+    are Monday-truncated dates; the 7-day step preserves that).  With
+    `dims`, the spine crosses the observed dim combinations (a dim
+    value absent from the whole frame cannot be invented).
+
+    An empty metric frame yields an empty fill (NULL bounds -> NULL
+    sequence -> zero spine rows) rather than an error -- pinned by the
+    oracle, where NULL generate_series bounds also produce no rows.
+    """
+    if grain not in GRAIN_INTERVAL:
+        raise ValueError(f"unsupported spine grain {grain!r}")
+    step = GRAIN_INTERVAL[grain]
+    bounds = metric_df.agg(
+        F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.expr(f"sequence(__mn, __mx, interval {step})")
+        ).alias(ts_col)
+    )
+    if dims:
+        spine = spine.crossJoin(metric_df.select(*dims).distinct())
+    filled = [
+        F.coalesce(F.col(c), F.lit(default)).alias(c)
+        for c, default in value_cols.items()
+    ]
+    return spine.join(metric_df, [ts_col, *dims], "left").select(
+        F.col(ts_col), *[F.col(d) for d in dims], *filled
+    )
+
+
 # ---------------------------------------------------------------------------
 # aggregation expressions (A1-A4)
 # ---------------------------------------------------------------------------

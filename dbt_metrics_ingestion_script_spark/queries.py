@@ -619,3 +619,54 @@ def metric_revenue_mom_growth(spark, sf_dir):
     )
     df = MetricCompiler(lambda m: load_table(spark, sf_dir, m)).compile(spec, "month")
     return _round(df, {"revenue_mom_growth": 6})
+
+
+_WHALE_THRESHOLD = 480_000  # rare enough that some calendar months have
+# no qualifying order at small SFs -- the spine's zero-fill is observable
+
+
+@register(
+    "metric_whale_revenue_month_spine",
+    f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+             ROUND(SUM(o_totalprice), 4) AS whale_revenue
+      FROM orders WHERE o_totalprice > {_WHALE_THRESHOLD}
+      GROUP BY 1
+    ), b AS (SELECT MIN(ts) AS mn, MAX(ts) AS mx FROM m),
+    spine AS (
+      -- scalar-list generate_series + unnest (the table-function form
+      -- rejects lateral column bounds)
+      SELECT CAST(u.g AS DATE) AS ts
+      FROM b, unnest(generate_series(b.mn, b.mx, INTERVAL 1 MONTH)) AS u(g)
+    )
+    SELECT s.ts, COALESCE(m.whale_revenue, 0.0) AS whale_revenue
+    FROM spine s LEFT JOIN m USING (ts)
+    """,
+)
+def metric_whale_revenue_month_spine(spark, sf_dir):
+    """Calendar-spine zero-fill (the dbt metrics date-spine behavior):
+    whale-order revenue per month with EVERY calendar month present --
+    months with no qualifying order surface as 0.0 instead of a
+    missing row.  The spine derives action-free from the metric's own
+    (min, max) bucket via a 1-row sequence explode; the oracle replays
+    it with generate_series, including the empty-frame NULL-bounds
+    edge."""
+    from .plans.compiler import fill_time_gaps
+
+    spec = MetricSpec(
+        name="whale_revenue",
+        calculation_method="sum",
+        expression="o_totalprice",
+        model="orders",
+        timestamp="o_orderdate",
+        time_grains=["month"],
+        filters=[
+            MetricFilter(
+                field="o_totalprice", operator=">", value=str(_WHALE_THRESHOLD)
+            )
+        ],
+    )
+    df = _compiler(spark, sf_dir).compile(spec, "month")
+    filled = fill_time_gaps(df, "month", {"whale_revenue": 0.0})
+    return _round(filled, {"whale_revenue": 4})

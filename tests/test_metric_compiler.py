@@ -239,3 +239,67 @@ def test_growth_metric_calendar_and_zero_semantics(spark):
     assert got["2024-04-01"] is None            # March missing: calendar gap
     assert got["2024-06-01"] is None            # May missing
     assert got["2024-07-01"] is None            # previous month sums to 0
+
+
+# ---------------------------------------------------------------------------
+# calendar spine zero-fill
+# ---------------------------------------------------------------------------
+
+
+def test_fill_time_gaps_inserts_zero_buckets(spark):
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.plans.compiler import fill_time_gaps
+
+    d = lambda s: datetime.date.fromisoformat(s)  # noqa: E731
+    m = spark.createDataFrame(
+        [(d("2024-01-01"), 10.0), (d("2024-04-01"), 40.0)], "ts date, rev double"
+    )
+    got = {str(r["ts"]): r["rev"] for r in fill_time_gaps(m, "month", {"rev": 0.0}).collect()}
+    assert got == {
+        "2024-01-01": 10.0, "2024-02-01": 0.0,
+        "2024-03-01": 0.0, "2024-04-01": 40.0,
+    }
+
+
+def test_fill_time_gaps_dims_cross_observed_combos(spark):
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.plans.compiler import fill_time_gaps
+
+    d = lambda s: datetime.date.fromisoformat(s)  # noqa: E731
+    m = spark.createDataFrame(
+        [(d("2024-01-01"), "a", 1.0), (d("2024-03-01"), "b", 3.0)],
+        "ts date, dim string, rev double",
+    )
+    rows = fill_time_gaps(m, "month", {"rev": 0.0}, dims=("dim",)).collect()
+    # 3 months x 2 observed dim values
+    assert len(rows) == 6
+    got = {(str(r["ts"]), r["dim"]): r["rev"] for r in rows}
+    assert got[("2024-01-01", "a")] == 1.0 and got[("2024-03-01", "b")] == 3.0
+    assert got[("2024-02-01", "a")] == 0.0 and got[("2024-01-01", "b")] == 0.0
+
+
+def test_fill_time_gaps_empty_frame_and_bad_grain(spark):
+    import pytest
+
+    from dbt_metrics_ingestion_script_spark.plans.compiler import fill_time_gaps
+
+    empty = spark.createDataFrame([], "ts date, rev double")
+    assert fill_time_gaps(empty, "month", {"rev": 0.0}).count() == 0
+    with pytest.raises(ValueError, match="spine grain"):
+        fill_time_gaps(empty, "fortnight", {"rev": 0.0})
+
+
+def test_fill_time_gaps_week_step_stays_monday_aligned(spark):
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.plans.compiler import fill_time_gaps
+
+    d = lambda s: datetime.date.fromisoformat(s)  # noqa: E731
+    m = spark.createDataFrame(
+        [(d("2024-01-01"), 1.0), (d("2024-01-22"), 2.0)], "ts date, rev double"
+    )  # both Mondays, two missing weeks between
+    got = [str(r["ts"]) for r in fill_time_gaps(m, "week", {"rev": 0.0}).collect()]
+    assert sorted(got) == ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22"]
+    assert all(datetime.date.fromisoformat(t).weekday() == 0 for t in got)
