@@ -2550,3 +2550,53 @@ def events_asof_last_order_lookup(spark, sf_dir):
         right_ts="last_order_ts",
         value_cols=["last_day_orders", "last_day_total"],
     )
+
+
+@register(
+    "events_user_sketch_rollup",
+    # self-verifying oracle (the metric_approx_customer_count pattern):
+    # the DataSketches HLL estimate is not SQL-reproducible, so the
+    # query outputs the EXACT monthly distinct plus an in-plan check
+    # that the MERGED-sketch estimate lands within bound; the oracle
+    # pins the exact counts and expects every check to hold
+    """
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS sketch_within_bound
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+    """,
+)
+def events_user_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup -- THE reason sketches exist at 100 TB:
+    exact distinct counts are not re-aggregable (a monthly distinct
+    cannot be derived from daily distincts), but HLL sketches union
+    losslessly, so the scan computes DAILY sketches once and every
+    coarser grain is a cheap sketch merge over the tiny daily frame --
+    no re-scan per grain, and the same mechanism powers incremental
+    refresh (merge yesterday's sketch into the running month).
+
+    Here: daily `hll_sketch_agg(user_id)` -> monthly `hll_union_agg`
+    -> estimate, checked in-plan against the exact monthly distinct
+    (that exact side exists only for self-verification and costs the
+    second scan; production emits the estimate alone).  Bound: 10% with
+    a floor of 5 -- DataSketches HLL at lgK=12 is ~1.6% rsd and exact
+    in sparse mode, so the bound is conservatively loose."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+    ).agg(F.hll_sketch_agg("user_id").alias("__sk"))
+    merged = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est")
+    )
+    exact = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month")
+    ).agg(F.count_distinct("user_id").alias("n_exact"))
+    return exact.join(merged, "month").select(
+        "month",
+        "n_exact",
+        (
+            F.abs(F.col("__est") - F.col("n_exact"))
+            <= F.greatest(F.lit(5.0), 0.1 * F.col("n_exact"))
+        ).alias("sketch_within_bound"),
+    )

@@ -1638,3 +1638,24 @@ def test_vocab_coverage_full_vocab_is_total(spark):
     # top-1 vocab is 'a' (4 occurrences)
     assert one["s1"]["n_covered"] == 3 and one["s2"]["n_covered"] == 1
     assert one["s1"]["coverage"] == 0.75 and one["s2"]["coverage"] == 0.5
+
+
+def test_hll_sketch_merge_equals_direct_sketch(spark):
+    """The rollup's correctness hinge: unioning per-day sketches must
+    equal sketching the whole month directly (lossless merge), and at
+    low cardinality the estimate is exact."""
+    from pyspark.sql import functions as F
+
+    rows = [(d, u) for d in (1, 2, 3) for u in range(20 * d)]  # overlapping users
+    df = spark.createDataFrame(rows, "day int, user_id long")
+    merged = (
+        df.groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0]["est"]
+    exact = df.select("user_id").distinct().count()
+    assert merged == direct == exact == 60
