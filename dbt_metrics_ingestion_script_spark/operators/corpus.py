@@ -621,3 +621,62 @@ def global_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "bucket", "pos")
     )
+
+
+def budget_select(
+    documents: DataFrame,
+    budget_tokens: int,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget-constrained corpus selection: walk each stratum's
+    documents in quality order (stopword-ratio score, id-tiebroken)
+    and keep rows while the stratum's RUNNING token total stays within
+    `budget_tokens` -- the greedy mixing rule used to fill a training
+    budget with the best available data per source ("give me the top
+    N-billion tokens of each feed").
+
+    Greedy-prefix semantics (not knapsack): the first document whose
+    tokens would overflow the budget is cut even if a smaller,
+    lower-scoring one would still fit -- deterministic and
+    order-stable, which matters more than the last few tokens of
+    packing efficiency.
+
+    Output: (id, stratum, score, n_tokens, running_tokens),
+    running_tokens <= budget_tokens.  One shuffle (the per-stratum
+    window); all arithmetic integer / 4-dec-rounded, so the oracle
+    replays every cut decision.
+    """
+    if budget_tokens < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    from .text import QUALITY_STOPWORDS
+
+    toks = F.split(normalize_text(text_col), " ")
+    base = documents.select(
+        F.col(id_col), F.col(stratum_col), toks.alias("__toks")
+    )
+    n_tokens = F.greatest(F.size("__toks"), F.lit(1))
+    n_stop = F.size(
+        F.filter(
+            "__toks",
+            lambda t: F.array_contains(
+                F.array(*[F.lit(s) for s in QUALITY_STOPWORDS]), t
+            ),
+        )
+    )
+    scored = base.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.round(n_stop / n_tokens, 4).alias("score"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("running_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("running_tokens") <= budget_tokens)
+    )

@@ -697,3 +697,44 @@ def corpus_semantic_pipeline(spark, sf_dir):
     return dd.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+_BUDGET_TOKENS = 2000
+
+
+def _budget_select_oracle() -> str:
+    stop = ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS)
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, source, {_NORM} AS norm FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             ROUND(len(list_filter(string_split(norm, ' '),
+                       x -> list_contains([{stop}], x)))
+                   / greatest(len(string_split(norm, ' ')), 1), 4) AS score,
+             greatest(len(string_split(norm, ' ')), 1) AS n_tokens
+      FROM docs
+    ), r AS (
+      SELECT doc_id, source, score, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY score DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING
+             ) AS running_tokens
+      FROM scored
+    )
+    SELECT doc_id, source, score, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(running_tokens AS BIGINT) AS running_tokens
+    FROM r WHERE running_tokens <= {_BUDGET_TOKENS}
+    """
+
+
+@register("corpus_budget_select", _budget_select_oracle())
+def corpus_budget_select(spark, sf_dir):
+    """Token-budget-constrained selection: each source's docs walked in
+    quality order (stopword-ratio, id-tiebroken), kept while the
+    running token total fits the per-source budget -- the greedy
+    "top N tokens of each feed" mixing rule.  One window shuffle; the
+    oracle replays every cut decision (greedy prefix, not knapsack)."""
+    return corpus.budget_select(
+        load_table(spark, sf_dir, "documents"), budget_tokens=_BUDGET_TOKENS
+    )

@@ -552,3 +552,29 @@ def test_line_dedup_against_index_batch_internal_not_counted(spark):
     assert rows[1]["text_kept"] == "fresh unique alpha beta gamma"
     # doc 3's repeated segment never appeared in history -> untouched
     assert rows[3]["n_removed"] == 0 and rows[3]["n_segments"] == 2
+
+
+def test_budget_select_greedy_prefix_semantics(spark):
+    """Quality-ordered greedy prefix: the first doc that would overflow
+    the budget is cut, and nothing after it re-enters -- even a later
+    doc small enough to fit (deterministic, not knapsack)."""
+    mk = lambda n_stop, n_fill: " ".join(  # noqa: E731
+        ["the"] * n_stop + [f"w{i}" for i in range(n_fill)]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, mk(8, 2), "en", "s", 0),    # score 0.8, 10 tokens
+            (2, mk(5, 5), "en", "s", 0),    # score 0.5, 10 tokens
+            (3, mk(2, 8), "en", "s", 0),    # score 0.2, 10 tokens -> overflows at 25
+            (4, mk(1, 1), "en", "s", 0),    # score 0.5 tie w/ 2? no: 1/2=0.5, 2 tokens
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in corpus.budget_select(df, budget_tokens=25).collect()}
+    # order: 1 (0.8), then the 0.5 ties 2 & 4 by id -> 2 (20), 4 (22); 3 overflows
+    assert set(got) == {1, 2, 4}
+    assert got[4]["running_tokens"] == 22
+    import pytest
+
+    with pytest.raises(ValueError):
+        corpus.budget_select(df, budget_tokens=0)

@@ -115,6 +115,7 @@ CORPUS_QUERIES = [
     "text_vocab_coverage",
     "corpus_line_dedup_incremental",
     "dedup_containment_pairs",
+    "corpus_budget_select",
 ]
 
 
