@@ -652,3 +652,40 @@ def vocab_coverage(
         nc.cast("long").alias("n_covered"),
         F.round(nc / F.sum("__c"), 6).alias("coverage"),
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution -- the
+    repetitiveness signal complementary to `repetition_stats`' Gopher
+    top-bigram rule: templated/boilerplate text concentrates mass on
+    few tokens (low entropy), natural prose spreads it (entropy near
+    log of the distinct count).  Output: (doc_id, n_tokens,
+    n_distinct, entropy), entropy = -sum p ln p rounded to 6, one row
+    per tokenizable document (all-whitespace docs drop, matching the
+    unigram-logprob contract).
+
+    Scale shape: (doc, term) counts [shuffle 1, partial-aggregated --
+    counts on the wire, not tokens] -> per-doc aggregation [shuffle 2]
+    with the doc total derived by a window over the SAME doc
+    partitioning (no re-scan, no join).  Probabilities are ratios of
+    exact integers, so both engines compute identical doubles and only
+    the final rounded sum can drift at ulp level.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tc = terms.groupBy("doc_id", "term").agg(F.count("*").alias("__c"))
+    with_n = tc.withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy("doc_id"))
+    )
+    p = F.col("__c") / F.col("__n")
+    return with_n.groupBy("doc_id").agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+    )

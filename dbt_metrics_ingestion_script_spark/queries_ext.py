@@ -2600,3 +2600,34 @@ def events_user_sketch_rollup(spark, sf_dir):
             <= F.greatest(F.lit(5.0), 0.1 * F.col("n_exact"))
         ).alias("sketch_within_bound"),
     )
+
+
+@register(
+    "text_token_entropy",
+    r"""
+    WITH docs AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), terms AS (
+      SELECT doc_id, t.term
+      FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM docs),
+           unnest(toks) AS t(term)
+      WHERE t.term <> ''
+    ), tc AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM terms GROUP BY 1, 2
+    ), wn AS (
+      SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tc
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           ROUND(-SUM((c / n) * ln(c / n)), 6) AS entropy
+    FROM wn GROUP BY doc_id
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Shannon token entropy per document (repetitiveness filter):
+    exact integer counts until the final ln, doc total via a window
+    over the same doc partitioning -- two partial-aggregated shuffles,
+    no join, no re-scan."""
+    return text.token_entropy(load_table(spark, sf_dir, "documents"))

@@ -1659,3 +1659,21 @@ def test_hll_sketch_merge_equals_direct_sketch(spark):
     ).collect()[0]["est"]
     exact = df.select("user_id").distinct().count()
     assert merged == direct == exact == 60
+
+
+def test_token_entropy_extremes(spark):
+    """Uniform distribution hits ln(n_distinct); a single repeated
+    token has zero entropy; all-whitespace docs drop."""
+    import math
+
+    from dbt_metrics_ingestion_script_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x x x x x"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in T.token_entropy(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["entropy"] == round(math.log(4), 6)
+    assert got[1]["n_distinct"] == 4 and got[1]["n_tokens"] == 4
+    assert got[2]["entropy"] == 0.0 and got[2]["n_distinct"] == 1

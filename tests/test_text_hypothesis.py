@@ -116,6 +116,7 @@ CORPUS_QUERIES = [
     "corpus_line_dedup_incremental",
     "dedup_containment_pairs",
     "corpus_budget_select",
+    "text_token_entropy",
 ]
 
 
