@@ -117,7 +117,11 @@ HEADLINE = [
     "dedup_containment_pairs",
     "dedup_embedding_incremental_vs_corpus",
     "corpus_line_dedup_incremental",
+    "corpus_budget_select",
     "multimodal_phash",
+    "text_token_entropy",
+    "metric_whale_revenue_month_spine",
+    "events_user_sketch_rollup",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -172,3 +172,46 @@ def test_signature_index_geometry_mismatch_is_loud(spark, sf_dir, tmp_path):
 
     bands = [p for p in os.listdir(d + "/banded") if p.startswith("band=")]
     assert len(bands) == 4
+
+
+def test_minhash_index_append_grows_coverage(spark, sf_dir, tmp_path):
+    """The documented index-growth path: appending a second corpus
+    slice's signatures (mode='append') makes its near-dups start
+    dropping from subsequent batches, without rewriting slice one."""
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators import dedup
+    from dbt_metrics_ingestion_script_spark.sinks import signature_index as si
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    slice1 = docs.where(F.col("doc_id") % 4 == 0)
+    slice2 = docs.where(F.col("doc_id") % 4 == 1)
+    batch = docs.where(F.col("doc_id") % 4 >= 2)
+    d = str(tmp_path / "grow_index")
+
+    si.write_minhash_index(slice1, d, k=16, bands=4)
+    banded, shingles = si.read_minhash_index(spark, d, k=16, bands=4)
+    surv1 = {
+        r["doc_id"]
+        for r in dedup.near_dedup_against_corpus_index(
+            batch, banded, shingles, k=16, bands=4, threshold=0.8
+        ).collect()
+    }
+    si.write_minhash_index(slice2, d, k=16, bands=4, mode="append")
+    banded2, shingles2 = si.read_minhash_index(spark, d, k=16, bands=4)
+    surv2 = {
+        r["doc_id"]
+        for r in dedup.near_dedup_against_corpus_index(
+            batch, banded2, shingles2, k=16, bands=4, threshold=0.8
+        ).collect()
+    }
+    # appending history can only remove batch survivors, never add
+    assert surv2 <= surv1
+    expected = {
+        r["doc_id"]
+        for r in dedup.near_dedup_against_corpus(
+            batch, slice1.unionByName(slice2), k=16, bands=4, threshold=0.8
+        ).collect()
+    }
+    assert surv2 == expected
