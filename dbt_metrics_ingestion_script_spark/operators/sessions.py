@@ -369,3 +369,47 @@ def cohort_retention(
         F.col("__cw").cast("date").alias("cohort_week"),
         (F.datediff("__w", "__cw") / 7).cast("int").alias("week_offset"),
     ).agg(F.count("*").alias("n_users"))
+
+
+def interarrival_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-type inter-arrival-time profile: the distribution of gaps
+    between a user's consecutive events of each type -- the behavioral
+    latency metric engagement monitoring tracks (a p50 jump means the
+    product got slower to come back to; a p99 collapse means bots).
+
+    Gaps are exact integer microseconds from a lag window ordered by
+    (ts, id) -- the id tiebreak pins simultaneous events, so both
+    engines pick identical predecessors.  Percentiles are the exact
+    interpolated definition shared by Spark `percentile` and DuckDB
+    `quantile_cont` (the length_profile precedent).
+
+    Output: (event_type, n_gaps, mean_gap_s, p50_s, p90_s, p99_s),
+    seconds rounded to 6.  Scale: one shuffle on (user, type) for the
+    lag window, one aggregation shuffle on type; exact percentile
+    buffers one type's gaps per reducer -- swap percentile_approx at
+    extreme cardinality (the documented length_profile trade)."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        us.asc(), F.col(id_col).asc()
+    )
+    gaps = (
+        events.where(F.col(ts_col).isNotNull())
+        .withColumn("__gap_us", us - F.lag(us).over(w))
+        .where(F.col("__gap_us").isNotNull())
+    )
+    sec = F.col("__gap_us") / F.lit(1_000_000.0)
+    return gaps.groupBy(type_col).agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg(sec), 6).alias("mean_gap_s"),
+        F.round(F.percentile(sec, F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile(sec, F.lit(0.9)), 6).alias("p90_s"),
+        F.round(F.percentile(sec, F.lit(0.99)), 6).alias("p99_s"),
+    )

@@ -2631,3 +2631,33 @@ def text_token_entropy(spark, sf_dir):
     over the same doc partitioning -- two partial-aggregated shuffles,
     no join, no re-scan."""
     return text.token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_interarrival_profile",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id
+             ) AS gap_us
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT event_type, COUNT(*) AS n_gaps,
+           ROUND(AVG(gap_us / 1000000.0), 6) AS mean_gap_s,
+           ROUND(quantile_cont(gap_us / 1000000.0, 0.5), 6) AS p50_s,
+           ROUND(quantile_cont(gap_us / 1000000.0, 0.9), 6) AS p90_s,
+           ROUND(quantile_cont(gap_us / 1000000.0, 0.99), 6) AS p99_s
+    FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+    """,
+)
+def events_interarrival_profile(spark, sf_dir):
+    """Per-type inter-arrival profile: exact integer-microsecond gaps
+    from an (ts, id)-tiebroken lag window, exact interpolated
+    percentiles (quantile_cont parity) -- the behavioral latency
+    distribution.  Two shuffles: the per-(user, type) lag window + the
+    per-type aggregation."""
+    from .operators.sessions import interarrival_profile
+
+    return interarrival_profile(load_table(spark, sf_dir, "events"))

@@ -1677,3 +1677,31 @@ def test_token_entropy_extremes(spark):
     assert got[1]["entropy"] == round(math.log(4), 6)
     assert got[1]["n_distinct"] == 4 and got[1]["n_tokens"] == 4
     assert got[2]["entropy"] == 0.0 and got[2]["n_distinct"] == 1
+
+
+def test_interarrival_profile_gap_semantics(spark):
+    """Gaps pair consecutive SAME-(user,type) events only; a user's
+    single event contributes no gap; ties pin by event_id."""
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.sessions import (
+        interarrival_profile,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = lambda n: t0 + datetime.timedelta(seconds=n)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, s(0), 1, "click"),
+            (2, s(10), 1, "click"),
+            (3, s(40), 1, "click"),
+            (4, s(5), 1, "view"),     # different type: no click gap
+            (5, s(7), 2, "click"),    # other user, single event: no gap
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {r["event_type"]: r for r in interarrival_profile(ev).collect()}
+    assert set(got) == {"click"}
+    assert got["click"]["n_gaps"] == 2
+    assert got["click"]["mean_gap_s"] == 20.0  # gaps 10 and 30
+    assert got["click"]["p50_s"] == 20.0       # interpolated median of [10, 30]
