@@ -122,6 +122,7 @@ HEADLINE = [
     "text_token_entropy",
     "metric_whale_revenue_month_spine",
     "events_user_sketch_rollup",
+    "events_interarrival_profile",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

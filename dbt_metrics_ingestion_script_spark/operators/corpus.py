@@ -1,8 +1,13 @@
 """Training-corpus preparation operators (SURVEY.md §2.11 EXT).
 
-The four operations every LLM data pipeline runs between "deduped
-corpus" and "training shards", each expressed as declarative DataFrame
-plans so Catalyst keeps them in whole-stage codegen:
+The operations an LLM data pipeline runs between "deduped corpus" and
+"training shards", each expressed as declarative DataFrame plans so
+Catalyst keeps them in whole-stage codegen.  Beyond the four core
+stages below: Bloom decontamination, per-stratum percentile bars,
+temperature rebalancing, length profiling (exact + approx), CCNet
+line-level dedup (batch + incremental-vs-index), per-source caps,
+token-budget selection, and the deterministic training-order shuffle.
+The founding four:
 
 - decontaminate_ngram_overlap: flag training documents sharing word
   n-grams with an evaluation/benchmark set (the GPT-3-style 13-gram

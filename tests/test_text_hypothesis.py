@@ -280,6 +280,8 @@ EVENT_ANALYTICS_QUERIES = [
     "events_asof_last_order_lookup",
     "events_hopping_window_agg",
     "events_hopping_window_agg_daily6h",
+    "events_interarrival_profile",
+    "events_daily_anomaly_zscore",
 ]
 
 
@@ -421,5 +423,7 @@ def test_event_analytics_agree_on_null_timestamps(spark, tmp_path_factory):
         # unnest would count each NULL-ts event window/hop times)
         "events_hopping_window_agg",
         "events_hopping_window_agg_daily6h",
+        "events_interarrival_profile",
+        "events_daily_anomaly_zscore",
     ):
         _diff_event_query(spark, tmpdir, name)
