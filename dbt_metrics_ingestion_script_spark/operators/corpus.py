@@ -685,3 +685,101 @@ def budget_select(
         scored.withColumn("running_tokens", F.sum("n_tokens").over(w))
         .where(F.col("running_tokens") <= budget_tokens)
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 50,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling per stratum
+    (classic PPS / "dollar-unit" sampling): lay every document on a
+    line segment of length = its weight, walk the stratum's line with
+    a fixed stride, and keep each document once per sampling point
+    that lands inside its segment.  Large documents are selected with
+    probability proportional to weight (and with certainty +
+    multiplicity once weight >= stride); expected sample size per
+    stratum is ~k.  This is the weighted counterpart of
+    `stratified_sample`'s uniform Bernoulli -- the estimator a corpus
+    pipeline uses when "sample 1% of the TOKENS, not 1% of the
+    documents" is the requirement.
+
+    Entirely INTEGER arithmetic (int64 cumsum, DIV stride walk), so
+    every selection decision and multiplicity is bit-identical in any
+    engine -- no RNG, no doubles, retry-stable.
+
+    Scale shape -- the distributed prefix sum: a single global cumsum
+    window would serialize each stratum through one reducer.  Instead
+    the canonical walk order is (bucket, id) where bucket =
+    hash31(id) % n_buckets: per-(stratum, bucket) partial sums
+    aggregate first (one small shuffle), bucket offsets come from a
+    window over that |strata| x n_buckets frame, and the corpus-side
+    cumsum runs per (stratum, bucket) with the offset added back --
+    n_buckets-way parallel within every stratum, one corpus shuffle
+    total.  The DuckDB oracle replays the SAME walk order with a
+    naive single-window formulation (different plan, identical
+    integers), which is the cross-engine evidence the differential
+    harness wants.
+
+    Rows with NULL or non-positive weight have zero-length segments:
+    they can never contain a sampling point and are dropped up front
+    (documented, matches the oracle's WHERE).
+
+    Output: (id, stratum, weight, w_end, n_hits) for selected rows --
+    w_end is the document's segment end on the stratum line (audit
+    column), n_hits >= 1 its selection multiplicity.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    strat = F.coalesce(F.col(stratum_col), F.lit("")).alias("stratum")
+    base = df.select(
+        F.col(id_col),
+        strat,
+        F.col(weight_col).cast("bigint").alias("weight"),
+        (hash31(F.col(id_col).cast("string")) % n_buckets).alias("__b"),
+    ).where(F.col("weight") > 0)
+
+    bucket_tot = base.groupBy("stratum", "__b").agg(
+        F.sum("weight").alias("__bw")
+    )
+    w_off = (
+        Window.partitionBy("stratum")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_strat = Window.partitionBy("stratum")
+    offsets = bucket_tot.select(
+        "stratum",
+        "__b",
+        F.coalesce(F.sum("__bw").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__bw").over(w_strat).alias("__tot"),
+    )
+    stride = F.greatest(F.expr(f"__tot DIV {k}"), F.lit(1))
+
+    w_in = (
+        Window.partitionBy("stratum", "__b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.join(F.broadcast(offsets), ["stratum", "__b"]).select(
+        F.col(id_col),
+        "stratum",
+        "weight",
+        (F.col("__off") + F.sum("weight").over(w_in)).alias("w_end"),
+        stride.alias("__stride"),
+    )
+    n_hits = F.expr("w_end DIV __stride") - F.expr(
+        "(w_end - weight) DIV __stride"
+    )
+    return cum.select(
+        F.col(id_col),
+        "stratum",
+        "weight",
+        "w_end",
+        n_hits.alias("n_hits"),
+    ).where(F.col("n_hits") >= 1)

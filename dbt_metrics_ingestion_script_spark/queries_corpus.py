@@ -738,3 +738,56 @@ def corpus_budget_select(spark, sf_dir):
     return corpus.budget_select(
         load_table(spark, sf_dir, "documents"), budget_tokens=_BUDGET_TOKENS
     )
+
+
+# PPS geometry: expected ~_PPS_K samples per source stratum; bucket
+# count shared by the operator's distributed prefix sum and the
+# oracle's naive single-window replay (same walk order, different plan)
+_PPS_K = 25
+_PPS_BUCKETS = 32
+
+
+def _pps_oracle() -> str:
+    b = _H31.format(x="doc_id::VARCHAR")
+    return f"""
+    WITH p AS (
+      SELECT doc_id, coalesce(source, '') AS stratum,
+             n_chars::BIGINT AS weight, ({b}) % {_PPS_BUCKETS} AS b
+      FROM documents WHERE n_chars > 0
+    ), c AS (
+      SELECT doc_id, stratum, weight,
+             SUM(weight) OVER (
+               PARTITION BY stratum ORDER BY b, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS w_end,
+             GREATEST(SUM(weight) OVER (PARTITION BY stratum)
+                      // {_PPS_K}, 1) AS stride
+      FROM p
+    )
+    SELECT doc_id, stratum, CAST(weight AS BIGINT) AS weight,
+           CAST(w_end AS BIGINT) AS w_end,
+           CAST((w_end // stride) - ((w_end - weight) // stride)
+                AS BIGINT) AS n_hits
+    FROM c
+    WHERE (w_end // stride) - ((w_end - weight) // stride) >= 1
+    """
+
+
+@register("corpus_pps_systematic_sample", _pps_oracle())
+def corpus_pps_systematic_sample(spark, sf_dir):
+    """Probability-proportional-to-size systematic sample per source:
+    "sample the TOKENS, not the documents" -- stride walk over the
+    stratum's integer weight line, multiplicity for docs larger than
+    the stride.  Operator runs the distributed two-phase prefix sum
+    (bucketed partial sums + offset join, one corpus shuffle); the
+    oracle replays the same (bucket, id) walk with a naive single
+    window -- identical integers from a different plan shape."""
+    return corpus.pps_systematic_sample(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        ),
+        weight_col="n_chars",
+        stratum_col="source",
+        k=_PPS_K,
+        n_buckets=_PPS_BUCKETS,
+    )

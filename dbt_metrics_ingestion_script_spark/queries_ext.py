@@ -2661,3 +2661,44 @@ def events_interarrival_profile(spark, sf_dir):
     from .operators.sessions import interarrival_profile
 
     return interarrival_profile(load_table(spark, sf_dir, "events"))
+
+
+# Fuzzy-title record linkage: geometry shared operator <-> oracle.
+# Title = first _FUZZY_TITLE_LEN chars; block = first token; pairs kept
+# at edit distance <= _FUZZY_DIST (integer metric, zero float drift).
+_FUZZY_TITLE_LEN = 30
+_FUZZY_DIST = 12
+
+
+def _fuzzy_oracle() -> str:
+    return f"""
+    WITH p AS (
+      SELECT doc_id AS id, substr(text, 1, {_FUZZY_TITLE_LEN}) AS key,
+             split_part(text, ' ', 1) AS block
+      FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.block AS block,
+           CAST(levenshtein(a.key, b.key) AS INT) AS dist
+    FROM p a JOIN p b
+      ON a.block = b.block AND a.id < b.id
+         AND abs(length(a.key) - length(b.key)) <= {_FUZZY_DIST}
+    WHERE levenshtein(a.key, b.key) <= {_FUZZY_DIST}
+    """
+
+
+@register("dedup_fuzzy_title_pairs", _fuzzy_oracle())
+def dedup_fuzzy_title_pairs(spark, sf_dir):
+    """Blocked fuzzy-title record linkage: document title prefixes
+    within edit distance 12, candidates limited to a shared
+    first-token block with a length-band prune ahead of the O(len^2)
+    levenshtein kernel.  The block equi-join shuffles on the block
+    key (never all-pairs); distances are integers, so parity is
+    exact."""
+    from .operators.linkage import fuzzy_blocked_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _FUZZY_TITLE_LEN).alias("title")
+    )
+    return fuzzy_blocked_pairs(
+        docs, key_col="title", id_col="doc_id", max_dist=_FUZZY_DIST
+    )

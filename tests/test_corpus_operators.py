@@ -578,3 +578,60 @@ def test_budget_select_greedy_prefix_semantics(spark):
 
     with pytest.raises(ValueError):
         corpus.budget_select(df, budget_tokens=0)
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling
+# ---------------------------------------------------------------------------
+
+
+def _weighted(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, w long")
+
+
+def test_pps_certainty_and_multiplicity(spark):
+    # one whale doc holds ~all the weight: stride = total DIV k, so the
+    # whale's segment contains multiple sampling points -> n_hits > 1,
+    # and tiny docs are (almost) never selected
+    rows = [(0, "s", 10_000)] + [(i, "s", 1) for i in range(1, 11)]
+    got = {
+        r["doc_id"]: r
+        for r in corpus.pps_systematic_sample(
+            _weighted(spark, rows), "w", stratum_col="source", k=5
+        ).collect()
+    }
+    assert 0 in got
+    assert got[0]["n_hits"] >= 4  # whale is ~all of total/stride points
+    assert sum(r["n_hits"] for r in got.values()) >= 5
+
+
+def test_pps_total_hits_matches_stride_walk(spark):
+    # sum of multiplicities over a stratum == floor(total / stride):
+    # the stride walk covers the line exactly once, no point lost at
+    # bucket boundaries (the offset join is the part that could break)
+    rows = [(i, "a" if i % 2 else "b", (i % 7) + 1) for i in range(200)]
+    df = _weighted(spark, rows)
+    out = corpus.pps_systematic_sample(
+        df, "w", stratum_col="source", k=10, n_buckets=8
+    )
+    hits = {
+        r["stratum"]: r["h"]
+        for r in out.groupBy("stratum").agg(
+            F.sum("n_hits").alias("h")
+        ).collect()
+    }
+    totals = {
+        r["source"]: r["t"]
+        for r in df.groupBy("source").agg(F.sum("w").alias("t")).collect()
+    }
+    for s, tot in totals.items():
+        stride = max(tot // 10, 1)
+        assert hits[s] == tot // stride
+
+
+def test_pps_drops_nonpositive_weights(spark):
+    rows = [(1, "s", 0), (2, "s", -5), (3, "s", 100)]
+    got = corpus.pps_systematic_sample(
+        _weighted(spark, rows), "w", stratum_col="source", k=3
+    ).collect()
+    assert {r["doc_id"] for r in got} == {3}

@@ -4,6 +4,7 @@ semantic/property tests for the sketch + approximate + Pandas-UDF paths."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dbt_metrics_ingestion_script_spark import queries as q
 from dbt_metrics_ingestion_script_spark.operators import dedup, multimodal, similarity
@@ -1705,3 +1706,72 @@ def test_interarrival_profile_gap_semantics(spark):
     assert got["click"]["n_gaps"] == 2
     assert got["click"]["mean_gap_s"] == 20.0  # gaps 10 and 30
     assert got["click"]["p50_s"] == 20.0       # interpolated median of [10, 30]
+
+
+# ---------------------------------------------------------------------------
+# record linkage (operators/linkage.py)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_blocked_pairs_within_block_distances(spark):
+    from dbt_metrics_ingestion_script_spark.operators.linkage import (
+        fuzzy_blocked_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamba"),   # dist 1 from id 1, same block
+            (3, "alpha completely different"),  # same block, far
+            (4, "omega beta gamma"),   # dist <= 2 from id 1 but OTHER block
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_blocked_pairs(
+            df, key_col="name", id_col="id", max_dist=2
+        ).collect()
+    }
+    assert got == {(1, 2): 1}  # blocking trades away the (1,4) match
+
+
+def test_fuzzy_blocked_pairs_length_band_never_drops_valid(spark):
+    # every pair the unpruned formulation finds survives the length
+    # band: |len diff| <= max_dist is implied by dist <= max_dist
+    from dbt_metrics_ingestion_script_spark.operators.linkage import (
+        fuzzy_blocked_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t {'x' * (i % 7)}end") for i in range(30)],
+        "id long, name string",
+    )
+    got = fuzzy_blocked_pairs(df, key_col="name", id_col="id", max_dist=3)
+    brute = (
+        df.alias("a")
+        .join(df.alias("b"), F.col("a.id") < F.col("b.id"))
+        .where(F.levenshtein("a.name", "b.name") <= 3)
+        .count()
+    )
+    # single shared block ("t"), so blocking removes nothing here and
+    # the prune must be lossless
+    assert got.count() == brute
+
+
+def test_fuzzy_blocked_pairs_zero_dist_is_exact_match(spark):
+    from dbt_metrics_ingestion_script_spark.operators.linkage import (
+        fuzzy_blocked_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same title"), (2, "same title"), (3, "same titles")],
+        "id long, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_blocked_pairs(
+            df, key_col="name", id_col="id", max_dist=0
+        ).collect()
+    }
+    assert got == {(1, 2)}
