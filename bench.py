@@ -123,6 +123,9 @@ HEADLINE = [
     "metric_whale_revenue_month_spine",
     "events_user_sketch_rollup",
     "events_interarrival_profile",
+    "corpus_pps_systematic_sample",
+    "dedup_fuzzy_title_pairs",
+    "embeddings_kmeans_convergence",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -512,3 +512,121 @@ def pq_adc_topk(
         .orderBy(F.asc("adc_d2"), F.asc(id_col))
         .limit(k)
     )
+
+
+def kmeans_convergence(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lloyd's algorithm run for `n_iter` recentering rounds with a
+    per-iteration convergence trace -- the monitor a corpus-clustering
+    job watches to decide when the partition is stable.  Output: one
+    row per assignment pass, (iter, inertia, n_moved):
+
+    - iter 0 is the seed assignment (n_moved = every point, by
+      convention: all newly assigned);
+    - iter i >= 1 follows the i-th recentering; n_moved counts points
+      whose cluster changed vs the previous pass.  inertia (sum of
+      squared distances to the assigned centroid) is non-increasing
+      across iterations up to the centroid rounding below.
+
+    Determinism: seeds are the `n_centroids` lowest-id vectors (same
+    convention as `ivf_index`); argmin ties break on centroid_id; and
+    recentered coordinates are ROUNDED to 9 decimals so the oracle's
+    AVG (different summation order, ulp drift) replays every later
+    assignment decision bit-identically.
+
+    Scale shape per round: one broadcast of the k x dim centroid frame,
+    a map-side argmin scan (min(struct) partial-aggregated), one
+    posexplode recentering shuffle keyed by (centroid, dim).  The
+    composed plan here is LAZY -- at 100 TB persist each round's
+    assignment frame and unpersist the previous one (the
+    duplicate_clusters round discipline); n_iter stays small because
+    the trace, not full convergence, is the product.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    )
+    w = Window.orderBy("id")
+    cents = (
+        vecs.orderBy("id")
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(w) - 1).alias("centroid_id"),
+            F.col("vec").alias("cvec"),
+        )
+    )
+
+    def assign_with_d2(cents: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .select(
+                "id",
+                "vec",
+                F.struct(d2.alias("d2"), F.col("centroid_id")).alias("dc"),
+            )
+            .groupBy("id")
+            .agg(F.min("dc").alias("dc"), F.first("vec").alias("vec"))
+            .select(
+                "id", "vec", F.col("dc.centroid_id").alias("centroid_id"),
+                F.col("dc.d2").alias("d2"),
+            )
+        )
+
+    def recenter(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select(
+                "centroid_id", F.posexplode("vec").alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+
+    stats: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for it in range(n_iter + 1):
+        assigned = assign_with_d2(cents)
+        inertia = assigned.agg(
+            F.round(F.sum("d2"), round_digits).alias("inertia")
+        )
+        if prev is None:
+            moved = assigned.agg(F.count("*").alias("n_moved"))
+        else:
+            moved = (
+                assigned.alias("n")
+                .join(prev.alias("p"), "id")
+                .where(F.col("n.centroid_id") != F.col("p.centroid_id"))
+                .agg(F.count("*").alias("n_moved"))
+            )
+        stats.append(
+            inertia.crossJoin(moved).select(
+                F.lit(it).alias("iter"), "inertia", "n_moved"
+            )
+        )
+        prev = assigned
+        cents = recenter(assigned)
+
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

@@ -2702,3 +2702,72 @@ def dedup_fuzzy_title_pairs(spark, sf_dir):
     return fuzzy_blocked_pairs(
         docs, key_col="title", id_col="doc_id", max_dist=_FUZZY_DIST
     )
+
+
+# Lloyd convergence-trace geometry (shared operator <-> oracle):
+# 16 lowest-id seeds, 2 recentering rounds, centroid coords rounded to
+# 9 decimals after every AVG so the oracle's different summation order
+# replays every later assignment decision exactly.
+_KMC_K = 16
+_KMC_ITER = 2
+_KMC_DIM = 64
+
+
+def _kmeans_convergence_oracle() -> str:
+    d2 = _IVF_D2
+    ctes = [
+        "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings)",
+        f"""seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS centroid_id, vec AS cvec
+      FROM (SELECT id, vec FROM e ORDER BY id LIMIT {_KMC_K}))""",
+    ]
+    cent = "seeds"
+    for it in range(_KMC_ITER + 1):
+        dist = d2.format(n=_KMC_DIM, a="e.vec", b=f"c.cvec")
+        ctes.append(
+            f"""a{it} AS (
+      SELECT id, centroid_id, d2 FROM (
+        SELECT e.id, c.centroid_id, {dist} AS d2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.id ORDER BY {dist}, c.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN {cent} c
+      ) WHERE rn = 1)"""
+        )
+        if it < _KMC_ITER:
+            ctes.append(
+                f"""cm{it} AS (
+      SELECT a.centroid_id, i.i AS pos, ROUND(AVG(e.vec[i.i]), 9) AS m
+      FROM a{it} a JOIN e USING (id), unnest(range(1, {_KMC_DIM} + 1)) AS i(i)
+      GROUP BY 1, 2)"""
+            )
+            ctes.append(
+                f"c{it} AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec"
+                f" FROM cm{it} GROUP BY 1)"
+            )
+            cent = f"c{it}"
+    selects = [
+        "SELECT CAST(0 AS INT) AS iter, ROUND(SUM(d2), 6) AS inertia,"
+        " COUNT(*) AS n_moved FROM a0"
+    ]
+    for it in range(1, _KMC_ITER + 1):
+        selects.append(
+            f"""SELECT CAST({it} AS INT), ROUND((SELECT SUM(d2) FROM a{it}), 6),
+        (SELECT COUNT(*) FROM a{it} n JOIN a{it - 1} p USING (id)
+         WHERE n.centroid_id <> p.centroid_id)"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("embeddings_kmeans_convergence", _kmeans_convergence_oracle())
+def embeddings_kmeans_convergence(spark, sf_dir):
+    """Lloyd's k-means convergence trace: per-iteration inertia and
+    reassignment counts over 2 recentering rounds -- the stability
+    monitor of a corpus-clustering job.  Inertia is non-increasing;
+    the oracle unrolls every round as CTEs and replays each argmin
+    (9-decimal-rounded centroids) bit-identically."""
+    return similarity.kmeans_convergence(
+        load_table(spark, sf_dir, "embeddings"),
+        n_centroids=_KMC_K,
+        n_iter=_KMC_ITER,
+    )

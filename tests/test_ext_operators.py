@@ -1775,3 +1775,21 @@ def test_fuzzy_blocked_pairs_zero_dist_is_exact_match(spark):
         ).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_kmeans_convergence_inertia_nonincreasing(spark, sf_dir):
+    got = {
+        r["iter"]: r
+        for r in similarity.kmeans_convergence(
+            load_table(spark, sf_dir, "embeddings"), n_centroids=8, n_iter=2
+        ).collect()
+    }
+    assert sorted(got) == [0, 1, 2]
+    # Lloyd's invariant: each recentering + reassignment lowers (or
+    # keeps) inertia, up to the 9-dec centroid rounding
+    assert got[1]["inertia"] <= got[0]["inertia"] + 1e-6
+    assert got[2]["inertia"] <= got[1]["inertia"] + 1e-6
+    # iter 0 counts every point as newly assigned
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert got[0]["n_moved"] == n
+    assert 0 <= got[2]["n_moved"] <= got[1]["n_moved"] + n
