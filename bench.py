@@ -126,6 +126,7 @@ HEADLINE = [
     "corpus_pps_systematic_sample",
     "dedup_fuzzy_title_pairs",
     "embeddings_kmeans_convergence",
+    "metric_p90_order_value_month",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

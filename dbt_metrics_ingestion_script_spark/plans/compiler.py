@@ -240,12 +240,20 @@ def _agg_column(
     cond: Column | None = None,
     approx_distinct: bool = False,
     rsd: float = 0.02,
+    percentile: float | None = None,
 ) -> Column:
     """calculation_method + expression [+ condition] -> aggregate Column.
 
     `cond` enables single-pass conditional aggregation (used by ratio
     metrics): rows failing the condition contribute NULL, which every
     aggregate here ignores.
+
+    `percentile` is required by (and only by) method "percentile": the
+    dbt-metrics `percentile` calculation method (interpolated, the
+    quantile_cont definition every ANSI engine shares).  Like average
+    and count_distinct, percentiles are NOT re-aggregable across grain
+    buckets (SURVEY.md §4) -- compile_all_grains recomputes each grain
+    from base.
     """
     if expression in ("*", "", None):
         base = F.lit(1) if method == "count" else None
@@ -271,6 +279,16 @@ def _agg_column(
         return F.max(base)
     if method == "median":
         return F.median(base)
+    if method == "percentile":
+        if percentile is None or not 0.0 <= percentile <= 1.0:
+            raise ValueError(
+                f"calculation_method 'percentile' needs percentile in [0, 1], "
+                f"got {percentile!r}"
+            )
+        # exact interpolated percentile (Spark `percentile` == ANSI
+        # quantile_cont); at 100 TB swap in approx_percentile the same
+        # way approx_distinct swaps count_distinct
+        return F.percentile(base, F.lit(percentile))
     raise ValueError(f"unsupported calculation_method {method!r}")
 
 
@@ -372,6 +390,7 @@ class MetricCompiler:
             spec.expression,
             approx_distinct=self.approx_distinct,
             rsd=self.rsd,
+            percentile=spec.percentile,
         ).alias(spec.name)
         return self._aggregate(df, keys, agg)
 

@@ -25,6 +25,7 @@ VALID_CALC_METHODS = {
     "min",
     "max",
     "median",
+    "percentile",
 }
 
 VALID_TYPES = {
@@ -83,6 +84,9 @@ class MetricSpec:
     # (a RANGE frame over the bucket index, so missing buckets still
     # consume window width)
     window_buckets: int | None = None
+    # percentile metrics: the interpolated quantile for
+    # calculation_method="percentile" (dbt metrics `percentile:` key)
+    percentile: float | None = None
     # metadata passthrough (Layer A)
     unique_id: str = ""
     description: str = ""
@@ -113,6 +117,12 @@ class MetricSpec:
         ):
             raise ValueError(
                 f"trailing metric {self.name!r} needs window_buckets >= 1"
+            )
+        if self.calculation_method == "percentile" and (
+            self.percentile is None or not 0.0 <= self.percentile <= 1.0
+        ):
+            raise ValueError(
+                f"percentile metric {self.name!r} needs percentile in [0, 1]"
             )
 
     @classmethod

@@ -670,3 +670,33 @@ def metric_whale_revenue_month_spine(spark, sf_dir):
     df = _compiler(spark, sf_dir).compile(spec, "month")
     filled = fill_time_gaps(df, "month", {"whale_revenue": 0.0})
     return _round(filled, {"whale_revenue": 4})
+
+
+# dbt-metrics `percentile` calculation method (the spec's remaining
+# aggregate family): exact interpolated quantile, == quantile_cont in
+# every ANSI engine.  NOT re-aggregable across grains (SURVEY.md §4).
+P90_ORDER_VALUE = MetricSpec(
+    name="p90_order_value",
+    calculation_method="percentile",
+    percentile=0.9,
+    expression="o_totalprice",
+    model="orders",
+    timestamp="o_orderdate",
+    time_grains=["month"],
+)
+
+
+@register(
+    "metric_p90_order_value_month",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_order_value
+    FROM orders GROUP BY 1
+    """,
+)
+def metric_p90_order_value_month(spark, sf_dir):
+    """Percentile metric: p90 order value per month -- the dbt metrics
+    `percentile` calculation method compiled to Spark's exact
+    interpolated `percentile` aggregate (quantile_cont parity)."""
+    df = _compiler(spark, sf_dir).compile(P90_ORDER_VALUE, "month")
+    return _round(df, {"p90_order_value": 6})

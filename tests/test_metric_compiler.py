@@ -303,3 +303,31 @@ def test_fill_time_gaps_week_step_stays_monday_aligned(spark):
     got = [str(r["ts"]) for r in fill_time_gaps(m, "week", {"rev": 0.0}).collect()]
     assert sorted(got) == ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22"]
     assert all(datetime.date.fromisoformat(t).weekday() == 0 for t in got)
+
+
+def test_percentile_metric_validation_and_interpolation(spark):
+    import pytest as _pytest
+
+    from dbt_metrics_ingestion_script_spark.plans.metric_spec import (
+        MetricSpec,
+    )
+
+    with _pytest.raises(ValueError, match="percentile in \\[0, 1\\]"):
+        MetricSpec(
+            name="bad", calculation_method="percentile", expression="x",
+            model="t",
+        )
+    with _pytest.raises(ValueError, match="percentile in \\[0, 1\\]"):
+        MetricSpec(
+            name="bad", calculation_method="percentile", percentile=1.5,
+            expression="x", model="t",
+        )
+    # interpolation pinned: p90 of [0, 10, 20, 30, 40] = 36.0
+    df = spark.createDataFrame([(float(v),) for v in range(0, 50, 10)], "x double")
+    comp = MetricCompiler(lambda m: df)
+    spec = MetricSpec(
+        name="p90_x", calculation_method="percentile", percentile=0.9,
+        expression="x", model="t",
+    )
+    got = comp.compile(spec).collect()
+    assert got[0]["p90_x"] == _pytest.approx(36.0)
