@@ -2771,3 +2771,65 @@ def embeddings_kmeans_convergence(spark, sf_dir):
         n_centroids=_KMC_K,
         n_iter=_KMC_ITER,
     )
+
+
+_CONV_JOIN_MIN = 60
+
+
+@register(
+    "streaming_view_purchase_join",
+    f"""
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, ts FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+    )
+    SELECT v.view_id, p.purchase_id, v.user_id,
+           ROUND((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0, 6) AS gap_s
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL {_CONV_JOIN_MIN} MINUTE
+    """,
+)
+def streaming_view_purchase_join(spark, sf_dir):
+    """Stream-stream interval join (state on both sides): views paired
+    with same-user purchases within 60 minutes, watermark-evicted
+    state, driven to completion with availableNow; converges to the
+    batch interval join the oracle runs.  NULL-ts rows never satisfy
+    the event-time bound in either engine."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.metrics_stream import (
+        read_events_stream,
+        stream_stream_conversion_join,
+    )
+
+    d = tempfile.mkdtemp(prefix="events_stream_j_")
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+        stream = read_events_stream(spark, d)
+        name = "ssj_" + uuid.uuid4().hex[:8]
+        joined = stream_stream_conversion_join(
+            stream, window_minutes=_CONV_JOIN_MIN
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "streaming_view_purchase_join did not drain within 120s"
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)

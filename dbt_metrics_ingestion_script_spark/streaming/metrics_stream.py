@@ -315,3 +315,65 @@ def streaming_embedding_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_conversion_join(
+    events: DataFrame,
+    window_minutes: int = 60,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: view events joined to
+    the same user's purchase events landing within `window_minutes` --
+    the online conversion-pairing query, and the one Structured
+    Streaming join shape that needs state on BOTH sides.
+
+    Both inputs carry a watermark and the join condition carries the
+    event-time bound, so Spark can evict view-side state once no
+    purchase within the window can still arrive (and vice versa):
+    state is O(watermark x arrival rate), not O(stream).  Without the
+    time bound the join would be unbounded-state and Spark rejects it
+    in append mode -- the bound is correctness AND an admission
+    requirement.
+
+    Late rows beyond the watermark are dropped exactly like the
+    windowed aggregates; replaying the same static input through
+    availableNow converges to the batch interval join (the
+    differential oracle).  Gap arithmetic runs on integer epoch
+    microseconds (engine-portable).
+    """
+    v = (
+        events.where(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("__p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("__p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    gap_s = (
+        F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+        - F.unix_micros(F.col("view_ts").cast("timestamp"))
+    ) / 1_000_000.0
+    return v.join(p, cond, "inner").select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        F.round(gap_s, 6).alias("gap_s"),
+    )

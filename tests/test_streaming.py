@@ -855,3 +855,72 @@ def test_streaming_embedding_dedup_converges_to_batch(spark, sf_dir, tmp_path):
         for r in embedding_dedup_against_corpus(batch, corpus, 0.4).collect()
     )
     assert got == expected and len(expected) > 0
+
+
+def test_stream_stream_join_state_across_micro_batches(spark, tmp_path):
+    """Stream-stream join must hold VIEW-side state across micro-batches:
+    a view in batch 0 pairs with a purchase arriving in batch 1 (within
+    the interval bound), while an out-of-window purchase never pairs."""
+    import datetime
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_metrics_ingestion_script_spark.streaming.metrics_stream import (
+        read_events_stream,
+        stream_stream_conversion_join,
+    )
+
+    d = str(tmp_path / "ssj_events")
+    os.makedirs(d)
+
+    def write_file(name, rows, mtime):
+        path = f"{d}/{name}"
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows], pa.string()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (mtime, mtime))
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0)
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)  # noqa: E731
+    now = _time.time()
+    # batch 0: user 1 views; user 2 views
+    write_file(
+        "a.parquet",
+        [(1, t0, 1, "view"), (2, t0, 2, "view")],
+        now - 100,
+    )
+    # batch 1: user 1 purchases 30 min later (in window);
+    # user 2 purchases 90 min later (out of 60-min window)
+    write_file(
+        "b.parquet",
+        [(3, mins(30), 1, "purchase"), (4, mins(90), 2, "purchase")],
+        now - 50,
+    )
+
+    stream = read_events_stream(spark, d)
+    q = (
+        stream_stream_conversion_join(stream, window_minutes=60)
+        .writeStream.format("memory")
+        .queryName("ssj_state_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["view_id"], r["purchase_id"], r["gap_s"])
+        for r in spark.table("ssj_state_test").collect()
+    }
+    # cross-batch pair found; out-of-window pair absent
+    assert got == {(1, 3, 1800.0)}
