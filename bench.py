@@ -127,6 +127,7 @@ HEADLINE = [
     "dedup_fuzzy_title_pairs",
     "embeddings_kmeans_convergence",
     "metric_p90_order_value_month",
+    "events_attribution_linear",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -2833,3 +2833,45 @@ def streaming_view_purchase_join(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
+
+
+_ATTR_LOOKBACK_DAYS = 7
+
+
+@register(
+    "events_attribution_linear",
+    f"""
+    WITH t AS (
+      SELECT event_id AS touch_id, user_id, ts, event_type AS touch_type
+      FROM events
+      WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
+    ), c AS (
+      SELECT event_id AS conv_id, user_id, ts AS cts, value
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ), pairs AS (
+      SELECT t.touch_type, c.conv_id, c.value
+      FROM t JOIN c
+        ON t.user_id = c.user_id
+           AND t.ts <= c.cts
+           AND t.ts >= c.cts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+    ), n AS (
+      SELECT conv_id, COUNT(*) AS n FROM pairs GROUP BY 1
+    )
+    SELECT touch_type, COUNT(*) AS n_touches,
+           ROUND(SUM(value / n.n), 6) AS attributed_value
+    FROM pairs JOIN n USING (conv_id) GROUP BY 1
+    """,
+)
+def events_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: purchase value split equally
+    over the user's views/clicks in the trailing 7 days.  Pairing
+    rides the bucketized range join (equi-join on (user, day bucket),
+    never quadratic per user); the oracle pairs with a direct
+    BETWEEN join -- same pairs from a different plan."""
+    from .operators.attribution import linear_attribution
+
+    return linear_attribution(
+        load_table(spark, sf_dir, "events"),
+        lookback_days=_ATTR_LOOKBACK_DAYS,
+    )

@@ -1793,3 +1793,34 @@ def test_kmeans_convergence_inertia_nonincreasing(spark, sf_dir):
     n = load_table(spark, sf_dir, "embeddings").count()
     assert got[0]["n_moved"] == n
     assert 0 <= got[2]["n_moved"] <= got[1]["n_moved"] + n
+
+
+def test_linear_attribution_equal_split_and_window(spark):
+    from dbt_metrics_ingestion_script_spark.operators.attribution import (
+        linear_attribution,
+    )
+
+    rows = [
+        # user 1: two touches inside the window -> each gets value/2
+        (1, "2024-03-01 10:00:00", 1, "view", None),
+        (2, "2024-03-01 11:00:00", 1, "click", None),
+        (3, "2024-03-02 10:00:00", 1, "purchase", 10.0),
+        # user 2: touch OUTSIDE the 7-day lookback -> nothing attributed
+        (4, "2024-02-01 10:00:00", 2, "view", None),
+        (5, "2024-03-01 10:00:00", 2, "purchase", 99.0),
+        # user 3: NULL-value conversion -> touch counted, credit NULL
+        (6, "2024-03-01 10:00:00", 3, "view", None),
+        (7, "2024-03-01 12:00:00", 3, "purchase", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v) for i, ts, u, t, v in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["touch_type"]: r
+        for r in linear_attribution(df, lookback_days=7).collect()
+    }
+    assert got["view"]["n_touches"] == 2  # users 1 and 3; user 2 excluded
+    assert got["view"]["attributed_value"] == 5.0
+    assert got["click"]["n_touches"] == 1
+    assert got["click"]["attributed_value"] == 5.0
