@@ -128,6 +128,7 @@ HEADLINE = [
     "embeddings_kmeans_convergence",
     "metric_p90_order_value_month",
     "events_attribution_linear",
+    "events_zorder_layout",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -1,0 +1,110 @@
+"""Z-order data-layout keys (EXT): multi-dimensional clustering for
+scan locality.
+
+A 100 TB table laid out by one column serves range scans on that
+column only; interleaving the bits of TWO dimensions (Morton / Z-order
+curve -- the key behind Delta's OPTIMIZE ZORDER and Hudi clustering)
+yields a single sort key whose contiguous ranges cover small
+rectangles in (dim1, dim2) space, so min/max file statistics prune
+scans filtered on EITHER dimension.
+
+Everything here is integer arithmetic end to end:
+
+1. each dimension is scaled to `bits` bits by an integer affine map
+   ((x - min) * (2^bits - 1)) DIV max(max - min, 1) -- the (min, max)
+   bounds ride a 1-row broadcast, the corpus never shuffles;
+2. the two bucket values interleave bit-by-bit into the z key.
+
+The interleave is generated from one shared BIT PLAN (a list of
+(source, source_bit, dest_bit) moves) rendered to each engine's
+dialect -- Spark's shiftleft/shiftright functions, DuckDB's << >>
+operators -- so the operator and its oracle cannot drift: both render
+the same plan.  Computing the key is map-side; the one shuffle in a
+real layout job is the final repartitionByRange(zkey) write, which is
+exactly the shuffle the layout exists to pay once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_bit_plan(bits: int) -> list[tuple[str, int, int]]:
+    """(source, source_bit, dest_bit) moves interleaving two `bits`-bit
+    values: dim a's bit i lands at 2i+1, dim b's at 2i (a = high)."""
+    plan = []
+    for i in range(bits):
+        plan.append(("a", i, 2 * i + 1))
+        plan.append(("b", i, 2 * i))
+    return plan
+
+
+def render_interleave_sql(a_expr: str, b_expr: str, bits: int) -> str:
+    """DuckDB-dialect rendering of the bit plan (<< >> & | operators)."""
+    src = {"a": a_expr, "b": b_expr}
+    terms = [
+        f"((({src[s]} >> {sb}) & 1) << {db})"
+        for s, sb, db in zorder_bit_plan(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def _interleave_col(a, b, bits: int):
+    """Spark-dialect rendering of the same bit plan."""
+    src = {"a": a, "b": b}
+    out = None
+    for s, sb, db in zorder_bit_plan(bits):
+        term = F.shiftleft(F.shiftright(src[s], sb).bitwiseAND(F.lit(1)), db)
+        out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
+def zorder_key(
+    df: DataFrame,
+    dim_a: str,
+    dim_b: str,
+    id_col: str,
+    bits: int = 8,
+    n_shards: int = 64,
+) -> DataFrame:
+    """(id, zkey, shard) for every row with non-NULL dimensions: zkey
+    is the Morton interleave of the two `bits`-bit scaled dimensions,
+    shard its top log2(n_shards) bits -- the file a layout writer
+    would route the row to (`df.repartitionByRange(shard/zkey)` +
+    sortWithinPartitions(zkey) materializes the layout; returning the
+    key frame keeps the operator differentially testable).
+
+    NULL dimension values have no position on the curve and are
+    dropped (a real writer routes them to a dedicated NULL shard);
+    pinned by the oracle's WHERE.
+    """
+    if bits < 1 or bits > 31:
+        raise ValueError("bits must be in [1, 31]")
+    if n_shards < 1 or n_shards & (n_shards - 1):
+        raise ValueError("n_shards must be a power of two")
+    shard_shift = 2 * bits - (n_shards.bit_length() - 1)
+    base = df.where(
+        F.col(dim_a).isNotNull() & F.col(dim_b).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(dim_a).cast("long").alias("__a"),
+        F.col(dim_b).cast("long").alias("__b"),
+    )
+    bounds = base.agg(
+        F.min("__a").alias("__amn"),
+        F.max("__a").alias("__amx"),
+        F.min("__b").alias("__bmn"),
+        F.max("__b").alias("__bmx"),
+    )
+    top = (1 << bits) - 1
+    scaled = base.crossJoin(F.broadcast(bounds)).selectExpr(
+        id_col,
+        f"((__a - __amn) * {top}) DIV greatest(__amx - __amn, 1) AS __ab",
+        f"((__b - __bmn) * {top}) DIV greatest(__bmx - __bmn, 1) AS __bb",
+    )
+    zkey = _interleave_col(F.col("__ab"), F.col("__bb"), bits)
+    return scaled.select(
+        F.col(id_col),
+        zkey.alias("zkey"),
+    ).withColumn("shard", F.shiftright(F.col("zkey"), shard_shift))

@@ -2666,8 +2666,12 @@ def events_interarrival_profile(spark, sf_dir):
 # Fuzzy-title record linkage: geometry shared operator <-> oracle.
 # Title = first _FUZZY_TITLE_LEN chars; block = first token; pairs kept
 # at edit distance <= _FUZZY_DIST (integer metric, zero float drift).
+# The registered query runs the q-gram count-filter scale path; the
+# dense within-block join is the driver=False differential baseline
+# (same oracle -- the filter is lossless).
 _FUZZY_TITLE_LEN = 30
-_FUZZY_DIST = 12
+_FUZZY_DIST = 5
+_FUZZY_Q = 3
 
 
 def _fuzzy_oracle() -> str:
@@ -2686,21 +2690,43 @@ def _fuzzy_oracle() -> str:
     """
 
 
-@register("dedup_fuzzy_title_pairs", _fuzzy_oracle())
-def dedup_fuzzy_title_pairs(spark, sf_dir):
-    """Blocked fuzzy-title record linkage: document title prefixes
-    within edit distance 12, candidates limited to a shared
-    first-token block with a length-band prune ahead of the O(len^2)
-    levenshtein kernel.  The block equi-join shuffles on the block
-    key (never all-pairs); distances are integers, so parity is
-    exact."""
-    from .operators.linkage import fuzzy_blocked_pairs
-
-    docs = load_table(spark, sf_dir, "documents").select(
+def _fuzzy_titles(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, _FUZZY_TITLE_LEN).alias("title")
     )
+
+
+@register("dedup_fuzzy_title_pairs", _fuzzy_oracle())
+def dedup_fuzzy_title_pairs(spark, sf_dir):
+    """Record linkage, q-gram scale path: document title prefixes
+    within edit distance 5, candidates generated from an inverted
+    (block, gram, occurrence) index with the Gravano count bound, then
+    verified by the banded levenshtein kernel.  Lossless vs the dense
+    block join (driver=False baseline below shares this oracle)."""
+    from .operators.linkage import fuzzy_qgram_pairs
+
+    return fuzzy_qgram_pairs(
+        _fuzzy_titles(spark, sf_dir),
+        key_col="title",
+        id_col="doc_id",
+        max_dist=_FUZZY_DIST,
+        q=_FUZZY_Q,
+    )
+
+
+@register("dedup_fuzzy_title_pairs_dense", _fuzzy_oracle(), driver=False)
+def dedup_fuzzy_title_pairs_dense(spark, sf_dir):
+    """Dense within-block baseline for the q-gram path: enumerates
+    every block pair through the banded kernel.  Kept for pytest
+    differential coverage only -- within-block enumeration is the
+    quadratic cost the count filter exists to avoid."""
+    from .operators.linkage import fuzzy_blocked_pairs
+
     return fuzzy_blocked_pairs(
-        docs, key_col="title", id_col="doc_id", max_dist=_FUZZY_DIST
+        _fuzzy_titles(spark, sf_dir),
+        key_col="title",
+        id_col="doc_id",
+        max_dist=_FUZZY_DIST,
     )
 
 
@@ -2874,4 +2900,54 @@ def events_attribution_linear(spark, sf_dir):
     return linear_attribution(
         load_table(spark, sf_dir, "events"),
         lookback_days=_ATTR_LOOKBACK_DAYS,
+    )
+
+
+# Z-order geometry: 8 bits per dimension, 64 shards (zkey >> 10).  The
+# oracle renders THE SAME bit plan through render_interleave_sql, so
+# operator and oracle cannot drift.
+_Z_BITS = 8
+_Z_SHARDS = 64
+
+
+def _zorder_oracle() -> str:
+    from .operators.layout import render_interleave_sql
+
+    top = (1 << _Z_BITS) - 1
+    shift = 2 * _Z_BITS - (_Z_SHARDS.bit_length() - 1)
+    ileave = render_interleave_sql("ab", "bb", _Z_BITS)
+    return f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), b AS (
+      SELECT MIN(user_id) AS amn, MAX(user_id) AS amx,
+             MIN(us) AS bmn, MAX(us) AS bmx FROM e
+    ), s AS (
+      SELECT event_id,
+             ((user_id - amn) * {top}) // GREATEST(amx - amn, 1) AS ab,
+             ((us - bmn) * {top}) // GREATEST(bmx - bmn, 1) AS bb
+      FROM e, b
+    )
+    SELECT event_id, zkey, zkey >> {shift} AS shard
+    FROM (SELECT event_id, {ileave} AS zkey FROM s)
+    """
+
+
+@register("events_zorder_layout", _zorder_oracle())
+def events_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering keys over (user_id, event time):
+    the two dimensions scale to 8-bit integer buckets off a 1-row
+    broadcast bounds frame, then interleave bit-by-bit into the key a
+    layout writer range-partitions on -- multi-dimensional scan
+    pruning as one map-side integer projection."""
+    from .operators.layout import zorder_key
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+    return zorder_key(
+        ev, dim_a="user_id", dim_b="us", id_col="event_id",
+        bits=_Z_BITS, n_shards=_Z_SHARDS,
     )

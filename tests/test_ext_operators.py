@@ -1824,3 +1824,85 @@ def test_linear_attribution_equal_split_and_window(spark):
     assert got["view"]["attributed_value"] == 5.0
     assert got["click"]["n_touches"] == 1
     assert got["click"]["attributed_value"] == 5.0
+
+
+def test_fuzzy_qgram_equals_dense_including_short_strings(spark, sf_dir):
+    """The q-gram count filter is lossless: same pairs and distances
+    as the dense block join, with short strings (vacuous bound)
+    routed through the dense fallback."""
+    from dbt_metrics_ingestion_script_spark.operators.linkage import (
+        fuzzy_blocked_pairs,
+        fuzzy_qgram_pairs,
+    )
+
+    # synthetic mix: long near-matches, a short-key group (< (d+1)*q
+    # chars, bound vacuous), and far strings
+    rows = [
+        (1, "alpha metric revenue monthly rollup"),
+        (2, "alpha metric revenue monthly rollups"),   # dist 1
+        (3, "alpha metric revenue quarterly"),          # far from 1/2
+        (4, "alpha ab"),                                # short
+        (5, "alpha ax"),                                # short, dist 1 from 4
+        (6, "beta metric revenue monthly rollup"),      # other block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    kw = dict(key_col="name", id_col="id", max_dist=2)
+    dense = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_blocked_pairs(df, **kw).collect()
+    }
+    qgram = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_qgram_pairs(df, q=3, **kw).collect()
+    }
+    assert qgram == dense
+    assert (1, 2, 1) in qgram and (4, 5, 1) in qgram
+
+    # and on the real documents title geometry
+    from dbt_metrics_ingestion_script_spark.registry import REGISTRY
+    import dbt_metrics_ingestion_script_spark.queries_ext  # noqa: F401
+
+    fast = REGISTRY["dedup_fuzzy_title_pairs"].fn(spark, sf_dir)
+    slow = REGISTRY["dedup_fuzzy_title_pairs_dense"].fn(spark, sf_dir)
+    a = {tuple(r) for r in fast.collect()}
+    b = {tuple(r) for r in slow.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_zorder_key_interleave_and_locality(spark):
+    from dbt_metrics_ingestion_script_spark.operators.layout import (
+        render_interleave_sql,
+        zorder_key,
+    )
+
+    # hand-computed interleave: a=0b101 (bits 0,2), b=0b011 (bits 0,1)
+    # -> zkey bits: a0->1, a2->5, b0->0, b1->2 = 0b100111 = 39
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 7, 7), (3, 5, 3)], "id long, a long, b long"
+    )
+    got = {
+        r["id"]: r["zkey"]
+        for r in zorder_key(
+            df, dim_a="a", dim_b="b", id_col="id", bits=3, n_shards=2
+        ).collect()
+    }
+    # bounds map a,b onto [0,7] identically (min 0, max 7, top 7)
+    assert got[1] == 0
+    assert got[2] == 63
+    assert got[3] == 0b100111
+    # dialect renderers agree on the same bit plan
+    import duckdb
+
+    sql = render_interleave_sql("5", "3", 3)
+    assert duckdb.connect().execute(f"SELECT {sql}").fetchone()[0] == 39
+
+
+def test_zorder_null_dims_dropped(spark):
+    from dbt_metrics_ingestion_script_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 1, None), (2, None, 1), (3, 2, 2)],
+        "id long, a long, b long",
+    )
+    got = zorder_key(df, dim_a="a", dim_b="b", id_col="id", bits=4).collect()
+    assert {r["id"] for r in got} == {3}
