@@ -129,6 +129,7 @@ HEADLINE = [
     "metric_p90_order_value_month",
     "events_attribution_linear",
     "events_zorder_layout",
+    "events_countmin_user_counts",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -2951,3 +2951,78 @@ def events_zorder_layout(spark, sf_dir):
         ev, dim_a="user_id", dim_b="us", id_col="event_id",
         bits=_Z_BITS, n_shards=_Z_SHARDS,
     )
+
+
+# Count-Min geometry: 4 hash rows x 64 columns over user_id
+# occurrences -- deliberately narrow so collisions occur at sf0.01 and
+# the oracle replays the OVERESTIMATES bit-identically (the Bloom
+# false-positive precedent).  est_count >= exact_count always.
+_CM_DEPTH = 4
+_CM_WIDTH = 64
+
+
+def _countmin_oracle() -> str:
+    from .functions.hashing import DUCKDB_HASH31, duckdb_family_hash
+
+    h31 = DUCKDB_HASH31.format(x="user_id::VARCHAR")
+    cell_selects = "\n      UNION ALL ".join(
+        f"SELECT day, {i} AS i, ({duckdb_family_hash('h', i)}) % {_CM_WIDTH} AS col FROM h"
+        for i in range(_CM_DEPTH)
+    )
+    lookup_selects = "\n      UNION ALL ".join(
+        f"SELECT user_id, {i} AS i, ({duckdb_family_hash('h', i)}) % {_CM_WIDTH} AS col FROM u"
+        for i in range(_CM_DEPTH)
+    )
+    return f"""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), h AS (
+      SELECT user_id, day, {h31} AS h FROM e
+    ), cells AS (
+      {cell_selects}
+    ), merged AS (
+      SELECT i, col, COUNT(*) AS c FROM cells GROUP BY 1, 2
+    ), u AS (
+      SELECT DISTINCT user_id, {h31} AS h FROM e
+    ), lookups AS (
+      {lookup_selects}
+    ), est AS (
+      SELECT user_id, MIN(c) AS est_count
+      FROM lookups JOIN merged USING (i, col) GROUP BY 1
+    ), exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM e GROUP BY 1
+    )
+    SELECT user_id, est_count, exact_count
+    FROM est JOIN exact USING (user_id)
+    """
+
+
+@register("events_countmin_user_counts", _countmin_oracle())
+def events_countmin_user_counts(spark, sf_dir):
+    """Count-Min frequency sketch rollup: daily 4x64 sketches of
+    user_id occurrences merged cell-wise, each user's count estimated
+    as min over the 4 hash rows, reported beside the exact count
+    (est >= exact always; the narrow width forces real collisions the
+    oracle replays exactly).  Sketch size is independent of user
+    cardinality -- the 100 TB point of the operator."""
+    from .operators.sketches import countmin_daily_sketches, countmin_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sketches = countmin_daily_sketches(
+        ev, key_col="user_id", depth=_CM_DEPTH, width=_CM_WIDTH
+    )
+    users = (
+        ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    est = countmin_estimate(
+        sketches, users, key_col="user_id", depth=_CM_DEPTH, width=_CM_WIDTH
+    )
+    exact = (
+        ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, "user_id")

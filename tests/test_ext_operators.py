@@ -1906,3 +1906,37 @@ def test_zorder_null_dims_dropped(spark):
     )
     got = zorder_key(df, dim_a="a", dim_b="b", id_col="id", bits=4).collect()
     assert {r["id"] for r in got} == {3}
+
+
+def test_countmin_one_sided_and_mergeable(spark, sf_dir):
+    from dbt_metrics_ingestion_script_spark.operators.sketches import (
+        countmin_daily_sketches,
+        countmin_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    sk = countmin_daily_sketches(ev, key_col="user_id", depth=4, width=32)
+    users = ev.select("user_id").distinct()
+    est = countmin_estimate(sk, users, key_col="user_id", depth=4, width=32)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+    joined = est.join(exact, "user_id").collect()
+    assert len(joined) > 0
+    # one-sided error: estimate never undercounts
+    assert all(r["est_count"] >= r["exact"] for r in joined)
+    # width 32 over hundreds of users MUST collide somewhere
+    assert any(r["est_count"] > r["exact"] for r in joined)
+
+    # mergeability: summing the daily sketches == sketching the whole
+    # corpus in one pass (cell-wise)
+    whole = countmin_daily_sketches(
+        ev.withColumn("ts", F.lit("2024-01-01").cast("timestamp")),
+        key_col="user_id",
+        depth=4,
+        width=32,
+    ).groupBy("i", "col").agg(F.sum("c").alias("c"))
+    rolled = sk.groupBy("i", "col").agg(F.sum("c").alias("c"))
+    assert {tuple(r) for r in whole.collect()} == {
+        tuple(r) for r in rolled.collect()
+    }
