@@ -130,6 +130,7 @@ HEADLINE = [
     "events_attribution_linear",
     "events_zorder_layout",
     "events_countmin_user_counts",
+    "dq_orders_report",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -3026,3 +3026,64 @@ def events_countmin_user_counts(spark, sf_dir):
         .agg(F.count("*").alias("exact_count"))
     )
     return est.join(exact, "user_id")
+
+
+# Data-quality scorecard geometry: bounds chosen so violations exist
+# at sf0.01 only if the generator misbehaves (a clean table reports 0,
+# which the oracle confirms -- the check VALUES, not just the shape,
+# replay exactly).
+_DQ_PRICE_LO, _DQ_PRICE_HI = 0.0, 600_000.0
+
+
+def _dq_orders_oracle() -> str:
+    return f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT 'row_count' AS check_name, '*' AS col_name, n::DOUBLE AS value
+    FROM n
+    UNION ALL
+    SELECT 'completeness', 'o_custkey',
+           ROUND((SELECT COUNT(o_custkey) FROM orders)::DOUBLE / n.n, 6)
+    FROM n
+    UNION ALL
+    SELECT 'completeness', 'o_totalprice',
+           ROUND((SELECT COUNT(o_totalprice) FROM orders)::DOUBLE / n.n, 6)
+    FROM n
+    UNION ALL
+    SELECT 'completeness', 'o_orderdate',
+           ROUND((SELECT COUNT(o_orderdate) FROM orders)::DOUBLE / n.n, 6)
+    FROM n
+    UNION ALL
+    SELECT 'bounds_violations', 'o_totalprice',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND (o_totalprice < {_DQ_PRICE_LO}
+                   OR o_totalprice > {_DQ_PRICE_HI}))::DOUBLE
+    UNION ALL
+    SELECT 'duplicates', 'o_orderkey',
+           ((SELECT COUNT(*) FROM orders)
+            - (SELECT COUNT(DISTINCT o_orderkey) FROM orders))::DOUBLE
+    UNION ALL
+    SELECT 'fk_orphans', 'o_custkey',
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))::DOUBLE
+    """
+
+
+@register("dq_orders_report", _dq_orders_oracle())
+def dq_orders_report(spark, sf_dir):
+    """Deequ-style data-quality scorecard over the orders fact:
+    completeness ratios, price-bound violations, order-key duplicate
+    count, and customer referential integrity -- every column-local
+    check folded into ONE aggregation pass; the FK orphan count is the
+    single second-table join (left anti against the customer dim)."""
+    from .operators.dq import constraint_report
+
+    return constraint_report(
+        load_table(spark, sf_dir, "orders"),
+        completeness=("o_custkey", "o_totalprice", "o_orderdate"),
+        bounds={"o_totalprice": (_DQ_PRICE_LO, _DQ_PRICE_HI)},
+        unique=("o_orderkey",),
+        fk=("o_custkey", load_table(spark, sf_dir, "customer"), "c_custkey"),
+    )

@@ -1940,3 +1940,36 @@ def test_countmin_one_sided_and_mergeable(spark, sf_dir):
     assert {tuple(r) for r in whole.collect()} == {
         tuple(r) for r in rolled.collect()
     }
+
+
+def test_constraint_report_detects_planted_violations(spark):
+    from dbt_metrics_ingestion_script_spark.operators.dq import (
+        constraint_report,
+    )
+
+    child = spark.createDataFrame(
+        [
+            (1, 10, 5.0),
+            (2, 10, -1.0),   # bounds violation
+            (2, 20, 3.0),    # duplicate id; orphan parent 20
+            (4, None, None), # null fk + null value
+        ],
+        "id long, fk long, v double",
+    )
+    parent = spark.createDataFrame([(10,)], "pk long")
+    got = {
+        (r["check_name"], r["col_name"]): r["value"]
+        for r in constraint_report(
+            child,
+            completeness=("fk", "v"),
+            bounds={"v": (0.0, 100.0)},
+            unique=("id",),
+            fk=("fk", parent, "pk"),
+        ).collect()
+    }
+    assert got[("row_count", "*")] == 4.0
+    assert got[("completeness", "fk")] == 0.75
+    assert got[("completeness", "v")] == 0.75
+    assert got[("bounds_violations", "v")] == 1.0
+    assert got[("duplicates", "id")] == 1.0
+    assert got[("fk_orphans", "fk")] == 1.0  # NULL fk is NOT an orphan
