@@ -131,6 +131,8 @@ HEADLINE = [
     "events_zorder_layout",
     "events_countmin_user_counts",
     "dq_orders_report",
+    "metric_revenue_pivot_by_status",
+    "events_scd2_user_state",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

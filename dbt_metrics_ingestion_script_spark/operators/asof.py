@@ -347,3 +347,62 @@ def asof_join_backward_bucketed(
         *left_only,
         *[F.col("__r")[c].alias(c) for c in carried],
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Run-length-encode a change log into SCD2 (slowly-changing
+    dimension, type 2) validity intervals: per key, consecutive rows
+    carrying the same attribute value collapse into one row with
+    [valid_from, valid_to) -- valid_to is the NEXT run's start, NULL
+    for the key's current value.  This is the warehouse operation that
+    turns an event/CDC stream into a point-in-time joinable dimension
+    (the right side an as-of join then probes).
+
+    Change detection is IS DISTINCT FROM semantics (eqNullSafe): a
+    NULL attribute is a value, a run of NULLs is one run.  Ordering is
+    (ts, tiebreak) so same-timestamp updates resolve deterministically.
+    Rows with NULL key or NULL ts have no place on a timeline and are
+    dropped (pinned by the oracle).
+
+    Shape: one shuffle (everything -- change flag, run id, run
+    aggregate, next-run lead -- partitions by key), three window
+    passes over it plus one partial-aggregated groupBy.  Output:
+    (key, attr, valid_from, valid_to, n_rows).
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    base = df.where(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(key_col, attr_col, ts_col, *( [tiebreak_col] if tiebreak_col else [] ))
+    changed = base.withColumn(
+        "__chg",
+        F.when(
+            F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col)), 0
+        ).otherwise(1),
+    )
+    runs = changed.withColumn(
+        "__run",
+        F.sum("__chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    grouped = runs.groupBy(key_col, "__run", attr_col).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").alias("n_rows"),
+    )
+    w_runs = Window.partitionBy(key_col).orderBy("__run")
+    return grouped.select(
+        F.col(key_col),
+        F.col(attr_col),
+        "valid_from",
+        F.lead("valid_from").over(w_runs).alias("valid_to"),
+        "n_rows",
+    )

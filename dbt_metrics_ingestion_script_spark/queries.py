@@ -700,3 +700,42 @@ def metric_p90_order_value_month(spark, sf_dir):
     interpolated `percentile` aggregate (quantile_cont parity)."""
     df = _compiler(spark, sf_dir).compile(P90_ORDER_VALUE, "month")
     return _round(df, {"p90_order_value": 6})
+
+
+# Pivoted metric: status categories become columns.  The status list
+# is DECLARED (not discovered) so the pivot compiles to one pass of
+# conditional aggregates with a fixed output schema -- at 100 TB a
+# values-discovery pivot would need an extra distinct scan and yields
+# an unstable schema; declared categories are the production form.
+_PIVOT_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "metric_revenue_pivot_by_status",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4)
+             AS revenue_f,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4)
+             AS revenue_o,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4)
+             AS revenue_p
+    FROM orders GROUP BY 1
+    """,
+)
+def metric_revenue_pivot_by_status(spark, sf_dir):
+    """Pivoted metric: monthly revenue with one column per declared
+    order status (`groupBy().pivot(col, values)` -- a single
+    conditional-aggregate pass because the categories are declared,
+    not discovered)."""
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("ts"))
+        .pivot("o_orderstatus", _PIVOT_STATUSES)
+        .agg(F.sum("o_totalprice"))
+    )
+    for s in _PIVOT_STATUSES:
+        df = df.withColumnRenamed(s, f"revenue_{s.lower()}")
+    return _round(
+        df, {f"revenue_{s.lower()}": 4 for s in _PIVOT_STATUSES}
+    )

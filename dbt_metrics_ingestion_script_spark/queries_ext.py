@@ -3087,3 +3087,48 @@ def dq_orders_report(spark, sf_dir):
         unique=("o_orderkey",),
         fk=("o_custkey", load_table(spark, sf_dir, "customer"), "c_custkey"),
     )
+
+
+@register(
+    "events_scd2_user_state",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), c AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM c
+    ), g AS (
+      SELECT user_id, run, event_type,
+             MIN(ts) AS valid_from, COUNT(*) AS n_rows
+      FROM r GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+             AS valid_to,
+           n_rows
+    FROM g
+    """,
+)
+def events_scd2_user_state(spark, sf_dir):
+    """SCD2 dimension build from the event log: per user, consecutive
+    same-type runs collapse to [valid_from, valid_to) validity
+    intervals (open current row) -- the point-in-time dimension an
+    as-of join probes.  One key-partitioned shuffle carries all three
+    window passes."""
+    from .operators.asof import scd2_intervals
+
+    return scd2_intervals(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        attr_col="event_type",
+        tiebreak_col="event_id",
+    )

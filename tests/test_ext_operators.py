@@ -1973,3 +1973,34 @@ def test_constraint_report_detects_planted_violations(spark):
     assert got[("bounds_violations", "v")] == 1.0
     assert got[("duplicates", "id")] == 1.0
     assert got[("fk_orphans", "fk")] == 1.0  # NULL fk is NOT an orphan
+
+
+def test_scd2_intervals_run_length_and_null_attr(spark):
+    from dbt_metrics_ingestion_script_spark.operators.asof import (
+        scd2_intervals,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "a"),
+        (2, "2024-01-02 00:00:00", 10, "a"),   # same run
+        (3, "2024-01-03 00:00:00", 10, "b"),   # change
+        (4, "2024-01-04 00:00:00", 10, None),  # NULL is a value
+        (5, "2024-01-05 00:00:00", 10, None),  # same NULL run
+        (6, "2024-01-06 00:00:00", 10, "a"),   # back to a: NEW run
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, state string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        scd2_intervals(
+            df, key_col="user_id", attr_col="state", tiebreak_col="event_id"
+        ).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [(r["state"], r["n_rows"]) for r in got] == [
+        ("a", 2), ("b", 1), (None, 2), ("a", 1),
+    ]
+    # intervals tile the timeline: each valid_to == next valid_from
+    for prev, nxt in zip(got, got[1:]):
+        assert prev["valid_to"] == nxt["valid_from"]
+    assert got[-1]["valid_to"] is None  # current state stays open
