@@ -133,6 +133,7 @@ HEADLINE = [
     "dq_orders_report",
     "metric_revenue_pivot_by_status",
     "events_scd2_user_state",
+    "metric_bloom_pruned_revenue",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

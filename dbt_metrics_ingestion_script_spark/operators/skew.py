@@ -185,3 +185,58 @@ def salted_join(
     return big_s.join(
         small_s.hint("shuffle_hash"), [*on, "__salt"], how
     ).drop("__salt")
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 2,
+) -> DataFrame:
+    """Semi-join reduction via a Bloom filter: prune fact rows that
+    CANNOT match the (already filtered) dim side before the fact ever
+    reaches the join exchange.  Result is exactly `fact.join(dim,
+    key_col)` -- the Bloom pass has no false negatives, and the final
+    equi-join discards its false positives -- so the oracle for any
+    query using this strategy is the plain join.
+
+    Shape: the dim's keys hash (portable 31-bit family,
+    functions/hashing.py) to k bit positions, carried as a DISTINCT
+    position frame (<= m_bits ints, usually far fewer).  The fact side
+    then passes k chained BROADCAST LEFT SEMI joins -- one per hash
+    function, each a map-side probe, ZERO shuffles -- before the real
+    join.  At 100 TB this is the explicit form of a runtime filter:
+    fact rows failing any probe never shuffle, which is the entire
+    cost of a selective fact<->dim join.  (AQE injects bloom runtime
+    filters for some shapes; this form is engine-portable, works under
+    any plan, and its pruning decisions replay in the DuckDB oracle.)
+
+    NULL fact keys hash like any value but cannot equi-join; they are
+    dropped up front, matching the inner join's own semantics.
+    """
+    from ..functions.hashing import family_hash, hash31
+
+    if k < 1 or m_bits < 2:
+        raise ValueError(f"need k >= 1 and m_bits >= 2, got k={k}, m_bits={m_bits}")
+    dim_h = dim.select(
+        hash31(F.col(key_col).cast("string")).alias("__h")
+    ).where(F.col(key_col).isNotNull())
+    bloom = (
+        dim_h.select(
+            F.explode(
+                F.array(*[(family_hash(F.col("__h"), j) % m_bits) for j in range(k)])
+            ).alias("__pos")
+        )
+        .distinct()
+    )
+    cand = fact.where(F.col(key_col).isNotNull()).withColumn(
+        "__fh", hash31(F.col(key_col).cast("string"))
+    )
+    for j in range(k):
+        cand = cand.join(
+            F.broadcast(bloom),
+            (family_hash(F.col("__fh"), j) % m_bits) == F.col("__pos"),
+            "left_semi",
+        )
+    return cand.drop("__fh").join(dim, key_col)

@@ -3132,3 +3132,53 @@ def events_scd2_user_state(spark, sf_dir):
         attr_col="event_type",
         tiebreak_col="event_id",
     )
+
+
+# Selective-dim threshold for the bloom-pruned join demo: only orders
+# above this price reach the dim side, so most lineitem rows are
+# prunable before the join exchange.
+_BLOOM_JOIN_PRICE = 400_000.0
+
+
+@register(
+    "metric_bloom_pruned_revenue",
+    # the strategy's oracle is the PLAIN join: bloom pruning must be
+    # invisible in the result
+    f"""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS ts,
+           ROUND(SUM(l.l_extendedprice), 4) AS whale_lineitem_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > {_BLOOM_JOIN_PRICE}
+    GROUP BY 1
+    """,
+)
+def metric_bloom_pruned_revenue(spark, sf_dir):
+    """Semi-join reduction: lineitem rows stream through k broadcast
+    Bloom probes (map-side, zero shuffle) and only survivors enter the
+    join against the whale-order dim -- the explicit runtime-filter
+    strategy for selective fact<->dim joins.  The oracle is the plain
+    join: pruning must not change the answer."""
+    from .operators.skew import bloom_pruned_join
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > _BLOOM_JOIN_PRICE)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    joined = bloom_pruned_join(fact, orders, key_col="l_orderkey")
+    return (
+        joined.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("ts")
+        )
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias(
+                "whale_lineitem_revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -166,3 +166,58 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert "ShuffledHashJoin [user_id" in plan, plan
     assert "__salt" in plan.split("ShuffledHashJoin", 1)[1].split("\n")[0]
     assert "BroadcastHashJoin" not in plan
+
+
+def test_bloom_pruned_join_equals_plain_join(spark, sf_dir):
+    """The bloom prefilter must be invisible: identical rows to the
+    plain inner join, including under a deliberately tiny filter
+    (m_bits=64 -> heavy false positives, all removed by the exact
+    join)."""
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators.skew import (
+        bloom_pruned_join,
+    )
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400_000.0)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    plain = fact.join(orders, "l_orderkey")
+    for m_bits in (64, 1 << 16):
+        pruned = bloom_pruned_join(fact, orders, "l_orderkey", m_bits=m_bits)
+        a = {tuple(r) for r in pruned.collect()}
+        b = {tuple(r) for r in plain.collect()}
+        assert a == b and len(a) > 0
+
+
+def test_bloom_prefilter_is_shuffle_free(spark, sf_dir):
+    """The k semi-join probes must run as broadcast joins with no
+    exchange on the fact side before the final join."""
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators.skew import (
+        bloom_pruned_join,
+    )
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400_000.0)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    plan = (
+        bloom_pruned_join(fact, orders, "l_orderkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2  # k probes + final join
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert len(semi) >= 2
