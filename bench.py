@@ -134,6 +134,8 @@ HEADLINE = [
     "metric_revenue_pivot_by_status",
     "events_scd2_user_state",
     "metric_bloom_pruned_revenue",
+    "metric_revenue_rollup_region_nation",
+    "metric_decay_weighted_revenue",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

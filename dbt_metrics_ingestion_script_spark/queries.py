@@ -739,3 +739,98 @@ def metric_revenue_pivot_by_status(spark, sf_dir):
     return _round(
         df, {f"revenue_{s.lower()}": 4 for s in _PIVOT_STATUSES}
     )
+
+
+@register(
+    "metric_revenue_rollup_region_nation",
+    """
+    SELECT COALESCE(r_name, '__ALL__') AS region,
+           COALESCE(n_name, '__ALL__') AS nation,
+           GROUPING(r_name) * 2 + GROUPING(n_name) AS gid,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS net_revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def metric_revenue_rollup_region_nation(spark, sf_dir):
+    """User-facing OLAP ROLLUP over the star join: revenue at
+    (region, nation), (region), and grand-total levels in ONE
+    aggregation pass, subtotal levels tagged via grouping_id --
+    the rollup lattice Catalyst expands without rescanning the fact.
+    NULL dim values from the rollup are labeled '__ALL__' so they
+    can't collide with real (non-NULL) dimension values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    star = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        star.rollup("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("net_revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("__ALL__")).alias("region"),
+            F.coalesce("n_name", F.lit("__ALL__")).alias("nation"),
+            F.col("gid").cast("long"),
+            "net_revenue",
+        )
+    )
+
+
+# Recency weighting: half-life in days; age measured in WHOLE days
+# from the table's max order date (broadcast 1-row bound), so the
+# weight set is discrete and the exp() argument is identical in both
+# engines.
+_DECAY_HALF_LIFE_DAYS = 90
+
+
+@register(
+    "metric_decay_weighted_revenue",
+    f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders)
+    SELECT ROUND(SUM(o_totalprice *
+                     EXP(-LN(2) * (CAST(mxd AS DATE) - CAST(o_orderdate AS DATE))
+                         / {_DECAY_HALF_LIFE_DAYS}.0)),
+                 4) AS decayed_revenue,
+           COUNT(*) AS n_orders
+    FROM orders, mx
+    """,
+)
+def metric_decay_weighted_revenue(spark, sf_dir):
+    """Recency-weighted (exponentially decayed) revenue: each order's
+    value halves every 90 days of age relative to the newest order --
+    the freshness-weighted health metric dashboards track.  Age is in
+    whole days off a 1-row broadcast max-date bound (action-free), so
+    the decay weights form a small discrete set and the 4-decimal
+    round absorbs libm exp() ulp differences."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("__mxd"))
+    age = F.datediff(F.col("__mxd"), F.col("o_orderdate"))
+    weight = F.exp(
+        -F.lit(float(__import__("math").log(2)))
+        * age
+        / F.lit(float(_DECAY_HALF_LIFE_DAYS))
+    )
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice") * weight), 4).alias(
+                "decayed_revenue"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
