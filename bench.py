@@ -136,6 +136,8 @@ HEADLINE = [
     "metric_bloom_pruned_revenue",
     "metric_revenue_rollup_region_nation",
     "metric_decay_weighted_revenue",
+    "merge_orders_upsert",
+    "dedup_graph_triangle_stats",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

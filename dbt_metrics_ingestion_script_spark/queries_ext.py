@@ -3182,3 +3182,78 @@ def metric_bloom_pruned_revenue(spark, sf_dir):
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "merge_orders_upsert",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ), s AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 1.1, 4) AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL
+                THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                  THEN 'update'
+                WHEN s.o_orderkey IS NOT NULL THEN 'insert'
+                ELSE 'keep' END AS action
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def merge_orders_upsert(spark, sf_dir):
+    """MERGE INTO as a plan: a deterministic CDC batch (even order
+    keys, 10% price bump) reconciled into a snapshot missing every 7th
+    key -- matched keys update, new keys insert, untouched keys keep.
+    One full-outer shuffle on the key; the action column doubles as
+    the change feed."""
+    from .operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    target = o.where(F.col("o_orderkey") % 7 != 0)
+    source = o.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 4)
+    )
+    return merge_upsert(target, source, key_col="o_orderkey")
+
+
+@register(
+    "dedup_graph_triangle_stats",
+    f"""
+    WITH edges AS ({_minhash_oracle()}),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT id_a AS v FROM edges UNION ALL SELECT id_b FROM edges
+      ) GROUP BY 1
+    ), w AS (
+      SELECT COALESCE(SUM((d * (d - 1)) // 2), 0) AS n_wedges FROM deg
+    ), t AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.id_b = e2.id_a
+      JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           CAST(w.n_wedges AS BIGINT) AS n_wedges,
+           t.n_triangles,
+           ROUND(3.0 * t.n_triangles / GREATEST(w.n_wedges, 1), 6)
+             AS clustering_coeff
+    FROM w, t
+    """,
+)
+def dedup_graph_triangle_stats(spark, sf_dir):
+    """Duplication-graph health: triangle count + global clustering
+    coefficient of the MinHash candidate graph (triangle-dense =>
+    template farms collapsing into big clusters; triangle-free =>
+    pairwise noise).  Two self-equi-joins of the id-oriented edge
+    frame -- the node-iterator triangle algorithm."""
+    from .operators.graph import triangle_stats
+
+    edges = dedup.minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), k=_K, bands=_BANDS
+    )
+    return triangle_stats(edges)

@@ -2004,3 +2004,75 @@ def test_scd2_intervals_run_length_and_null_attr(spark):
     for prev, nxt in zip(got, got[1:]):
         assert prev["valid_to"] == nxt["valid_from"]
     assert got[-1]["valid_to"] is None  # current state stays open
+
+
+def test_merge_upsert_actions_and_null_keys(spark):
+    from dbt_metrics_ingestion_script_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "t-null")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B"), (3, "C"), (None, "s-null")], "k long, v string"
+    )
+    got = {
+        (r["k"], r["v"], r["action"])
+        for r in merge_upsert(target, source, key_col="k").collect()
+    }
+    assert (1, "a", "keep") in got
+    assert (2, "B", "update") in got      # source wins
+    assert (3, "C", "insert") in got
+    # NULL keys never equi-join: both surface independently
+    assert (None, "t-null", "keep") in got
+    assert (None, "s-null", "insert") in got
+    assert len(got) == 5
+
+    # delete_missing: WHEN NOT MATCHED BY SOURCE THEN DELETE
+    got2 = {
+        (r["k"], r["action"])
+        for r in merge_upsert(
+            target, source, key_col="k", delete_missing=True
+        ).collect()
+    }
+    assert (1, "delete") in got2 and (2, "update") in got2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(target, source.withColumnRenamed("v", "w"), key_col="k")
+
+
+def test_triangle_stats_known_graph(spark):
+    from dbt_metrics_ingestion_script_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    # K4 minus one edge: edges of {1,2,3,4} complete except (3,4):
+    # 5 edges, wedges = sum C(d,2) over degrees [3,3,2,2] = 3+3+1+1=8,
+    # triangles = {1,2,3}, {1,2,4} = 2, coeff = 6/8
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "id_a long, id_b long"
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert (
+        r["n_edges"],
+        r["n_wedges"],
+        r["n_triangles"],
+        r["clustering_coeff"],
+    ) == (5, 8, 2, 0.75)
+
+
+def test_triangle_stats_triangle_free(spark):
+    from dbt_metrics_ingestion_script_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    # star graph: many wedges, zero triangles
+    edges = spark.createDataFrame(
+        [(1, i) for i in range(2, 7)], "id_a long, id_b long"
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert r["n_triangles"] == 0 and r["clustering_coeff"] == 0.0
+    assert r["n_wedges"] == 10  # C(5,2) at the hub
