@@ -138,6 +138,8 @@ HEADLINE = [
     "metric_decay_weighted_revenue",
     "merge_orders_upsert",
     "dedup_graph_triangle_stats",
+    "metric_winsorized_avg_order_value",
+    "events_markov_transitions",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -834,3 +834,51 @@ def metric_decay_weighted_revenue(spark, sf_dir):
             F.count("*").alias("n_orders"),
         )
     )
+
+
+# Robust-mean geometry: clip at the exact interpolated [p05, p95]
+# bounds computed from the same scan epoch (1-row broadcast).
+_WINSOR_LO, _WINSOR_HI = 0.05, 0.95
+
+
+@register(
+    "metric_winsorized_avg_order_value",
+    f"""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, {_WINSOR_LO}) AS lo,
+             quantile_cont(o_totalprice, {_WINSOR_HI}) AS hi
+      FROM orders
+    )
+    SELECT ROUND(AVG(LEAST(GREATEST(o_totalprice, b.lo), b.hi)), 4)
+             AS winsorized_avg,
+           ROUND(AVG(o_totalprice), 4) AS plain_avg,
+           COUNT(*) AS n_orders
+    FROM orders, b
+    WHERE o_totalprice IS NOT NULL
+    """,
+)
+def metric_winsorized_avg_order_value(spark, sf_dir):
+    """Winsorized (robust) mean: order values clipped to the exact
+    [p05, p95] band before averaging, so whale orders stop dominating
+    the health metric.  Two passes over one scan: a 1-row exact
+    percentile-bounds aggregate broadcast back as the clip range --
+    the same not-re-aggregable percentile machinery the p90 metric
+    uses, composed into a downstream aggregate."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
+    bounds = o.agg(
+        F.percentile("o_totalprice", F.lit(_WINSOR_LO)).alias("__lo"),
+        F.percentile("o_totalprice", F.lit(_WINSOR_HI)).alias("__hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("__lo")), F.col("__hi")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.round(F.avg(clipped), 4).alias("winsorized_avg"),
+            F.round(F.avg("o_totalprice"), 4).alias("plain_avg"),
+            F.count("*").alias("n_orders"),
+        )
+    )

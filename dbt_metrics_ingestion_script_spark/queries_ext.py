@@ -3257,3 +3257,54 @@ def dedup_graph_triangle_stats(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), k=_K, bands=_BANDS
     )
     return triangle_stats(edges)
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), p AS (
+      SELECT event_type AS next_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM e
+    ), c AS (
+      SELECT prev_type, next_type, COUNT(*) AS n
+      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY prev_type), 6)
+             AS p_next
+    FROM c
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), (ts, id)-tiebroken lag
+    pairs, row-normalized per source state -- the behavioral
+    sequence-model feature.  Two shuffles: the per-user lag window and
+    the transition-count aggregate (the normalizing window rides the
+    tiny (types x types) frame)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    w_norm = W.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_norm), 6).alias("p_next"),
+    )
