@@ -140,6 +140,9 @@ HEADLINE = [
     "dedup_graph_triangle_stats",
     "metric_winsorized_avg_order_value",
     "events_markov_transitions",
+    "events_top_paths",
+    "dq_benford_order_values",
+    "text_zipf_slope",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -3308,3 +3308,168 @@ def events_markov_transitions(spark, sf_dir):
         "n",
         F.round(F.col("n") / F.sum("n").over(w_norm), 6).alias("p_next"),
     )
+
+
+_PATHS_TOPK = 20
+
+
+@register(
+    "events_top_paths",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), lagged AS (
+      SELECT user_id, event_type AS e3,
+             lag(event_type, 1) OVER w AS e2,
+             lag(event_type, 2) OVER w AS e1
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, COUNT(*) AS n
+      FROM lagged WHERE e1 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, n FROM paths
+    ORDER BY n DESC, path ASC LIMIT {_PATHS_TOPK}
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """Top event paths: the {_PATHS_TOPK} most frequent length-3
+    event-type sequences across per-user timelines ((ts, id)-tiebroken
+    double lag -> count -> deterministic top-k) -- the product-analytics
+    'common journeys' query.  One user-partitioned window shuffle, one
+    partial-aggregated count, TakeOrdered for the k rows."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select(
+        F.col("event_type").alias("e3"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.lag("event_type", 2).over(w).alias("e1"),
+    ).where(F.col("e1").isNotNull())
+    return (
+        lagged.select(
+            F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(_PATHS_TOPK)
+    )
+
+
+def _benford_expected() -> dict[int, float]:
+    """log10(1 + 1/d) leading-digit expectation, precomputed in Python
+    and embedded as literals in BOTH plans so neither engine computes a
+    transcendental."""
+    import math
+
+    return {d: round(math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+@register(
+    "dq_benford_order_values",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+    ), t AS (SELECT SUM(n) AS total FROM c),
+    exp AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({d}, {p})" for d, p in _benford_expected().items())}
+      ) AS v(digit, exp_frac)
+    )
+    SELECT c.digit, c.n,
+           ROUND(c.n::DOUBLE / t.total, 6) AS obs_frac,
+           CAST(exp.exp_frac AS DOUBLE) AS exp_frac
+    FROM c JOIN exp USING (digit), t
+    """,
+)
+def dq_benford_order_values(spark, sf_dir):
+    """Benford's-law screen on order values (the classic synthetic /
+    fabricated-amounts detector): observed leading-digit fractions
+    beside the log10(1 + 1/d) expectation.  The truncated-integer
+    leading digit is pure string/int arithmetic; the expectation table
+    is Python-precomputed literals broadcast into the plan, so both
+    engines replay every fraction exactly.  (The driver's synthetic
+    uniform-ish prices will NOT follow Benford -- the deviation is the
+    point of publishing obs beside exp.)"""
+    expected = _benford_expected()
+    exp_df = spark.createDataFrame(
+        [(d, p) for d, p in expected.items()], "digit int, exp_frac double"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") >= 1
+    )
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(exp_df), "digit")
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("obs_frac"),
+            "exp_frac",
+        )
+    )
+
+
+@register(
+    "text_zipf_slope",
+    _SHINGLE_CTE.split(", sh AS (")[0]
+    + """
+    , terms AS (
+      SELECT t.term FROM tok, unnest(toks) AS t(term) WHERE t.term <> ''
+    ), tc AS (
+      SELECT term, COUNT(*) AS n FROM terms GROUP BY 1
+    ), r AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rnk
+      FROM tc
+    )
+    SELECT COUNT(*) AS n_terms,
+           ROUND(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope
+    FROM r
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf-law fit of the corpus vocabulary: least-squares slope of
+    ln(frequency) on ln(rank) (natural language ~ -1; templated or
+    synthetic text drifts off) -- a one-number corpus-health statistic
+    via the ANSI regression aggregate (regr_slope), which both engines
+    define identically.  The rank window runs on the VOCABULARY frame
+    (already aggregated), not the corpus; its single-partition
+    row_number is |vocab|-sized, the same posture as vocab_top_terms'
+    boundary."""
+    from dbt_metrics_ingestion_script_spark.operators.dedup import (
+        normalize_text,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tc = terms.groupBy("term").agg(F.count("*").alias("n"))
+    r = tc.select(
+        "n",
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), F.col("term").asc()))
+        .alias("rnk"),
+    )
+    return r.agg(
+        F.count("*").alias("n_terms"),
+        F.round(
+            F.regr_slope(F.log(F.col("n")), F.log(F.col("rnk"))), 4
+        ).alias("zipf_slope"),
+    )
