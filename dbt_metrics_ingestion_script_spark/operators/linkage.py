@@ -140,7 +140,16 @@ def fuzzy_qgram_pairs(
         block.alias("block"),
         F.length(key_col).alias("len"),
     )
-    min_len = (max_dist + 1) * q  # bound bites only above this length
+    # The count bound for a PAIR is vacuous iff max(len_a, len_b) <
+    # min_len (then bound <= 0: the pair can share zero grams and still
+    # match) -- which requires BOTH strings short.  So: short x short
+    # pairs go through the dense block join; every pair with at least
+    # one string of len >= min_len has bound >= 1 and is findable
+    # through the gram index PROVIDED ALL strings are indexed (a
+    # straddling short-long pair needs the short side's grams too).
+    # The __lmax >= min_len filter on the gram side keeps the two
+    # partitions disjoint (no duplicated pairs).
+    min_len = (max_dist + 1) * q
     dense = fuzzy_blocked_pairs(
         side.where(F.col("len") < min_len),
         key_col="key",
@@ -149,10 +158,9 @@ def fuzzy_qgram_pairs(
         block_expr=F.col("block"),
     )
 
-    long_side = side.where(F.col("len") >= min_len)
     # positional q-grams with per-(id, gram) occurrence numbers: the
     # (gram, occ) equi-join computes MULTISET intersection counts
-    grams = long_side.select(
+    grams = side.where(F.col("len") >= q).select(
         "id",
         "block",
         "len",
@@ -188,11 +196,16 @@ def fuzzy_qgram_pairs(
         )
         .agg(F.count("*").alias("__common"))
         .where(
-            F.col("__common")
-            >= F.col("__lmax") - F.lit(q - 1) - F.lit(max_dist * q)
+            # short x short pairs (vacuous bound) belong to the dense
+            # partition -- dropping them here keeps the union disjoint
+            (F.col("__lmax") >= min_len)
+            & (
+                F.col("__common")
+                >= F.col("__lmax") - F.lit(q - 1) - F.lit(max_dist * q)
+            )
         )
     )
-    keys = long_side.select("id", "key")
+    keys = side.select("id", "key")
     verified = (
         common.join(keys.select(F.col("id").alias("id_a"), F.col("key").alias("__ka")), "id_a")
         .join(keys.select(F.col("id").alias("id_b"), F.col("key").alias("__kb")), "id_b")

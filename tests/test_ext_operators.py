@@ -2076,3 +2076,32 @@ def test_triangle_stats_triangle_free(spark):
     r = triangle_stats(edges).collect()[0]
     assert r["n_triangles"] == 0 and r["clustering_coeff"] == 0.0
     assert r["n_wedges"] == 10  # C(5,2) at the hub
+
+
+def test_fuzzy_qgram_straddling_pair_not_lost(spark):
+    """Regression: a pair straddling the short/long boundary (one
+    string below (d+1)*q chars, one at/above) must still be found --
+    the gram index covers ALL strings and the dense partition is only
+    short x short."""
+    from dbt_metrics_ingestion_script_spark.operators.linkage import (
+        fuzzy_blocked_pairs,
+        fuzzy_qgram_pairs,
+    )
+
+    rows = [
+        (1, "alpha bravo chary"),    # len 17 < min_len 18 (d=5, q=3)
+        (2, "alpha bravo charly"),   # len 18, dist 1 from id 1
+        (3, "alpha bravo charlie x")  # len 20, far from both? dist 3 from 2
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    kw = dict(key_col="name", id_col="id", max_dist=5)
+    dense = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_blocked_pairs(df, **kw).collect()
+    }
+    qg = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_qgram_pairs(df, q=3, **kw).collect()
+    }
+    assert qg == dense
+    assert (1, 2, 1) in qg  # the straddling pair
