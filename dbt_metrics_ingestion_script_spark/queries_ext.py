@@ -3412,14 +3412,17 @@ def dq_benford_order_values(spark, sf_dir):
         ).cast("int").alias("digit")
     )
     counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
-    total = counts.agg(F.sum("n").alias("__total"))
+    # total via a window over the <=9-row counts frame: a separate
+    # agg would re-derive the counts subtree from a second scan
+    from pyspark.sql import Window as W
+
+    total = F.sum("n").over(W.partitionBy())
     return (
-        counts.crossJoin(F.broadcast(total))
-        .join(F.broadcast(exp_df), "digit")
+        counts.join(F.broadcast(exp_df), "digit")
         .select(
             "digit",
             "n",
-            F.round(F.col("n") / F.col("__total"), 6).alias("obs_frac"),
+            F.round(F.col("n") / total, 6).alias("obs_frac"),
             "exp_frac",
         )
     )
