@@ -143,6 +143,7 @@ HEADLINE = [
     "events_top_paths",
     "dq_benford_order_values",
     "text_zipf_slope",
+    "events_props_variant_agg",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -3476,3 +3476,31 @@ def text_zipf_slope(spark, sf_dir):
             F.regr_slope(F.log(F.col("n")), F.log(F.col("rnk"))), 4
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "events_props_variant_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT)
+             AS sum_k,
+           COUNT(json_extract_string(props, '$.k')) AS n_with_k
+    FROM events GROUP BY 1
+    """,
+)
+def events_props_variant_agg(spark, sf_dir):
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    props parse ONCE into a variant (`parse_json`, the binary
+    semi-structured encoding) and typed paths project out with
+    `variant_get` -- the modern engine path for JSON columns, vs the
+    per-path string re-parse of get_json_object.  Missing keys yield
+    NULL, which both aggregates skip (oracle parity)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("__v")
+    )
+    k = F.variant_get(F.col("__v"), "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )
