@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 
 
 def triangle_stats(
-    edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    eager: bool = True,
 ) -> DataFrame:
     """One row: (n_edges, n_wedges, n_triangles, clustering_coeff)
     for an id-oriented simple edge frame (a < b, no duplicates --
@@ -41,7 +44,31 @@ def triangle_stats(
 
     clustering_coeff = 3 * triangles / wedges (0 when wedge-free),
     rounded to 6 decimals; every other output is an exact integer.
+
+    The edge frame is referenced three times (degrees + both wedge
+    sides) and Spark re-derives unpersisted subtrees per reference --
+    for a derived edge frame (an LSH candidate build) that triples the
+    expensive part.  `eager=True` (default) therefore persists the
+    edges, collects the ONE result row driver-side, unpersists, and
+    returns it as a literal frame -- the stats-aggregate collect
+    pattern, with no leaked cache.  Pass eager=False to keep the fully
+    lazy, composable plan (right when the caller already persists
+    edges or needs this inside a bigger plan).
     """
+    if eager:
+        spark = edges.sparkSession
+        cached = edges.persist()
+        try:
+            row = triangle_stats(
+                cached, a_col=a_col, b_col=b_col, eager=False
+            ).collect()[0]
+        finally:
+            cached.unpersist()
+        return spark.createDataFrame(
+            [row],
+            "n_edges long, n_wedges long, n_triangles long, "
+            "clustering_coeff double",
+        )
     e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     n_edges = e.agg(F.count("*").alias("n_edges"))
     deg = (

@@ -542,14 +542,17 @@ def kmeans_convergence(
 
     Scale shape per round: one broadcast of the k x dim centroid frame,
     a map-side argmin scan (min(struct) partial-aggregated), one
-    posexplode recentering shuffle keyed by (centroid, dim).  The
-    composed plan here is LAZY -- at 100 TB persist each round's
-    assignment frame and unpersist the previous one (the
-    duplicate_clusters round discipline); n_iter stays small because
-    the trace, not full convergence, is the product.
+    posexplode recentering shuffle keyed by (centroid, dim).  Each
+    round's assignment frame is PERSISTED and the stats rows collected
+    eagerly (three tiny rows -- the stats-aggregate collect pattern),
+    then every cache is released: a lazy composition would re-derive
+    round i's whole subtree once per downstream reference (the
+    duplicate_clusters round discipline, applied).  n_iter stays small
+    because the trace, not full convergence, is the product.
     """
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
+    spark = embeddings.sparkSession
     vecs = embeddings.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
     )
@@ -602,31 +605,30 @@ def kmeans_convergence(
             )
         )
 
-    stats: list[DataFrame] = []
+    rows: list[tuple[int, float, int]] = []
     prev: DataFrame | None = None
-    for it in range(n_iter + 1):
-        assigned = assign_with_d2(cents)
-        inertia = assigned.agg(
-            F.round(F.sum("d2"), round_digits).alias("inertia")
-        )
-        if prev is None:
-            moved = assigned.agg(F.count("*").alias("n_moved"))
-        else:
-            moved = (
-                assigned.alias("n")
-                .join(prev.alias("p"), "id")
-                .where(F.col("n.centroid_id") != F.col("p.centroid_id"))
-                .agg(F.count("*").alias("n_moved"))
-            )
-        stats.append(
-            inertia.crossJoin(moved).select(
-                F.lit(it).alias("iter"), "inertia", "n_moved"
-            )
-        )
-        prev = assigned
-        cents = recenter(assigned)
-
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionByName(s)
-    return out
+    try:
+        for it in range(n_iter + 1):
+            assigned = assign_with_d2(cents).persist()
+            inertia = assigned.agg(
+                F.round(F.sum("d2"), round_digits).alias("i")
+            ).collect()[0]["i"]
+            if prev is None:
+                n_moved = assigned.count()
+            else:
+                n_moved = (
+                    assigned.alias("n")
+                    .join(prev.alias("p"), "id")
+                    .where(F.col("n.centroid_id") != F.col("p.centroid_id"))
+                    .count()
+                )
+                prev.unpersist()
+            rows.append((it, inertia, n_moved))
+            prev = assigned
+            cents = recenter(assigned)  # lazy; unused after last round
+    finally:
+        if prev is not None:
+            prev.unpersist()
+    return spark.createDataFrame(
+        rows, "iter int, inertia double, n_moved long"
+    )
