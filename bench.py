@@ -144,6 +144,8 @@ HEADLINE = [
     "dq_benford_order_values",
     "text_zipf_slope",
     "events_props_variant_agg",
+    "events_lateness_profile",
+    "glossary_subtree_counts",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

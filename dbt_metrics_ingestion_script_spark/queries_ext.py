@@ -3504,3 +3504,56 @@ def events_props_variant_agg(spark, sf_dir):
         F.sum(k).alias("sum_k"),
         F.count(k).alias("n_with_k"),
     )
+
+
+@register(
+    "events_lateness_profile",
+    """
+    WITH e AS (
+      SELECT event_id, ts FROM events WHERE ts IS NOT NULL
+    ), l AS (
+      SELECT GREATEST(epoch_us(MAX(ts) OVER (ORDER BY event_id
+                                             ROWS UNBOUNDED PRECEDING))
+                      - epoch_us(ts), 0) AS late_us
+      FROM e
+    )
+    SELECT COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           ROUND(quantile_cont(late_us / 1000000.0, 0.5), 6) AS p50_late_s,
+           ROUND(quantile_cont(late_us / 1000000.0, 0.95), 6) AS p95_late_s,
+           ROUND(MAX(late_us) / 1000000.0, 6) AS max_late_s
+    FROM l
+    """,
+)
+def events_lateness_profile(spark, sf_dir):
+    """Event-time lateness profile -- the statistic that TUNES the
+    watermarks every streaming query here uses: with arrival order
+    proxied by event_id, each event's lateness is the high-water event
+    time already seen minus its own timestamp.  p95/max lateness are
+    exactly the numbers you set `withWatermark` from.  Integer-
+    microsecond arithmetic; the running max is one global-order window
+    over (id, ts) pairs only -- at scale, run it per partition-day and
+    take the worst, or on an id-ordered sample."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    run_max = F.max(us).over(
+        W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    late = F.greatest(run_max - us, F.lit(0))
+    l = e.select(late.alias("late_us"))
+    return l.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.round(F.percentile(F.col("late_us") / 1e6, F.lit(0.5)), 6).alias(
+            "p50_late_s"
+        ),
+        F.round(F.percentile(F.col("late_us") / 1e6, F.lit(0.95)), 6).alias(
+            "p95_late_s"
+        ),
+        F.round(F.max("late_us") / 1e6, 6).alias("max_late_s"),
+    )

@@ -320,3 +320,77 @@ def term_custom_properties(spark, sf_dir):
             "term_urn", "custom_properties"
         )
     )
+
+
+@register(
+    "glossary_subtree_counts",
+    f"""
+    WITH RECURSIVE nodes(urn, parent_urn) AS (
+      SELECT * FROM (VALUES
+        ('{_R}', CAST(NULL AS VARCHAR)),
+        ('{_R}.Finance.Revenue', '{_R}'),
+        ('{_R}.Customer', '{_R}'),
+        ('{_R}.Finance', '{_R}'),
+        ('{_R}.Uncategorized', '{_R}')
+      ) AS n(urn, parent_urn)
+    ), terms(node) AS (
+      SELECT * FROM (VALUES
+        ('{_R}.Finance.Revenue'), ('{_R}.Customer'),
+        ('{_R}.Finance.Revenue'), ('{_R}.Uncategorized'),
+        ('{_R}.Finance')
+      ) AS t(node)
+    ), anc AS (
+      SELECT urn AS node, urn AS ancestor FROM nodes
+      UNION ALL
+      SELECT a.node, n.parent_urn
+      FROM anc a JOIN nodes n ON a.ancestor = n.urn
+      WHERE n.parent_urn IS NOT NULL
+    ), tc AS (
+      SELECT node, COUNT(*) AS c FROM terms GROUP BY 1
+    )
+    SELECT nodes.urn,
+           CAST(COALESCE((SELECT c FROM tc WHERE tc.node = nodes.urn), 0)
+                AS BIGINT) AS n_direct,
+           CAST(COALESCE((SELECT SUM(tc.c) FROM anc
+                          JOIN tc ON tc.node = anc.node
+                          WHERE anc.ancestor = nodes.urn), 0)
+                AS BIGINT) AS n_subtree
+    FROM nodes
+    """,
+)
+def glossary_subtree_counts(spark, sf_dir):
+    """Hierarchical rollup over the glossary tree: per node, DIRECT
+    term count and SUBTREE term count (self + all descendants via the
+    same BFS closure lineage uses) -- the 'how many metrics live
+    under Finance' question a metadata UI asks.  The reference
+    flattens nested categories to root children
+    (/root/reference/dbt_metrics_to_datahub.py:197-199), so depth is
+    2 here, but the closure handles any depth."""
+    from .operators.lineage import transitive_closure
+
+    m = load_manifest(spark, FIXTURE).metrics
+    nodes = _glossary_nodes(spark, m).select("urn", "parent_urn")
+    terms = _glossary_terms(m).select(F.col("parent_urn").alias("node"))
+    edges = nodes.where(F.col("parent_urn").isNotNull()).select(
+        F.col("urn").alias("child"), F.col("parent_urn").alias("parent")
+    )
+    closure = transitive_closure(edges).select("descendant", "ancestor")
+    self_pairs = nodes.select(
+        F.col("urn").alias("descendant"), F.col("urn").alias("ancestor")
+    )
+    anc = closure.unionByName(self_pairs)
+    tc = terms.groupBy("node").agg(F.count("*").alias("c"))
+    subtree = (
+        anc.join(tc, anc.descendant == tc.node)
+        .groupBy("ancestor")
+        .agg(F.sum("c").alias("n_subtree"))
+    )
+    return (
+        nodes.join(tc, nodes.urn == tc.node, "left")
+        .join(subtree, nodes.urn == subtree.ancestor, "left")
+        .select(
+            "urn",
+            F.coalesce(F.col("c"), F.lit(0)).alias("n_direct"),
+            F.coalesce(F.col("n_subtree"), F.lit(0)).alias("n_subtree"),
+        )
+    )
