@@ -146,6 +146,9 @@ HEADLINE = [
     "events_props_variant_agg",
     "events_lateness_profile",
     "glossary_subtree_counts",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted
