@@ -383,3 +383,32 @@ def test_semantic_pipeline_document_payload_single_scan(spark):
     (a doc_id re-join formulation would scan twice)."""
     plan = plan_of(run(spark, "corpus_semantic_pipeline"), "simple")
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_tpch_q6_pure_pushdown(spark):
+    """Q6: every predicate reaches the parquet scan and the plan is a
+    single partial+final aggregate over the scan -- no join, no
+    data-sized shuffle."""
+    plan = plan_of(run(spark, "tpch_q6_forecast_revenue"))
+    assert "PushedFilters" in plan
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in plan, frag
+    assert "Join" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("l_partkey" not in l for l in read_schema)
+
+
+def test_tpch_q3_broadcasts_customer_and_prunes(spark):
+    """Q3: the filtered customer dim broadcasts; both date filters
+    push to their scans; the top-10 runs as TakeOrdered, not a global
+    sort."""
+    plan = plan_of(run(spark, "tpch_q3_shipping_priority"))
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "")
+    assert "TakeOrderedAndProject" in plan
