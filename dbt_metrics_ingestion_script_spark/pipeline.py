@@ -115,14 +115,23 @@ def ingest_metrics(
     result.emissions = build_emissions(result)
     sink = sink or NoopSink()
     sink_stats = sink.emit(result.emissions)
-    n_metrics = result.terms.count()
-    n_quarantined = result.quarantined.count()
-    n_unresolved = result.terms.agg(F.sum("n_unresolved")).collect()[0][0] or 0
+    # one action collects both term stats via the Observation API (the
+    # modern S6 observability channel: metrics ride the job instead of
+    # separate count()/agg() actions re-deriving the frame)
+    from pyspark.sql import Observation
+
+    obs = Observation("term_stats")
+    result.terms.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_metrics"),
+        F.coalesce(F.sum("n_unresolved"), F.lit(0)).alias("n_unresolved"),
+    ).write.format("noop").mode("overwrite").save()  # JVM-side action
+    term_stats = obs.get
     result.stats = {
-        "n_metrics": n_metrics,
+        "n_metrics": int(term_stats["n_metrics"]),
         "n_nodes": result.nodes.count(),
-        "n_quarantined": n_quarantined,
-        "n_unresolved_lineage": int(n_unresolved),
+        "n_quarantined": result.quarantined.count(),
+        "n_unresolved_lineage": int(term_stats["n_unresolved"]),
         "sink": sink_stats,
     }
     return result
