@@ -149,6 +149,7 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
+    "corpus_length_histogram",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -791,3 +791,48 @@ def corpus_pps_systematic_sample(spark, sf_dir):
         k=_PPS_K,
         n_buckets=_PPS_BUCKETS,
     )
+
+
+_HIST_BUCKETS = 10
+
+
+def _length_histogram_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT n_chars FROM documents WHERE n_chars IS NOT NULL
+    ), b AS (
+      SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM d
+    ), h AS (
+      SELECT LEAST(
+               (({_HIST_BUCKETS} * (n_chars - mn))
+                // GREATEST(mx - mn + 1, 1)),
+               {_HIST_BUCKETS} - 1) AS bucket,
+             mn, mx
+      FROM d, b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs
+    FROM h GROUP BY bucket
+    """
+
+
+@register("corpus_length_histogram", _length_histogram_oracle())
+def corpus_length_histogram(spark, sf_dir):
+    """Equi-width document-length histogram: 10-bucket integer-exact
+    binning off a 1-row broadcast (min, max) bounds frame (bucket =
+    NB * (x - mn) DIV (mx - mn + 1), clamped) -- the distribution
+    panel of a corpus dashboard, one partial-aggregated shuffle over
+    at most NB groups."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull()
+    ).select("n_chars")
+    b = d.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    bucket = F.least(
+        F.expr(f"({_HIST_BUCKETS} * (n_chars - mn)) DIV greatest(mx - mn + 1, 1)"),
+        F.lit(_HIST_BUCKETS - 1),
+    )
+    return (
+        d.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
