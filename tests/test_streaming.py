@@ -924,3 +924,73 @@ def test_stream_stream_join_state_across_micro_batches(spark, tmp_path):
     }
     # cross-batch pair found; out-of-window pair absent
     assert got == {(1, 3, 1800.0)}
+
+
+def test_streaming_state_survives_query_restart(spark, tmp_path):
+    """Checkpoint recovery: stateful dedup state must survive a FULL
+    query restart (stop -> new query object -> same checkpoint), not
+    just micro-batches.  Run 1 sees hash A; run 2 (restarted) sees a
+    duplicate of A plus new hash B.  With recovery working the sink
+    holds exactly {A once, B once}; a state loss would re-emit A."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.streaming.stateful import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_file(name, rows, mtime):
+        path = f"{src}/{name}"
+        pq.write_table(
+            pa.table(
+                {
+                    "content_hash": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (mtime, mtime))
+
+    schema = "content_hash long, event_id long"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        def append_batch(df, _batch_id):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    now = _time.time()
+    write_file("a.parquet", [(111, 1)], now - 100)
+    run_once()  # run 1: emits hash 111
+
+    write_file("b.parquet", [(111, 2), (222, 3)], now - 50)
+    run_once()  # run 2: restarted query; 111 must NOT re-emit
+
+    got = {
+        (r["content_hash"], r["event_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(111, 1), (222, 3)}
