@@ -150,6 +150,7 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
     "corpus_length_histogram",
+    "events_frequent_pairs",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -3557,3 +3557,57 @@ def events_lateness_profile(spark, sf_dir):
         ),
         F.round(F.max("late_us") / 1e6, 6).alias("max_late_s"),
     )
+
+
+_PAIR_MIN_SUPPORT = 5
+
+
+@register(
+    "events_frequent_pairs",
+    f"""
+    WITH b AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_type
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT a.event_type AS item_a, c.event_type AS item_b,
+           COUNT(*) AS support
+    FROM b a JOIN b c
+      ON a.user_id = c.user_id AND a.day = c.day
+         AND a.event_type < c.event_type
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_PAIR_MIN_SUPPORT}
+    """,
+)
+def events_frequent_pairs(spark, sf_dir):
+    """Market-basket pair mining: event types co-occurring in the same
+    (user, day) basket, counted across baskets with a minimum support
+    -- the association-rule first stage.  The basket frame dedups
+    first (set semantics: a type twice in one basket is one item), the
+    pair join is keyed on the basket id so fan-out is bounded by
+    per-basket item count, never corpus-wide."""
+    b = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .distinct()
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.user_id") == F.col("c.user_id"))
+            & (F.col("a.day") == F.col("c.day"))
+            & (F.col("a.event_type") < F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("c.event_type").alias("item_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= _PAIR_MIN_SUPPORT)
+    )
