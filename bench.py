@@ -151,6 +151,7 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "corpus_length_histogram",
     "events_frequent_pairs",
+    "dq_orders_checksum",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

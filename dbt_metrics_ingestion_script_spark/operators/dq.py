@@ -107,3 +107,44 @@ def constraint_report(
     return wide.select(
         F.explode(F.array(*structs)).alias("__r")
     ).select("__r.check_name", "__r.col_name", "__r.value")
+
+
+def checksum_buckets(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Anti-entropy table summary (the data-diff primitive): collapse
+    a table into `n_buckets` (bucket, n_rows, checksum) rows so two
+    replicas / two snapshots / two ENGINES reconcile by comparing
+    2 x n_buckets rows instead of shipping full tables; a mismatched
+    bucket then narrows the row-level investigation to ~1/n_buckets of
+    the data (recurse with more buckets for binary search).
+
+    Determinism and portability: the row fingerprint is the portable
+    md5-based hash of every column value joined with an uncollidable
+    unit separator, masked to 31 bits so a per-bucket int64 SUM cannot
+    overflow below ~4B rows per bucket -- overflow behavior is the
+    classic cross-engine checksum trap, designed out rather than
+    handled.  NULLs fingerprint as a sentinel distinct from the empty
+    string (chr(1) sentinel).  Order-insensitive by construction (SUM), so partitioning
+    and shuffle order never change a checksum.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from ..functions.hashing import hash31
+
+    cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x01null"))
+        for c in df.columns
+    ]
+    row_hash = hash31(F.concat_ws("\x1f", *cols))
+    bucket = hash31(F.col(key_col).cast("string")) % n_buckets
+    return (
+        df.select(bucket.alias("bucket"), row_hash.alias("__h"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("__h").alias("checksum"),
+        )
+    )

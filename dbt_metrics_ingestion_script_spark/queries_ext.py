@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators import dedup, multimodal, similarity, text
+from .functions.hashing import DUCKDB_HASH31 as _H31_CK
 from .registry import register, round_cols
 from .sources.tables import load_table
 
@@ -3610,4 +3611,41 @@ def events_frequent_pairs(spark, sf_dir):
         )
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= _PAIR_MIN_SUPPORT)
+    )
+
+
+_CKSUM_BUCKETS = 16
+
+
+@register(
+    "dq_orders_checksum",
+    f"""
+    WITH r AS (
+      SELECT ({_H31_CK.format(x="o_orderkey::VARCHAR")}) % {_CKSUM_BUCKETS}
+               AS bucket,
+             ({_H31_CK.format(x="concat_ws(chr(31), coalesce(o_orderkey::VARCHAR, chr(1) || 'null'), coalesce(o_custkey::VARCHAR, chr(1) || 'null'), coalesce(o_orderstatus, chr(1) || 'null'))")})
+               AS h
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS checksum
+    FROM r GROUP BY 1
+    """,
+)
+def dq_orders_checksum(spark, sf_dir):
+    """Anti-entropy reconciliation summary: orders collapsed to 16
+    (bucket, n_rows, checksum) rows via order-insensitive 31-bit row
+    fingerprints -- compare two snapshots/replicas/engines on 2x16
+    rows, recurse into mismatched buckets.  The oracle IS the
+    cross-engine reconciliation: DuckDB computing identical checksums
+    from the same parquet is the operator working.  Int/string columns
+    only: double-to-string formatting is engine-specific, the
+    documented exclusion."""
+    from .operators.dq import checksum_buckets
+
+    return checksum_buckets(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        ),
+        key_col="o_orderkey",
+        n_buckets=_CKSUM_BUCKETS,
     )

@@ -2105,3 +2105,28 @@ def test_fuzzy_qgram_straddling_pair_not_lost(spark):
     }
     assert qg == dense
     assert (1, 2, 1) in qg  # the straddling pair
+
+
+def test_checksum_buckets_detects_single_row_change(spark):
+    from dbt_metrics_ingestion_script_spark.operators.dq import (
+        checksum_buckets,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    b = spark.createDataFrame(
+        [(i, f"v{i}" if i != 42 else "CHANGED") for i in range(100)],
+        "k long, v string",
+    )
+    ca = {r["bucket"]: (r["n_rows"], r["checksum"])
+          for r in checksum_buckets(a, "k", n_buckets=8).collect()}
+    cb = {r["bucket"]: (r["n_rows"], r["checksum"])
+          for r in checksum_buckets(b, "k", n_buckets=8).collect()}
+    diff = {bk for bk in ca if ca[bk] != cb.get(bk)}
+    assert len(diff) == 1  # exactly the bucket holding row 42
+    # identical tables reconcile exactly, regardless of partitioning
+    a16 = checksum_buckets(a.repartition(16), "k", n_buckets=8)
+    assert {tuple(r) for r in a16.collect()} == {
+        (bk, *v) for bk, v in ca.items()
+    }
