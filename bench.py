@@ -152,6 +152,8 @@ HEADLINE = [
     "corpus_length_histogram",
     "events_frequent_pairs",
     "dq_orders_checksum",
+    "corpus_train_val_test_split",
+    "corpus_mixing_schedule",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -836,3 +836,99 @@ def corpus_length_histogram(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# Split fractions in per-mille so the thresholds are integers:
+# [0, 800) train, [800, 900) val, [900, 1000) test.
+_SPLIT_TRAIN, _SPLIT_VAL = 800, 900
+
+
+def _split_oracle() -> str:
+    h = _H31.format(x="doc_id::VARCHAR || ':split'")
+    return f"""
+    SELECT doc_id, source,
+           CASE WHEN ({h}) % 1000 < {_SPLIT_TRAIN} THEN 'train'
+                WHEN ({h}) % 1000 < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+@register("corpus_train_val_test_split", _split_oracle())
+def corpus_train_val_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split: the assignment is
+    a pure function of hash(doc_id:'split') -- map-side, zero shuffle,
+    stable under retries/repartitioning/re-ingestion, and new
+    documents never move existing ones between splits (the property
+    random splits lack).  Integer per-mille thresholds replay exactly
+    in any engine."""
+    from .functions.hashing import hash31
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    slot = hash31(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":split"))
+    ) % 1000
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(slot < _SPLIT_TRAIN, "train")
+        .when(slot < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# Mixing weights: web-ish sources (even index) sampled 3x as often as
+# the rest.  LCM(3, 1) = 3 keeps the schedule keys integral.
+_MIX_HEAVY, _MIX_LIGHT, _MIX_LCM = 3, 1, 3
+
+
+def _mixing_oracle() -> str:
+    w = (
+        "CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 "
+        f"THEN {_MIX_HEAVY} ELSE {_MIX_LIGHT} END"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, {w} AS w,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+               AS pos
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+           CAST(pos * ({_MIX_LCM} / w) AS BIGINT) AS mix_key
+    FROM d
+    """
+
+
+@register("corpus_mixing_schedule", _mixing_oracle())
+def corpus_mixing_schedule(spark, sf_dir):
+    """Deterministic source-mixing schedule (the fixed-ratio data
+    mixing LLM training runs on): each document gets an integer
+    mix_key = pos_in_source * (LCM / weight); reading in mix_key order
+    interleaves sources at exactly their weight ratios -- a weight-3
+    source contributes 3 documents for every 1 from a weight-1 source,
+    forever, with no RNG.  One per-source window shuffle; the global
+    order is the SORT KEY, not a global row_number (which would
+    serialize the corpus through one reducer)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w_col = F.when(
+        (F.substring("source", 4, 10).cast("int") % 2) == 0,
+        F.lit(_MIX_HEAVY),
+    ).otherwise(F.lit(_MIX_LIGHT))
+    pos = F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
+    return d.select(
+        "doc_id",
+        "source",
+        pos.cast("long").alias("pos"),
+        w_col.alias("__w"),
+    ).select(
+        "doc_id",
+        "source",
+        "pos",
+        (F.col("pos") * (F.lit(_MIX_LCM) / F.col("__w")))
+        .cast("long")
+        .alias("mix_key"),
+    )
