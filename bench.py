@@ -154,6 +154,8 @@ HEADLINE = [
     "dq_orders_checksum",
     "corpus_train_val_test_split",
     "corpus_mixing_schedule",
+    "embeddings_label_drift",
+    "metric_revenue_alerts",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -1021,3 +1021,54 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
             .alias("revenue")
         )
     )
+
+
+# Alert thresholds shared by the operator call site and the oracle.
+_ALERT_DROP = -0.10   # MoM revenue drop worse than 10% -> critical
+_ALERT_SPIKE = 0.25   # MoM growth above 25% -> warn (too good = suspect)
+
+
+@register(
+    "metric_revenue_alerts",
+    f"""
+    WITH bucketed AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+             SUM(o_totalprice) AS v
+      FROM orders GROUP BY 1
+    ), g AS (
+      SELECT ts,
+             ROUND(CASE WHEN MAX(v) OVER w <> 0
+                        THEN (v - MAX(v) OVER w) / MAX(v) OVER w END, 6)
+               AS growth
+      FROM bucketed
+      WINDOW w AS (ORDER BY year(ts) * 12 + month(ts)
+                   RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT 'mom_drop' AS rule, 'critical' AS severity, ts,
+           growth AS value
+    FROM g WHERE growth < {_ALERT_DROP}
+    UNION ALL
+    SELECT 'mom_spike', 'warn', ts, growth
+    FROM g WHERE growth > {_ALERT_SPIKE}
+    """,
+)
+def metric_revenue_alerts(spark, sf_dir):
+    """Declarative alerting over the compiled MoM growth metric: two
+    threshold rules (drop < -10% critical, spike > +25% warn)
+    evaluated in one scan of the metric frame -- rules as data, the
+    contractual complement of the z-score anomaly monitor.  A month
+    with no previous bucket has NULL growth and alerts nothing."""
+    from .plans.alerts import AlertRule, evaluate_alerts
+
+    growth = REGISTRY["metric_revenue_mom_growth"].fn(spark, sf_dir)
+    rules = [
+        AlertRule(
+            "mom_drop", "critical",
+            f"revenue_mom_growth < {_ALERT_DROP}", "revenue_mom_growth",
+        ),
+        AlertRule(
+            "mom_spike", "warn",
+            f"revenue_mom_growth > {_ALERT_SPIKE}", "revenue_mom_growth",
+        ),
+    ]
+    return evaluate_alerts(growth, rules)

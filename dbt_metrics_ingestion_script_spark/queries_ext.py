@@ -3649,3 +3649,82 @@ def dq_orders_checksum(spark, sf_dir):
         key_col="o_orderkey",
         n_buckets=_CKSUM_BUCKETS,
     )
+
+
+@register(
+    "embeddings_label_drift",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+             CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS epoch
+      FROM embeddings
+    ), cm AS (
+      SELECT label, epoch, i.i AS pos, ROUND(AVG(vec[i.i]), 9) AS m,
+             COUNT(DISTINCT vec_id) AS n
+      FROM e, unnest(range(1, 65)) AS i(i)
+      GROUP BY 1, 2, 3
+    ), c AS (
+      SELECT label, epoch, list(m ORDER BY pos) AS cvec, MIN(n) AS n
+      FROM cm GROUP BY 1, 2
+    )
+    SELECT a.label,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           ROUND(sqrt(list_dot_product(
+             list_transform(range(1, 65), i -> a.cvec[i] - b.cvec[i]),
+             list_transform(range(1, 65), i -> a.cvec[i] - b.cvec[i]))), 6)
+             AS centroid_l2_shift
+    FROM c a JOIN c b ON a.label = b.label
+    WHERE a.epoch = 'a' AND b.epoch = 'b'
+    """,
+)
+def embeddings_label_drift(spark, sf_dir):
+    """Embedding-space drift monitor: per-label centroid L2 shift
+    between two epochs (even/odd vec_id halves stand in for
+    time-ordered ingestion batches) -- the statistic that detects a
+    changed embedding model or a shifted upstream distribution before
+    it poisons dedup thresholds and ANN recall.  Centroids round to 9
+    decimals (the k-means discipline) so the oracle's different AVG
+    order replays the shift exactly.  One (label, epoch, dim)
+    posexplode aggregate -- partial-aggregated, never a vector
+    shuffle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("vec"),
+        F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("epoch"),
+    )
+    cm = (
+        e.select(
+            "label", "epoch", "vec_id",
+            F.posexplode("vec").alias("pos", "x"),
+        )
+        .groupBy("label", "epoch", "pos")
+        .agg(
+            F.round(F.avg("x"), 9).alias("m"),
+            F.count_distinct("vec_id").alias("n"),
+        )
+    )
+    c = cm.groupBy("label", "epoch").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("cvec"),
+        F.min("n").alias("n"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    diff = F.zip_with(
+        F.col("a.cvec"), F.col("b.cvec"), lambda x, y: x - y
+    )
+    l2 = F.sqrt(
+        F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, F.col("a.label") == F.col("b.label"))
+        .where((F.col("a.epoch") == "a") & (F.col("b.epoch") == "b"))
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.n").cast("long").alias("n_a"),
+            F.col("b.n").cast("long").alias("n_b"),
+            F.round(l2, 6).alias("centroid_l2_shift"),
+        )
+    )

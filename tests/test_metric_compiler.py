@@ -331,3 +331,31 @@ def test_percentile_metric_validation_and_interpolation(spark):
     )
     got = comp.compile(spec).collect()
     assert got[0]["p90_x"] == _pytest.approx(36.0)
+
+
+def test_alert_rules_null_growth_and_validation(spark):
+    from dbt_metrics_ingestion_script_spark.plans.alerts import (
+        AlertRule,
+        evaluate_alerts,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01", None), ("2024-02-01", -0.5), ("2024-03-01", 0.4)],
+        "ts string, g double",
+    )
+    rules = [
+        AlertRule("drop", "critical", "g < -0.1", "g"),
+        AlertRule("spike", "warn", "g > 0.25", "g"),
+    ]
+    got = {(r["rule"], r["ts"], r["value"])
+           for r in evaluate_alerts(df, rules).collect()}
+    # NULL growth (first bucket) never alerts; each rule fires once
+    assert got == {
+        ("drop", "2024-01-01"[:0] + "2024-02-01", -0.5),
+        ("spike", "2024-03-01", 0.4),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one rule"):
+        evaluate_alerts(df, [])
