@@ -36,23 +36,42 @@ def evaluate_alerts(
     ts_col: str = "ts",
 ) -> DataFrame:
     """(rule, severity, ts, value) rows for every metric row matching
-    a rule's condition.  All rules over one frame evaluate in a single
-    scan: each is a filter+projection branch unioned back together,
-    which Catalyst collapses over the shared child.  NULL conditions
-    (e.g. a growth value missing its previous bucket) are not alerts
-    -- `WHERE cond` drops NULL like every engine."""
+    a rule's condition.  All rules evaluate in ONE pass genuinely:
+    each metric row projects an array of per-rule match structs (NULL
+    where the rule doesn't fire), the NULLs filter out array-side, and
+    the survivors explode -- a union of per-rule filters would instead
+    re-derive the (often aggregated) metric subtree once per rule,
+    which the plan test pins against.  NULL conditions (e.g. a growth
+    value missing its previous bucket) are not alerts -- `F.when`
+    treats NULL as false like every engine's WHERE."""
     if not rules:
         raise ValueError("evaluate_alerts needs at least one rule")
-    branches = [
-        metric_df.where(F.expr(r.condition)).select(
-            F.lit(r.name).alias("rule"),
-            F.lit(r.severity).alias("severity"),
+    matches = F.array(
+        *[
+            F.when(
+                F.expr(r.condition),
+                F.struct(
+                    F.lit(r.name).alias("rule"),
+                    F.lit(r.severity).alias("severity"),
+                    F.round(F.expr(r.value_expr), 6)
+                    .cast("double")
+                    .alias("value"),
+                ),
+            )
+            for r in rules
+        ]
+    )
+    return (
+        metric_df.select(
             F.col(ts_col).alias("ts"),
-            F.round(F.expr(r.value_expr), 6).cast("double").alias("value"),
+            F.explode(
+                F.filter(matches, lambda m: m.isNotNull())
+            ).alias("__m"),
         )
-        for r in rules
-    ]
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+        .select(
+            F.col("__m.rule").alias("rule"),
+            F.col("__m.severity").alias("severity"),
+            "ts",
+            F.col("__m.value").alias("value"),
+        )
+    )

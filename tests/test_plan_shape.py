@@ -412,3 +412,10 @@ def test_tpch_q3_broadcasts_customer_and_prunes(spark):
     assert "BroadcastHashJoin" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_alert_rules_single_scan(spark):
+    """N alert rules over one metric frame must not re-derive the
+    metric subtree per rule: one scan, array-projected matches."""
+    plan = plan_of(run(spark, "metric_revenue_alerts"))
+    assert plan.count("orders.parquet") == 1
