@@ -156,6 +156,7 @@ HEADLINE = [
     "corpus_mixing_schedule",
     "embeddings_label_drift",
     "metric_revenue_alerts",
+    "events_active_time_coverage",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -3728,3 +3728,78 @@ def embeddings_label_drift(spark, sf_dir):
             F.round(l2, 6).alias("centroid_l2_shift"),
         )
     )
+
+
+_COVERAGE_WINDOW_MIN = 30  # each event opens a 30-minute activity window
+
+
+@register(
+    "events_active_time_coverage",
+    f"""
+    WITH w AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {_COVERAGE_WINDOW_MIN} * 60 * 1000000 AS e
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), -1) THEN 1 ELSE 0 END AS new_island
+      FROM w
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING
+             ) AS island
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island, MAX(e) - MIN(s) AS span_us
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           ROUND(SUM(span_us) / 1000000.0, 6) AS active_seconds
+    FROM merged GROUP BY 1
+    """,
+)
+def events_active_time_coverage(spark, sf_dir):
+    """Interval-union coverage: each event opens a 30-minute activity
+    window; overlapping windows merge (the classic sweep -- running
+    max end, island flag, island spans) and the user's total ACTIVE
+    time is the union length, not the sum (double-counting overlaps is
+    the classic engagement-metric bug).  Integer-microsecond
+    arithmetic; one user-partitioned shuffle carries the sweep, the
+    island aggregate, and the final rollup."""
+    from pyspark.sql import Window as W
+
+    win_us = _COVERAGE_WINDOW_MIN * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = e.select(
+        "user_id", s.alias("s"), (s + F.lit(win_us)).alias("e")
+    )
+    order = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        order.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = w.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            order.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("span_us")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.round(F.sum("span_us") / 1e6, 6).alias("active_seconds"),
+    )
