@@ -71,18 +71,26 @@ def countmin_estimate(
     key_col: str,
     depth: int = 4,
     width: int = 64,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Merge the (day, i, col, c) sketches cell-wise and estimate each
     key's total occurrence count: min over the d rows of the key's
     cell -- always >= the true count (collisions only add).
 
-    Output: (key, est_count).  The merged sketch is depth x width rows
-    -- broadcast; estimation is a map-side join + tiny aggregation."""
+    Output: (key, *extra_cols, est_count).  `extra_cols` ride the keys
+    frame through the estimation (they must be functionally dependent
+    on the key, e.g. a precomputed exact count) so callers don't need
+    a second join -- and with it a second derivation -- of the keys
+    subtree.  The merged sketch is depth x width rows -- broadcast;
+    estimation is a map-side join + tiny aggregation."""
     merged = sketches.groupBy("i", "col").agg(F.sum("c").alias("c"))
     lookups = keys.select(
-        F.col(key_col), hash31(F.col(key_col).cast("string")).alias("__h")
+        F.col(key_col),
+        *extra_cols,
+        hash31(F.col(key_col).cast("string")).alias("__h"),
     ).select(
         key_col,
+        *extra_cols,
         F.posexplode(
             F.array(
                 *[(family_hash(F.col("__h"), i) % width) for i in range(depth)]
@@ -91,6 +99,6 @@ def countmin_estimate(
     )
     return (
         lookups.join(F.broadcast(merged), ["i", "col"])
-        .groupBy(key_col)
+        .groupBy(key_col, *extra_cols)
         .agg(F.min("c").alias("est_count"))
     )

@@ -884,8 +884,10 @@ _MIX_HEAVY, _MIX_LIGHT, _MIX_LCM = 3, 1, 3
 
 
 def _mixing_oracle() -> str:
+    # TRY_CAST: an unparseable source index is NULL in both engines
+    # (Spark's non-ANSI cast), landing in the light-weight ELSE branch
     w = (
-        "CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 "
+        "CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0 "
         f"THEN {_MIX_HEAVY} ELSE {_MIX_LIGHT} END"
     )
     return f"""

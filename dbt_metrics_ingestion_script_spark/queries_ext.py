@@ -3013,20 +3013,22 @@ def events_countmin_user_counts(spark, sf_dir):
     sketches = countmin_daily_sketches(
         ev, key_col="user_id", depth=_CM_DEPTH, width=_CM_WIDTH
     )
-    users = (
-        ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
-        .select("user_id")
-        .distinct()
-    )
-    est = countmin_estimate(
-        sketches, users, key_col="user_id", depth=_CM_DEPTH, width=_CM_WIDTH
-    )
+    # the exact-count frame doubles as the query-key list: one groupBy
+    # serves both the keys and the verification column (2 scans total,
+    # sketches + exact, instead of 3)
     exact = (
         ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .groupBy("user_id")
         .agg(F.count("*").alias("exact_count"))
     )
-    return est.join(exact, "user_id")
+    return countmin_estimate(
+        sketches,
+        exact,
+        key_col="user_id",
+        depth=_CM_DEPTH,
+        width=_CM_WIDTH,
+        extra_cols=("exact_count",),
+    ).select("user_id", "est_count", "exact_count")
 
 
 # Data-quality scorecard geometry: bounds chosen so violations exist
@@ -3693,39 +3695,40 @@ def embeddings_label_drift(spark, sf_dir):
         F.col("embedding").cast("array<double>").alias("vec"),
         F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("epoch"),
     )
+    # both epochs as CONDITIONAL aggregates of one (label, pos) pass --
+    # an epoch-keyed groupBy self-joined on label would scan the
+    # embeddings twice
+    xa = F.when(F.col("epoch") == "a", F.col("x"))
+    xb = F.when(F.col("epoch") == "b", F.col("x"))
     cm = (
         e.select(
             "label", "epoch", "vec_id",
             F.posexplode("vec").alias("pos", "x"),
         )
-        .groupBy("label", "epoch", "pos")
+        .groupBy("label", "pos")
         .agg(
-            F.round(F.avg("x"), 9).alias("m"),
-            F.count_distinct("vec_id").alias("n"),
+            F.round(F.avg(xa), 9).alias("ma"),
+            F.round(F.avg(xb), 9).alias("mb"),
+            F.count_distinct(F.when(F.col("epoch") == "a", F.col("vec_id"))).alias("na"),
+            F.count_distinct(F.when(F.col("epoch") == "b", F.col("vec_id"))).alias("nb"),
         )
     )
-    c = cm.groupBy("label", "epoch").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))),
-            lambda s: s["m"],
-        ).alias("cvec"),
-        F.min("n").alias("n"),
-    )
-    a, b = c.alias("a"), c.alias("b")
-    diff = F.zip_with(
-        F.col("a.cvec"), F.col("b.cvec"), lambda x, y: x - y
-    )
-    l2 = F.sqrt(
-        F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    # per-dimension squared deltas sum directly: no array rebuild, no
+    # self-join -- sqrt of the per-label sum is the centroid shift
     return (
-        a.join(b, F.col("a.label") == F.col("b.label"))
-        .where((F.col("a.epoch") == "a") & (F.col("b.epoch") == "b"))
-        .select(
-            F.col("a.label").alias("label"),
-            F.col("a.n").cast("long").alias("n_a"),
-            F.col("b.n").cast("long").alias("n_b"),
-            F.round(l2, 6).alias("centroid_l2_shift"),
+        cm.groupBy("label")
+        .agg(
+            F.min("na").cast("long").alias("n_a"),
+            F.min("nb").cast("long").alias("n_b"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("ma") - F.col("mb"))
+                        * (F.col("ma") - F.col("mb"))
+                    )
+                ),
+                6,
+            ).alias("centroid_l2_shift"),
         )
     )
 
