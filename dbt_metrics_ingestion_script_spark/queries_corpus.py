@@ -916,8 +916,11 @@ def corpus_mixing_schedule(spark, sf_dir):
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # try_cast: ANSI-mode cast throws on junk; unparseable source
+    # indexes must land in the light branch instead (TRY_CAST parity
+    # with the oracle)
     w_col = F.when(
-        (F.substring("source", 4, 10).cast("int") % 2) == 0,
+        (F.substring("source", 4, 10).try_cast("int") % 2) == 0,
         F.lit(_MIX_HEAVY),
     ).otherwise(F.lit(_MIX_LIGHT))
     pos = F.row_number().over(W.partitionBy("source").orderBy("doc_id"))

@@ -2679,7 +2679,7 @@ def _fuzzy_oracle() -> str:
     return f"""
     WITH p AS (
       SELECT doc_id AS id, substr(text, 1, {_FUZZY_TITLE_LEN}) AS key,
-             split_part(text, ' ', 1) AS block
+             split_part(substr(text, 1, {_FUZZY_TITLE_LEN}), ' ', 1) AS block
       FROM documents
     )
     SELECT a.id AS id_a, b.id AS id_b, a.block AS block,

@@ -117,6 +117,14 @@ CORPUS_QUERIES = [
     "dedup_containment_pairs",
     "corpus_budget_select",
     "text_token_entropy",
+    # round-6 additions over the documents table
+    "corpus_pps_systematic_sample",
+    "corpus_length_histogram",
+    "corpus_train_val_test_split",
+    "corpus_mixing_schedule",
+    "dedup_fuzzy_title_pairs",
+    "dedup_fuzzy_title_pairs_dense",
+    "text_zipf_slope",
 ]
 
 
