@@ -157,6 +157,8 @@ HEADLINE = [
     "embeddings_label_drift",
     "metric_revenue_alerts",
     "events_active_time_coverage",
+    "metric_top_customer_by_month",
+    "dq_orderkey_gaps",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

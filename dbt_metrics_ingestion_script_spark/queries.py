@@ -1072,3 +1072,41 @@ def metric_revenue_alerts(spark, sf_dir):
         ),
     ]
     return evaluate_alerts(growth, rules)
+
+
+@register(
+    "metric_top_customer_by_month",
+    """
+    SELECT ts, o_custkey AS top_custkey,
+           ROUND(mx, 4) AS top_order_value
+    FROM (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+             o_custkey,
+             MAX(o_totalprice) OVER (
+               PARTITION BY date_trunc('month', o_orderdate)) AS mx,
+             ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('month', o_orderdate)
+               ORDER BY o_totalprice DESC, o_custkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def metric_top_customer_by_month(spark, sf_dir):
+    """Per-month top customer via the max_by/arg_max aggregate family
+    -- leader selection in ONE aggregation pass where the oracle runs
+    the classic window-rank formulation (different plan, same rows).
+    Ties break deterministically: max struct ordering == ORDER BY
+    value DESC, custkey DESC."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("ts")
+        )
+        .agg(
+            F.max_by(
+                "o_custkey",
+                F.struct(F.col("o_totalprice"), F.col("o_custkey")),
+            ).alias("top_custkey"),
+            F.round(F.max("o_totalprice"), 4).alias("top_order_value"),
+        )
+    )

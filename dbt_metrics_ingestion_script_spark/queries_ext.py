@@ -3806,3 +3806,40 @@ def events_active_time_coverage(spark, sf_dir):
         F.count("*").cast("long").alias("n_islands"),
         F.round(F.sum("span_us") / 1e6, 6).alias("active_seconds"),
     )
+
+
+@register(
+    "dq_orderkey_gaps",
+    """
+    WITH k AS (
+      SELECT o_orderkey AS k,
+             LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+      FROM orders WHERE o_orderkey IS NOT NULL
+    )
+    SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+           CAST(nxt - k - 1 AS BIGINT) AS n_missing
+    FROM k WHERE nxt - k > 1
+    """,
+)
+def dq_orderkey_gaps(spark, sf_dir):
+    """Sequence-gap audit: runs of missing order keys ((k+1, next-1)
+    intervals from a lead window) -- the completeness check for
+    monotonically-assigned ids, catching dropped ingestion batches.
+    The single global-order window runs over the KEY column only; at
+    100 TB, range-partition by key block and stitch block boundaries
+    (the distributed-prefix-sum discipline)."""
+    from pyspark.sql import Window as W
+
+    k = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey").isNotNull()
+    ).select(F.col("o_orderkey").alias("k"))
+    nxt = F.lead("k").over(W.orderBy("k"))
+    return (
+        k.withColumn("nxt", nxt)
+        .where(F.col("nxt") - F.col("k") > 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("k") - 1).cast("long").alias("n_missing"),
+        )
+    )
