@@ -3843,3 +3843,45 @@ def dq_orderkey_gaps(spark, sf_dir):
             (F.col("nxt") - F.col("k") - 1).cast("long").alias("n_missing"),
         )
     )
+
+
+@register(
+    "streaming_metric_store_upsert",
+    # converges to the batch daily aggregate: the MERGE loop must be
+    # invisible in the final snapshot
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS ts, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_metric_store_upsert(spark, sf_dir):
+    """The lakehouse maintenance loop composed from this repo's own
+    parts: watermarked streaming aggregate (update mode) -> foreachBatch
+    MERGE INTO a parquet snapshot (updated buckets overwrite, new ones
+    insert).  Replaying the static events table through availableNow
+    must converge the snapshot to the batch aggregate -- the oracle."""
+    import shutil
+    import tempfile
+    import os
+
+    from .streaming.metrics_stream import streaming_metric_store_upsert as run
+
+    d = tempfile.mkdtemp(prefix="events_upsert_src_")
+    store = tempfile.mkdtemp(prefix="metric_store_upsert_")
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+        snap = run(spark, d, store)
+        out = snap.select(
+            F.col("ts").cast("date").alias("ts"),
+            "event_type",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+        # materialize driver-side before the temp dirs vanish
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)

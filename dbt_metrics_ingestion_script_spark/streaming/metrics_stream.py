@@ -377,3 +377,75 @@ def stream_stream_conversion_join(
         "user_id",
         F.round(gap_s, 6).alias("gap_s"),
     )
+
+
+def streaming_metric_store_upsert(
+    spark,
+    events_dir: str,
+    store_dir: str,
+    grain: str = "day",
+    watermark: str = "1 day",
+    timeout_s: int = 120,
+):
+    """Continuous metric-store maintenance: the watermarked windowed
+    aggregate runs in UPDATE mode and every micro-batch MERGES into a
+    parquet snapshot via `operators.merge.merge_upsert` -- updated
+    buckets overwrite, new buckets insert, untouched buckets survive.
+    This is the lakehouse maintenance loop (streaming agg -> MERGE
+    INTO store) composed from this repo's own parts, and it converges
+    to the batch aggregate over the same input (the differential
+    oracle).
+
+    The snapshot is rewritten per batch (read -> reconcile -> write to
+    a fresh subdir, then swap) -- at scale the swap is a partition
+    overwrite of only the CHANGED grain partitions, exactly the
+    metric_store sink's partition layout.  Returns the final snapshot
+    DataFrame.
+    """
+    import os
+    import shutil
+
+    from ..operators.merge import merge_upsert
+
+    stream = read_events_stream(spark, events_dir)
+    agg = windowed_event_metrics(stream, grain=grain, watermark=watermark)
+
+    cur = os.path.join(store_dir, "current")
+
+    def upsert(batch_df, batch_id: int) -> None:
+        batch = batch_df.select(
+            "ts", "event_type", "n_events", "total_value"
+        )
+        if os.path.exists(cur):
+            target = spark.read.parquet(cur).withColumn(
+                "__k",
+                F.concat_ws("|", F.col("ts").cast("string"), "event_type"),
+            )
+            source = batch.withColumn(
+                "__k",
+                F.concat_ws("|", F.col("ts").cast("string"), "event_type"),
+            )
+            merged = merge_upsert(target, source, key_col="__k").drop(
+                "action", "__k"
+            )
+        else:
+            merged = batch
+        nxt = os.path.join(store_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        if os.path.exists(cur):
+            shutil.rmtree(cur)
+        os.replace(nxt, cur)
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(store_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError("streaming_metric_store_upsert did not drain")
+    return spark.read.parquet(cur)

@@ -994,3 +994,54 @@ def test_streaming_state_survives_query_restart(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(111, 1), (222, 3)}
+
+
+def test_streaming_metric_store_upsert_merges_across_batches(spark, tmp_path):
+    """The foreachBatch MERGE loop must genuinely update: batch 0
+    writes day-1 counts, batch 1 adds MORE day-1 events (same bucket
+    -> update) and a day-2 bucket (-> insert).  The final snapshot
+    equals the batch aggregate over everything."""
+    import datetime
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_metrics_ingestion_script_spark.streaming.metrics_stream import (
+        streaming_metric_store_upsert,
+    )
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    store = str(tmp_path / "store")
+
+    def write_file(name, rows, mtime):
+        path = f"{src}/{name}"
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "event_type": pa.array([r[2] for r in rows], pa.string()),
+                    "value": pa.array([r[3] for r in rows], pa.float64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (mtime, mtime))
+
+    d1 = datetime.datetime(2024, 3, 1, 10)
+    d2 = datetime.datetime(2024, 3, 2, 10)
+    now = _time.time()
+    write_file("a.parquet", [(1, d1, "click", 1.0), (2, d1, "click", 2.0)], now - 100)
+    write_file("b.parquet", [(3, d1, "click", 4.0), (4, d2, "view", 8.0)], now - 50)
+
+    snap = streaming_metric_store_upsert(spark, src, store)
+    got = {
+        (str(r["ts"])[:10], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in snap.collect()
+    }
+    # day-1 click bucket merged across batches: 3 events, 7.0 total
+    assert got[("2024-03-01", "click")] == (3, 7.0)
+    assert got[("2024-03-02", "view")] == (1, 8.0)
+    assert len(got) == 2
