@@ -159,6 +159,7 @@ HEADLINE = [
     "events_active_time_coverage",
     "metric_top_customer_by_month",
     "dq_orderkey_gaps",
+    "metric_shared_scan_bundle",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

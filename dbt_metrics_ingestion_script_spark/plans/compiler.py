@@ -341,6 +341,56 @@ class MetricCompiler:
         grains = spec.time_grains or ["all_time"]
         return {g: self.compile(spec, g) for g in grains}
 
+    def compile_shared(
+        self, specs: list[MetricSpec], grain: str | None = None
+    ) -> DataFrame:
+        """N simple metrics over ONE model in ONE aggregation pass --
+        the multi-metric scan-sharing optimization a metrics platform
+        needs when a dashboard asks for twenty metrics of the same
+        fact table: each metric's filters become a conditional
+        aggregate (`F.when`, the ratio machinery generalized), so the
+        fact scans and shuffles once regardless of metric count.
+
+        Constraints, validated eagerly: all specs must be simple
+        metrics on the same model and timestamp column; dimensions
+        must agree (the group keys are shared).  Per-metric FILTERS
+        may differ freely -- that is the point.  A metric whose filter
+        matches no rows yields NULL (not 0) for count-like methods
+        too, because the WHERE-vs-conditional-aggregate distinction
+        matters: COUNT of no rows per group is 0, but a group only
+        exists here if ANY metric selected it.
+        """
+        if not specs:
+            raise ValueError("compile_shared needs at least one spec")
+        models = {s.model for s in specs}
+        if len(models) != 1:
+            raise ValueError(f"compile_shared: one model required, got {sorted(models)}")
+        ts = {s.timestamp for s in specs}
+        if len(ts) != 1:
+            raise ValueError(f"compile_shared: one timestamp required, got {sorted(map(str, ts))}")
+        dims = {tuple(s.dimensions) for s in specs}
+        if len(dims) != 1:
+            raise ValueError("compile_shared: dimensions must agree across specs")
+        bad = [s.name for s in specs if s.metric_type != "simple"]
+        if bad:
+            raise ValueError(f"compile_shared handles simple metrics only, got {bad}")
+        df = self.resolver(specs[0].model)
+        keys = self._group_keys(specs[0], grain)
+        aggs = [
+            _agg_column(
+                s.calculation_method,
+                s.expression,
+                cond=filters_predicate(s.filters),
+                approx_distinct=self.approx_distinct,
+                rsd=self.rsd,
+                percentile=s.percentile,
+            ).alias(s.name)
+            for s in specs
+        ]
+        if keys:
+            return df.groupBy(*keys).agg(*aggs)
+        return df.agg(*aggs)
+
     # -- internals ---------------------------------------------------------
 
     def _compile(self, spec: MetricSpec, grain: str | None, visiting: tuple) -> DataFrame:

@@ -1110,3 +1110,49 @@ def metric_top_customer_by_month(spark, sf_dir):
             F.round(F.max("o_totalprice"), 4).alias("top_order_value"),
         )
     )
+
+
+@register(
+    "metric_shared_scan_bundle",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+           ROUND(SUM(o_totalprice), 4) AS total_revenue,
+           COUNT(*) AS order_count,
+           ROUND(AVG(CASE WHEN o_totalprice > 1000
+                          THEN o_totalprice END), 4) AS avg_big_order_value,
+           COUNT(DISTINCT CASE WHEN o_orderstatus = 'F'
+                               THEN o_custkey END) AS finished_customers
+    FROM orders GROUP BY 1
+    """,
+)
+def metric_shared_scan_bundle(spark, sf_dir):
+    """Multi-metric scan sharing: four metrics with FOUR different
+    filters over the orders fact compiled into one aggregation pass
+    (per-metric filters become conditional aggregates) -- the fact
+    scans and shuffles once no matter how many metrics a dashboard
+    requests.  Plan-locked to a single orders scan."""
+    specs = [
+        MetricSpec(
+            name="total_revenue", calculation_method="sum",
+            expression="o_totalprice", model="orders",
+            timestamp="o_orderdate",
+        ),
+        MetricSpec(
+            name="order_count", calculation_method="count", expression="*",
+            model="orders", timestamp="o_orderdate",
+        ),
+        MetricSpec(
+            name="avg_big_order_value", calculation_method="average",
+            expression="o_totalprice", model="orders",
+            timestamp="o_orderdate",
+            filters=[MetricFilter(field="o_totalprice", operator=">", value="1000")],
+        ),
+        MetricSpec(
+            name="finished_customers", calculation_method="count_distinct",
+            expression="o_custkey", model="orders",
+            timestamp="o_orderdate",
+            filters=[MetricFilter(field="o_orderstatus", operator="=", value="F")],
+        ),
+    ]
+    df = _compiler(spark, sf_dir).compile_shared(specs, "month")
+    return _round(df, {"total_revenue": 4, "avg_big_order_value": 4})

@@ -359,3 +359,40 @@ def test_alert_rules_null_growth_and_validation(spark):
 
     with _pytest.raises(ValueError, match="at least one rule"):
         evaluate_alerts(df, [])
+
+
+def test_compile_shared_validation_and_filter_independence(spark):
+    from dbt_metrics_ingestion_script_spark.plans.metric_spec import (
+        MetricFilter,
+        MetricSpec,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, "A"), (2.0, "A"), (30.0, "B")], "v double, s string"
+    )
+    comp = MetricCompiler(lambda m: df)
+    specs = [
+        MetricSpec(name="all_sum", calculation_method="sum", expression="v",
+                   model="t"),
+        MetricSpec(name="b_sum", calculation_method="sum", expression="v",
+                   model="t",
+                   filters=[MetricFilter(field="s", operator="=", value="B")]),
+    ]
+    got = comp.compile_shared(specs).collect()[0]
+    assert got["all_sum"] == 33.0 and got["b_sum"] == 30.0
+
+    import pytest as _pytest
+
+    other = MetricSpec(name="x", calculation_method="sum", expression="v",
+                       model="other")
+    with _pytest.raises(ValueError, match="one model"):
+        comp.compile_shared([specs[0], other])
+    with _pytest.raises(ValueError, match="at least one"):
+        comp.compile_shared([])
+    ratio = MetricSpec(
+        name="r", metric_type="ratio", calculation_method="sum",
+        expression="v", model="t",
+        numerator=specs[0], denominator=specs[1],
+    )
+    with _pytest.raises(ValueError, match="simple metrics only"):
+        comp.compile_shared([ratio])

@@ -419,3 +419,10 @@ def test_alert_rules_single_scan(spark):
     metric subtree per rule: one scan, array-projected matches."""
     plan = plan_of(run(spark, "metric_revenue_alerts"))
     assert plan.count("orders.parquet") == 1
+
+
+def test_shared_scan_bundle_single_pass(spark):
+    """Four metrics with four different filters must compile to ONE
+    scan and one aggregation of the orders fact."""
+    plan = plan_of(run(spark, "metric_shared_scan_bundle"))
+    assert plan.count("orders.parquet") == 1
