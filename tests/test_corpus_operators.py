@@ -635,3 +635,24 @@ def test_pps_drops_nonpositive_weights(spark):
         _weighted(spark, rows), "w", stratum_col="source", k=3
     ).collect()
     assert {r["doc_id"] for r in got} == {3}
+
+
+def test_mixing_schedule_interleaves_at_weight_ratios(spark, sf_dir):
+    """Reading in mix_key order must deliver sources at their weight
+    ratios: in any prefix of the schedule, a weight-3 source has ~3x
+    the documents of a weight-1 source (exact up to per-source +/-1
+    rounding)."""
+    from dbt_metrics_ingestion_script_spark.registry import REGISTRY
+    import dbt_metrics_ingestion_script_spark.queries_corpus  # noqa: F401
+
+    rows = REGISTRY["corpus_mixing_schedule"].fn(spark, sf_dir).collect()
+    rows.sort(key=lambda r: (r["mix_key"], r["source"], r["doc_id"]))
+    prefix = rows[: len(rows) // 2]
+    from collections import Counter
+
+    by_src = Counter(r["source"] for r in prefix)
+    heavy = [c for s, c in by_src.items() if int(s[3:]) % 2 == 0]
+    light = [c for s, c in by_src.items() if int(s[3:]) % 2 == 1]
+    assert heavy and light
+    ratio = (sum(heavy) / len(heavy)) / (sum(light) / len(light))
+    assert 2.5 <= ratio <= 3.5  # weight 3 vs 1, +/- boundary rounding
