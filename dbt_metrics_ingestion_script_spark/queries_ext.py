@@ -3885,3 +3885,80 @@ def streaming_metric_store_upsert(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(store, ignore_errors=True)
+
+
+@register(
+    "streaming_asof_enrich",
+    # the same DuckDB native ASOF JOIN oracle as the batch lookup:
+    # the stream must converge to the batch enrichment
+    """
+    WITH daily AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS last_order_ts,
+             COUNT(*) AS last_day_orders,
+             ROUND(SUM(o_totalprice), 4) AS last_day_total
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           d.last_order_ts, d.last_day_orders, d.last_day_total
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
+    ASOF LEFT JOIN daily d
+      ON e.user_id = d.user_id AND e.ts >= d.last_order_ts
+    UNION ALL
+    SELECT event_id, user_id, ts, NULL, NULL, NULL
+    FROM events WHERE ts IS NULL
+    """,
+)
+def streaming_asof_enrich(spark, sf_dir):
+    """STREAMING as-of enrichment (the r5 stretch shape): each event
+    in the stream picks up the user's latest prior order-day stats via
+    `asof_lookup_static` -- a stream-static equi-join + map-side array
+    pick, STATELESS per event, so it needs no watermark, no state
+    store, and no output-mode restriction.  Driven with availableNow;
+    converges to the batch as-of (DuckDB native ASOF JOIN oracle)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .operators.asof import asof_lookup_static
+    from .streaming.metrics_stream import read_events_stream
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("last_order_ts"),
+        )
+        .agg(
+            F.count("*").alias("last_day_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("last_day_total"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="events_stream_asof_")
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+        stream = read_events_stream(spark, d).select(
+            "event_id", "user_id", "ts"
+        )
+        enriched = asof_lookup_static(
+            stream,
+            daily,
+            on="user_id",
+            left_ts="ts",
+            right_ts="last_order_ts",
+            value_cols=["last_day_orders", "last_day_total"],
+        )
+        name = "asof_" + uuid.uuid4().hex[:8]
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("streaming_asof_enrich did not drain")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
