@@ -108,3 +108,34 @@ def zorder_key(
         F.col(id_col),
         zkey.alias("zkey"),
     ).withColumn("shard", F.shiftright(F.col("zkey"), shard_shift))
+
+
+def write_zordered(
+    df: DataFrame,
+    out_dir: str,
+    dim_a: str,
+    dim_b: str,
+    id_col: str,
+    bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Materialize the Z-order layout: rows route to `n_files` output
+    files by RANGE of zkey (repartitionByRange) and sort by zkey
+    within each file, so every file owns a CONTIGUOUS zkey interval --
+    which is exactly what lets min/max file statistics prune a scan
+    filtered on either interleaved dimension.  The disjointness of
+    per-file [min(zkey), max(zkey)] ranges is the testable layout
+    property (tests read the written footers back).
+
+    The one shuffle here is the range partitioning -- the shuffle a
+    layout job exists to pay once so that every later scan pays less.
+    """
+    keyed = zorder_key(
+        df, dim_a=dim_a, dim_b=dim_b, id_col=id_col, bits=bits
+    ).join(df, id_col)
+    (
+        keyed.repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

@@ -2130,3 +2130,37 @@ def test_checksum_buckets_detects_single_row_change(spark):
     assert {tuple(r) for r in a16.collect()} == {
         (bk, *v) for bk, v in ca.items()
     }
+
+
+def test_write_zordered_files_own_disjoint_key_ranges(spark, tmp_path, sf_dir):
+    """The materialized Z-order layout's point: every output file owns
+    a contiguous, non-overlapping zkey interval (that is what makes
+    min/max stats prune scans on either dimension)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbt_metrics_ingestion_script_spark.operators.layout import (
+        write_zordered,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("event_id", "user_id", "us")
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(
+        ev, out, dim_a="user_id", dim_b="us", id_col="event_id", n_files=8
+    )
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        t = pq.read_table(f, columns=["zkey"])
+        if t.num_rows:
+            col = t.column("zkey").to_pylist()
+            ranges.append((min(col), max(col)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # contiguous, non-overlapping intervals
