@@ -160,6 +160,7 @@ HEADLINE = [
     "metric_top_customer_by_month",
     "dq_orderkey_gaps",
     "metric_shared_scan_bundle",
+    "tpch_q5_local_supplier_volume",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

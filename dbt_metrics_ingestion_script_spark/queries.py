@@ -1156,3 +1156,60 @@ def metric_shared_scan_bundle(spark, sf_dir):
     ]
     df = _compiler(spark, sf_dir).compile_shared(specs, "month")
     return _round(df, {"total_revenue": 4, "avg_big_order_value": 4})
+
+
+_Q5_REGION, _Q5_YEAR = "ASIA", 1998
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+                     AND c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{_Q5_REGION}'
+      AND o.o_orderdate >= DATE '{_Q5_YEAR}-01-01'
+      AND o.o_orderdate < DATE '{_Q5_YEAR + 1}-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the 6-way star with the
+    customer-and-supplier-share-a-nation theta condition folded into
+    the nation join -- date and region filters push to their scans,
+    all four dims broadcast, the two facts meet in one shuffled
+    join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(f"{_Q5_YEAR}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{_Q5_YEAR + 1}-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == _Q5_REGION
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n),
+            (s.s_nationkey == n.n_nationkey)
+            & (c.c_nationkey == n.n_nationkey),
+        )
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
