@@ -290,6 +290,16 @@ EVENT_ANALYTICS_QUERIES = [
     "events_hopping_window_agg_daily6h",
     "events_interarrival_profile",
     "events_daily_anomaly_zscore",
+    # round-6 event analytics
+    "events_markov_transitions",
+    "events_top_paths",
+    "events_lateness_profile",
+    "events_active_time_coverage",
+    "events_attribution_linear",
+    "events_frequent_pairs",
+    "events_scd2_user_state",
+    "events_countmin_user_counts",
+    "events_zorder_layout",
 ]
 
 
@@ -433,5 +443,15 @@ def test_event_analytics_agree_on_null_timestamps(spark, tmp_path_factory):
         "events_hopping_window_agg_daily6h",
         "events_interarrival_profile",
         "events_daily_anomaly_zscore",
+        # round-6 event analytics: NULL-ts rows must drop identically
+        "events_markov_transitions",
+        "events_top_paths",
+        "events_lateness_profile",
+        "events_active_time_coverage",
+        "events_attribution_linear",
+        "events_frequent_pairs",
+        "events_scd2_user_state",
+        "events_countmin_user_counts",
+        "events_zorder_layout",
     ):
         _diff_event_query(spark, tmpdir, name)
