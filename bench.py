@@ -161,6 +161,7 @@ HEADLINE = [
     "dq_orderkey_gaps",
     "metric_shared_scan_bundle",
     "tpch_q5_local_supplier_volume",
+    "events_dau_wau_stickiness",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

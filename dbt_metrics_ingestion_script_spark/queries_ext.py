@@ -3962,3 +3962,66 @@ def streaming_asof_enrich(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
+
+
+_WAU_DAYS = 7
+
+
+@register(
+    "events_dau_wau_stickiness",
+    f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), dau AS (
+      SELECT day, COUNT(*) AS dau FROM du GROUP BY 1
+    ), contrib AS (
+      SELECT DISTINCT t.target_day, du.user_id
+      FROM du, unnest(generate_series(du.day, du.day + {_WAU_DAYS - 1}, INTERVAL 1 DAY))
+             AS t(target_day)
+    ), wau AS (
+      SELECT CAST(target_day AS DATE) AS day, COUNT(*) AS wau
+      FROM contrib GROUP BY 1
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           ROUND(dau.dau / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness: daily actives over trailing-7-day actives
+    -- the engagement ratio.  Sliding-window DISTINCT is not
+    re-aggregable, so each (day, user) pair fans out to the 7 target
+    days it contributes to (bounded x7 explode), dedups, and counts --
+    the exact-distinct sliding window as one explode + two
+    partial-aggregated shuffles, never a per-day re-scan.  (The HLL
+    sketch rollup is the approximate swap when x{_WAU_DAYS} is too
+    much.)  Days appear when they have activity (inner join, matching
+    the oracle)."""
+    du = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = (
+        du.select(
+            F.explode(
+                F.expr(
+                    f"sequence(day, date_add(day, {_WAU_DAYS - 1}), interval 1 day)"
+                )
+            ).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("day").agg(F.count("*").alias("wau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )
