@@ -610,20 +610,32 @@ def kmeans_convergence(
     try:
         for it in range(n_iter + 1):
             assigned = assign_with_d2(cents).persist()
-            inertia = assigned.agg(
-                F.round(F.sum("d2"), round_digits).alias("i")
-            ).collect()[0]["i"]
             if prev is None:
-                n_moved = assigned.count()
+                stat = assigned.agg(
+                    F.round(F.sum("d2"), round_digits).alias("i"),
+                    F.count("*").alias("m"),
+                ).collect()[0]
             else:
-                n_moved = (
+                # the id join is 1:1 and complete (same id set every
+                # round), so ONE action reads both inertia and the
+                # reassignment count off the joined frame
+                stat = (
                     assigned.alias("n")
                     .join(prev.alias("p"), "id")
-                    .where(F.col("n.centroid_id") != F.col("p.centroid_id"))
-                    .count()
+                    .agg(
+                        F.round(F.sum("n.d2"), round_digits).alias("i"),
+                        F.count(
+                            F.when(
+                                F.col("n.centroid_id")
+                                != F.col("p.centroid_id"),
+                                1,
+                            )
+                        ).alias("m"),
+                    )
+                    .collect()[0]
                 )
                 prev.unpersist()
-            rows.append((it, inertia, n_moved))
+            rows.append((it, stat["i"], stat["m"]))
             prev = assigned
             cents = recenter(assigned)  # lazy; unused after last round
     finally:
