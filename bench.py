@@ -162,6 +162,8 @@ HEADLINE = [
     "metric_shared_scan_bundle",
     "tpch_q5_local_supplier_volume",
     "events_dau_wau_stickiness",
+    "corpus_semantic_pipeline",
+    "dedup_semantic_survivors",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted
