@@ -164,6 +164,7 @@ HEADLINE = [
     "events_dau_wau_stickiness",
     "corpus_semantic_pipeline",
     "dedup_semantic_survivors",
+    "events_wau_approx_bound",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -4025,3 +4025,83 @@ def events_dau_wau_stickiness(spark, sf_dir):
         "wau",
         F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+@register(
+    "events_wau_approx_bound",
+    # the sketch estimate is not SQL-reproducible; the self-verifying
+    # oracle pattern (metric_approx_customer_count / sketch rollup):
+    # output the EXACT window distinct plus an in-plan bound check the
+    # oracle predicts TRUE everywhere
+    f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), contrib AS (
+      SELECT DISTINCT CAST(t.target_day AS DATE) AS day, du.user_id
+      FROM du, unnest(generate_series(du.day, du.day + 6, INTERVAL 1 DAY))
+             AS t(target_day)
+    ), w AS (
+      SELECT day, COUNT(*) AS wau FROM contrib GROUP BY 1
+    )
+    SELECT day, wau, TRUE AS est_within_10pct
+    FROM w WHERE day <= (SELECT MAX(day) FROM du)
+    """,
+)
+def events_wau_approx_bound(spark, sf_dir):
+    """The approximate swap the stickiness metric documents: trailing
+    7-day distinct users via MERGEABLE daily HLL sketches (one sketch
+    per day, window-unioned -- daily sketches are computed once and
+    reused by every window that covers them, the mergeability that
+    makes sliding distinct cheap at scale).  The estimate itself is
+    sketch-implementation-specific, so the query emits the EXACT
+    window distinct plus an in-plan <=10% relative-error check the
+    oracle predicts TRUE for every row."""
+    from pyspark.sql import Window as W
+
+    du = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    daily = du.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("__sk")
+    )
+    # trailing-7-day union over the day index (RANGE over integer
+    # day numbers so calendar gaps still consume window width)
+    idx = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        W.orderBy(idx.cast("long"))
+        .rangeBetween(-6, 0)
+    )
+    est = daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("__sk").over(w)).alias("__est"),
+    )
+    exact = (
+        du.select(
+            F.explode(
+                F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+            ).alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("wau"))
+    )
+    max_day = du.agg(F.max("day").alias("__mx"))
+    return (
+        exact.join(est, "day")
+        .crossJoin(F.broadcast(max_day))
+        .where(F.col("day") <= F.col("__mx"))
+        .select(
+            "day",
+            "wau",
+            (
+                F.abs(F.col("__est") - F.col("wau")) / F.col("wau") <= 0.10
+            ).alias("est_within_10pct"),
+        )
+    )
