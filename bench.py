@@ -165,6 +165,7 @@ HEADLINE = [
     "corpus_semantic_pipeline",
     "dedup_semantic_survivors",
     "events_wau_approx_bound",
+    "tpch_q10_returned_items",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted
