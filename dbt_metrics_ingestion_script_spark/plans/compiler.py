@@ -626,10 +626,22 @@ class MetricCompiler:
         )
 
     def _compile_derived(self, spec: MetricSpec, grain: str | None, visiting: tuple) -> DataFrame:
-        """Expression over other metrics: compile inputs, equi-join on the
-        shared group keys, evaluate the expression.
+        """Expression over other metrics.
 
-        Null-propagation policy (explicit): inputs are FULL-joined, so
+        Two physical strategies, same semantics:
+
+        - FUSED (preferred): when every input is a simple metric over
+          the same model/timestamp/dimensions, all inputs become
+          conditional aggregates in ONE pass over ONE scan
+          (`_compile_derived_fused`) -- the scan-sharing shape that
+          matters at 100 TB, where N independent compilations would be
+          N fact scans.
+        - JOIN (fallback, below): compile inputs independently,
+          equi-join on the shared group keys, evaluate the expression.
+          Required for cross-model / non-simple inputs.
+
+        Null-propagation policy (explicit, both paths): inputs are
+        effectively FULL-joined, so
         the output keeps the UNION of every input's group keys, and the
         expression evaluates under standard SQL three-valued logic -- a
         bucket where any referenced input is absent yields a NULL metric
@@ -646,11 +658,17 @@ class MetricCompiler:
         missing inputs fail loudly (SURVEY.md §7 watch-list 1).
         """
         visiting = visiting + (spec.name,)
-        frames: dict[str, DataFrame] = {}
+        inputs: list[MetricSpec] = []
         for m in spec.input_metrics:
             if m not in self.registry:
                 raise ValueError(f"derived metric {spec.name!r}: unknown input metric {m!r}")
-            frames[m] = self._compile(self.registry[m], grain, visiting)
+            inputs.append(self.registry[m])
+        fused = self._compile_derived_fused(spec, inputs, grain)
+        if fused is not None:
+            return fused
+        frames: dict[str, DataFrame] = {
+            m.name: self._compile(m, grain, visiting) for m in inputs
+        }
         names = list(frames)
         joined = frames[names[0]]
         key_cols = [c for c in joined.columns if c not in names]
@@ -660,3 +678,189 @@ class MetricCompiler:
             joined = joined.join(f, on=shared, how="full") if shared else joined.crossJoin(f)
         out_keys = [c for c in joined.columns if c not in names]
         return joined.select(*out_keys, F.expr(spec.expression).alias(spec.name))
+
+    def _compile_derived_fused(
+        self, spec: MetricSpec, inputs: list[MetricSpec], grain: str | None
+    ) -> DataFrame | None:
+        """Shared-scan compilation for derived metrics whose inputs are
+        all SIMPLE metrics over the same model / timestamp / dimensions:
+        instead of compiling each input independently (N fact scans + a
+        FULL join -- at 100 TB an N-input derived metric would re-read
+        the fact table N times), route every input through ONE
+        conditional-aggregate pass (the `compile_shared` machinery) and
+        evaluate the expression over the single aggregated frame:
+        one scan, one shuffle, regardless of input count.
+
+        The FULL-join null policy is preserved EXACTLY:
+
+        - group existence: a bucket appears in the joined output iff at
+          least one input's filtered frame has it.  Here, when every
+          input carries a filter, the scan is pre-filtered with the
+          DISJUNCTION of the input predicates, so a group materializes
+          iff some input selected at least one row in it (an unfiltered
+          input sees every group, so no pre-filter is needed then --
+          and the disjunction is a pushdown-friendly scan predicate,
+          not a semantic change).
+        - per-input NULLs: the FULL join yields NULL for input A on a
+          bucket A never selected.  A bare conditional COUNT would
+          yield 0 there, so each FILTERED input also aggregates a
+          1/NULL match marker (`max(when(cond, 1))`) and the value is
+          NULLed when the marker is absent -- which also keeps the
+          subtle sub-case where A matched rows but aggregated all-NULL
+          expressions (join path: visible 0 for COUNT) identical.
+
+        Returns None (caller falls back to the FULL-join path) for
+        cross-model / cross-timestamp / cross-dimension inputs or
+        non-simple inputs (nested derived, cumulative, ratio), where
+        independent compilation is the only correct shape.
+        Equivalence vs the join path is pinned by
+        tests/test_metric_compiler.py::test_derived_fusion_*.
+        """
+        if any(i.metric_type != "simple" for i in inputs):
+            return None
+        if len({i.model for i in inputs}) != 1:
+            return None
+        if len({i.timestamp for i in inputs}) != 1:
+            return None
+        names = {i.name for i in inputs}
+        if len(names) != len(inputs):
+            return None
+        all_dims = {d for i in inputs for d in i.dimensions}
+        if names & ({TS_COL} | all_dims):
+            return None  # an input named like a key col would collide
+        if len({tuple(i.dimensions) for i in inputs}) != 1:
+            return self._compile_derived_fused_subset(spec, inputs, grain)
+        df = self.resolver(inputs[0].model)
+        preds = [filters_predicate(i.filters) for i in inputs]
+        if all(p is not None for p in preds):
+            df = df.filter(reduce(lambda a, b: a | b, preds))
+        keys = self._group_keys(inputs[0], grain)
+        aggs: list[Column] = []
+        markers: dict[str, str] = {}
+        for i, (inp, pred) in enumerate(zip(inputs, preds)):
+            aggs.append(
+                _agg_column(
+                    inp.calculation_method,
+                    inp.expression,
+                    cond=pred,
+                    approx_distinct=self.approx_distinct,
+                    rsd=self.rsd,
+                    percentile=inp.percentile,
+                ).alias(inp.name)
+            )
+            if pred is not None:
+                marker = f"__matched_{i}"
+                aggs.append(F.max(F.when(pred, F.lit(1))).alias(marker))
+                markers[inp.name] = marker
+        agged = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        out_keys = [c for c in agged.columns if c not in names and not c.startswith("__matched_")]
+        values = [
+            F.when(F.col(markers[n]) == 1, F.col(n)).alias(n) if n in markers else F.col(n)
+            for n in (i.name for i in inputs)
+        ]
+        resolved = agged.select(*out_keys, *values)
+        return resolved.select(*out_keys, F.expr(spec.expression).alias(spec.name))
+
+    def _compile_derived_fused_subset(
+        self, spec: MetricSpec, inputs: list[MetricSpec], grain: str | None
+    ) -> DataFrame | None:
+        """Scan-sharing for derived metrics whose inputs aggregate the
+        same model at DIFFERENT granularities, one per dimension-subset
+        (the `revenue_per_customer` shape: SUM at (ts, customer) divided
+        by COUNT DISTINCT at (ts)): aggregate ONCE at the finest input's
+        grouping, then derive each coarser input as a WINDOW over the
+        tiny grain-cardinality frame, partitioned by that input's keys.
+        One fact scan + one aggregation shuffle (+ one window shuffle on
+        the aggregated frame), where independent compilation is N fact
+        scans + N shuffles + a join.
+
+        Coarse inputs must be re-derivable from fine partials:
+        sum/count/min/max re-aggregate; average = sum-partial over
+        count-partial; count_distinct only when its expression IS one of
+        the fine grouping dims (each fine group then contributes its key
+        value once -- `size(collect_set(...))` over the window, exact).
+        Percentile/median are not re-aggregable -> join fallback.
+
+        Restricted to UNFILTERED inputs: with per-input filters the
+        FULL-join path can emit a coarse-only row with NULL fine keys
+        where this shape would fan the coarse value across fine rows --
+        a genuine multiplicity difference, so filtered cross-granularity
+        inputs keep the join path.  Equivalence (including the fan-out
+        semantics of joining a coarse input onto fine keys) is pinned by
+        tests/test_metric_compiler.py::test_derived_fusion_subset_dims.
+        """
+        if any(i.filters for i in inputs):
+            return None
+        fine = max(inputs, key=lambda i: len(i.dimensions))
+        fine_dims = set(fine.dimensions)
+        if any(not set(i.dimensions) <= fine_dims for i in inputs):
+            return None  # no unique finest grouping -> join path
+        grain_active = bool(grain and grain != "all_time")
+        for inp in inputs:
+            if set(inp.dimensions) == fine_dims:
+                continue
+            m = inp.calculation_method
+            if m in ("sum", "count", "min", "max", "average"):
+                continue
+            if m == "count_distinct":
+                expr_col = (inp.expression or "").strip()
+                if expr_col in fine_dims - set(inp.dimensions):
+                    continue
+                return None
+            return None  # percentile/median: not re-aggregable
+        df = self.resolver(fine.model)
+        keys = self._group_keys(fine, grain)
+        base_aggs: list[Column] = []
+        finals: list[tuple[MetricSpec, str | None, str | None]] = []
+        for idx, inp in enumerate(inputs):
+            if set(inp.dimensions) == fine_dims:
+                base_aggs.append(
+                    _agg_column(
+                        inp.calculation_method,
+                        inp.expression,
+                        approx_distinct=self.approx_distinct,
+                        rsd=self.rsd,
+                        percentile=inp.percentile,
+                    ).alias(inp.name)
+                )
+                finals.append((inp, None, None))
+            elif inp.calculation_method == "average":
+                s, c = f"__ps_{idx}", f"__pc_{idx}"
+                base_aggs.append(F.sum(F.expr(inp.expression)).alias(s))
+                base_aggs.append(F.count(F.expr(inp.expression)).alias(c))
+                finals.append((inp, s, c))
+            elif inp.calculation_method == "count_distinct":
+                finals.append((inp, None, None))
+            else:
+                p = f"__ps_{idx}"
+                base_aggs.append(
+                    _agg_column(inp.calculation_method, inp.expression).alias(p)
+                )
+                finals.append((inp, p, None))
+        base = df.groupBy(*keys).agg(*base_aggs) if keys else df.agg(*base_aggs)
+        out_cols: list[Column] = []
+        for inp, partial, count_partial in finals:
+            if set(inp.dimensions) == fine_dims:
+                out_cols.append(F.col(inp.name))
+                continue
+            parts = ([TS_COL] if grain_active else []) + list(inp.dimensions)
+            w = Window.partitionBy(*parts)
+            if inp.calculation_method == "count_distinct":
+                expr_col = inp.expression.strip()
+                if self.approx_distinct:
+                    val = F.approx_count_distinct(expr_col, self.rsd).over(w)
+                else:
+                    val = F.size(F.collect_set(F.col(expr_col)).over(w))
+            elif inp.calculation_method == "average":
+                total = F.sum(F.col(partial)).over(w)
+                cnt = F.sum(F.col(count_partial)).over(w)
+                val = F.when(cnt > 0, total / cnt)
+            else:
+                acc = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}[
+                    inp.calculation_method
+                ]
+                val = acc(F.col(partial)).over(w)
+            out_cols.append(val.alias(inp.name))
+        out_keys = ([TS_COL] if grain_active else []) + list(fine.dimensions)
+        resolved = base.select(*out_keys, *out_cols)
+        return resolved.select(*out_keys, F.expr(spec.expression).alias(spec.name))

@@ -361,6 +361,139 @@ def test_alert_rules_null_growth_and_validation(spark):
         evaluate_alerts(df, [])
 
 
+def _plan_text(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _rows(df):
+    def norm(v):
+        return round(v, 6) if isinstance(v, float) else v
+
+    return sorted(
+        (tuple(norm(r[c]) for c in sorted(df.columns)) for r in df.collect()),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+def _forced_join_compile(frame, inputs, derived, grain):
+    """Compile the derived spec with each input cloned onto a distinct
+    model name (all resolving to the same frame), so the single-model
+    fusion guard rejects and the FULL-join fallback runs -- the
+    reference semantics the fused paths must reproduce exactly."""
+    import dataclasses
+
+    clones = {
+        s.name: dataclasses.replace(s, model=f"{s.model}__{i}")
+        for i, s in enumerate(inputs)
+    }
+    comp = MetricCompiler(lambda m: frame, registry=clones)
+    return comp.compile(derived, grain)
+
+
+def test_derived_fusion_matches_join_path_null_policy(spark):
+    """Equal-dims fusion: one scan, and EXACT join-path semantics --
+    a bucket selected by only one input's filter yields NULL (not 0)
+    for the other input, even for count-like methods (the match-marker
+    machinery)."""
+    import datetime
+
+    d = lambda m, dy: datetime.date(2024, m, dy)  # noqa: E731
+    orders = spark.createDataFrame(
+        [
+            (d(1, 1), "F", 10.0), (d(1, 2), "F", 20.0),   # Jan: only F
+            (d(2, 1), "O", 5.0),                          # Feb: only O
+            (d(3, 1), "F", 7.0), (d(3, 2), "O", 8.0),     # Mar: both
+            (d(4, 1), "P", 9.0),                          # Apr: neither
+        ],
+        "o_orderdate date, o_orderstatus string, o_totalprice double",
+    )
+    a = MetricSpec(
+        name="a", calculation_method="sum", expression="o_totalprice",
+        model="orders", timestamp="o_orderdate",
+        filters=[MetricFilter(field="o_orderstatus", operator="=", value="F")],
+    )
+    b = MetricSpec(
+        name="b", calculation_method="count", expression="*",
+        model="orders", timestamp="o_orderdate",
+        filters=[MetricFilter(field="o_orderstatus", operator="=", value="O")],
+    )
+    der = MetricSpec(
+        name="r", metric_type="derived", expression="a + b",
+        model="orders", input_metrics=["a", "b"],
+    )
+    comp = MetricCompiler(lambda m: orders, registry={"a": a, "b": b})
+    fused = comp.compile(der, "month")
+    assert "Join" not in _plan_text(fused)  # fused: no input join at all
+    got = {str(r["ts"]): r["r"] for r in fused.collect()}
+    # Apr matched neither filter: no row at all (group-existence parity)
+    assert set(got) == {"2024-01-01", "2024-02-01", "2024-03-01"}
+    assert got["2024-01-01"] is None  # b absent -> NULL, NOT count 0
+    assert got["2024-02-01"] is None  # a absent -> NULL
+    assert got["2024-03-01"] == 7.0 + 1
+    assert _rows(fused) == _rows(
+        _forced_join_compile(orders, [a, b], der, "month")
+    )
+
+
+def test_derived_fusion_subset_dims(spark, sf_dir):
+    """Cross-granularity fusion (the revenue_per_customer shape): sum at
+    (ts, custkey) composed with count_distinct and average at (ts) --
+    ONE fact scan, windows instead of a join, byte-identical to the
+    FULL-join reference path."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rv = MetricSpec(
+        name="rv", calculation_method="sum", expression="o_totalprice",
+        model="orders", timestamp="o_orderdate", dimensions=["o_custkey"],
+    )
+    cc = MetricSpec(
+        name="cc", calculation_method="count_distinct", expression="o_custkey",
+        model="orders", timestamp="o_orderdate",
+    )
+    av = MetricSpec(
+        name="av", calculation_method="average", expression="o_totalprice",
+        model="orders", timestamp="o_orderdate",
+    )
+    der = MetricSpec(
+        name="x", metric_type="derived", expression="rv / cc + av",
+        model="orders", input_metrics=["rv", "cc", "av"],
+    )
+    comp = MetricCompiler(
+        lambda m: orders, registry={"rv": rv, "cc": cc, "av": av}
+    )
+    fused = comp.compile(der, "month")
+    plan = _plan_text(fused)
+    assert plan.count("orders.parquet") == 1
+    assert "Join" not in plan
+    assert _rows(fused) == _rows(
+        _forced_join_compile(orders, [rv, cc, av], der, "month")
+    )
+
+
+def test_derived_fusion_filtered_subset_dims_falls_back(spark, sf_dir):
+    """Filtered cross-granularity inputs must keep the join path (the
+    coarse-only-bucket multiplicity difference documented in
+    _compile_derived_fused_subset)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rv = MetricSpec(
+        name="rv", calculation_method="sum", expression="o_totalprice",
+        model="orders", timestamp="o_orderdate", dimensions=["o_custkey"],
+        filters=[MetricFilter(field="o_orderstatus", operator="=", value="F")],
+    )
+    cc = MetricSpec(
+        name="cc", calculation_method="count_distinct", expression="o_custkey",
+        model="orders", timestamp="o_orderdate",
+    )
+    der = MetricSpec(
+        name="x", metric_type="derived", expression="rv / cc",
+        model="orders", input_metrics=["rv", "cc"],
+    )
+    comp = MetricCompiler(lambda m: orders, registry={"rv": rv, "cc": cc})
+    assert "Join" in _plan_text(comp.compile(der, "month"))
+
+
 def test_compile_shared_validation_and_filter_independence(spark):
     from dbt_metrics_ingestion_script_spark.plans.metric_spec import (
         MetricFilter,

@@ -206,6 +206,22 @@ def test_corpus_pipeline_two_shuffles_no_smj(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_derived_metrics_fuse_single_scan(spark):
+    """Derived-metric input fusion (round-7): both the spec-level and the
+    manifest-compiled revenue_per_customer scan orders ONCE with at most
+    two shuffles (the second is the count_distinct two-level aggregate),
+    instead of one fact scan per input + a FULL join."""
+    for name in (
+        "metric_derived_revenue_per_customer_month",
+        "manifest_compiled_revenue_per_customer_month",
+    ):
+        plan = plan_of(run(spark, name), "simple")
+        assert plan.count("orders.parquet") == 1, name
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert shuffles <= 2, (name, shuffles)
+        assert "Join" not in plan, name
+
+
 def test_metric_agg_is_partial_then_final(spark):
     """Metric aggregation shuffles partial states, not raw rows: two
     HashAggregates split by one Exchange (SCALE.md: partial aggregation)."""
