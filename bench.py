@@ -166,6 +166,7 @@ HEADLINE = [
     "dedup_semantic_survivors",
     "events_wau_approx_bound",
     "tpch_q10_returned_items",
+    "tpch_q4_order_priority",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted
@@ -188,7 +189,13 @@ def infer_sf(path: str) -> float:
 
 
 def main() -> None:
-    spark = get_spark(app_name="bench")
+    # no console progress bars: stdout must stay clean so the final JSON
+    # line is never pushed out of a tail-capture window (VERDICT r6
+    # "What's missing" 1)
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     q.queries()  # force registration of all query modules
     targets = [(n, q.REGISTRY[n].fn) for n in HEADLINE if n in q.REGISTRY]
@@ -205,17 +212,24 @@ def main() -> None:
             assert n >= 0
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": infer_sf(SF_DIR),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": infer_sf(SF_DIR),
+        }
     )
+    print(line)
+    # durable full-result copy: stdout capture windows have truncated the
+    # per-query map before (only a tail survived in BENCH_r06.json), so
+    # the complete JSON is also written to a file; per-round evidence is
+    # committed as BENCHFULL_r{N}.json (see README "Benchmarks").
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCHFULL.json")
+    if out:
+        with open(out, "w") as f:
+            f.write(line + "\n")
     spark.stop()
 
 

@@ -1262,3 +1262,45 @@ def tpch_q10_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+_Q4_START, _Q4_END = "1997-07-01", "1997-10-01"
+
+
+@register(
+    "tpch_q4_order_priority",
+    f"""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '{_Q4_START}'
+      AND o.o_orderdate < DATE '{_Q4_END}'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_returnflag = 'R'
+      )
+    GROUP BY 1
+    """,
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking), adapted to the driver's
+    column subset: orders in one quarter with at least one returned
+    lineitem, counted per priority -- the EXISTS archetype.  Spark
+    expresses EXISTS as a LEFT SEMI join: the probe side stops at the
+    first match (no row multiplication, no distinct-then-join detour),
+    the returnflag filter pushes into the lineitem scan, and only
+    l_orderkey survives pruning on the build side."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_END).cast("timestamp"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

@@ -7,6 +7,7 @@ Usage: python scripts/driver_sim.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -22,8 +23,17 @@ import __spark_entry__ as E  # noqa: E402
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(app_name="driver_sim", shuffle_partitions=8)
+    # shuffle-partition count is overridable so committed evidence can
+    # also cover the bench's execution config (AQE-coalesced 32), not
+    # only the sf0.01-sized default of 8 (VERDICT r6 nit 2)
+    shuffle = int(os.environ.get("DRIVER_SIM_SHUFFLE", "8"))
+    spark = get_spark(app_name="driver_sim", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
+    print(
+        f"config: sf_dir={sf_dir} shuffle_partitions={shuffle} "
+        f"aqe={spark.conf.get('spark.sql.adaptive.enabled')}",
+        flush=True,
+    )
 
     rows = E.entry(spark).collect()
     print(f"entry: {len(rows)} rows OK", flush=True)

@@ -430,6 +430,27 @@ def test_tpch_q3_broadcasts_customer_and_prunes(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_tpch_q4_is_left_semi_no_distinct_detour(spark):
+    """The EXISTS anchor plans a LEFT SEMI join (probe stops at first
+    match) -- not distinct-then-inner-join -- with the returnflag filter
+    pushed into the lineitem scan and the build side pruned to
+    l_orderkey only."""
+    plan = plan_of(run(spark, "tpch_q4_order_priority"), "simple")
+    assert "LeftSemi" in plan
+    # no pre-join distinct detour: the only aggregate is the final
+    # priority count ABOVE the join (partial + final = 2 HashAggregates)
+    assert plan.count("HashAggregate") == 2
+    # returnflag filter reaches the lineitem parquet scan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # build side pruned to the join key: lineitem's ReadSchema carries
+    # only l_orderkey (+ the filtered flag), never the payload columns
+    li_schemas = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "l_orderkey" in l
+    ]
+    assert li_schemas and all("l_extendedprice" not in l for l in li_schemas)
+
+
 def test_alert_rules_single_scan(spark):
     """N alert rules over one metric frame must not re-derive the
     metric subtree per rule: one scan, array-projected matches."""
