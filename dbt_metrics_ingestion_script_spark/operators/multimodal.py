@@ -5,9 +5,10 @@ struct (content + media_type + typed metadata).  Everything Spark-side
 is real and tested -- schema, partitioning, Arrow-batched mapInPandas
 transforms, batch shapes.  The decode step (VERDICT r5 item 1) runs
 REAL stdlib codecs for the formats the standard library can parse --
-uncompressed 24-bit BMP and binary PPM (P6) images via `struct`, and
+uncompressed 24-bit BMP and binary PPM (P6) images via `struct`, 8-bit
+truecolor PNG via `zlib` inflate + full scanline unfiltering, and
 PCM WAV audio via the `wave` module -- so decode executes in this
-codec-less sandbox end to end.  Exotic/compressed formats (JPEG, PNG,
+codec-less sandbox end to end.  Exotic/compressed formats (JPEG, WebP,
 FLAC, ...) still route to the PIL / soundfile guarded paths that raise
 NotImplementedError when no codec library is importable, and
 `fake_feature_extractor` remains the deterministic stand-in for
@@ -89,7 +90,8 @@ def binary_stats(assets: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real stdlib codecs: uncompressed 24-bit BMP, binary PPM (P6), PCM WAV
+# Real stdlib codecs: uncompressed 24-bit BMP, binary PPM (P6), 8-bit
+# truecolor PNG (zlib inflate + unfilter), PCM WAV
 # ---------------------------------------------------------------------------
 
 
@@ -125,6 +127,149 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode("ascii") + rgb
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left
+    to p = a + b - c, ties broken left, then up."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode top-down row-major RGB bytes as an 8-bit truecolor PNG
+    (pure stdlib: zlib + struct + crc32).  Each scanline uses filter
+    type `row % 5`, cycling through None/Sub/Up/Average/Paeth -- so a
+    round trip through decode_png_rgb exercises every unfilter branch,
+    not just the trivial one."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    bpp, stride = 3, width * 3
+    out = bytearray()
+    prior = bytes(stride)
+    for r in range(height):
+        row = rgb[r * stride : (r + 1) * stride]
+        ft = r % 5
+        out.append(ft)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = x
+            elif ft == 1:
+                f = (x - a) % 256
+            elif ft == 2:
+                f = (x - b) % 256
+            elif ft == 3:
+                f = (x - (a + b) // 2) % 256
+            else:
+                f = (x - _paeth(a, b, c)) % 256
+            out.append(f)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb(content: bytes) -> tuple[int, int, bytes]:
+    """REAL stdlib PNG decode to (width, height, top-down RGB bytes):
+    chunk walk with CRC verification, IDAT concatenation + zlib
+    inflate, and full per-scanline unfiltering (None/Sub/Up/Average/
+    Paeth).  8-bit truecolor (color type 2) and truecolor+alpha (6,
+    alpha stripped) only; palette/gray/16-bit/interlaced variants raise
+    ValueError so callers can route to the PIL-guarded path."""
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(content):
+        (clen,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + clen]
+        if len(data) < clen or pos + 12 + clen > len(content):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG {ctype!r} chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color_type={color}, "
+            f"interlace={interlace})"
+        )
+    bpp = 3 if color == 2 else 4
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data size mismatch")
+    recon = bytearray()
+    prior = bytearray(stride)
+    p = 0
+    for _r in range(h):
+        ft = raw[p]
+        p += 1
+        line = raw[p : p + stride]
+        p += stride
+        cur = bytearray(stride)
+        for i in range(stride):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = (line[i] + a) % 256
+            elif ft == 2:
+                v = (line[i] + b) % 256
+            elif ft == 3:
+                v = (line[i] + (a + b) // 2) % 256
+            elif ft == 4:
+                v = (line[i] + _paeth(a, b, c)) % 256
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+            cur[i] = v
+        recon += cur
+        prior = cur
+    if bpp == 4:  # strip alpha: keep 3 of every 4 bytes
+        recon = bytearray(v for i, v in enumerate(recon) if i % 4 != 3)
+    return w, h, bytes(recon)
+
+
 def decode_image_rgb(content: bytes) -> tuple[int, int, bytes]:
     """REAL image decode to (width, height, top-down row-major RGB
     bytes) for the stdlib-parseable formats:
@@ -135,9 +280,13 @@ def decode_image_rgb(content: bytes) -> tuple[int, int, bytes]:
       are rejected.
     * binary PPM ('P6' magic, maxval 255): header scan incl. comment
       lines, raw pixel copy.
+    * PNG (8-byte magic): full stdlib decode -- chunk CRC walk, zlib
+      inflate, per-scanline unfilter incl. Paeth (decode_png_rgb).
 
     Anything else raises ValueError so callers can route to the
     PIL-guarded path."""
+    if content[:8] == _PNG_MAGIC:
+        return decode_png_rgb(content)
     if content[:2] == b"BM":
         if len(content) < 54:
             raise ValueError("truncated BMP header")
@@ -185,15 +334,16 @@ def decode_image_rgb(content: bytes) -> tuple[int, int, bytes]:
         if len(rgb) < w * h * 3:
             raise ValueError("truncated PPM pixel data")
         return w, h, bytes(rgb)
-    raise ValueError("not a stdlib-decodable image (BMP/P6 PPM)")
+    raise ValueError("not a stdlib-decodable image (BMP/P6 PPM/PNG)")
 
 
 def decode_image(content: bytes) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    Uncompressed BMP and binary PPM decode natively via struct parsing
-    (real bytes, this sandbox, no codec library).  Other formats route
-    to PIL and raise NotImplementedError when it is absent."""
+    Uncompressed BMP, binary PPM, and 8-bit truecolor PNG decode
+    natively via stdlib parsing (real bytes, this sandbox, no codec
+    library).  Other formats route to PIL and raise NotImplementedError
+    when it is absent."""
     try:
         return decode_image_rgb(content)[:2]
     except ValueError:
@@ -202,7 +352,7 @@ def decode_image(content: bytes) -> tuple[int, int]:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image format beyond stdlib BMP/PPM requires an image codec "
+            "image format beyond stdlib BMP/PPM/PNG requires an image codec "
             "library not present in this environment"
         ) from exc
     import io
@@ -423,19 +573,25 @@ def _media_geometry(asset_id: int) -> tuple[str, dict]:
     """Deterministic per-asset media geometry, a pure function of the
     id so the DuckDB oracle can replay the EXPECTED decoded stats
     analytically while Spark computes them from genuinely decoded
-    bytes.  Even ids are images (alternating BMP / PPM), odd ids PCM
-    WAV."""
+    bytes.  Even ids are images (rotating BMP / PNG / PPM by id mod 6),
+    odd ids PCM WAV."""
     seed = asset_id % 256
     if asset_id % 2 == 0:
         w, h = 1 + asset_id % 8, 1 + asset_id % 5
-        fmt = "image/bmp" if asset_id % 4 == 0 else "image/x-portable-pixmap"
+        fmt = {
+            0: "image/bmp",
+            2: "image/png",
+            4: "image/x-portable-pixmap",
+        }[asset_id % 6]
         return fmt, {"w": w, "h": h, "seed": seed}
     return "audio/wav", {"n": 8 + asset_id % 32, "seed": seed}
 
 
 def synth_media_assets(documents: DataFrame) -> DataFrame:
     """Derive an asset table whose payloads are REAL media files:
-    uncompressed 24-bit BMPs, binary PPMs, and 16-bit PCM WAVs, built
+    uncompressed 24-bit BMPs, 8-bit truecolor PNGs (cycling scanline
+    filters, so decode exercises every unfilter branch), binary PPMs,
+    and 16-bit PCM WAVs, built
     row-by-row inside an Arrow mapInPandas kernel from each document's
     id (pixel i = (seed+i) mod 256; sample i = (seed*31 + i*7) mod
     65536 - 32768).  Only doc_id is read -- the scan prunes the text
@@ -455,7 +611,11 @@ def synth_media_assets(documents: DataFrame) -> DataFrame:
                 else:
                     n_px = g["w"] * g["h"] * 3
                     rgb = bytes((g["seed"] + i) % 256 for i in range(n_px))
-                    enc = encode_bmp if media_type == "image/bmp" else encode_ppm
+                    enc = {
+                        "image/bmp": encode_bmp,
+                        "image/png": encode_png,
+                        "image/x-portable-pixmap": encode_ppm,
+                    }[media_type]
                     blob = enc(g["w"], g["h"], rgb)
                 ids.append(asset_id)
                 types.append(media_type)

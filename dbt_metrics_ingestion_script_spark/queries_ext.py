@@ -1392,8 +1392,9 @@ def multimodal_frame_sample(spark, sf_dir):
     # and breaks the hash (VERDICT r5 item 1)
     """
     SELECT doc_id AS asset_id,
-           CASE WHEN doc_id % 4 = 0 THEN 'image/bmp'
-                WHEN doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
+           CASE WHEN doc_id % 6 = 0 THEN 'image/bmp'
+                WHEN doc_id % 6 = 2 THEN 'image/png'
+                WHEN doc_id % 6 = 4 THEN 'image/x-portable-pixmap'
                 ELSE 'audio/wav' END AS media_type,
            CASE WHEN doc_id % 2 = 0 THEN (1 + doc_id % 8)::INT END AS width,
            CASE WHEN doc_id % 2 = 0 THEN (1 + doc_id % 5)::INT END AS height,

@@ -16,11 +16,16 @@ import pytest
 
 from dbt_metrics_ingestion_script_spark.operators import multimodal
 from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+    _paeth,
+    _png_chunk,
+    _PNG_MAGIC,
     decode_audio,
     decode_image,
     decode_image_rgb,
+    decode_png_rgb,
     decode_wav_pcm16,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav_pcm16,
 )
@@ -85,6 +90,127 @@ def test_ppm_round_trip_and_comments():
         decode_image_rgb(b"P6\n2 2\n255\n\x00")
 
 
+def test_png_round_trip_exercises_every_filter():
+    """encode_png cycles scanline filters (row % 5), so a >=5-row image
+    round-trips through ALL unfilter branches -- None, Sub, Up, Average,
+    and Paeth."""
+    w, h = 8, 7
+    rgb = bytes((13 * i + 7) % 256 for i in range(w * h * 3))
+    blob = encode_png(w, h, rgb)
+    assert blob[:8] == _PNG_MAGIC
+    assert decode_png_rgb(blob) == (w, h, rgb)
+    assert decode_image_rgb(blob) == (w, h, rgb)  # routed by magic
+    assert decode_image(blob) == (w, h)
+
+
+def test_paeth_predictor_branch_selection():
+    """RFC 2083 predictor: left when closest, up when closest, UP-LEFT
+    when closest, ties broken left-then-up -- the branch ordering is
+    where implementations silently diverge."""
+    assert _paeth(50, 10, 10) == 50   # pa = |b-c| = 0 -> left
+    assert _paeth(10, 50, 10) == 50   # pb = |a-c| = 0 -> up
+    assert _paeth(20, 30, 25) == 25   # pc = |a+b-2c| = 0 -> up-left
+    assert _paeth(10, 10, 10) == 10   # full tie -> left
+    assert _paeth(0, 255, 255) == 0   # p=0: pa=0, pb=pc=255 -> left
+
+
+def test_png_golden_file_hand_built_paeth_unfilter():
+    """Hand-assembled PNG (NOT via encode_png): one None row then two
+    Paeth rows, with the expected pixels computed by hand from the RFC
+    predictor -- including a mod-256 wraparound and an `a`-branch pick.
+    A decoder that botches Paeth or the byte order reproduces none of
+    these values."""
+    import zlib
+
+    w, h = 2, 3
+    row0 = bytes([50, 10, 25, 10, 30, 25])          # ft=0: pixels as-is
+    f1 = bytes([1, 2, 3, 4, 5, 6])                  # ft=4
+    f2 = bytes([2, 1, 3, 1, 2, 250])                # ft=4 (250 wraps)
+    raw = b"\x00" + row0 + b"\x04" + f1 + b"\x04" + f2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    # hand-computed reconstruction (see _paeth):
+    #   row1: preds b,b,b,b,b,a -> [51,12,28,14,35,34]
+    #   row2: preds b,b,b,b,b,b -> [53,13,31,15,37,(250+34)%256=28]
+    expect = row0 + bytes([51, 12, 28, 14, 35, 34]) + bytes(
+        [53, 13, 31, 15, 37, 28]
+    )
+    assert decode_png_rgb(blob) == (w, h, expect)
+
+
+def test_png_rgba_alpha_stripped():
+    """Color type 6 (truecolor + alpha): alpha bytes drop, RGB survives
+    unfiltering with bpp=4 offsets."""
+    import zlib
+
+    w, h = 2, 2
+    rgba = bytes([10, 20, 30, 255, 40, 50, 60, 128,
+                  70, 80, 90, 0, 100, 110, 120, 7])
+    stride = w * 4
+    raw = bytearray()
+    for r in range(h):
+        raw += b"\x01"  # Sub filter with bpp=4
+        row = rgba[r * stride : (r + 1) * stride]
+        for i in range(stride):
+            left = row[i - 4] if i >= 4 else 0
+            raw.append((row[i] - left) % 256)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    blob = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    expect = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    assert decode_png_rgb(blob) == (w, h, expect)
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    w, h = 2, 2
+    good = encode_png(w, h, bytes(w * h * 3))
+    # flip one IDAT payload byte -> CRC must catch it
+    bad = bytearray(good)
+    idat_at = good.find(b"IDAT")
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_rgb(bytes(bad))
+    # palette color type routes away (guarded path), not a wrong decode
+    import zlib
+
+    pal_ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    pal = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", pal_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png_rgb(pal)
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png_rgb(_PNG_MAGIC + b"\x00\x00")
+
+
+def test_png_decoder_agrees_with_pil_when_available():
+    """Cross-engine check: PIL must read back the same size and pixels
+    from encode_png output (all five filter types).  Skips in this
+    sandbox, goes live wherever PIL exists."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    w, h = 6, 5
+    rgb = bytes((31 * i + 5) % 256 for i in range(w * h * 3))
+    blob = encode_png(w, h, rgb)
+    with Image.open(io.BytesIO(blob)) as img:
+        assert img.size == (w, h)
+        assert img.convert("RGB").tobytes() == rgb
+    assert decode_png_rgb(blob) == (w, h, rgb)
+
+
 def test_wav_round_trip_full_int16_range():
     samples = [0, 1, -1, 32767, -32768, 1234, -4321]
     wav = encode_wav_pcm16(samples, 8000)
@@ -131,14 +257,16 @@ def test_bmp_decoder_agrees_with_pil_when_available():
 
 
 def test_non_stdlib_formats_still_route_to_guarded_paths():
-    """PNG/FLAC (and non-PCM16 WAV) are NOT stdlib-decodable: without
-    PIL/soundfile they must raise the honest NotImplementedError, not a
-    parse error."""
+    """JPEG/FLAC (and malformed PNG, non-PCM16 WAV) are NOT
+    stdlib-decodable: without PIL/soundfile they must raise the honest
+    NotImplementedError, not a parse error."""
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="codec"):
-            decode_image(b"\x89PNG\r\n\x1a\n not really")
+            decode_image(b"\x89PNG\r\n\x1a\n not really")  # corrupt PNG
+        with pytest.raises(NotImplementedError, match="codec"):
+            decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
     try:
         import soundfile  # noqa: F401
     except ImportError:
@@ -176,9 +304,11 @@ def test_spark_media_round_trip_decode_stats(spark):
         if i % 2 == 0:
             w, h = 1 + i % 8, 1 + i % 5
             n = w * h * 3
-            assert r["media_type"] == (
-                "image/bmp" if i % 4 == 0 else "image/x-portable-pixmap"
-            )
+            assert r["media_type"] == {
+                0: "image/bmp",
+                2: "image/png",
+                4: "image/x-portable-pixmap",
+            }[i % 6]
             assert (r["width"], r["height"]) == (w, h)
             assert r["sample_rate"] is None
             assert r["n_samples"] == n
@@ -207,6 +337,9 @@ def test_synth_media_assets_payloads_are_genuine_files(spark):
         assert r["n_bytes"] == len(blob)
         if r["media_type"] == "image/bmp":
             assert blob[:2] == b"BM"
+            decode_image_rgb(blob)
+        elif r["media_type"] == "image/png":
+            assert blob[:8] == _PNG_MAGIC
             decode_image_rgb(blob)
         elif r["media_type"] == "image/x-portable-pixmap":
             assert blob[:2] == b"P6"
@@ -241,10 +374,11 @@ def test_phash_is_format_independent(spark):
         (1, "image/bmp", M.encode_bmp(w, h, rgb), 0),
         (2, "image/x-portable-pixmap", M.encode_ppm(w, h, rgb), 0),
         (3, "audio/wav", M.encode_wav_pcm16([0, 1, 2]), 0),
+        (4, "image/png", M.encode_png(w, h, rgb), 0),
     ]
     got = {r["asset_id"]: r for r in M.perceptual_hash(_asset_rows(spark, rows)).collect()}
-    assert set(got) == {1, 2}  # audio pruned before the Python stage
-    assert got[1]["phash"] == got[2]["phash"] != 0
+    assert set(got) == {1, 2, 4}  # audio pruned before the Python stage
+    assert got[1]["phash"] == got[2]["phash"] == got[4]["phash"] != 0
     assert (got[1]["width"], got[1]["height"]) == (w, h)
 
 
