@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "dedup_duplicate_clusters",
     "dedup_duplicate_clusters_star",
+    "dedup_clusters_incremental_vs_corpus",
     "dedup_embedding_lsh_survivors",
     "similarity_cosine_topk",
     "similarity_multi_query_topk",

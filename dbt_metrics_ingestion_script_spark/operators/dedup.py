@@ -1244,3 +1244,111 @@ def duplicate_clusters_star(
         "cluster_id", F.col("doc_id")
     )
     return children.union(roots)
+
+
+def duplicate_clusters_incremental(
+    batch_pairs: DataFrame,
+    prior_labels: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 15,
+) -> DataFrame:
+    """Incremental connected-component maintenance: fold a BATCH of new
+    near-dup edges into an existing clustering WITHOUT re-clustering the
+    corpus (VERDICT r6 next-round 4 -- the steady-state ingestion shape:
+    appending a day's documents must not re-run star over the full
+    historical edge set).
+
+    Input: `batch_pairs` (new edges, batch-batch and batch-corpus) and
+    `prior_labels` (doc_id, cluster_id) from a previous full clustering
+    (cluster_id = component min, the `duplicate_clusters_star`
+    contract).  Output: the same (doc_id, cluster_id) contract over
+    prior nodes plus batch nodes, EQUAL to a full re-clustering of
+    (prior edges UNION batch edges) -- prior labels preserve exactly
+    the connectivity of the old edge set, so contracting each old
+    component to its root loses nothing.
+
+    Shape, and why untouched components cost nothing:
+
+    1. touched roots: the big label frame streams past a BROADCAST of
+       the batch's node set (semi-join) -- prior_labels is scanned,
+       never shuffled, and only the touched rows survive.
+    2. contract: each batch edge maps to (root_a, root_b); edges inside
+       one existing component collapse to self-loops and drop.  The
+       contracted graph is bounded by the BATCH size, independent of
+       corpus size.
+    3. cluster the contracted graph with the O(log n) star algorithm,
+       seeded entirely by roots + fresh nodes -- because every prior
+       root is its component's min id, the contracted component min IS
+       the merged component's min over all member ids, so labels stay
+       bit-identical to a full run.
+    4. relabel: prior_labels LEFT-joins the (tiny, broadcast) root ->
+       new-root map; untouched components coalesce through unchanged.
+       New nodes take their label straight from the contracted result.
+
+    The returned plan shuffles ONLY batch-derived frames (edge/node
+    dedup) -- every join against prior_labels is a broadcast, locked by
+    tests/test_ext_operators.py::test_incremental_clusters_plan_never_
+    shuffles_prior.  Equivalence (component merge, chained merges,
+    untouched components, new-node-only components) is pinned by
+    test_incremental_clusters_matches_full_recluster.
+    """
+    edges = (
+        batch_pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    touched = (
+        prior_labels.join(
+            F.broadcast(nodes),
+            prior_labels["doc_id"] == nodes["node"],
+        )
+        .select("node", F.col("cluster_id").alias("root"))
+        .persist()
+    )
+    lookup = nodes.join(F.broadcast(touched), "node", "left").select(
+        "node", F.coalesce("root", "node").alias("root")
+    )
+    contracted = (
+        edges.join(
+            F.broadcast(
+                lookup.select(
+                    F.col("node").alias("a"), F.col("root").alias("ra")
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                lookup.select(
+                    F.col("node").alias("b"), F.col("root").alias("rb")
+                )
+            ),
+            "b",
+        )
+        .select("ra", "rb")
+        .filter(F.col("ra") != F.col("rb"))
+    )
+    relabel = duplicate_clusters_star(
+        contracted, id_a="ra", id_b="rb", max_rounds=max_rounds
+    ).select(F.col("doc_id").alias("root"), F.col("cluster_id").alias("new_root"))
+    out_prior = prior_labels.join(
+        F.broadcast(relabel),
+        prior_labels["cluster_id"] == relabel["root"],
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("new_root", "cluster_id").alias("cluster_id"),
+    )
+    new_nodes = nodes.join(F.broadcast(touched), "node", "left_anti")
+    out_new = new_nodes.join(
+        F.broadcast(relabel), new_nodes["node"] == relabel["root"]
+    ).select(F.col("node").alias("doc_id"), F.col("new_root").alias("cluster_id"))
+    return out_prior.union(out_new)

@@ -201,6 +201,29 @@ def dedup_duplicate_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(_dup_pair_graph(spark, sf_dir))
 
 
+@register("dedup_clusters_incremental_vs_corpus", _dup_clusters_oracle())
+def dedup_clusters_incremental_vs_corpus(spark, sf_dir):
+    """Incremental component maintenance (VERDICT r6 next-round 4): the
+    corpus-only pair graph (neither endpoint in the simulated ingest
+    batch, doc_id % 7 == 0) is clustered FIRST -- standing in for the
+    labels a previous run materialized -- and the batch's incident
+    edges are then folded in via `duplicate_clusters_incremental`:
+    batch nodes broadcast-probe the prior labels, old components
+    contract to their roots, only the batch-sized contracted graph
+    re-clusters, and untouched components pass through a broadcast
+    relabel join without being shuffled.  The oracle is the SAME full
+    recursive-CTE clustering over the whole graph -- incremental
+    maintenance must be indistinguishable from a from-scratch run."""
+    pairs = _dup_pair_graph(spark, sf_dir).persist()
+    in_batch_a, in_batch_b = F.col("id_a") % 7 == 0, F.col("id_b") % 7 == 0
+    prior = dedup.duplicate_clusters_star(
+        pairs.filter(~in_batch_a & ~in_batch_b)
+    )
+    return dedup.duplicate_clusters_incremental(
+        pairs.filter(in_batch_a | in_batch_b), prior
+    )
+
+
 @register("dedup_duplicate_clusters_star", _dup_clusters_oracle())
 def dedup_duplicate_clusters_star(spark, sf_dir):
     """Same connected-components contract as dedup_duplicate_clusters

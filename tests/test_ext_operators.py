@@ -473,6 +473,130 @@ def test_duplicate_clusters_long_path(spark):
     assert got == {i: 1 for i in range(1, 8)}
 
 
+def _edge_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_incremental_clusters_matches_full_recluster(spark):
+    """duplicate_clusters_incremental(batch, prior) must be
+    indistinguishable from re-clustering (old UNION batch): covers a
+    component MERGE through a batch bridge, a chained two-component
+    merge, an entirely new component, a new node attaching to an old
+    component, a within-component no-op edge, and an UNTOUCHED
+    component that must pass through unchanged."""
+    from dbt_metrics_ingestion_script_spark.operators import dedup
+
+    old = [(1, 2), (2, 3), (10, 11), (20, 21), (50, 51)]
+    batch = [
+        (3, 11),    # merges {1,2,3} with {10,11} -> root 1
+        (11, 50),   # chains {50,51} into the same merge -> root 1
+        (30, 31),   # brand-new component
+        (52, 50),   # new node onto a (now-merged) old component
+        (2, 1),     # within-component no-op
+    ]
+    prior = dedup.duplicate_clusters_star(_edge_df(spark, old))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters_incremental(
+            _edge_df(spark, batch), prior
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters_star(
+            _edge_df(spark, old + batch)
+        ).collect()
+    }
+    assert got == want
+    assert got[20] == 20 and got[21] == 20  # untouched component intact
+    assert got[52] == 1 and got[30] == 30
+
+
+def test_incremental_clusters_batch_only_and_empty_merge(spark):
+    """Degenerate shapes: a batch touching NO prior node (prior passes
+    through verbatim + fresh components appear), and a batch whose
+    edges are all within existing components (labels identical)."""
+    from dbt_metrics_ingestion_script_spark.operators import dedup
+
+    prior = dedup.duplicate_clusters_star(_edge_df(spark, [(1, 2), (5, 6)]))
+    fresh = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters_incremental(
+            _edge_df(spark, [(100, 101)]), prior
+        ).collect()
+    }
+    assert fresh == {1: 1, 2: 1, 5: 5, 6: 5, 100: 100, 101: 100}
+    noop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters_incremental(
+            _edge_df(spark, [(2, 1)]), prior
+        ).collect()
+    }
+    assert noop == {1: 1, 2: 1, 5: 5, 6: 5}
+
+
+def test_incremental_clusters_plan_never_shuffles_prior(spark, tmp_path):
+    """The scale contract: prior labels (a materialized store, modeled
+    here as parquet -- the production shape) are SCANNED via broadcast
+    probe + broadcast relabel, never shuffled: no SortMergeJoin or
+    ShuffledHashJoin anywhere, no Exchange partitioned on the prior
+    frame's columns, and the only shuffles are the batch-side edge/node
+    dedup."""
+    from dbt_metrics_ingestion_script_spark.operators import dedup
+
+    prior_path = str(tmp_path / "prior_labels.parquet")
+    dedup.duplicate_clusters_star(
+        _edge_df(spark, [(1, 2), (5, 6)])
+    ).write.parquet(prior_path)
+    prior = spark.read.parquet(prior_path)
+    out = dedup.duplicate_clusters_incremental(
+        _edge_df(spark, [(2, 5), (100, 101)]), prior
+    )
+    mode = out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    # every join in the plan is broadcast: a shuffle of the prior frame
+    # for a join would surface as SortMergeJoin / ShuffledHashJoin, and
+    # nothing else in the prior branch (scan -> join -> project ->
+    # union) can demand a distribution
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # structural check: every scan of the prior store reaches its FIRST
+    # join without crossing a shuffle (after that probe join only
+    # batch-sized survivors continue, so later shuffles move batch
+    # volume).  Walk each prior FileScan's ancestor chain by tree
+    # indentation; broadcast exchanges of the (tiny) probe side are
+    # allowed, hash/range repartitioning of prior rows is not.
+    lines = plan.splitlines()
+
+    def node_depth(line: str) -> int:
+        for marker in (":- ", "+- "):
+            if marker in line:
+                return line.index(marker)
+        return -1  # root / non-tree line
+
+    prior_scans = [
+        i for i, l in enumerate(lines)
+        if "FileScan" in l and "doc_id:bigint,cluster_id:bigint" in l
+    ]
+    assert prior_scans, plan
+    for i in prior_scans:
+        d = node_depth(lines[i])
+        for j in range(i - 1, -1, -1):
+            dj = node_depth(lines[j])
+            if 0 <= dj < d or (dj == -1 and lines[j].strip()):
+                if "Join" in lines[j]:
+                    break  # reached the first join: chain is clean
+                assert "Exchange hashpartitioning" not in lines[j], lines[j]
+                assert "Exchange rangepartitioning" not in lines[j], lines[j]
+                d = dj if dj >= 0 else d
+    # and the result is still right after the round trip
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 100: 100, 101: 100}
+
+
 def test_unigram_logprob_flags_out_of_distribution_text(spark):
     """In-distribution text must outscore out-of-distribution gibberish
     under an external reference; fully-unseen tokens score exactly the
