@@ -449,3 +449,68 @@ def streaming_metric_store_upsert(
         q.stop()
         raise TimeoutError("streaming_metric_store_upsert did not drain")
     return spark.read.parquet(cur)
+
+
+def streaming_incremental_clustering(
+    spark,
+    pairs_stream: DataFrame,
+    store_dir: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    timeout_s: int = 120,
+):
+    """Streaming duplicate-CLUSTER maintenance (VERDICT r6 stretch):
+    cluster labels are carried ACROSS micro-batches -- the state is the
+    prior label snapshot in the store, exactly like the metric-store
+    MERGE loop's snapshot (same write-to-vN-then-swap discipline).
+
+    The first micro-batch of near-dup edges runs the full O(log n) star
+    clustering; every later batch folds its edges in with
+    `duplicate_clusters_incremental`: the batch's nodes broadcast-probe
+    the prior snapshot, old components contract to their roots, only
+    the batch-sized contracted graph re-clusters, and untouched
+    components stream through a broadcast relabel -- so per-batch cost
+    follows the BATCH, not the corpus.  Because the incremental fold is
+    provably equal to re-clustering (old UNION batch), the drained
+    stream converges to the batch clustering of ALL edges regardless of
+    how ingestion split them (the differential test drives two
+    micro-batches and diffs against one batch run).
+
+    Composes with any streaming pair producer: point
+    `streaming_embedding_dedup`-style LSH candidates (batch-vs-corpus +
+    batch-internal pairs) at this maintainer and labels stay current as
+    vectors arrive.  Returns the final label snapshot DataFrame."""
+    import os
+    import shutil
+
+    from ..operators.dedup import (
+        duplicate_clusters_incremental,
+        duplicate_clusters_star,
+    )
+
+    cur = os.path.join(store_dir, "current")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(cur):
+            prior = spark.read.parquet(cur)
+            out = duplicate_clusters_incremental(
+                batch_df, prior, id_a=id_a, id_b=id_b
+            )
+        else:
+            out = duplicate_clusters_star(batch_df, id_a=id_a, id_b=id_b)
+        nxt = os.path.join(store_dir, f"v{batch_id}")
+        out.write.mode("overwrite").parquet(nxt)
+        if os.path.exists(cur):
+            shutil.rmtree(cur)
+        os.replace(nxt, cur)
+
+    q = (
+        pairs_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(store_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError("streaming_incremental_clustering did not drain")
+    return spark.read.parquet(cur)
