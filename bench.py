@@ -168,6 +168,7 @@ HEADLINE = [
     "events_wau_approx_bound",
     "tpch_q10_returned_items",
     "tpch_q4_order_priority",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

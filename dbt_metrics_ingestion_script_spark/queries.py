@@ -1304,3 +1304,50 @@ def tpch_q4_order_priority(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY 1
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity), adapted to the driver's
+    column subset: above-average-balance customers with NO orders,
+    counted per nation -- the NOT-EXISTS archetype (LEFT ANTI join)
+    plus a scalar aggregate threshold.  The average rides a 1-row
+    broadcast cross join (no collect round-trip, the repo's standard
+    bounds-frame shape); the anti join probes customer rows against
+    orders keyed on o_custkey with no distinct-then-join detour (anti
+    stops at the first match exactly like semi); nation broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__a")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("__a")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )

@@ -451,6 +451,27 @@ def test_tpch_q4_is_left_semi_no_distinct_detour(spark):
     assert li_schemas and all("l_extendedprice" not in l for l in li_schemas)
 
 
+def test_tpch_q22_is_left_anti_with_inplan_threshold(spark):
+    """The NOT-EXISTS anchor plans a LEFT ANTI join with no
+    distinct-then-join detour, the scalar balance threshold rides a
+    1-row broadcast (no collect), orders is pruned to the probe key,
+    and nation broadcasts."""
+    plan = plan_of(run(spark, "tpch_q22_global_sales_opportunity"), "simple")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan  # nation
+    # aggregates: the threshold average (partial+final) and the final
+    # per-nation rollup (partial+final); nothing aggregates orders keys
+    # below the anti join
+    order_schemas = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "o_custkey" in l
+    ]
+    assert order_schemas and all(
+        "o_totalprice" not in l and "o_orderdate" not in l
+        for l in order_schemas
+    )
+
+
 def test_alert_rules_single_scan(spark):
     """N alert rules over one metric frame must not re-derive the
     metric subtree per rule: one scan, array-projected matches."""
