@@ -68,6 +68,7 @@ HEADLINE = [
     "similarity_multi_query_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    "similarity_ann_recall",
     "embeddings_quantize_int8",
     "embeddings_kmeans_assign",
     "embeddings_pq_codes",
@@ -125,6 +126,7 @@ HEADLINE = [
     "events_user_sketch_rollup",
     "events_interarrival_profile",
     "corpus_pps_systematic_sample",
+    "corpus_weighted_priority_sample",
     "dedup_fuzzy_title_pairs",
     "embeddings_kmeans_convergence",
     "metric_p90_order_value_month",

@@ -176,6 +176,49 @@ def stratified_sample(
     return df.where(sample_keep(id_col, stratum_col, rate))
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield, Lund & Thorup, JACM 2007 -- a public algorithm): each
+    row gets priority w / u with u uniform in (0, 1]; the k highest
+    priorities are the sample.  Inclusion probability approaches
+    min(1, w/tau) for the (k+1)-st priority tau, so heavy documents
+    (by tokens, quality, boost) are kept preferentially while light
+    ones still get a proportional chance -- the weighted counterpart
+    of the Bernoulli/temperature samplers.
+
+    Determinism and cross-engine exactness: u = (hash31(id) + 1) /
+    2^31 is an EXACT dyadic rational, and w / u is one correctly
+    rounded IEEE division -- no pow/ln whose last-ulp behavior could
+    differ between engines (this is why priority sampling is chosen
+    over the exponential-keys A-ES formulation: same without-
+    replacement semantics, transcendental-free keys).  The top-k is a
+    TakeOrdered (per-partition heaps + k-row merge), never a global
+    sort, and the weight column stays a plan expression so the scan
+    computes everything map-side."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (hash31(F.col(id_col).cast("string")) + 1) / F.lit(2147483648.0)
+    scored = df.select(
+        F.col(id_col),
+        weight.cast("double").alias("weight"),
+        (weight.cast("double") / u).alias("priority"),
+    ).where(F.col("weight") > 0)
+    return (
+        scored.orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            "weight",
+            F.round("priority", 4).alias("priority"),
+        )
+    )
+
+
 def chunk_fixed(
     df: DataFrame,
     text_col: str = "text",

@@ -269,6 +269,60 @@ def ivf_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def ann_recall(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Self-evaluating ANN quality: recall@k of the IVF index against
+    the exact brute-force cosine top-k, in ONE composed plan (the same
+    in-plan self-verification discipline as the HLL error-bound and
+    windowed-WAU queries -- an approximate path ships with its own
+    measured quality, not a hoped-for one).
+
+    Output: 1 row (k, n_hits, recall).  Both sides round scores BEFORE
+    their order/limit so the two engines of the differential harness
+    select identical row sets at ties (the ivf_topk convention).  At
+    100 TB the exact side is the expensive one (full corpus scan per
+    query) -- which is exactly why recall is measured on a sampled
+    query set offline while serving uses the index; this operator IS
+    that offline evaluation."""
+    q = query.select(as_double(vec_col).alias("__qvec"))
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(
+            cosine(as_double(vec_col), F.col("__qvec")), round_digits
+        ).alias("__s"),
+    )
+    exact = (
+        scored.orderBy(F.desc("__s"), F.asc(id_col)).limit(k).select(id_col)
+    )
+    approx = ivf_topk(
+        embeddings,
+        query,
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    ).select(id_col)
+    return (
+        exact.join(approx, id_col, "left_semi")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(k).alias("k"),
+            F.col("n_hits"),
+            F.round(F.col("n_hits") / F.lit(k), 6).alias("recall"),
+        )
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query: DataFrame,

@@ -793,6 +793,40 @@ def corpus_pps_systematic_sample(spark, sf_dir):
     )
 
 
+_WPS_K = 50
+
+
+@register(
+    "corpus_weighted_priority_sample",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             n_chars::DOUBLE AS weight,
+             n_chars::DOUBLE /
+               ((({_H31.format(x="doc_id::VARCHAR")}) + 1) / 2147483648.0)
+               AS priority
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, ROUND(priority, 4) AS priority
+    FROM s ORDER BY priority DESC, doc_id ASC LIMIT {_WPS_K}
+    """,
+)
+def corpus_weighted_priority_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (priority sampling,
+    Duffield-Lund-Thorup): top-{_WPS_K} priorities w/u over the
+    char-weight column -- the weighted counterpart of the Bernoulli /
+    temperature / PPS samplers, preferring heavy documents while light
+    ones keep a proportional chance.  u is an exact dyadic rational of
+    the portable hash and the key is ONE IEEE division (no pow/ln), so
+    the oracle reproduces the selection bit-for-bit; the top-k is a
+    TakeOrdered, never a global sort."""
+    return corpus.weighted_priority_sample(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        weight=F.col("n_chars"),
+        k=_WPS_K,
+    )
+
+
 _HIST_BUCKETS = 10
 
 

@@ -815,6 +815,60 @@ def similarity_ivf_topk(spark, sf_dir):
     )
 
 
+def _ann_recall_oracle(
+    n_centroids: int = 16, n_probe: int = 4, dim: int = 64, k: int = 10
+) -> str:
+    """Recall@k oracle: the shared deterministic k-means CTE, the IVF
+    probe/top-k, the exact brute-force top-k (both rounding BEFORE the
+    limit, same as the Spark side), and the intersection count."""
+    d2 = _IVF_D2
+    cos = (
+        "ROUND(list_dot_product({a}, q.qv) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    return (
+        _ivf_asg_cte(n_centroids, dim)
+        + f"""
+    , q AS (
+      SELECT vec AS qv FROM e WHERE id = (SELECT min(id) FROM e)
+    ), probes AS (
+      SELECT c.centroid_id
+      FROM cent c, q
+      ORDER BY {d2.format(n=dim, a='c.cvec', b='q.qv')}, c.centroid_id
+      LIMIT {n_probe}
+    ), ivfk AS (
+      SELECT asg.id FROM asg JOIN probes USING (centroid_id), q
+      ORDER BY {cos.format(a='asg.vec')} DESC, asg.id ASC
+      LIMIT {k}
+    ), exactk AS (
+      SELECT e.id FROM e, q
+      ORDER BY {cos.format(a='e.vec')} DESC, e.id ASC
+      LIMIT {k}
+    )
+    SELECT {k} AS k,
+           COUNT(*) AS n_hits,
+           ROUND(COUNT(*) / {k}.0, 6) AS recall
+    FROM exactk JOIN ivfk USING (id)
+    """
+    )
+
+
+@register("similarity_ann_recall", _ann_recall_oracle())
+def similarity_ann_recall(spark, sf_dir):
+    """Offline ANN quality evaluation: recall@10 of the IVF index vs
+    the exact cosine top-10 for the demo query, computed in one plan
+    (exact side scans the corpus once, IVF side probes 4/16 inverted
+    lists, both top-k sets intersect via LEFT SEMI).  The oracle
+    replays the ENTIRE evaluation -- index build, both top-k selections,
+    and the intersection -- so the recall number itself is
+    cross-engine-verified, the same self-measuring discipline as the
+    HLL error-bound query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(
+        emb, _min_id_query(emb), k=10, n_centroids=16, n_probe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # X4: text analysis
 # ---------------------------------------------------------------------------

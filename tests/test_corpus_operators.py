@@ -637,6 +637,45 @@ def test_pps_drops_nonpositive_weights(spark):
     assert {r["doc_id"] for r in got} == {3}
 
 
+def test_weighted_priority_sample_semantics(spark):
+    """Priority sampling: k rows out, priorities non-increasing with
+    deterministic reruns, non-positive weights excluded, priority =
+    weight / u >= weight (u <= 1), and k >= n degrades to 'all positive
+    rows'."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, w) for i, w in [(1, 10), (2, 0), (3, 5), (4, -2), (5, 1000), (6, 7)]]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = corpus.weighted_priority_sample(df, F.col("w"), k=3).collect()
+    assert len(got) == 3
+    prios = [r["priority"] for r in got]
+    assert prios == sorted(prios, reverse=True)
+    assert all(r["priority"] >= r["weight"] for r in got)  # u <= 1
+    again = corpus.weighted_priority_sample(df, F.col("w"), k=3).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    everyone = corpus.weighted_priority_sample(df, F.col("w"), k=10).collect()
+    assert {r["doc_id"] for r in everyone} == {1, 3, 5, 6}  # w > 0 only
+    with _pytest.raises(ValueError, match="k must be"):
+        corpus.weighted_priority_sample(df, F.col("w"), k=0)
+
+
+def test_weighted_priority_sample_is_takeordered(spark, sf_dir):
+    """Plan: per-partition heaps + k-row merge (TakeOrderedAndProject),
+    no global sort, no hash-partition exchange."""
+    from dbt_metrics_ingestion_script_spark.registry import REGISTRY
+    import dbt_metrics_ingestion_script_spark.queries_corpus  # noqa: F401
+
+    df = REGISTRY["corpus_weighted_priority_sample"].fn(spark, sf_dir)
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_mixing_schedule_interleaves_at_weight_ratios(spark, sf_dir):
     """Reading in mix_key order must deliver sources at their weight
     ratios: in any prefix of the schedule, a weight-3 source has ~3x

@@ -193,6 +193,24 @@ def test_ivf_topk_exact_when_probing_all(spark, sf_dir):
             assert full == exact, f"qid={qid} n_centroids={n_cent}"
 
 
+def test_ann_recall_is_one_when_probing_all(spark, sf_dir):
+    """Recall self-evaluation sanity: with n_probe == n_centroids the
+    IVF path IS brute force, so the measured recall must be exactly
+    1.0; with real pruning recall stays in (0, 1]."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from dbt_metrics_ingestion_script_spark.queries_ext import _min_id_query
+
+    full = similarity.ann_recall(
+        emb, _min_id_query(emb), k=10, n_centroids=8, n_probe=8
+    ).collect()[0]
+    assert (full["k"], full["n_hits"], full["recall"]) == (10, 10, 1.0)
+    pruned = similarity.ann_recall(
+        emb, _min_id_query(emb), k=10, n_centroids=16, n_probe=4
+    ).collect()[0]
+    assert 0 < pruned["n_hits"] <= 10
+    assert pruned["recall"] == round(pruned["n_hits"] / 10, 6)
+
+
 def test_ivf_topk_prunes_and_keeps_k(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     from pyspark.sql import functions as F
