@@ -103,6 +103,31 @@ def test_png_round_trip_exercises_every_filter():
     assert decode_image(blob) == (w, h)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+def test_png_round_trip_property(w, h, data):
+    """Property: ANY 8-bit RGB image round-trips losslessly through the
+    stdlib PNG codec -- random pixels hit the full Paeth predictor
+    branch space (left/up/up-left picks, ties, mod-256 wraps) far
+    beyond what fixed fixtures cover."""
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    assert decode_png_rgb(encode_png(w, h, rgb)) == (w, h, rgb)
+
+
 def test_paeth_predictor_branch_selection():
     """RFC 2083 predictor: left when closest, up when closest, UP-LEFT
     when closest, ties broken left-then-up -- the branch ordering is
