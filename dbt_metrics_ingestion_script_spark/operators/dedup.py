@@ -1305,13 +1305,22 @@ def duplicate_clusters_incremental(
         .union(edges.select(F.col("b").alias("node")))
         .distinct()
     )
+    # Eager localCheckpoint, not persist: `touched` is batch-sized but
+    # its LINEAGE contains the whole prior-clustering plan, and it is
+    # referenced on both endpoints of every contracted edge -- without
+    # truncation the contracted star's plan TEXT nests the prior plan
+    # 2^rounds times and the AQE explain-string build alone can OOM the
+    # driver (observed in-suite).  The checkpoint leaf also means the
+    # prior store is probed exactly once, at construction -- the
+    # incremental operator is already actionful (the star loop probes
+    # convergence eagerly), so this adds no new execution model.
     touched = (
         prior_labels.join(
             F.broadcast(nodes),
             prior_labels["doc_id"] == nodes["node"],
         )
         .select("node", F.col("cluster_id").alias("root"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     lookup = nodes.join(F.broadcast(touched), "node", "left").select(
         "node", F.coalesce("root", "node").alias("root")
