@@ -1136,6 +1136,7 @@ def duplicate_clusters_star(
     id_b: str = "id_b",
     max_rounds: int = 15,
     checkpoint_every: int = 2,
+    materialize: str = "lineage",
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., 'Connected Components in MapReduce and Beyond',
@@ -1178,7 +1179,18 @@ def duplicate_clusters_star(
     regardless of duplicates -- no growth to bound -- and the
     small-star distinct restores the canonical set before the next
     round.  One distinct per round instead of two.
+
+    materialize: "lineage" (default) returns a frame reading the
+    persisted star-forest edges -- caches owned by the returned
+    lineage, the convention every registered query uses.  "leaf"
+    instead eagerly localCheckpoints the RESULT and releases the edge
+    cache before returning: for consumers that EMBED the labels in a
+    bigger composition (the incremental maintainer, a label store
+    write) this keeps downstream plan text flat and leaks nothing when
+    the composition drops the frame's lineage.
     """
+    if materialize not in ("lineage", "leaf"):
+        raise ValueError(f"materialize must be 'lineage' or 'leaf', got {materialize!r}")
     # canonical undirected edge set (x < y), self-loops dropped
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -1243,7 +1255,11 @@ def duplicate_clusters_star(
     roots = edges.select(F.col("x").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
-    return children.union(roots)
+    result = children.union(roots)
+    if materialize == "leaf":
+        result = result.localCheckpoint(eager=True)
+        edges.unpersist()
+    return result
 
 
 def duplicate_clusters_incremental(
@@ -1293,12 +1309,18 @@ def duplicate_clusters_incremental(
     untouched components, new-node-only components) is pinned by
     test_incremental_clusters_matches_full_recluster.
     """
+    # eager leaf, not persist: the canonical batch edges are referenced
+    # by the node set, both contract endpoints, and the new-node branch
+    # -- as a leaf, downstream plan TEXT stays flat no matter how
+    # expensive the pair-generation lineage behind batch_pairs was
+    # (same rationale as `touched` below), and the batch is batch-sized
+    # by definition
     edges = (
         batch_pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("a").alias("node"))
@@ -1345,8 +1367,14 @@ def duplicate_clusters_incremental(
         .select("ra", "rb")
         .filter(F.col("ra") != F.col("rb"))
     )
+    # materialize="leaf": the contracted star's labels enter the final
+    # relabel joins as a checkpointed leaf (tiny: touched roots + new
+    # nodes), so the returned plan is scan(prior) + two broadcast
+    # joins + the edge/node leaves -- and the star's internal edge
+    # cache is released instead of riding an embedded lineage
     relabel = duplicate_clusters_star(
-        contracted, id_a="ra", id_b="rb", max_rounds=max_rounds
+        contracted, id_a="ra", id_b="rb", max_rounds=max_rounds,
+        materialize="leaf",
     ).select(F.col("doc_id").alias("root"), F.col("cluster_id").alias("new_root"))
     out_prior = prior_labels.join(
         F.broadcast(relabel),

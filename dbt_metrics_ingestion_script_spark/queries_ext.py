@@ -216,12 +216,17 @@ def dedup_clusters_incremental_vs_corpus(spark, sf_dir):
     maintenance must be indistinguishable from a from-scratch run."""
     pairs = _dup_pair_graph(spark, sf_dir).persist()
     in_batch_a, in_batch_b = F.col("id_a") % 7 == 0, F.col("id_b") % 7 == 0
+    # prior labels as a LEAF: in production they come from a
+    # materialized store, not a live lineage -- and the leaf keeps this
+    # composed plan flat (the star's own caches are released inside)
     prior = dedup.duplicate_clusters_star(
-        pairs.filter(~in_batch_a & ~in_batch_b)
+        pairs.filter(~in_batch_a & ~in_batch_b), materialize="leaf"
     )
-    return dedup.duplicate_clusters_incremental(
+    out = dedup.duplicate_clusters_incremental(
         pairs.filter(in_batch_a | in_batch_b), prior
     )
+    pairs.unpersist()  # both consumers have materialized their leaves
+    return out
 
 
 @register("dedup_duplicate_clusters_star", _dup_clusters_oracle())
