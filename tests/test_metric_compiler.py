@@ -494,6 +494,87 @@ def test_derived_fusion_filtered_subset_dims_falls_back(spark, sf_dir):
     assert "Join" in _plan_text(comp.compile(der, "month"))
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_derived_fusion_equivalence_random(spark, data):
+    """Randomized differential for BOTH fusion tiers: arbitrary method /
+    filter combinations compiled fused must match the forced FULL-join
+    reference path row for row (including NULL placement and group
+    existence)."""
+    import datetime
+
+    statuses = ["A", "B", "C"]
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i,
+                datetime.date(2024, 1 + i % 4, 1 + i % 27),
+                statuses[i % 3],
+                float(i % 7) if i % 11 else None,
+            )
+        )
+    frame = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_orderstatus string, v double"
+    )
+
+    def rand_filters(allow_empty=True):
+        opts = [None] if allow_empty else []
+        opts += statuses
+        pick = data.draw(st.sampled_from(opts))
+        if pick is None:
+            return []
+        op = data.draw(st.sampled_from(["=", "!="]))
+        return [MetricFilter(field="o_orderstatus", operator=op, value=pick)]
+
+    tier = data.draw(st.sampled_from(["equal_dims", "subset_dims"]))
+    methods_all = ["sum", "count", "count_distinct", "average", "min", "max"]
+    inputs = []
+    n_inputs = data.draw(st.integers(2, 3))
+    for i in range(n_inputs):
+        if tier == "equal_dims":
+            m = data.draw(st.sampled_from(methods_all))
+            dims, filters = [], rand_filters()
+        else:
+            # finest input carries the dim; coarse ones must be
+            # re-derivable and unfiltered (the documented fusion gate)
+            if i == 0:
+                m = data.draw(st.sampled_from(methods_all))
+                dims = ["o_orderstatus"]
+            else:
+                m = data.draw(
+                    st.sampled_from(["sum", "count", "average", "min", "max"])
+                )
+                dims = []
+            filters = []
+        expr = "o_orderkey" if m == "count_distinct" else "v"
+        inputs.append(
+            MetricSpec(
+                name=f"m{i}", calculation_method=m, expression=expr,
+                model="orders", timestamp="o_orderdate", dimensions=dims,
+                filters=filters,
+            )
+        )
+    der = MetricSpec(
+        name="r", metric_type="derived",
+        expression=" + ".join(s.name for s in inputs),
+        model="orders", input_metrics=[s.name for s in inputs],
+    )
+    comp = MetricCompiler(
+        lambda m: frame, registry={s.name: s for s in inputs}
+    )
+    grain = data.draw(st.sampled_from(["month", None]))
+    fused = comp.compile(der, grain)
+    assert "Join" not in _plan_text(fused), "expected the fused path"
+    assert _rows(fused) == _rows(
+        _forced_join_compile(frame, inputs, der, grain)
+    )
+
+
 def test_compile_shared_validation_and_filter_independence(spark):
     from dbt_metrics_ingestion_script_spark.plans.metric_spec import (
         MetricFilter,
