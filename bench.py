@@ -69,6 +69,7 @@ HEADLINE = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "similarity_ann_recall",
+    "corpus_cluster_balanced_cap",
     "embeddings_quantize_int8",
     "embeddings_kmeans_assign",
     "embeddings_pq_codes",

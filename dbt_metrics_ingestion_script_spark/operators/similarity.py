@@ -323,6 +323,49 @@ def ann_recall(
     )
 
 
+def cluster_balanced_cap(
+    embeddings: DataFrame,
+    k_per_cluster: int = 10,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Semantic-diversity cap: bucket the corpus by k-means cluster and
+    keep at most `k_per_cluster` members per cluster, preferring the
+    ones FARTHEST from their centroid -- the SemDeDup-style keep policy
+    (low similarity to the cluster center = the diverse
+    representatives; the redundant near-center mass is what gets
+    dropped).  The semantic counterpart of the per-source domain cap
+    (`corpus.source_cap_topk`): same window shape, stratum = semantic
+    neighborhood instead of origin.
+
+    Output: (vec_id, centroid_id, d2, rank), rank in [1, k].  d2 is
+    rounded BEFORE ranking (the ivf_topk convention) so tie sets are
+    engine-stable.  One broadcast join (tiny centroids) + one
+    per-cluster window shuffle; at 100 TB materialize assignments
+    bucketed by centroid_id and the window reuses that partitioning."""
+    if k_per_cluster < 1:
+        raise ValueError("k_per_cluster must be >= 1")
+    assignments, centroids = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    d2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = assignments.join(F.broadcast(centroids), "centroid_id").select(
+        F.col("id").alias(id_col),
+        "centroid_id",
+        F.round(d2, round_digits).alias("d2"),
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.desc("d2"), F.asc(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k_per_cluster
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query: DataFrame,

@@ -858,6 +858,39 @@ def _ann_recall_oracle(
     )
 
 
+_CBC_K = 10
+
+
+@register(
+    "corpus_cluster_balanced_cap",
+    _ivf_asg_cte()
+    + f"""
+    SELECT vec_id, centroid_id, d2, rank FROM (
+      SELECT asg.id AS vec_id, asg.centroid_id,
+             ROUND({_IVF_D2.format(n=64, a='asg.vec', b='c.cvec')}, 6) AS d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY asg.centroid_id
+               ORDER BY ROUND({_IVF_D2.format(n=64, a='asg.vec', b='c.cvec')}, 6)
+                        DESC, asg.id ASC
+             ) AS rank
+      FROM asg JOIN cent c USING (centroid_id)
+    ) WHERE rank <= {_CBC_K}
+    """,
+)
+def corpus_cluster_balanced_cap(spark, sf_dir):
+    """Semantic-diversity cap (SemDeDup-style keep policy): k-means
+    buckets the embedding corpus, and each cluster keeps its
+    {_CBC_K} members FARTHEST from the centroid -- dropping redundant
+    near-center mass while preserving the diverse tails, the semantic
+    twin of the per-source domain cap.  Oracle replays the full
+    deterministic k-means build plus the distance-ranked window."""
+    return similarity.cluster_balanced_cap(
+        load_table(spark, sf_dir, "embeddings"),
+        k_per_cluster=_CBC_K,
+        n_centroids=16,
+    )
+
+
 @register("similarity_ann_recall", _ann_recall_oracle())
 def similarity_ann_recall(spark, sf_dir):
     """Offline ANN quality evaluation: recall@10 of the IVF index vs

@@ -211,6 +211,34 @@ def test_ann_recall_is_one_when_probing_all(spark, sf_dir):
     assert pruned["recall"] == round(pruned["n_hits"] / 10, 6)
 
 
+def test_cluster_balanced_cap_semantics(spark, sf_dir):
+    """Per-cluster cap: at most k rows per centroid, ranks contiguous
+    from 1, d2 non-increasing within a cluster (farthest kept first),
+    and k >= cluster size keeps whole clusters (total == corpus)."""
+    import pytest as _pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.cluster_balanced_cap(
+        emb, k_per_cluster=3, n_centroids=4
+    ).collect()
+    by_c: dict[int, list] = {}
+    for r in rows:
+        by_c.setdefault(r["centroid_id"], []).append(r)
+    assert by_c and all(len(v) <= 3 for v in by_c.values())
+    for members in by_c.values():
+        members.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in members] == list(range(1, len(members) + 1))
+        d2s = [r["d2"] for r in members]
+        assert d2s == sorted(d2s, reverse=True)
+    n = emb.count()
+    assert (
+        similarity.cluster_balanced_cap(emb, k_per_cluster=n, n_centroids=4).count()
+        == n
+    )
+    with _pytest.raises(ValueError, match="k_per_cluster"):
+        similarity.cluster_balanced_cap(emb, k_per_cluster=0)
+
+
 def test_ivf_topk_prunes_and_keeps_k(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     from pyspark.sql import functions as F
