@@ -172,6 +172,7 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q4_order_priority",
     "tpch_q22_global_sales_opportunity",
+    "tpch_q17_small_quantity_revenue",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .plans.compiler import MetricCompiler
@@ -1303,6 +1303,51 @@ def tpch_q4_order_priority(spark, sf_dir):
         o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q17_BRAND = "Brand#23"
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    f"""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = '{_Q17_BRAND}'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue), adapted to the
+    driver's column subset: lost revenue from orders below 20% of a
+    part's average quantity -- the CORRELATED AGGREGATE SUBQUERY
+    archetype.  The oracle runs the textbook correlated form; the
+    Spark plan is the hand-decorrelated WINDOW rewrite: restrict
+    lineitem to the brand's parts first (broadcast semi-style join --
+    this keeps ALL rows of qualifying parts, so the per-part window
+    average equals the correlated average over the unrestricted
+    table), then one avg window per l_partkey, filter, and a 1-row
+    final aggregate.  lineitem scans ONCE with one partkey shuffle,
+    where the naive decorrelation is two scans + a shuffled
+    aggregate-join."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == _Q17_BRAND
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("__avg_qty", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
 
 

@@ -472,6 +472,19 @@ def test_tpch_q22_is_left_anti_with_inplan_threshold(spark):
     )
 
 
+def test_tpch_q17_decorrelated_single_lineitem_scan(spark):
+    """The correlated-subquery anchor compiles to the window rewrite:
+    lineitem scans ONCE (the textbook decorrelation would scan it twice
+    -- probe + aggregate side), the per-part average is a window over
+    the brand-restricted rows, and the part filter broadcasts."""
+    plan = plan_of(run(spark, "tpch_q17_small_quantity_revenue"), "simple")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, shuffles  # partkey window + 1-row final agg
+
+
 def test_alert_rules_single_scan(spark):
     """N alert rules over one metric frame must not re-derive the
     metric subtree per rule: one scan, array-projected matches."""
