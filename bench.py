@@ -109,6 +109,7 @@ HEADLINE = [
     "corpus_training_pipeline",
     "corpus_length_profile",
     "corpus_duplication_report",
+    "corpus_dup_ngram_fraction",
     "corpus_quality_percentile_filter",
     "corpus_temperature_sample",
     "corpus_line_dedup",
@@ -173,6 +174,12 @@ HEADLINE = [
     "tpch_q4_order_priority",
     "tpch_q22_global_sales_opportunity",
     "tpch_q17_small_quantity_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -147,6 +147,56 @@ def decontaminate_bloom(
     return hits
 
 
+def cross_doc_dup_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document CROSS-document duplicated n-gram fraction: for each
+    doc, the share of its distinct word n-grams that also occur in at
+    least one OTHER document.  This is the sub-document duplication
+    signal behind suffix-array dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better") and the Gopher
+    duplicated-n-gram quality filters -- whole-doc digests miss boiler-
+    plate (headers, licenses, templates) shared ACROSS distinct pages,
+    which is most of what a web corpus over-trains on.
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_fraction).
+
+    Scale shape: documents scan ONCE.  The gram document-frequency is a
+    count window partitioned by the 31-bit gram hash over the exploded
+    (doc, gram) frame -- word_shingles is array_distinct per doc, so
+    the per-gram row count IS its document frequency, and the window
+    reuses the same gram-keyed exchange a groupBy-then-self-join
+    formulation would need TWICE (df aggregate + join back, re-reading
+    the corpus).  Two keyed shuffles total (gram window + doc_id
+    rollup), both over slim (id, gram-hash) rows, never the text
+    payload.  At 100 TB, stride or Bloom-prefilter the gram stream if
+    the exploded frame dominates; the window shape is unchanged."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(word_shingles(text_col, n), hash31)
+        ).alias("gram"),
+    )
+    w = Window.partitionBy("gram")
+    with_df = grams.withColumn("__df", F.count("*").over(w))
+    return (
+        with_df.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("__df") > 1, 1).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
+        )
+    )
+
+
 def sample_keep(id_col: Column | str, stratum: Column | str, rate: Column) -> Column:
     """Deterministic Bernoulli keep-decision: hash31(id ':' stratum)
     uniform on [0, 2^31-1) compared against rate * (2^31-1).

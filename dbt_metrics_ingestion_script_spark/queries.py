@@ -1396,3 +1396,343 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution), adapted to the
+    driver's column subset (no o_comment filter): the OUTER-JOIN-
+    PRESERVING-EMPTY-GROUPS archetype.  COUNT(o_orderkey) over a LEFT
+    join counts non-null matches, so zero-order customers land in the
+    c_count=0 bucket instead of vanishing (an inner join would drop
+    them -- the whole point of the query).  At 100 TB the first
+    aggregate is the expensive one; it shuffles on c_custkey once and
+    the second aggregate runs over one row per customer with tiny
+    cardinality (distinct order counts), so the re-aggregation is
+    free.  Ref behavior spec: distribution reporting only -- no
+    counterpart in /root/reference (pure EXT anchor)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q14_START, _Q14_END = "1997-09-01", "1997-10-01"
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    f"""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4
+           ) AS promo_revenue
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= DATE '{_Q14_START}'
+      AND l.l_shipdate < DATE '{_Q14_END}'
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect), adapted to the driver's flat
+    p_type domain: the CONDITIONAL-AGGREGATE-SHARE archetype.  Both
+    the numerator (promo revenue) and denominator (all revenue) come
+    out of ONE pass -- a CASE inside SUM -- over the month's lineitem
+    rows; a filter-twice formulation would scan twice.  The date
+    window pushes to the lineitem scan, part broadcasts, and the
+    result is a single row, so the final aggregate is a 1-row
+    exchange.  Same single-pass conditional-aggregation shape the
+    metric compiler uses for ratio metrics (A5)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q14_END).cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+_Q15_START, _Q15_END = "1996-01-01", "1996-04-01"
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '{_Q15_START}'
+        AND l_shipdate < DATE '{_Q15_END}'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the VIEW + SCALAR-MAX archetype.  The
+    oracle runs the textbook form (a revenue view consumed twice --
+    probe + MAX subquery); the Spark plan computes the per-supplier
+    revenue ONCE and takes the max as an unpartitioned window over the
+    already-aggregated frame (one row per supplier, tiny), so lineitem
+    scans once and the plan has exactly two data shuffles: the suppkey
+    aggregate and the empty-key window.  Revenue is rounded BEFORE the
+    max comparison on both sides so float sum-order ulps cannot flip
+    the winner between engines.  Supplier joins after the max filter
+    -- at most a handful of rows -- as a broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    top = revenue.withColumn(
+        "__max_rev", F.max("total_revenue").over(w)
+    ).where(F.col("total_revenue") == F.col("__max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q18_QTY = 250
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_totalprice,
+           SUM(l.l_quantity) AS total_qty
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY 1 HAVING SUM(l_quantity) > {_Q18_QTY}
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def tpch_q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): the SEMI-JOIN-ON-AGGREGATE-
+    HAVING archetype.  The oracle runs the textbook IN-subquery; the
+    Spark plan aggregates lineitem by l_orderkey once, filters the
+    HAVING threshold, and reuses THAT frame both as the semi filter
+    and as the total_qty payload (the textbook form aggregates
+    lineitem twice -- subquery + outer GROUP BY).  After the >250
+    filter the qualifying-orders frame is tiny (~0.3% of orders), so
+    it broadcasts into orders and customer joins broadcast off that --
+    the big lineitem table is touched exactly once with one shuffle.
+    o_orderdate casts to date on both sides per the driver-hash
+    convention."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > _Q18_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+_Q19_ARMS = (
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#3", 15, 20, 30),
+)
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    "SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue\n"
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey\n"
+    "WHERE "
+    + " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {sz}"
+        f" AND l.l_quantity BETWEEN {lo} AND {hi})"
+        for b, sz, lo, hi in _Q19_ARMS
+    ),
+)
+def tpch_q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue), adapted to the driver's column
+    subset (no p_container / shipmode): the DISJUNCTIVE-PREDICATE
+    archetype -- an OR of per-brand conjunctions spanning BOTH join
+    sides.  The per-side residuals are factored out and pushed BELOW
+    the join (every arm needs p_size >= 1 and l_quantity between the
+    global min/max bounds), the full disjunction evaluates as a
+    codegen filter above it, and part broadcasts.  The point of the
+    anchor: OR-of-ANDs must not force a cross-product or defeat
+    pushdown entirely -- the plan keeps one broadcast hash join with
+    derived single-side bounds at the scans."""
+    qty_lo = min(a[2] for a in _Q19_ARMS)
+    qty_hi = max(a[3] for a in _Q19_ARMS)
+    sz_hi = max(a[1] for a in _Q19_ARMS)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(qty_lo, qty_hi)
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").between(1, sz_hi)
+    ).select("p_partkey", "p_brand", "p_size")
+    arm = None
+    for b, sz, lo, hi in _Q19_ARMS:
+        cond = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(1, sz)
+            & F.col("l_quantity").between(lo, hi)
+        )
+        arm = cond if arm is None else (arm | cond)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(arm)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+_Q7_NATION_A, _Q7_NATION_B = "NATION_3", "NATION_7"
+_Q7_START, _Q7_END = "1996-01-01", "1998-01-01"
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = '{_Q7_NATION_A}' AND n2.n_name = '{_Q7_NATION_B}')
+        OR (n1.n_name = '{_Q7_NATION_B}' AND n2.n_name = '{_Q7_NATION_A}'))
+      AND l.l_shipdate >= DATE '{_Q7_START}'
+      AND l.l_shipdate < DATE '{_Q7_END}'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): the BI-NATION TRADE-FLOW archetype
+    -- a disjunctive cross-table condition over the supplier's and the
+    customer's nation, grouped by direction and ship year.  The
+    nation filter is applied to EACH nation alias before its join
+    (each side can only be one of the two named nations -- the IN
+    pushdown the disjunction implies), so supplier and customer rows
+    prune before touching the facts; the two-arm direction predicate
+    then evaluates above, keeping only the two off-diagonal pairs.
+    The two facts meet in one shuffled join; everything else
+    broadcasts.  Ship-year comes from date_part, cast to BIGINT on
+    the oracle side to match Spark's year() return type."""
+    pair = [_Q7_NATION_A, _Q7_NATION_B]
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q7_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q7_END).cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == _Q7_NATION_A)
+                & (F.col("cust_nation") == _Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == _Q7_NATION_B)
+                & (F.col("cust_nation") == _Q7_NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )

@@ -597,6 +597,53 @@ def corpus_duplication_report(spark, sf_dir):
     )
 
 
+_DUPGRAM_N = 5  # word window; the published sub-document dedup uses 50
+# tokens -- the synthetic fixture docs are too short for that to fire
+
+
+def _dup_ngram_oracle() -> str:
+    n = _DUPGRAM_N
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, {_NORM} AS norm FROM documents
+    ), tok AS (
+      SELECT doc_id, string_split(norm, ' ') AS toks FROM docs
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - {n} + 2),
+                         i -> array_to_string(toks[i:i+{n - 1}], ' ')))
+             END AS shingles
+      FROM tok
+    ), grams AS (
+      SELECT doc_id, {_H31.format(x='s.sh')} AS gram
+      FROM sh, unnest(shingles) AS s(sh)
+    ), with_df AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS gram_df
+      FROM grams
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           ROUND(SUM(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS dup_fraction
+    FROM with_df GROUP BY doc_id
+    """
+
+
+@register("corpus_dup_ngram_fraction", _dup_ngram_oracle())
+def corpus_dup_ngram_fraction(spark, sf_dir):
+    """Cross-document duplicated n-gram fraction per doc (the
+    sub-document duplication signal whole-doc digests miss: shared
+    boilerplate/templates across distinct pages).  One documents scan;
+    gram document-frequency is a count window on the gram hash, so the
+    exploded slim frame shuffles once on gram and once on doc_id."""
+    return corpus.cross_doc_dup_fraction(
+        load_table(spark, sf_dir, "documents"), n=_DUPGRAM_N
+    )
+
+
 def _semantic_pipeline_oracle() -> str:
     """Full curation-chain replay: hashed-linear quality gate ->
     keep-first exact dedup -> semantic-cluster drops (recursive-CTE

@@ -485,6 +485,99 @@ def test_tpch_q17_decorrelated_single_lineitem_scan(spark):
     assert shuffles <= 2, shuffles  # partkey window + 1-row final agg
 
 
+def test_dup_ngram_fraction_single_scan_window_df(spark):
+    """Cross-doc duplicated-gram fraction: documents scans ONCE -- the
+    gram document-frequency is a count window over the exploded frame,
+    not a groupBy-plus-self-join (which would re-derive the gram frame
+    from a second scan); two keyed data shuffles (gram window + doc
+    rollup)."""
+    plan = plan_of(run(spark, "corpus_dup_ngram_fraction"), "simple")
+    assert plan.count("documents.parquet") == 1
+    assert "Window" in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, plan
+
+
+def test_tpch_q13_left_outer_preserves_empty_groups(spark):
+    """The distribution anchor keeps zero-order customers: the join is
+    LeftOuter (an inner join would silently drop the c_count=0 bucket),
+    orders is pruned to the two key columns, and the expensive
+    aggregate is the per-customer one -- the re-aggregation over
+    distinct counts adds one tiny exchange."""
+    plan = plan_of(run(spark, "tpch_q13_customer_distribution"), "simple")
+    assert "LeftOuter" in plan
+    order_schemas = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "o_orderkey" in l
+    ]
+    assert order_schemas and all(
+        "o_totalprice" not in l for l in order_schemas
+    )
+
+
+def test_tpch_q14_single_pass_conditional_share(spark):
+    """Promo share: numerator and denominator come from ONE lineitem
+    scan (CASE inside SUM), the ship-date window pushes to the scan,
+    and part broadcasts."""
+    plan = plan_of(run(spark, "tpch_q14_promo_revenue"))
+    assert plan.count("lineitem.parquet") == 1
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q15_single_revenue_derivation(spark):
+    """Top supplier: the revenue view materializes once -- lineitem
+    scans ONCE and the scalar max is an empty-key window over the
+    per-supplier frame, not a second aggregate branch (the textbook
+    form consumes the view twice).  Two data shuffles: the suppkey
+    aggregate and the window."""
+    plan = plan_of(run(spark, "tpch_q15_top_supplier"), "simple")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, plan
+
+
+def test_tpch_q18_aggregates_lineitem_once(spark):
+    """Large-volume customers: the HAVING frame doubles as semi filter
+    AND total_qty payload, so lineitem is scanned and aggregated ONCE
+    (the textbook IN-subquery form aggregates it twice); the filtered
+    qualifying-orders frame broadcasts into orders."""
+    plan = plan_of(run(spark, "tpch_q18_large_volume_customer"), "simple")
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") == 2  # partial+final qty aggregate
+
+
+def test_tpch_q19_disjunction_keeps_single_join_with_bounds(spark):
+    """Disjunctive predicate: the OR-of-ANDs stays a single broadcast
+    hash join (no cross product), and the factored single-side bounds
+    push to BOTH scans -- quantity bounds to lineitem, size bounds to
+    part -- so rows no arm can match never leave storage."""
+    plan = plan_of(run(spark, "tpch_q19_discounted_revenue"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    flat = plan.replace(" ", "")
+    assert "GreaterThanOrEqual(l_quantity,1" in flat
+    assert "LessThanOrEqual(l_quantity,30" in flat
+    assert "LessThanOrEqual(p_size,15" in flat
+
+
+def test_tpch_q7_nation_filter_prunes_before_facts(spark):
+    """Bi-nation trade flow: the two-nation membership filter reaches
+    both nation scans (In pushdown) so supplier/customer rows prune
+    via broadcast joins BEFORE the facts meet; exactly one data-sized
+    shuffle pair joins lineitem to orders."""
+    plan = plan_of(run(spark, "tpch_q7_volume_shipping"))
+    flat = plan.replace(" ", "")
+    assert "In(n_name,[NATION_3,NATION_7])" in flat
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("lineitem.parquet") == 1
+
+
 def test_alert_rules_single_scan(spark):
     """N alert rules over one metric frame must not re-derive the
     metric subtree per rule: one scan, array-projected matches."""
