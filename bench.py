@@ -124,6 +124,8 @@ HEADLINE = [
     "corpus_budget_select",
     "multimodal_phash",
     "text_token_entropy",
+    "text_bpe_pair_counts",
+    "text_bpe_merges",
     "metric_whale_revenue_month_spine",
     "events_user_sketch_rollup",
     "events_interarrival_profile",

@@ -689,3 +689,172 @@ def token_entropy(
         F.count("*").alias("n_distinct"),
         F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair frequencies -- the counting
+    step of one BPE-training merge iteration (Sennrich et al. 2016):
+    the pair with the highest frequency is the merge a tokenizer
+    trainer would apply next.  Training a tokenizer on its own corpus
+    is a standard stage of a large-scale data pipeline, and the pair
+    count is its distributed-shape core; the merge LOOP itself is a
+    driver-side iteration over this operator with a rewritten symbol
+    table (each round's frame is vocabulary-sized, not corpus-sized,
+    after round 1).
+
+    Output: top_k (pair, pair_count) rows, pair = two adjacent
+    characters inside a word, count weighted by word frequency, total
+    order (count DESC, pair ASC) so the cut is engine-deterministic.
+
+    Scale shape: the corpus scan collapses to the WORD-FREQUENCY table
+    first [shuffle 1, map-side partial], so pair explosion runs over
+    the vocabulary (Heaps'-law sublinear in corpus size) instead of
+    the token stream -- the reason real BPE trainers count words
+    first.  Pair rollup is shuffle 2; the top-k is a TakeOrdered, not
+    a global sort."""
+    words = df.select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count("*").alias("wc"))
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )
+
+
+def _merge_pair(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) symbol
+    pairs inside one symbol array -- one F.aggregate fold, JVM-side.
+
+    Accumulator: (out, merged_last).  merged_last guards overlapping
+    occurrences: in "aaa" with pair (a,a) the first two merge and the
+    third must NOT merge with the freshly created "aa" slot -- exactly
+    the published BPE left-to-right scan order, which the Python
+    reference in tests replays independently."""
+    merged = left + right
+    return F.aggregate(
+        symbols,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(False).alias("merged_last"),
+        ),
+        lambda acc, x: F.when(
+            (~acc.merged_last)
+            & (F.size(acc.out) > 0)
+            & (F.element_at(acc.out, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.struct(
+                F.concat(
+                    F.slice(acc.out, 1, F.size(acc.out) - 1),
+                    F.array(F.lit(merged)),
+                ).alias("out"),
+                F.lit(True).alias("merged_last"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(acc.out, F.array(x)).alias("out"),
+                F.lit(False).alias("merged_last"),
+            )
+        ),
+        lambda acc: acc.out,
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) as a driver-side
+    merge loop over Spark frames: learn `n_merges` merge rules from the
+    corpus word-frequency table.
+
+    Output: (rank, left, right, merged, pair_count) -- the ordered
+    merge list, which IS the trained tokenizer artifact.  Ties break
+    (count DESC, pair lexicographic ASC) so the rule list is
+    deterministic across partitionings and engines; the pytest
+    differential replays the identical policy in pure Python.
+
+    Scale shape (the reason real BPE trainers are structured this
+    way): the corpus is touched ONCE to build the word-frequency
+    table; every merge round then runs over the VOCABULARY frame
+    (Heaps'-law sublinear in corpus size) -- a pair-count aggregate
+    (one slim shuffle), a 1-row TakeOrdered action to pick the winning
+    pair (inherent to the loop, same contract as the k-means
+    convergence trace), and a JVM-side fold rewriting each word's
+    symbol array.  Rounds persist at MEMORY_AND_DISK and unpersist
+    eagerly; lineage is cut each round by the persisted frame, so
+    n_merges rounds never replay round 1."""
+    from pyspark import StorageLevel
+
+    words = df.select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    wf = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .select(F.split("w", "(?!^)(?=.)").alias("symbols"), "wc")
+    )
+    wf = wf.persist(StorageLevel.MEMORY_AND_DISK)
+    spark = df.sparkSession
+    rules = []
+    for rank in range(n_merges):
+        pair_rows = (
+            wf.where(F.size("symbols") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("symbols") - 1),
+                        lambda i: F.struct(
+                            F.element_at("symbols", i).alias("l"),
+                            F.element_at("symbols", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("l").asc(),
+                F.col("r").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not pair_rows:
+            break
+        left, right, count = (
+            pair_rows[0]["l"],
+            pair_rows[0]["r"],
+            pair_rows[0]["pair_count"],
+        )
+        rules.append((rank, left, right, left + right, count))
+        nxt = wf.select(
+            _merge_pair("symbols", left, right).alias("symbols"), "wc"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nxt.count()  # materialize before dropping the parent
+        wf.unpersist()
+        wf = nxt
+    wf.unpersist()
+    return spark.createDataFrame(
+        rules, "rank int, left string, right string, merged string, pair_count bigint"
+    )

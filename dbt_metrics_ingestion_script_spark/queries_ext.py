@@ -2003,6 +2003,54 @@ def text_repetition_stats(spark, sf_dir):
     return text.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+_BPE_K = 50
+
+
+@register(
+    "text_bpe_pair_counts",
+    rf"""
+    WITH docs AS (
+      SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), words AS (
+      SELECT w.w AS w FROM docs, unnest(string_split(norm, ' ')) AS w(w)
+      WHERE len(w.w) >= 2
+    ), wf AS (
+      SELECT w, COUNT(*) AS wc FROM words GROUP BY 1
+    ), pairs AS (
+      SELECT p.pair AS pair, wc
+      FROM wf, unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS p(pair)
+    )
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1
+    ORDER BY pair_count DESC, pair ASC
+    LIMIT {_BPE_K}
+    """,
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    """BPE-training pair-count step: top adjacent-character pair
+    frequencies weighted by word frequency.  The corpus collapses to
+    the word-frequency table BEFORE pair explosion (vocabulary-sized,
+    Heaps-sublinear), then one pair rollup + TakeOrdered."""
+    return text.bpe_pair_counts(
+        load_table(spark, sf_dir, "documents"), top_k=_BPE_K
+    )
+
+
+_BPE_MERGES = 8
+
+
+@register("text_bpe_merges", None, driver=False)
+def text_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training: the ordered merge-rule list learned by
+    `_BPE_MERGES` driver-side rounds over the word-frequency table
+    (iterative, non-SQL-expressible; pytest-differentialed against an
+    independent pure-Python BPE reference on the same corpus)."""
+    return text.bpe_train(
+        load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    )
+
+
 _VOCAB_K, _VOCAB_MIN_DF = 100, 2
 
 

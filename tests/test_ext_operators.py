@@ -2337,3 +2337,130 @@ def test_write_zordered_files_own_disjoint_key_ranges(spark, tmp_path, sf_dir):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # contiguous, non-overlapping intervals
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (text.bpe_pair_counts / text.bpe_train)
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_reference(texts, n_merges):
+    """Independent pure-Python BPE trainer replaying the published
+    algorithm (word-frequency table, greedy left-to-right merges,
+    count-desc/pair-asc tie-break) for the differential."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        for w in norm.split(" "):
+            if len(w) >= 2:
+                wf[w] += 1
+    symbols = {w: list(w) for w in wf}
+    rules = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, syms in symbols.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        (l, r), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((rank, l, r, l + r, cnt))
+        for w, syms in symbols.items():
+            out, merged_last = [], False
+            for x in syms:
+                if (not merged_last) and out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                    merged_last = True
+                else:
+                    out.append(x)
+                    merged_last = False
+            symbols[w] = out
+    return rules
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Full differential: the Spark merge loop learns the exact rule
+    list (order, symbols, counts) the independent Python trainer
+    learns on the same corpus -- including multi-char symbols from
+    later rounds merging earlier rounds' output."""
+    from dbt_metrics_ingestion_script_spark.operators.text import bpe_train
+
+    rows = [
+        (1, "the theme of the thesis is these themes"),
+        (2, "there is the other theory THE theme"),
+        (3, "banana bandana ananas"),
+        (4, "aaaa aaa aa"),
+        (5, None),
+        (6, "x"),  # single char: excluded from the word table
+        (7, "  spaced   out\tthe   theme  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(df, n_merges=6).collect()]
+    want = _py_bpe_reference([t for _, t in rows], 6)
+    assert got == want
+
+
+def test_bpe_train_fixture_corpus_differential(spark, sf_dir):
+    """Same differential over the real sf0.001 documents table (read
+    independently via pyarrow, not Spark)."""
+    import pyarrow.parquet as pq
+
+    from dbt_metrics_ingestion_script_spark.operators.text import bpe_train
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    want = _py_bpe_reference(texts, 4)
+    got = [
+        tuple(r)
+        for r in bpe_train(load_table(spark, sf_dir, "documents"), 4).collect()
+    ]
+    assert got == want
+
+
+def test_bpe_merge_overlap_is_greedy_left_to_right(spark):
+    """'aaaa' with pair (a,a) merges to [aa, aa] and 'aaa' to [aa, a]:
+    a freshly merged slot never re-merges with the next element (the
+    published left-to-right scan)."""
+    from dbt_metrics_ingestion_script_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aaaa aaa")], "doc_id long, text string"
+    )
+    rules = [tuple(r) for r in bpe_train(df, n_merges=2).collect()]
+    # round 0: (a,a) count = 3 (two in aaaa, one in aaa -- overlap at
+    # position 2-3 of aaaa and 2-3 of aaa suppressed by the greedy scan
+    # ... pair COUNTING is positional: aaaa has 3 adjacent slots, aaa
+    # has 2, so count = 5)
+    assert rules[0][:4] == (0, "a", "a", "aa")
+    assert rules[0][4] == 5
+    # round 1 operates on the REWRITTEN symbols [aa,aa] and [aa,a]
+    assert rules[1][:4] == (1, "aa", "aa", "aaaa") or rules[1][:4] == (
+        1,
+        "aa",
+        "a",
+        "aaa",
+    )
+    # deterministic tie-break: both candidate pairs have count 1;
+    # ('aa','a') < ('aa','aa') lexicographically on the right symbol
+    assert rules[1][:4] == (1, "aa", "a", "aaa")
+
+
+def test_bpe_pair_counts_weights_by_word_frequency(spark):
+    from dbt_metrics_ingestion_script_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab cd"), (2, "ab cd cd")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["pair_count"] for r in bpe_pair_counts(df).collect()}
+    assert got == {"ab": 4, "cd": 3}
