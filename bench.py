@@ -126,6 +126,7 @@ HEADLINE = [
     "text_token_entropy",
     "text_bpe_pair_counts",
     "text_bpe_merges",
+    "text_bpe_encoded_lengths",
     "metric_whale_revenue_month_spine",
     "events_user_sketch_rollup",
     "events_interarrival_profile",

@@ -858,3 +858,49 @@ def bpe_train(
     return spark.createDataFrame(
         rules, "rank int, left string, right string, merged string, pair_count bigint"
     )
+
+
+def bpe_encode_token_counts(
+    df: DataFrame,
+    rules: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode the corpus with a trained BPE rule list and report
+    per-document sequence lengths: (doc_id, n_words, n_bpe_tokens).
+    The token count under the REAL tokenizer is what packing, budget
+    selection, and context-length curricula actually consume -- the
+    whitespace/char counts elsewhere in this module are its cheap
+    proxies.
+
+    `rules` is the ordered [(left, right), ...] merge list from
+    `bpe_train` (driver-side, vocabulary-sized -- the tokenizer
+    artifact, not data).
+
+    Scale shape: one corpus scan -> per-(doc, word) counts [shuffle 1,
+    map-side partial], the merge-rule folds apply per DISTINCT word
+    per doc (within-doc repetition pays once), then the doc rollup
+    weights by word multiplicity [shuffle 2].  The folds are chained
+    JVM codegen expressions -- no Python in the hot path.  At the
+    extreme, encode the distinct-word VOCABULARY once into a
+    materialized dimension and broadcast-join it (the
+    `vocab_top_terms` precomputed-dimension pattern); the per-(doc,
+    word) fold keeps this operator self-contained for the registry."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    per_doc_word = words.groupBy(id_col, "w").agg(
+        F.count("*").alias("n_w")
+    )
+    sym = F.split("w", "(?!^)(?=.)")
+    for left, right in rules:
+        sym = _merge_pair(sym, left, right)
+    return (
+        per_doc_word.withColumn("__n_sym", F.size(sym))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_w").alias("n_words"),
+            F.sum(F.col("n_w") * F.col("__n_sym")).alias("n_bpe_tokens"),
+        )
+    )

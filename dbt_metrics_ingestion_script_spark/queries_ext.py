@@ -2051,6 +2051,24 @@ def text_bpe_merges(spark, sf_dir):
     )
 
 
+@register("text_bpe_encoded_lengths", None, driver=False)
+def text_bpe_encoded_lengths(spark, sf_dir):
+    """Train-then-encode: learn `_BPE_MERGES` merges, then report each
+    document's sequence length under the trained tokenizer -- the
+    number packing/budget/curriculum stages actually consume.
+    (Depends on the iterative training output, so non-SQL-expressible;
+    pytest-differentialed end to end against the Python trainer +
+    encoder.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        (r["left"], r["right"])
+        for r in text.bpe_train(docs, n_merges=_BPE_MERGES)
+        .orderBy("rank")
+        .collect()
+    ]
+    return text.bpe_encode_token_counts(docs, rules)
+
+
 _VOCAB_K, _VOCAB_MIN_DF = 100, 2
 
 

@@ -2464,3 +2464,93 @@ def test_bpe_pair_counts_weights_by_word_frequency(spark):
     )
     got = {r["pair"]: r["pair_count"] for r in bpe_pair_counts(df).collect()}
     assert got == {"ab": 4, "cd": 3}
+
+
+def _py_bpe_encode(texts, rules):
+    import re
+
+    out = {}
+    for doc_id, t in texts:
+        if t is None:
+            continue
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        words = [w for w in norm.split(" ") if w != ""]
+        if not words:
+            continue
+        n_tokens = 0
+        for w in words:
+            syms = list(w)
+            for l, r in rules:
+                nxt, merged_last = [], False
+                for x in syms:
+                    if (not merged_last) and nxt and nxt[-1] == l and x == r:
+                        nxt[-1] = l + r
+                        merged_last = True
+                    else:
+                        nxt.append(x)
+                        merged_last = False
+                syms = nxt
+            n_tokens += len(syms)
+        out[doc_id] = (len(words), n_tokens)
+    return out
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Train on one corpus, encode it, and compare per-doc sequence
+    lengths against the independent Python trainer+encoder -- includes
+    single-char words (excluded from TRAINING but still encoded) and
+    within-doc repetition."""
+    from dbt_metrics_ingestion_script_spark.operators.text import (
+        bpe_encode_token_counts,
+        bpe_train,
+    )
+
+    rows = [
+        (1, "the theme of the thesis is these themes the theme"),
+        (2, "a b c the the the"),
+        (3, "banana bandana ananas banana"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_train(df, n_merges=5).orderBy("rank").collect()
+    ]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_token_counts(df, rules).collect()
+    }
+    py_rules = [(l, r) for _, l, r, _, _ in _py_bpe_reference(
+        [t for _, t in rows], 5
+    )]
+    assert py_rules == rules
+    assert got == _py_bpe_encode(rows, rules)
+
+
+def test_bpe_encode_compresses_fixture_corpus(spark, sf_dir):
+    """Sanity on real data: every merge strictly reduces or preserves
+    each doc's length, and the corpus-total BPE token count after 4
+    merges sits strictly between per-char and per-word totals."""
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators.text import (
+        bpe_encode_token_counts,
+        bpe_train,
+    )
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=4).orderBy("rank").collect()
+    ]
+    assert len(rules) == 4
+    enc = bpe_encode_token_counts(docs, rules)
+    base = bpe_encode_token_counts(docs, [])  # char-level baseline
+    j = enc.alias("e").join(base.alias("b"), "doc_id")
+    bad = j.where(
+        (F.col("e.n_bpe_tokens") > F.col("b.n_bpe_tokens"))
+        | (F.col("e.n_bpe_tokens") < F.col("e.n_words"))
+    ).count()
+    assert bad == 0

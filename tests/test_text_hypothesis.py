@@ -125,6 +125,9 @@ CORPUS_QUERIES = [
     "dedup_fuzzy_title_pairs",
     "dedup_fuzzy_title_pairs_dense",
     "text_zipf_slope",
+    # round-7 additions over the documents table
+    "corpus_dup_ngram_fraction",
+    "text_bpe_pair_counts",
 ]
 
 
