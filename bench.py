@@ -183,6 +183,7 @@ HEADLINE = [
     "tpch_q15_top_supplier",
     "tpch_q18_large_volume_customer",
     "tpch_q19_discounted_revenue",
+    "events_user_rolling_features",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

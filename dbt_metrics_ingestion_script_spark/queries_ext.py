@@ -2037,6 +2037,44 @@ def text_bpe_pair_counts(spark, sf_dir):
     )
 
 
+def _rolling_features_oracle() -> str:
+    from .operators.features import DEFAULT_HORIZONS
+
+    # window specs generated from the SAME horizon table the Spark
+    # operator uses (the hopping-window shared-geometry discipline:
+    # query and oracle cannot drift)
+    sels, wins = [], []
+    for suffix, span in DEFAULT_HORIZONS:
+        wname = f"w_{suffix}"
+        sels.append(f"COUNT(*) OVER {wname} AS n_{suffix}")
+        sels.append(
+            f"ROUND(COALESCE(SUM(value) OVER {wname}, 0.0), 6)"
+            f" AS value_{suffix}"
+        )
+        wins.append(
+            f"{wname} AS (PARTITION BY user_id ORDER BY epoch_us(ts)"
+            f" RANGE BETWEEN {span} PRECEDING AND 1 PRECEDING)"
+        )
+    return (
+        "SELECT event_id, user_id, ts, "
+        + ", ".join(sels)
+        + " FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL"
+        + " WINDOW "
+        + ", ".join(wins)
+    )
+
+
+@register("events_user_rolling_features", _rolling_features_oracle())
+def events_user_rolling_features(spark, sf_dir):
+    """Feature-store shape: per-event trailing count/value-sum features
+    over 1h/24h/7d horizons, point-in-time correct (frames end 1 µs
+    before the event, so co-timestamped peers never leak).  All
+    horizons share ONE (user, ts-µs) exchange+sort."""
+    from .operators.features import rolling_user_features
+
+    return rolling_user_features(load_table(spark, sf_dir, "events"))
+
+
 _BPE_MERGES = 8
 
 

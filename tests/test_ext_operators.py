@@ -2554,3 +2554,48 @@ def test_bpe_encode_compresses_fixture_corpus(spark, sf_dir):
         | (F.col("e.n_bpe_tokens") < F.col("e.n_words"))
     ).count()
     assert bad == 0
+
+
+def test_rolling_features_point_in_time_no_leakage(spark):
+    """Co-timestamped events must not see each other (a CURRENT ROW
+    bound would leak the label event into its own features), strictly
+    earlier events inside the horizon count, and events outside it
+    fall off."""
+    from datetime import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.features import (
+        rolling_user_features,
+    )
+
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # two co-timestamped events for user 1 + one 30 min earlier +
+        # one 8 days earlier (outside every horizon)
+        (1, datetime(2024, 1, 2, 12, 0, 0), 10, "view", 100.0, None),
+        (2, datetime(2024, 1, 10, 11, 30, 0), 10, "view", 7.0, None),
+        (3, t0, 10, "view", 1.0, None),
+        (4, t0, 10, "purchase", 2.0, None),
+        # NULL user / NULL ts: not featurizable
+        (5, t0, None, "view", 9.0, None),
+        (6, None, 10, "view", 9.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["event_id"]: r for r in rolling_user_features(df).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    # both co-timestamped events see ONLY the 11:30 event in 1h
+    for eid in (3, 4):
+        assert got[eid]["n_1h"] == 1
+        assert got[eid]["value_1h"] == 7.0
+        assert got[eid]["n_7d"] == 1  # 8-day-old event fell off
+    # the 11:30 event sees nothing in 1h, nothing in 7d (Jan 2 is
+    # 8 days back), and zero-coalesced sums
+    assert got[2]["n_1h"] == 0 and got[2]["value_1h"] == 0.0
+    assert got[2]["n_7d"] == 0
+    # the earliest event sees an empty history
+    assert got[1]["n_7d"] == 0 and got[1]["value_7d"] == 0.0

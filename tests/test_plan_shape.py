@@ -498,6 +498,16 @@ def test_dup_ngram_fraction_single_scan_window_df(spark):
     assert shuffles <= 2, plan
 
 
+def test_rolling_features_share_one_exchange_and_sort(spark):
+    """All three feature horizons (6 window aggregates) ride ONE
+    (user, ts) hash-partition exchange and ONE sort: adding a horizon
+    must cost zero additional shuffles."""
+    plan = plan_of(run(spark, "events_user_rolling_features"), "simple")
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, plan
+    assert plan.count("Sort ") + plan.count("Sort[") <= 2, plan
+
+
 def test_tpch_q13_left_outer_preserves_empty_groups(spark):
     """The distribution anchor keeps zero-order customers: the join is
     LeftOuter (an inner join would silently drop the c_count=0 bucket),

@@ -303,6 +303,8 @@ EVENT_ANALYTICS_QUERIES = [
     "events_scd2_user_state",
     "events_countmin_user_counts",
     "events_zorder_layout",
+    # round-7 event analytics
+    "events_user_rolling_features",
 ]
 
 
