@@ -360,6 +360,38 @@ def test_coverage_md_in_lockstep_with_registry(spark):
     assert not missing, f"COVERAGE.md missing: {missing}"
 
 
+def test_committed_evidence_in_lockstep_with_registry(spark):
+    """The latest committed DRIVERSIM_r{N}.txt and PLANAUDIT_r{N}.txt
+    must list EVERY driver-registered query, so a query landing after
+    the round's evidence-regeneration pass fails CI instead of shipping
+    unverified (VERDICT r7 item 1: the round-7 tree registered
+    events_user_rolling_features after both artifacts were generated).
+    Rule this enforces: evidence regeneration is the round's FINAL
+    functional commit."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).parent.parent
+    driver_names = [n for n, qd in q.REGISTRY.items() if qd.driver]
+
+    def latest(prefix: str) -> pathlib.Path:
+        cands = {
+            int(m.group(1)): p
+            for p in root.glob(f"{prefix}_r*.txt")
+            if (m := re.match(rf"{prefix}_r(\d+)", p.name))
+        }
+        assert cands, f"no committed {prefix}_r*.txt evidence"
+        return cands[max(cands)]
+
+    sim = latest("DRIVERSIM").read_text()
+    missing = [n for n in driver_names if f"PASS {n}:" not in sim]
+    assert not missing, f"latest DRIVERSIM missing/failing: {missing}"
+
+    audit = latest("PLANAUDIT").read_text()
+    missing = [n for n in driver_names if not re.search(rf"^{n} ", audit, re.M)]
+    assert not missing, f"latest PLANAUDIT missing: {missing}"
+
+
 def test_quality_classifier_is_shuffle_free(spark):
     """The feature-hashing classifier is one map-side projection: token
     hashing, the int64 weight fold, and the threshold all run inside
