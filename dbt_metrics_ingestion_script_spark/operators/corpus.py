@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MERSENNE31, family_hash, hash31
+from ..functions.hashing import MERSENNE31, family_hash, hash31, hash64
 from .dedup import normalize_text, word_shingles
 
 
@@ -53,12 +53,18 @@ def decontaminate_ngram_overlap(
 
     Output: (doc_id, n_overlap) for flagged docs.  n=13 is the published
     decontamination standard; tests use smaller n to suit tiny fixtures.
+
+    Gram IDENTITY is the 64-bit portable hash: a web-scale corpus holds
+    ~1e11 distinct n-grams, far past the ~46k-gram birthday bound of a
+    2^31 space, where 31-bit identity would over-flag (collisions read
+    as contamination).  60 bits pushes the birthday bound to ~1e9 grams
+    with negligible collision mass at 1e11 (see SCALE.md "Hash widths").
     """
     def grams(df: DataFrame) -> DataFrame:
         return df.select(
             F.col(id_col),
             F.explode(
-                F.transform(word_shingles(text_col, n), hash31)
+                F.transform(word_shingles(text_col, n), hash64)
             ).alias("gram"),
         )
 
@@ -119,12 +125,17 @@ def decontaminate_bloom(
         raise ValueError(f"need k >= 1 and m_bits >= 2, got k={k}, m_bits={m_bits}")
 
     def gram_positions(df: DataFrame) -> DataFrame:
+        # gram IDENTITY is 64-bit (collision-safe grouping key at corpus
+        # scale); the universal-hash family needs a <2^31 operand so its
+        # int64 products can't overflow, so POSITIONS derive from the
+        # masked low 31 bits -- Bloom positions are lossy by design
         grams = df.select(
             F.col(id_col),
             F.explode(word_shingles(text_col, n)).alias("gram"),
-        ).select(F.col(id_col), hash31("gram").alias("__g"))
+        ).select(F.col(id_col), hash64("gram").alias("__g"))
+        g31 = F.col("__g").bitwiseAND(F.lit(MERSENNE31))
         pos = F.array(
-            *[(family_hash(F.col("__g"), j) % m_bits).alias(str(j)) for j in range(k)]
+            *[(family_hash(g31, j) % m_bits).alias(str(j)) for j in range(k)]
         )
         return grams.select(
             F.col(id_col), F.col("__g"), F.posexplode(pos).alias("__j", "__pos")
@@ -136,7 +147,7 @@ def decontaminate_bloom(
         .join(F.broadcast(bloom), "__pos")
         # count DISTINCT hash indices: == k means every position of
         # this gram is set.  Distinct (not count(*)) so two same-doc
-        # grams colliding to one 31-bit value -- whose position rows
+        # grams colliding to one 64-bit value -- whose position rows
         # are exact duplicates -- can't double-count an index
         .groupBy(id_col, "__g")
         .agg(F.count_distinct("__j").alias("__set"))
@@ -165,7 +176,7 @@ def cross_doc_dup_fraction(
     Output: (doc_id, n_grams, n_dup_grams, dup_fraction).
 
     Scale shape: documents scan ONCE.  The gram document-frequency is a
-    count window partitioned by the 31-bit gram hash over the exploded
+    count window partitioned by the 64-bit gram hash over the exploded
     (doc, gram) frame -- word_shingles is array_distinct per doc, so
     the per-gram row count IS its document frequency, and the window
     reuses the same gram-keyed exchange a groupBy-then-self-join
@@ -173,11 +184,19 @@ def cross_doc_dup_fraction(
     the corpus).  Two keyed shuffles total (gram window + doc_id
     rollup), both over slim (id, gram-hash) rows, never the text
     payload.  At 100 TB, stride or Bloom-prefilter the gram stream if
-    the exploded frame dominates; the window shape is unchanged."""
+    the exploded frame dominates; the window shape is unchanged.
+
+    Gram identity is 64-bit deliberately: document frequency counts
+    COLLIDING hashes as the same gram, so in a 2^31 space any corpus
+    past the ~46k-gram birthday bound inflates dup_fraction toward 1
+    (two distinct grams colliding -- even within one document -- read
+    as cross-document duplicates).  The 60-bit md5 prefix keeps the
+    expected collision mass negligible at the ~1e11 distinct grams of
+    a web corpus (SCALE.md "Hash widths")."""
     grams = df.select(
         F.col(id_col),
         F.explode(
-            F.transform(word_shingles(text_col, n), hash31)
+            F.transform(word_shingles(text_col, n), hash64)
         ).alias("gram"),
     )
     w = Window.partitionBy("gram")

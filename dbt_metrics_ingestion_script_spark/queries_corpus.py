@@ -44,7 +44,7 @@ def _decon_oracle() -> str:
              END AS shingles
       FROM tok
     ), grams AS (
-      SELECT doc_id, {_H31.format(x='s.sh')} AS gram
+      SELECT doc_id, {_H.format(x='s.sh')} AS gram
       FROM sh, unnest(shingles) AS s(sh)
     )
     SELECT t.doc_id, COUNT(*) AS n_overlap
@@ -360,7 +360,7 @@ def _bloom_oracle() -> str:
 
     n = _DECON_N
     cases = " ".join(
-        f"WHEN {j} THEN ({a} * g + {b}) % {MERSENNE31}"
+        f"WHEN {j} THEN ({a} * (g & {MERSENNE31}) + {b}) % {MERSENNE31}"
         for j, (a, b) in ((j, _family_coeffs(j)) for j in range(_BLOOM_K))
     )
     return rf"""
@@ -376,7 +376,7 @@ def _bloom_oracle() -> str:
              END AS shingles
       FROM tok
     ), g AS (
-      SELECT doc_id, {_H31.format(x='s.sh')} AS g
+      SELECT doc_id, {_H.format(x='s.sh')} AS g
       FROM sh, unnest(shingles) AS s(sh)
     ), pos AS (
       SELECT doc_id, g, j.j AS j,
@@ -616,7 +616,7 @@ def _dup_ngram_oracle() -> str:
              END AS shingles
       FROM tok
     ), grams AS (
-      SELECT doc_id, {_H31.format(x='s.sh')} AS gram
+      SELECT doc_id, {_H.format(x='s.sh')} AS gram
       FROM sh, unnest(shingles) AS s(sh)
     ), with_df AS (
       SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS gram_df
