@@ -285,7 +285,12 @@ def ann_recall(
     windowed-WAU queries -- an approximate path ships with its own
     measured quality, not a hoped-for one).
 
-    Output: 1 row (k, n_hits, recall).  Both sides round scores BEFORE
+    Output: 1 row (k, n_exact, n_hits, recall).  recall divides by the
+    exact side's ACTUAL row count, not the nominal k -- a corpus (or
+    filtered probe set) smaller than k yields fewer than k true
+    neighbors, and dividing by k would understate recall, capping it
+    below 1.0 even for a perfect index (ADVICE r7).  k stays in the
+    output for context.  Both sides round scores BEFORE
     their order/limit so the two engines of the differential harness
     select identical row sets at ties (the ivf_topk convention).  At
     100 TB the exact side is the expensive one (full corpus scan per
@@ -312,13 +317,20 @@ def ann_recall(
         vec_col=vec_col,
         round_digits=round_digits,
     ).select(id_col)
+    # LEFT join with a hit marker so ONE pass over the exact top-k
+    # yields both the denominator (actual exact rows) and the numerator
+    # -- a separate exact.count() would re-run the full corpus scan
     return (
-        exact.join(approx, id_col, "left_semi")
-        .agg(F.count("*").alias("n_hits"))
+        exact.join(approx.withColumn("__hit", F.lit(1)), id_col, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hits"),
+        )
         .select(
             F.lit(k).alias("k"),
+            F.col("n_exact"),
             F.col("n_hits"),
-            F.round(F.col("n_hits") / F.lit(k), 6).alias("recall"),
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
         )
     )
 

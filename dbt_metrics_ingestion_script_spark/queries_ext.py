@@ -851,8 +851,10 @@ def _ann_recall_oracle(
       LIMIT {k}
     )
     SELECT {k} AS k,
+           (SELECT COUNT(*) FROM exactk) AS n_exact,
            COUNT(*) AS n_hits,
-           ROUND(COUNT(*) / {k}.0, 6) AS recall
+           ROUND(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM exactk), 6)
+             AS recall
     FROM exactk JOIN ivfk USING (id)
     """
     )

@@ -32,6 +32,46 @@ GRAIN_DURATION = {
 }
 
 
+def _swap_snapshot(nxt: str, cur: str) -> None:
+    """Crash-atomic snapshot swap for foreachBatch state stores.
+
+    rmtree(cur)-then-replace (the naive form) has a window where a
+    crash loses the ENTIRE prior snapshot: the checkpoint-replayed
+    batch then sees no `cur` and silently rebuilds from batch state
+    alone (ADVICE r7).  Rename-based swap instead: the prior snapshot
+    moves wholesale to a trash path (one rename, never deleted before
+    the new state is in place), the new snapshot renames in, and only
+    then is trash removed.  Every crash point leaves the state
+    recoverable: before the first rename `cur` is intact; between the
+    renames `cur`'s content lives at the trash path and
+    `_recover_snapshot` restores it on replay; after the second rename
+    the NEW state is current and trash is garbage."""
+    import os
+    import shutil
+
+    trash = cur + ".trash"
+    if os.path.exists(trash):  # leftover garbage from a completed swap
+        shutil.rmtree(trash)
+    if os.path.exists(cur):
+        os.replace(cur, trash)
+    os.replace(nxt, cur)
+    if os.path.exists(trash):
+        shutil.rmtree(trash)
+
+
+def _recover_snapshot(cur: str) -> None:
+    """Replay-time recovery for `_swap_snapshot`: if a crash landed
+    between the two renames, `cur` is missing but its content is at the
+    trash path -- restore it before the batch reads prior state.  (If
+    both exist, the swap completed and trash is garbage; `_swap_snapshot`
+    clears it on the next write.)"""
+    import os
+
+    trash = cur + ".trash"
+    if not os.path.exists(cur) and os.path.exists(trash):
+        os.replace(trash, cur)
+
+
 def read_events_stream(
     spark: SparkSession, events_dir: str, schema=None
 ) -> DataFrame:
@@ -403,7 +443,6 @@ def streaming_metric_store_upsert(
     DataFrame.
     """
     import os
-    import shutil
 
     from ..operators.merge import merge_upsert
 
@@ -413,6 +452,7 @@ def streaming_metric_store_upsert(
     cur = os.path.join(store_dir, "current")
 
     def upsert(batch_df, batch_id: int) -> None:
+        _recover_snapshot(cur)
         batch = batch_df.select(
             "ts", "event_type", "n_events", "total_value"
         )
@@ -432,9 +472,7 @@ def streaming_metric_store_upsert(
             merged = batch
         nxt = os.path.join(store_dir, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(nxt)
-        if os.path.exists(cur):
-            shutil.rmtree(cur)
-        os.replace(nxt, cur)
+        _swap_snapshot(nxt, cur)
 
     q = (
         agg.writeStream.foreachBatch(upsert)
@@ -481,7 +519,6 @@ def streaming_incremental_clustering(
     batch-internal pairs) at this maintainer and labels stay current as
     vectors arrive.  Returns the final label snapshot DataFrame."""
     import os
-    import shutil
 
     from ..operators.dedup import (
         duplicate_clusters_incremental,
@@ -491,6 +528,7 @@ def streaming_incremental_clustering(
     cur = os.path.join(store_dir, "current")
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_snapshot(cur)
         if os.path.exists(cur):
             prior = spark.read.parquet(cur)
             out = duplicate_clusters_incremental(
@@ -500,9 +538,7 @@ def streaming_incremental_clustering(
             out = duplicate_clusters_star(batch_df, id_a=id_a, id_b=id_b)
         nxt = os.path.join(store_dir, f"v{batch_id}")
         out.write.mode("overwrite").parquet(nxt)
-        if os.path.exists(cur):
-            shutil.rmtree(cur)
-        os.replace(nxt, cur)
+        _swap_snapshot(nxt, cur)
 
     q = (
         pairs_stream.writeStream.foreachBatch(fold)

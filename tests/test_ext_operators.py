@@ -203,12 +203,31 @@ def test_ann_recall_is_one_when_probing_all(spark, sf_dir):
     full = similarity.ann_recall(
         emb, _min_id_query(emb), k=10, n_centroids=8, n_probe=8
     ).collect()[0]
-    assert (full["k"], full["n_hits"], full["recall"]) == (10, 10, 1.0)
+    assert (full["k"], full["n_exact"], full["n_hits"], full["recall"]) == (
+        10, 10, 10, 1.0,
+    )
     pruned = similarity.ann_recall(
         emb, _min_id_query(emb), k=10, n_centroids=16, n_probe=4
     ).collect()[0]
     assert 0 < pruned["n_hits"] <= 10
-    assert pruned["recall"] == round(pruned["n_hits"] / 10, 6)
+    assert pruned["recall"] == round(pruned["n_hits"] / pruned["n_exact"], 6)
+
+
+def test_ann_recall_small_corpus_reaches_one(spark, sf_dir):
+    """A corpus smaller than k yields n_exact < k; a perfect index must
+    still measure recall == 1.0 (ADVICE r7: dividing by the literal k
+    understated recall for small/filtered probe sets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from dbt_metrics_ingestion_script_spark.queries_ext import _min_id_query
+
+    small = emb.orderBy("vec_id").limit(6)
+    r = similarity.ann_recall(
+        small, _min_id_query(small), k=10, n_centroids=2, n_probe=2
+    ).collect()[0]
+    assert r["k"] == 10
+    assert r["n_exact"] == 6
+    assert r["n_hits"] == 6
+    assert r["recall"] == 1.0
 
 
 def test_cluster_balanced_cap_semantics(spark, sf_dir):

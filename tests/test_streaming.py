@@ -1110,3 +1110,53 @@ def test_streaming_incremental_clustering_converges_to_batch(spark, tmp_path):
     commits = os.path.join(store, "_checkpoint", "commits")
     assert os.path.exists(os.path.join(commits, "0"))
     assert os.path.exists(os.path.join(commits, "1"))
+
+
+def test_snapshot_swap_is_crash_recoverable(tmp_path):
+    """ADVICE r7: the old rmtree-then-replace swap lost ALL prior state
+    if a crash landed between the two calls.  The rename-based swap
+    keeps a recoverable copy at every crash point; _recover_snapshot
+    restores the mid-swap state on checkpoint replay."""
+    import os
+
+    from dbt_metrics_ingestion_script_spark.streaming.metrics_stream import (
+        _recover_snapshot,
+        _swap_snapshot,
+    )
+
+    store = tmp_path / "store"
+    store.mkdir()
+    cur = str(store / "current")
+
+    def mkdir_with(path, marker):
+        os.makedirs(path)
+        (open(os.path.join(path, marker), "w")).close()
+
+    # normal swap: v0 becomes current, nothing left behind
+    mkdir_with(str(store / "v0"), "gen0")
+    _swap_snapshot(str(store / "v0"), cur)
+    assert os.path.exists(os.path.join(cur, "gen0"))
+    assert not os.path.exists(str(store / "v0"))
+    assert not os.path.exists(cur + ".trash")
+
+    # second swap with a prior current: new state wins, trash cleaned
+    mkdir_with(str(store / "v1"), "gen1")
+    _swap_snapshot(str(store / "v1"), cur)
+    assert os.path.exists(os.path.join(cur, "gen1"))
+    assert not os.path.exists(cur + ".trash")
+
+    # simulate a crash BETWEEN the two renames: cur moved to trash, the
+    # new snapshot not yet renamed in (the window the old code turned
+    # into total state loss)
+    os.replace(cur, cur + ".trash")
+    mkdir_with(str(store / "v2"), "gen2")
+    _recover_snapshot(cur)
+    assert os.path.exists(os.path.join(cur, "gen1"))  # prior state back
+    # the replayed batch then re-runs its swap and lands the new state
+    _swap_snapshot(str(store / "v2"), cur)
+    assert os.path.exists(os.path.join(cur, "gen2"))
+    assert not os.path.exists(cur + ".trash")
+
+    # recovery is a no-op when the swap completed (cur present)
+    _recover_snapshot(cur)
+    assert os.path.exists(os.path.join(cur, "gen2"))
