@@ -671,9 +671,14 @@ class MetricCompiler:
         }
         names = list(frames)
         joined = frames[names[0]]
-        key_cols = [c for c in joined.columns if c not in names]
         for m in names[1:]:
             f = frames[m]
+            # shared keys recomputed from the JOINED frame each
+            # iteration (ADVICE r7): with >=3 inputs at incomparable
+            # granularities (dims {a}, {b}, {a,b}) a key introduced by
+            # the SECOND input must join the third, or the duplicate
+            # column is AMBIGUOUS_REFERENCE downstream
+            key_cols = [c for c in joined.columns if c not in names]
             shared = [c for c in key_cols if c in f.columns]
             joined = joined.join(f, on=shared, how="full") if shared else joined.crossJoin(f)
         out_keys = [c for c in joined.columns if c not in names]
@@ -781,20 +786,30 @@ class MetricCompiler:
         value once -- `size(collect_set(...))` over the window, exact).
         Percentile/median are not re-aggregable -> join fallback.
 
-        Restricted to UNFILTERED inputs: with per-input filters the
-        FULL-join path can emit a coarse-only row with NULL fine keys
-        where this shape would fan the coarse value across fine rows --
-        a genuine multiplicity difference, so filtered cross-granularity
-        inputs keep the join path.  Equivalence (including the fan-out
-        semantics of joining a coarse input onto fine keys) is pinned by
-        tests/test_metric_compiler.py::test_derived_fusion_subset_dims.
+        FILTERED inputs (round 8, r7 stretch): per-input filters become
+        conditional partials + 1/NULL match markers (the equal-dims
+        technique), PROVIDED at least one input at the FINEST
+        granularity is unfiltered.  That anchor guarantees the fused
+        row set (all fine buckets) equals the join path's: with every
+        fine input filtered, the join path can emit a COARSE-ONLY row
+        with NULL fine keys (a coarse filter matching a bucket no fine
+        input selected) where this shape would instead fan the coarse
+        value across real fine keys -- a genuine multiplicity
+        difference, detected here and sent to the join path.
+        Equivalence (including the fan-out semantics of joining a
+        coarse input onto fine keys, and NULL placement for filtered
+        coarse inputs) is pinned by
+        tests/test_metric_compiler.py::test_derived_fusion_subset_dims*
+        and the randomized differential.
         """
-        if any(i.filters for i in inputs):
-            return None
         fine = max(inputs, key=lambda i: len(i.dimensions))
         fine_dims = set(fine.dimensions)
         if any(not set(i.dimensions) <= fine_dims for i in inputs):
             return None  # no unique finest grouping -> join path
+        if any(i.filters for i in inputs) and not any(
+            not i.filters and set(i.dimensions) == fine_dims for i in inputs
+        ):
+            return None  # no unfiltered fine anchor -> coarse-only rows possible
         grain_active = bool(grain and grain != "all_time")
         for inp in inputs:
             if set(inp.dimensions) == fine_dims:
@@ -811,46 +826,67 @@ class MetricCompiler:
         df = self.resolver(fine.model)
         keys = self._group_keys(fine, grain)
         base_aggs: list[Column] = []
-        finals: list[tuple[MetricSpec, str | None, str | None]] = []
+        # (spec, value/sum partial, count partial, marker col)
+        finals: list[tuple[MetricSpec, str | None, str | None, str | None]] = []
         for idx, inp in enumerate(inputs):
+            pred = filters_predicate(inp.filters)
+            marker = None
+            if pred is not None:
+                marker = f"__mk_{idx}"
+                base_aggs.append(F.max(F.when(pred, F.lit(1))).alias(marker))
             if set(inp.dimensions) == fine_dims:
                 base_aggs.append(
                     _agg_column(
                         inp.calculation_method,
                         inp.expression,
+                        cond=pred,
                         approx_distinct=self.approx_distinct,
                         rsd=self.rsd,
                         percentile=inp.percentile,
                     ).alias(inp.name)
                 )
-                finals.append((inp, None, None))
+                finals.append((inp, None, None, marker))
             elif inp.calculation_method == "average":
                 s, c = f"__ps_{idx}", f"__pc_{idx}"
-                base_aggs.append(F.sum(F.expr(inp.expression)).alias(s))
-                base_aggs.append(F.count(F.expr(inp.expression)).alias(c))
-                finals.append((inp, s, c))
+                e = F.expr(inp.expression)
+                e = F.when(pred, e) if pred is not None else e
+                base_aggs.append(F.sum(e).alias(s))
+                base_aggs.append(F.count(e).alias(c))
+                finals.append((inp, s, c, marker))
             elif inp.calculation_method == "count_distinct":
-                finals.append((inp, None, None))
+                finals.append((inp, None, None, marker))
             else:
                 p = f"__ps_{idx}"
                 base_aggs.append(
-                    _agg_column(inp.calculation_method, inp.expression).alias(p)
+                    _agg_column(
+                        inp.calculation_method, inp.expression, cond=pred
+                    ).alias(p)
                 )
-                finals.append((inp, p, None))
+                finals.append((inp, p, None, marker))
         base = df.groupBy(*keys).agg(*base_aggs) if keys else df.agg(*base_aggs)
         out_cols: list[Column] = []
-        for inp, partial, count_partial in finals:
+        for inp, partial, count_partial, marker in finals:
             if set(inp.dimensions) == fine_dims:
-                out_cols.append(F.col(inp.name))
+                val = F.col(inp.name)
+                if marker is not None:
+                    val = F.when(F.col(marker) == 1, val)
+                out_cols.append(val.alias(inp.name))
                 continue
             parts = ([TS_COL] if grain_active else []) + list(inp.dimensions)
             w = Window.partitionBy(*parts)
             if inp.calculation_method == "count_distinct":
                 expr_col = inp.expression.strip()
+                # filtered: only fine buckets with a matched row
+                # contribute their key value to the distinct set
+                key_val = (
+                    F.when(F.col(marker) == 1, F.col(expr_col))
+                    if marker is not None
+                    else F.col(expr_col)
+                )
                 if self.approx_distinct:
-                    val = F.approx_count_distinct(expr_col, self.rsd).over(w)
+                    val = F.approx_count_distinct(key_val, self.rsd).over(w)
                 else:
-                    val = F.size(F.collect_set(F.col(expr_col)).over(w))
+                    val = F.size(F.collect_set(key_val).over(w))
             elif inp.calculation_method == "average":
                 total = F.sum(F.col(partial)).over(w)
                 cnt = F.sum(F.col(count_partial)).over(w)
@@ -860,6 +896,11 @@ class MetricCompiler:
                     inp.calculation_method
                 ]
                 val = acc(F.col(partial)).over(w)
+            if marker is not None and inp.calculation_method != "average":
+                # join-path parity: a coarse bucket the filter never
+                # matched is NULL (absent from that input's frame), not
+                # a visible 0 from the conditional partials
+                val = F.when(F.max(F.col(marker)).over(w) == 1, val)
             out_cols.append(val.alias(inp.name))
         out_keys = ([TS_COL] if grain_active else []) + list(fine.dimensions)
         resolved = base.select(*out_keys, *out_cols)

@@ -473,9 +473,10 @@ def test_derived_fusion_subset_dims(spark, sf_dir):
 
 
 def test_derived_fusion_filtered_subset_dims_falls_back(spark, sf_dir):
-    """Filtered cross-granularity inputs must keep the join path (the
-    coarse-only-bucket multiplicity difference documented in
-    _compile_derived_fused_subset)."""
+    """With EVERY fine-granularity input filtered there is no unfiltered
+    anchor, so the join path's coarse-only rows (NULL fine keys) are
+    possible and fusion must decline (the multiplicity difference
+    documented in _compile_derived_fused_subset)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     rv = MetricSpec(
         name="rv", calculation_method="sum", expression="o_totalprice",
@@ -494,8 +495,87 @@ def test_derived_fusion_filtered_subset_dims_falls_back(spark, sf_dir):
     assert "Join" in _plan_text(comp.compile(der, "month"))
 
 
+def test_derived_fusion_filtered_coarse_with_unfiltered_anchor(spark, sf_dir):
+    """r7 stretch: filtered COARSE inputs fuse when an unfiltered
+    fine-granularity anchor pins the row set -- conditional partials +
+    match markers reproduce the join path's NULL placement exactly
+    (a coarse bucket the filter never matched is NULL, not 0)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rv = MetricSpec(
+        name="rv", calculation_method="sum", expression="o_totalprice",
+        model="orders", timestamp="o_orderdate", dimensions=["o_custkey"],
+    )
+    fo = MetricSpec(  # filtered coarse count
+        name="fo", calculation_method="count", expression="*",
+        model="orders", timestamp="o_orderdate",
+        filters=[MetricFilter(field="o_orderstatus", operator="=", value="F")],
+    )
+    fc = MetricSpec(  # filtered coarse count_distinct over a fine dim
+        name="fc", calculation_method="count_distinct", expression="o_custkey",
+        model="orders", timestamp="o_orderdate",
+        filters=[MetricFilter(field="o_orderstatus", operator="=", value="O")],
+    )
+    der = MetricSpec(
+        name="x", metric_type="derived", expression="rv / fo + fc",
+        model="orders", input_metrics=["rv", "fo", "fc"],
+    )
+    comp = MetricCompiler(
+        lambda m: orders, registry={"rv": rv, "fo": fo, "fc": fc}
+    )
+    fused = comp.compile(der, "month")
+    plan = _plan_text(fused)
+    assert plan.count("orders.parquet") == 1
+    assert "Join" not in plan
+    assert _rows(fused) == _rows(
+        _forced_join_compile(orders, [rv, fo, fc], der, "month")
+    )
+
+
+def test_derived_join_path_multi_coarse_incomparable_dims(spark):
+    """ADVICE r7: the FULL-join reference path with >=3 inputs at
+    INCOMPARABLE granularities (dims {a}, {b}, fine {a,b}) used to
+    crash with AMBIGUOUS_REFERENCE (shared keys computed from the first
+    frame only); shared keys now accumulate from the joined frame, so
+    the third input joins on BOTH dims and the fused subset path can be
+    differentially verified against it."""
+    import datetime
+
+    rows = [
+        (datetime.date(2024, 1 + i % 3, 1 + i % 5),
+         ["A", "B"][i % 2], ["X", "Y", "Z"][i % 3], float(i))
+        for i in range(30)
+    ]
+    frame = spark.createDataFrame(
+        rows, "o_orderdate date, a string, b string, v double"
+    )
+    ma = MetricSpec(
+        name="ma", calculation_method="sum", expression="v",
+        model="orders", timestamp="o_orderdate", dimensions=["a"],
+    )
+    mb = MetricSpec(
+        name="mb", calculation_method="count", expression="v",
+        model="orders", timestamp="o_orderdate", dimensions=["b"],
+    )
+    mab = MetricSpec(
+        name="mab", calculation_method="max", expression="v",
+        model="orders", timestamp="o_orderdate", dimensions=["a", "b"],
+    )
+    der = MetricSpec(
+        name="r", metric_type="derived", expression="ma + mb + mab",
+        model="orders", input_metrics=["ma", "mb", "mab"],
+    )
+    joined = _forced_join_compile(frame, [ma, mb, mab], der, "month")
+    assert set(joined.columns) == {"ts", "a", "b", "r"}
+    comp = MetricCompiler(
+        lambda m: frame, registry={"ma": ma, "mb": mb, "mab": mab}
+    )
+    fused = comp.compile(der, "month")
+    assert "Join" not in _plan_text(fused)
+    assert _rows(fused) == _rows(joined)
+
+
 @settings(
-    max_examples=12,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -515,11 +595,14 @@ def test_derived_fusion_equivalence_random(spark, data):
                 i,
                 datetime.date(2024, 1 + i % 4, 1 + i % 27),
                 statuses[i % 3],
+                ["X", "Y"][i % 2],
                 float(i % 7) if i % 11 else None,
             )
         )
     frame = spark.createDataFrame(
-        rows, "o_orderkey long, o_orderdate date, o_orderstatus string, v double"
+        rows,
+        "o_orderkey long, o_orderdate date, o_orderstatus string,"
+        " region string, v double",
     )
 
     def rand_filters(allow_empty=True):
@@ -533,25 +616,51 @@ def test_derived_fusion_equivalence_random(spark, data):
 
     tier = data.draw(st.sampled_from(["equal_dims", "subset_dims"]))
     methods_all = ["sum", "count", "count_distinct", "average", "min", "max"]
+    fine_dims = ["o_orderstatus", "region"]
     inputs = []
     n_inputs = data.draw(st.integers(2, 3))
     for i in range(n_inputs):
         if tier == "equal_dims":
             m = data.draw(st.sampled_from(methods_all))
             dims, filters = [], rand_filters()
+            expr = "o_orderkey" if m == "count_distinct" else "v"
         else:
-            # finest input carries the dim; coarse ones must be
-            # re-derivable and unfiltered (the documented fusion gate)
+            # input 0 is the unfiltered finest anchor (the r8 fusion
+            # gate); the rest draw any dimension subset -- including
+            # INCOMPARABLE coarse subsets ({status} and {region}
+            # together, the ADVICE r7 join-path crash shape) -- and,
+            # off the anchor, any filter the marker machinery must
+            # reproduce
             if i == 0:
                 m = data.draw(st.sampled_from(methods_all))
-                dims = ["o_orderstatus"]
+                dims, filters = fine_dims, []
+                expr = "o_orderkey" if m == "count_distinct" else "v"
             else:
-                m = data.draw(
-                    st.sampled_from(["sum", "count", "average", "min", "max"])
+                dims = data.draw(
+                    st.sampled_from(
+                        [fine_dims, ["o_orderstatus"], ["region"], []]
+                    )
                 )
-                dims = []
-            filters = []
-        expr = "o_orderkey" if m == "count_distinct" else "v"
+                filters = rand_filters()
+                if dims == fine_dims:
+                    m = data.draw(st.sampled_from(methods_all))
+                    expr = "o_orderkey" if m == "count_distinct" else "v"
+                else:
+                    m = data.draw(
+                        st.sampled_from(
+                            ["sum", "count", "count_distinct",
+                             "average", "min", "max"]
+                        )
+                    )
+                    if m == "count_distinct":
+                        # re-aggregable only over a fine grouping dim
+                        expr = data.draw(
+                            st.sampled_from(
+                                [d for d in fine_dims if d not in dims]
+                            )
+                        )
+                    else:
+                        expr = "v"
         inputs.append(
             MetricSpec(
                 name=f"m{i}", calculation_method=m, expression=expr,
