@@ -860,11 +860,149 @@ def bpe_train(
     )
 
 
+def _bpe_word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus -> word-frequency table, the shared first stage of both
+    trainers (one scan, one shuffle; Heaps'-law sublinear rows)."""
+    words = df.select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    return words.groupBy("w").agg(F.count("*").alias("wc"))
+
+
+def _merge_word_local(sym: list[str], left: str, right: str) -> list[str]:
+    """Pure-Python replica of `_merge_pair`'s greedy left-to-right scan
+    (merged_last guard included), used by the driver-local trainer."""
+    out: list[str] = []
+    merged_last = False
+    for x in sym:
+        if not merged_last and out and out[-1] == left and x == right:
+            out[-1] = left + right
+            merged_last = True
+        else:
+            out.append(x)
+            merged_last = False
+    return out
+
+
+def bpe_train_local(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE training with the merge loop run DRIVER-LOCALLY over the
+    collected word-frequency table -- the production path for real
+    vocabulary sizes (VERDICT r7 item 3a).
+
+    `bpe_train` runs one Spark aggregate + one 1-row action PER MERGE:
+    at a production 32k-merge vocabulary that is ~64k Spark jobs of
+    pure scheduling overhead, each over a frame that -- by Heaps' law
+    -- fits driver memory comfortably (a 100 TB web corpus has on the
+    order of 1e8 distinct words of ~10 bytes; the CORPUS is what
+    doesn't fit, and it is touched exactly once here, by the
+    distributed word-count).  So: Spark builds the word-frequency
+    table (the only corpus-sized stage), the driver collects it and
+    runs the full Sennrich loop in-process with INCREMENTAL pair-count
+    maintenance (only words containing the winning pair are re-scanned
+    per round -- the classic trainer optimization; a fresh recount per
+    round would be O(vocab) x n_merges).
+
+    Rule selection and the greedy overlap policy replicate `bpe_train`
+    exactly (count DESC, left ASC, right ASC tie-break;
+    `_merge_word_local` mirrors `_merge_pair`), pinned by the
+    exact-equality differential in tests on both the crafted fixture
+    and the real sf0.001 corpus.  Keep `bpe_train` for the rare corpus
+    whose vocabulary outgrows the driver."""
+    rows = _bpe_word_freq(df, text_col).collect()
+    vocab: list[tuple[list[str], int]] = [
+        (list(r["w"]), r["wc"]) for r in rows
+    ]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def add_word(idx: int, sign: int) -> None:
+        sym, wc = vocab[idx]
+        for a, b in zip(sym, sym[1:]):
+            p = (a, b)
+            pair_counts[p] = pair_counts.get(p, 0) + sign * wc
+            if pair_counts[p] == 0:
+                del pair_counts[p]
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(idx)
+            # stale indices from sign<0 are tolerated: the re-scan on a
+            # later win checks actual membership, and counts (the
+            # selection key) are exact
+
+    for i in range(len(vocab)):
+        add_word(i, +1)
+
+    rules = []
+    for rank in range(n_merges):
+        if not pair_counts:
+            break
+        # max count, then lexicographic min -- identical to the Spark
+        # loop's ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), count = best
+        rules.append((rank, left, right, left + right, count))
+        for idx in sorted(pair_words.get((left, right), ())):
+            sym, wc = vocab[idx]
+            merged = _merge_word_local(sym, left, right)
+            if merged == sym:
+                continue  # stale index (pair no longer present)
+            add_word(idx, -1)
+            vocab[idx] = (merged, wc)
+            add_word(idx, +1)
+        pair_words.pop((left, right), None)
+    return df.sparkSession.createDataFrame(
+        rules,
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+def bpe_encode_vocab(
+    vocab: DataFrame,
+    rules: list[tuple[str, str]],
+    word_col: str = "w",
+    rules_per_stage: int = 32,
+) -> DataFrame:
+    """Encode a DISTINCT-WORD vocabulary under a trained rule list,
+    with the merge folds applied in bounded STAGES (VERDICT r7 item
+    3b): chaining one `F.aggregate` fold per rule into a single
+    expression tree builds generated code proportional to the rule
+    count and breaks (or falls off) Janino's method-size limits far
+    below a real 32k-rule tokenizer.  Here each stage chains at most
+    `rules_per_stage` folds into one projection, then materializes the
+    vocabulary-sized intermediate (`localCheckpoint`) so the next
+    stage compiles against a fresh, constant-depth plan -- compile
+    cost is O(rules) total instead of O(rules) in ONE compilation
+    unit, and the data cost is a vocabulary-frame rewrite per stage
+    (tiny: the vocabulary, never the corpus).
+
+    Output: (word_col, n_sym) -- the per-word encoded length, the
+    dimension `bpe_encode_token_counts` broadcast-joins at scale."""
+    if rules_per_stage < 1:
+        raise ValueError("rules_per_stage must be >= 1")
+    enc = vocab.select(
+        F.col(word_col), F.split(word_col, "(?!^)(?=.)").alias("__sym")
+    )
+    for i in range(0, len(rules), rules_per_stage):
+        sym: Column = F.col("__sym")
+        for left, right in rules[i : i + rules_per_stage]:
+            sym = _merge_pair(sym, left, right)
+        enc = enc.select(F.col(word_col), sym.alias("__sym"))
+        if i + rules_per_stage < len(rules):
+            # cut lineage between stages: each stage compiles alone
+            enc = enc.localCheckpoint(eager=True)
+    return enc.select(F.col(word_col), F.size("__sym").alias("n_sym"))
+
+
 def bpe_encode_token_counts(
     df: DataFrame,
     rules: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_chained_rules: int = 48,
 ) -> DataFrame:
     """Encode the corpus with a trained BPE rule list and report
     per-document sequence lengths: (doc_id, n_words, n_bpe_tokens).
@@ -878,14 +1016,19 @@ def bpe_encode_token_counts(
     artifact, not data).
 
     Scale shape: one corpus scan -> per-(doc, word) counts [shuffle 1,
-    map-side partial], the merge-rule folds apply per DISTINCT word
-    per doc (within-doc repetition pays once), then the doc rollup
-    weights by word multiplicity [shuffle 2].  The folds are chained
-    JVM codegen expressions -- no Python in the hot path.  At the
-    extreme, encode the distinct-word VOCABULARY once into a
-    materialized dimension and broadcast-join it (the
-    `vocab_top_terms` precomputed-dimension pattern); the per-(doc,
-    word) fold keeps this operator self-contained for the registry."""
+    map-side partial], merge-rule folds apply per DISTINCT word per
+    doc (within-doc repetition pays once), then the doc rollup weights
+    by word multiplicity [shuffle 2].  The folds are JVM codegen
+    expressions -- no Python in the hot path.
+
+    Rule-count scale (VERDICT r7 item 3b): up to `max_chained_rules`
+    the folds chain inline per (doc, word) -- one expression, zero
+    extra operators.  Past that, a single chained expression breaks
+    Janino's method-size limits long before a real 32k-rule tokenizer,
+    so the distinct-word VOCABULARY is encoded once in bounded stages
+    (`bpe_encode_vocab`) and joined back -- the vocabulary frame is
+    Heaps-sublinear and AQE broadcasts it when small; equality of the
+    two paths and a 500-rule run are pinned in tests."""
     words = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
@@ -893,12 +1036,22 @@ def bpe_encode_token_counts(
     per_doc_word = words.groupBy(id_col, "w").agg(
         F.count("*").alias("n_w")
     )
-    sym = F.split("w", "(?!^)(?=.)")
-    for left, right in rules:
-        sym = _merge_pair(sym, left, right)
+    if len(rules) > max_chained_rules:
+        enc = bpe_encode_vocab(
+            per_doc_word.select("w").distinct(),
+            rules,
+            rules_per_stage=max_chained_rules,
+        )
+        sized = per_doc_word.join(enc, "w").withColumn(
+            "__n_sym", F.col("n_sym")
+        )
+    else:
+        sym = F.split("w", "(?!^)(?=.)")
+        for left, right in rules:
+            sym = _merge_pair(sym, left, right)
+        sized = per_doc_word.withColumn("__n_sym", F.size(sym))
     return (
-        per_doc_word.withColumn("__n_sym", F.size(sym))
-        .groupBy(id_col)
+        sized.groupBy(id_col)
         .agg(
             F.sum("n_w").alias("n_words"),
             F.sum(F.col("n_w") * F.col("__n_sym")).alias("n_bpe_tokens"),
