@@ -77,3 +77,63 @@ def rolling_user_features(
             ).alias(f"value_{suffix}")
         )
     return df.select(*cols)
+
+
+def training_set_point_in_time(
+    events: DataFrame,
+    labels: DataFrame,
+    horizons: list[tuple[str, int]] | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    label_ts_col: str = "label_ts",
+) -> DataFrame:
+    """Point-in-time training-set assembly -- the other half of the
+    feature-store contract (VERDICT r7 item 6): every label row gets
+    the user's feature vector AS OF its timestamp, by composing
+    `rolling_user_features` (features materialized at event times)
+    with the backward as-of join (latest feature row with
+    feature_ts <= label_ts per user).
+
+    No label leakage, by construction twice over: the as-of bound is
+    backward, and the feature row CO-TIMESTAMPED with the label (the
+    usual leak -- the label event is itself an event) carries a frame
+    ending 1 µs BEFORE that timestamp, so even a feature vector taken
+    AT label time excludes the label event and its co-timestamped
+    peers (pinned by the leakage test).
+
+    Co-timestamped events per (user, ts) share identical RANGE frames
+    (same ordering value => same feature values), so the feature frame
+    collapses to one row per (user, ts) -- max(event_id) as the
+    deterministic representative -- making the as-of right side unique
+    as `asof_join_backward` requires.
+
+    Scale shape: feature build = one (user, ts) exchange+sort shared
+    by all horizons; the dedup reuses that partitioning (no extra
+    shuffle); the as-of is the union+window single-sort shape -- label
+    frames are a tiny fraction of the event stream, and they ride the
+    same user-keyed exchange.  Output: labels' columns + feature_ts +
+    feature_event_id + every horizon feature (NULL-filled when the
+    user has no prior feature row)."""
+    from .asof import asof_join_backward
+
+    horizons = DEFAULT_HORIZONS if horizons is None else horizons
+    feats = rolling_user_features(
+        events, horizons, ts_col, user_col, id_col, value_col
+    )
+    feat_cols = [
+        c for s, _ in horizons for c in (f"n_{s}", f"value_{s}")
+    ]
+    per_ts = feats.groupBy(user_col, F.col(ts_col).alias("feature_ts")).agg(
+        F.max(id_col).alias("feature_event_id"),
+        *[F.max(c).alias(c) for c in feat_cols],
+    )
+    return asof_join_backward(
+        labels,
+        per_ts,
+        on=user_col,
+        left_ts=label_ts_col,
+        right_ts="feature_ts",
+        value_cols=["feature_event_id", *feat_cols],
+    )

@@ -2077,6 +2077,76 @@ def events_user_rolling_features(spark, sf_dir):
     return rolling_user_features(load_table(spark, sf_dir, "events"))
 
 
+def _training_set_oracle() -> str:
+    from .operators.features import DEFAULT_HORIZONS
+
+    sels, wins, fcols = [], [], []
+    for suffix, span in DEFAULT_HORIZONS:
+        wname = f"w_{suffix}"
+        sels.append(f"COUNT(*) OVER {wname} AS n_{suffix}")
+        sels.append(
+            f"ROUND(COALESCE(SUM(value) OVER {wname}, 0.0), 6)"
+            f" AS value_{suffix}"
+        )
+        wins.append(
+            f"{wname} AS (PARTITION BY user_id ORDER BY epoch_us(ts)"
+            f" RANGE BETWEEN {span} PRECEDING AND 1 PRECEDING)"
+        )
+        fcols += [f"n_{suffix}", f"value_{suffix}"]
+    fmax = ", ".join(f"MAX({c}) AS {c}" for c in fcols)
+    fsel = ", ".join(f"f.{c}" for c in fcols)
+    # native ASOF JOIN as the oracle for the Spark union+window
+    # composition -- same cross-algorithm discipline as the other three
+    # as-of strategies.  Labels are purchases, so a co-timestamped
+    # feature row ALWAYS exists; its frame ends 1 us before label_ts,
+    # which is exactly the no-leakage contract under test.
+    return f"""
+    WITH feats AS (
+      SELECT event_id, user_id, ts, {", ".join(sels)}
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      WINDOW {", ".join(wins)}
+    ), per_ts AS (
+      SELECT user_id, ts AS feature_ts,
+             MAX(event_id) AS feature_event_id, {fmax}
+      FROM feats GROUP BY 1, 2
+    ), labels AS (
+      SELECT event_id AS label_id, user_id, ts AS label_ts,
+             value AS label_value
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ts IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT l.user_id, l.label_ts, l.label_id, l.label_value,
+           f.feature_ts, f.feature_event_id, {fsel}
+    FROM labels l
+    ASOF LEFT JOIN per_ts f
+      ON l.user_id = f.user_id AND f.feature_ts <= l.label_ts
+    """
+
+
+@register("events_training_set_pit", _training_set_oracle())
+def events_training_set_pit(spark, sf_dir):
+    """Point-in-time training-set assembly (the feature-store read
+    path): purchase events play the labels, each joined as-of backward
+    to the user's rolling-feature vector -- features materialized at
+    event times, the co-timestamped feature row ending 1 µs before the
+    label so the label event never informs its own features."""
+    from .operators.features import training_set_point_in_time
+
+    events = load_table(spark, sf_dir, "events")
+    labels = events.where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        F.col("value").alias("label_value"),
+    )
+    return training_set_point_in_time(events, labels)
+
+
 _BPE_MERGES = 8
 
 

@@ -2726,3 +2726,77 @@ def test_rolling_features_point_in_time_no_leakage(spark):
     assert got[2]["n_7d"] == 0
     # the earliest event sees an empty history
     assert got[1]["n_7d"] == 0 and got[1]["value_7d"] == 0.0
+
+
+def test_training_set_assembly_no_label_leakage(spark):
+    """VERDICT r7 item 6: the assembled training row's features AT the
+    label timestamp must exclude the label event and its co-timestamped
+    peers; strictly-prior events count; a user with no prior feature
+    row NULL-fills; labels never cross users."""
+    from datetime import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.features import (
+        training_set_point_in_time,
+    )
+
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+    events = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 10, 11, 30, 0), 10, "click", 5.0),
+            (2, t0, 10, "view", 7.0),       # co-timestamped with label
+            (3, t0, 10, "purchase", 100.0),  # the label event itself
+            (4, datetime(2024, 1, 10, 13, 0, 0), 10, "view", 50.0),  # future
+            (5, datetime(2024, 1, 10, 12, 0, 1), 20, "purchase", 9.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    labels = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        F.col("value").alias("label_value"),
+    )
+    got = {
+        r["label_id"]: r
+        for r in training_set_point_in_time(events, labels).collect()
+    }
+    # user 10's label at t0: the co-timestamped feature row (max
+    # event_id = 3, the label itself) is selected by the as-of, but its
+    # frame ends 1 us BEFORE t0 -- only the 11:30 click is visible.
+    # A CURRENT ROW frame would show n_1h=3 / value_1h=112.0 (leak).
+    r10 = got[3]
+    assert r10["feature_event_id"] == 3
+    assert r10["n_1h"] == 1 and r10["value_1h"] == 5.0
+    assert r10["n_24h"] == 1 and r10["value_24h"] == 5.0
+    # user 20's first-ever event is its own label: prior feature rows
+    # exist for user 20? only the label itself at 12:00:01 -> frame
+    # empty -> zero-valued features, never user 10's history
+    r20 = got[5]
+    assert r20["n_1h"] == 0 and r20["value_1h"] == 0.0
+    assert r20["n_7d"] == 0
+
+
+def test_training_set_assembly_null_fill_before_history(spark):
+    """A label timestamped BEFORE the user's first feature row gets the
+    NULL fill (no as-of match), not a zero vector -- 'no feature data
+    yet' is distinguishable from 'zero recent activity'."""
+    from datetime import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.features import (
+        training_set_point_in_time,
+    )
+
+    events = spark.createDataFrame(
+        [(1, datetime(2024, 5, 1), 10, "view", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    labels = spark.createDataFrame(
+        [(99, 10, datetime(2024, 4, 1), 1.0)],
+        "label_id long, user_id long, label_ts timestamp, label_value double",
+    )
+    row = training_set_point_in_time(events, labels).collect()[0]
+    assert row["feature_ts"] is None
+    assert row["feature_event_id"] is None
+    assert row["n_1h"] is None and row["value_7d"] is None

@@ -632,3 +632,15 @@ def test_shared_scan_bundle_single_pass(spark):
     scan and one aggregation of the orders fact."""
     plan = plan_of(run(spark, "metric_shared_scan_bundle"))
     assert plan.count("orders.parquet") == 1
+
+
+def test_training_set_assembly_two_shuffles(spark):
+    """Point-in-time training-set assembly: the feature window's
+    user-keyed exchange is REUSED by the (user, ts) dedup aggregate
+    (HashPartitioning(user) satisfies the superset clustering), so the
+    whole assembly is two data exchanges -- the feature sort and the
+    as-of union sort -- with no broadcast and no join operator (the
+    as-of is the union+window shape)."""
+    plan = plan_of(run(spark, "events_training_set_pit"), "simple")
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2, plan
+    assert "Join" not in plan
