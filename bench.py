@@ -184,6 +184,7 @@ HEADLINE = [
     "tpch_q18_large_volume_customer",
     "tpch_q19_discounted_revenue",
     "events_user_rolling_features",
+    "events_training_set_pit",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -753,19 +753,21 @@ def embedding_signature_index(
     )
 
 
-def embedding_dedup_against_index(
+def _index_verified_hits(
     batch: DataFrame,
     corpus_index: DataFrame,
-    threshold: float = 0.4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 8,
-    probe_hamming: int = 2,
-    dim: int = 64,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    probe_hamming: int,
+    dim: int,
 ) -> DataFrame:
-    """`embedding_dedup_against_corpus` against the MATERIALIZED
-    (id, unit, bucket) signature index; n_planes/dim must match the
-    index build (writer records, reader checks)."""
+    """Shared batch-vs-index stage: banded (band, key) candidate join +
+    hamming probe + exact cosine verify.  Output: (id_b, id_c) verified
+    pairs, id_b from the batch, id_c from the index.  Consumed two
+    ways: the dedup drops id_b, the streaming cluster maintainer feeds
+    the pairs into incremental connected components."""
     from .similarity import dot
 
     b_unit = embedding_signature_index(batch, id_col, vec_col, n_planes, dim)
@@ -781,7 +783,7 @@ def embedding_dedup_against_index(
         .select(F.col("a.id").alias("id_b"), F.col("b.id").alias("id_c"))
         .distinct()
     )
-    hits = (
+    return (
         cands.join(
             b_unit.select(F.col("id").alias("id_b"), F.col("unit").alias("unit_b")),
             "id_b",
@@ -791,10 +793,61 @@ def embedding_dedup_against_index(
             "id_c",
         )
         .filter(dot(F.col("unit_b"), F.col("unit_c")) >= threshold)
+        .select("id_b", "id_c")
+    )
+
+
+def embedding_dedup_against_index(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """`embedding_dedup_against_corpus` against the MATERIALIZED
+    (id, unit, bucket) signature index; n_planes/dim must match the
+    index build (writer records, reader checks)."""
+    hits = (
+        _index_verified_hits(
+            batch, corpus_index, threshold, id_col, vec_col,
+            n_planes, probe_hamming, dim,
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
     return batch.join(hits, id_col, "left_anti")
+
+
+def embedding_near_pairs_against_index(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Verified near-dup PAIRS between a batch and a materialized
+    signature index, id-normalized like `embedding_near_pairs`:
+    (id_a, id_b) with id_a < id_b.  Self-pairs (a batch id already
+    present in the index, e.g. a checkpoint-replayed micro-batch) are
+    filtered, so replay is idempotent for the downstream clustering."""
+    hits = _index_verified_hits(
+        batch, corpus_index, threshold, id_col, vec_col,
+        n_planes, probe_hamming, dim,
+    )
+    return (
+        hits.select(
+            F.least("id_b", "id_c").alias("id_a"),
+            F.greatest("id_b", "id_c").alias("id_b"),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -4179,6 +4179,57 @@ def streaming_metric_store_upsert(spark, sf_dir):
         shutil.rmtree(store, ignore_errors=True)
 
 
+@register("streaming_semantic_ingestion", _semantic_clusters_oracle())
+def streaming_semantic_ingestion(spark, sf_dir):
+    """End-to-end streaming semantic ingestion: embedding ARRIVALS
+    (two micro-batch files) drive LSH pair production (batch-internal
+    + batch-vs-signature-index) into incremental cluster maintenance;
+    the drained label snapshot must equal the batch clustering of the
+    whole corpus -- the same recursive-CTE oracle as
+    `dedup_semantic_clusters`, now reached through the streaming
+    pipeline instead of one batch plan."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from .streaming.metrics_stream import streaming_semantic_ingestion as run
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mid = emb.agg(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY vec_id)")).collect()[0][0]
+    src = tempfile.mkdtemp(prefix="emb_arrivals_")
+    store = tempfile.mkdtemp(prefix="semantic_ingest_store_")
+    try:
+        emb.where(F.col("vec_id") <= mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b0")
+        emb.where(F.col("vec_id") > mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b1")
+        now = time.time()
+        files = sorted(
+            f"{src}/{d}/{f}"
+            for d in ("b0", "b1")
+            for f in os.listdir(f"{src}/{d}")
+            if f.endswith(".parquet")
+        )
+        for i, f in enumerate(files):  # deterministic arrival order
+            os.utime(f, (now - 100 + i, now - 100 + i))
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        snap = run(spark, stream, store, threshold=_COS_T)
+        out = snap.select(F.col("doc_id").alias("vec_id"), "cluster_id")
+        rows = out.collect()  # materialize before the temp dirs vanish
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+
+
 @register(
     "streaming_asof_enrich",
     # the same DuckDB native ASOF JOIN oracle as the batch lookup:

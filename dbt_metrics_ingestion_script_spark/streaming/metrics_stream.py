@@ -550,3 +550,99 @@ def streaming_incremental_clustering(
         q.stop()
         raise TimeoutError("streaming_incremental_clustering did not drain")
     return spark.read.parquet(cur)
+
+
+def streaming_semantic_ingestion(
+    spark,
+    vec_stream: DataFrame,
+    store_dir: str,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+    dim: int = 64,
+    timeout_s: int = 240,
+):
+    """End-to-end streaming SEMANTIC ingestion (VERDICT r7 item 7):
+    embedding arrivals maintain duplicate-cluster labels across
+    micro-batches in ONE pipeline, composing the repo's own parts --
+    the LSH pair producer (batch-internal `embedding_near_pairs` +
+    batch-vs-corpus `embedding_near_pairs_against_index`) feeding the
+    incremental cluster maintainer, plus the growing corpus signature
+    index.
+
+    Per micro-batch of vectors:
+
+    1. PAIRS: batch-internal verified near-dup pairs, unioned with
+       batch-vs-index pairs against the signature-index store (absent
+       on the first batch).  Banding is an exact pigeonhole cover, so
+       internal(B1) + internal(B2) + cross(B2, index(B1)) equals the
+       pair set of one batch run over B1 UNION B2 -- which is why the
+       drained labels converge EXACTLY to the batch clustering of the
+       union (pinned by the two-micro-batch differential test).
+    2. LABELS: the pair set folds into the label snapshot exactly as
+       `streaming_incremental_clustering` does (full star on the first
+       batch, `duplicate_clusters_incremental` after -- per-batch cost
+       follows the batch, never the corpus; crash-atomic snapshot
+       swap).
+    3. INDEX: the batch's (id, unit, bucket) signatures APPEND to the
+       index store -- never a corpus rewrite.  On checkpoint replay the
+       appended duplicates are harmless: candidate pairs are distinct,
+       self-pairs are filtered by the pair producer, and duplicate
+       edges do not change connected components (replay-idempotent).
+
+    Returns the final label snapshot DataFrame (vec_id-keyed doc_id /
+    cluster_id, the `duplicate_clusters_star` schema)."""
+    import os
+
+    from ..operators.dedup import (
+        duplicate_clusters_incremental,
+        duplicate_clusters_star,
+        embedding_near_pairs,
+        embedding_near_pairs_against_index,
+        embedding_signature_index,
+    )
+
+    labels_cur = os.path.join(store_dir, "labels", "current")
+    index_dir = os.path.join(store_dir, "index")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_snapshot(labels_cur)
+        pairs = embedding_near_pairs(
+            batch_df, threshold, id_col, vec_col, n_planes, probe_hamming, dim
+        )
+        if os.path.exists(index_dir):
+            idx = spark.read.parquet(index_dir)
+            pairs = pairs.unionByName(
+                embedding_near_pairs_against_index(
+                    batch_df, idx, threshold, id_col, vec_col,
+                    n_planes, probe_hamming, dim,
+                )
+            ).distinct()
+        if os.path.exists(labels_cur):
+            prior = spark.read.parquet(labels_cur)
+            out = duplicate_clusters_incremental(pairs, prior)
+        else:
+            out = duplicate_clusters_star(pairs)
+        nxt = os.path.join(store_dir, "labels", f"v{batch_id}")
+        out.write.mode("overwrite").parquet(nxt)
+        _swap_snapshot(nxt, labels_cur)
+        # index grows by APPEND (new files only) after the labels land:
+        # a crash between the two writes replays the batch, whose
+        # re-appended signatures only produce duplicate/self pairs the
+        # producer already filters
+        embedding_signature_index(
+            batch_df, id_col, vec_col, n_planes, dim
+        ).write.mode("append").parquet(index_dir)
+
+    q = (
+        vec_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(store_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError("streaming_semantic_ingestion did not drain")
+    return spark.read.parquet(labels_cur)

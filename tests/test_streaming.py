@@ -1160,3 +1160,73 @@ def test_snapshot_swap_is_crash_recoverable(tmp_path):
     # recovery is a no-op when the swap completed (cur present)
     _recover_snapshot(cur)
     assert os.path.exists(os.path.join(cur, "gen2"))
+
+
+def test_streaming_semantic_ingestion_converges_to_batch(spark, tmp_path, sf_dir):
+    """End-to-end streaming semantic ingestion (VERDICT r7 item 7):
+    TWO micro-batches of embedding ARRIVALS (not pre-built pairs) drive
+    the LSH-pair-producer -> incremental-clustering composition; the
+    drained label snapshot must equal the one-shot batch clustering of
+    the UNION corpus, and cross-batch near-dups must be caught via the
+    signature-index store (pairs the second batch can only see through
+    the index)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators.dedup import (
+        duplicate_clusters_star,
+        embedding_near_pairs,
+    )
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+    from dbt_metrics_ingestion_script_spark.streaming.metrics_stream import (
+        streaming_semantic_ingestion,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mid = emb.agg(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY vec_id)")).collect()[0][0]
+    src = str(tmp_path / "arrivals")
+    b0 = emb.where(F.col("vec_id") <= mid)
+    b1 = emb.where(F.col("vec_id") > mid)
+    b0.coalesce(1).write.parquet(f"{src}/b0")
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+    # make mtimes deterministic so maxFilesPerTrigger=1 ingests b0 first
+    import time as _time
+
+    now = _time.time()
+    files = sorted(
+        f"{src}/{d}/{f}"
+        for d in ("b0", "b1")
+        for f in os.listdir(f"{src}/{d}")
+        if f.endswith(".parquet")
+    )
+    assert len(files) == 2
+    for i, f in enumerate(files):
+        os.utime(f, (now - 100 + i, now - 100 + i))
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    store = str(tmp_path / "store")
+    snap = streaming_semantic_ingestion(spark, stream, store, threshold=0.4)
+    got = {r["doc_id"]: r["cluster_id"] for r in snap.collect()}
+
+    want_pairs = embedding_near_pairs(emb, threshold=0.4)
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters_star(want_pairs).collect()
+    }
+    assert got == want and len(got) > 0
+    # the test is only meaningful if some near-dup pair CROSSES the
+    # batch boundary (reachable solely through the signature index)
+    cross = want_pairs.where(
+        (F.col("id_a") <= mid) != (F.col("id_b") <= mid)
+    ).count()
+    assert cross > 0, "fixture split produced no cross-batch pairs"
+    # two micro-batches genuinely ran
+    commits = os.path.join(store, "_checkpoint", "commits")
+    assert os.path.exists(os.path.join(commits, "0"))
+    assert os.path.exists(os.path.join(commits, "1"))
