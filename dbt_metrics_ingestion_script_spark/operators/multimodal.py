@@ -196,18 +196,72 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
     )
 
 
+def encode_png_palette(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: list[tuple[int, int, int]],
+) -> bytes:
+    """Encode an indexed image (1 byte/pixel into `palette`) as an
+    8-bit palette PNG (color type 3, PLTE chunk).  Scanlines cycle all
+    five filter types like `encode_png`, so the palette decode path
+    exercises every unfilter branch at bpp=1."""
+    import zlib
+
+    if len(indices) != width * height:
+        raise ValueError("indices length must be width*height")
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("palette must hold 1..256 entries")
+    if max(indices, default=0) >= len(palette):
+        raise ValueError("index out of palette range")
+    out = bytearray()
+    prior = bytes(width)
+    for r in range(height):
+        row = indices[r * width : (r + 1) * width]
+        ft = r % 5
+        out.append(ft)
+        for i in range(width):
+            x = row[i]
+            a = row[i - 1] if i >= 1 else 0
+            b = prior[i]
+            c = prior[i - 1] if i >= 1 else 0
+            if ft == 0:
+                f = x
+            elif ft == 1:
+                f = (x - a) % 256
+            elif ft == 2:
+                f = (x - b) % 256
+            elif ft == 3:
+                f = (x - (a + b) // 2) % 256
+            else:
+                f = (x - _paeth(a, b, c)) % 256
+            out.append(f)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = bytes(v for rgb in palette for v in rgb)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png_rgb(content: bytes) -> tuple[int, int, bytes]:
     """REAL stdlib PNG decode to (width, height, top-down RGB bytes):
     chunk walk with CRC verification, IDAT concatenation + zlib
     inflate, and full per-scanline unfiltering (None/Sub/Up/Average/
-    Paeth).  8-bit truecolor (color type 2) and truecolor+alpha (6,
-    alpha stripped) only; palette/gray/16-bit/interlaced variants raise
-    ValueError so callers can route to the PIL-guarded path."""
+    Paeth).  8-bit truecolor (color type 2), truecolor+alpha (6, alpha
+    stripped), and PALETTE (3, PLTE lookup -- the unfilter runs at
+    bpp=1 on index bytes, then each index maps through the color
+    table).  Gray/16-bit/interlaced variants raise ValueError so
+    callers can route to the PIL-guarded path."""
     import zlib
 
     if content[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos + 12 <= len(content):
         (clen,) = struct.unpack_from(">I", content, pos)
         ctype = content[pos + 4 : pos + 8]
@@ -219,6 +273,8 @@ def decode_png_rgb(content: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"PNG {ctype!r} chunk CRC mismatch")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -227,12 +283,17 @@ def decode_png_rgb(content: bytes) -> tuple[int, int, bytes]:
     if ihdr is None or len(ihdr) != 13:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or color not in (2, 3, 6) or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color_type={color}, "
             f"interlace={interlace})"
         )
-    bpp = 3 if color == 2 else 4
+    if color == 3:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        bpp = 1
+    else:
+        bpp = 3 if color == 2 else 4
     stride = w * bpp
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * h:
@@ -265,9 +326,237 @@ def decode_png_rgb(content: bytes) -> tuple[int, int, bytes]:
             cur[i] = v
         recon += cur
         prior = cur
+    if color == 3:  # PLTE lookup: index byte -> RGB triple
+        n_entries = len(plte) // 3
+        if max(recon, default=0) >= n_entries:
+            raise ValueError("palette index out of PLTE range")
+        rgb = bytearray()
+        for idx in recon:
+            rgb += plte[3 * idx : 3 * idx + 3]
+        return w, h, bytes(rgb)
     if bpp == 4:  # strip alpha: keep 3 of every 4 bytes
         recon = bytearray(v for i, v in enumerate(recon) if i % 4 != 3)
     return w, h, bytes(recon)
+
+
+# ---------------------------------------------------------------------------
+# GIF: LZW codec + first-frame decode (pure stdlib)
+# ---------------------------------------------------------------------------
+
+_GIF_MAX_CODE = 4095  # 12-bit code ceiling (GIF89a spec appendix F)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode (LSB-first variable-width codes, CLEAR /
+    EOI, width grows at next_code == 2^width + 1 -- the encoder-side
+    mirror of the decoder's next_code == 2^width bump, offset by one
+    because the decoder learns each entry one code later than the
+    encoder assigns it).  Emits CLEAR and resets when the 12-bit table
+    fills."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def fresh_table() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    emit(clear)
+    seq = b""
+    for byte in indices:
+        if byte >= clear:
+            raise ValueError("pixel index exceeds color-table size")
+        cand = seq + bytes([byte])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        if next_code <= _GIF_MAX_CODE:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        seq = bytes([byte])
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW decode: variable width 9..12 bits LSB-first,
+    CLEAR resets the table, the KwKwK case (code == next_code) handled,
+    deferred-clear tolerated (table full -> stop adding until CLEAR)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bitbuf = nbits = pos = 0
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev_entry: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev_entry
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev_entry = None
+
+    reset()
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            bitbuf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev_entry is None:
+            if code >= clear:
+                raise ValueError("first LZW code after clear must be literal")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev_entry + prev_entry[:1]  # KwKwK
+            else:
+                raise ValueError(f"corrupt LZW code {code}")
+            if len(table) <= _GIF_MAX_CODE:
+                table.append(prev_entry + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev_entry = entry
+    return bytes(out[:n_pixels])
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: list[tuple[int, int, int]],
+) -> bytes:
+    """Encode an indexed image as a single-frame GIF87a with a 256-entry
+    global color table and real LZW-compressed pixel data (pure
+    stdlib)."""
+    if len(indices) != width * height:
+        raise ValueError("indices length must be width*height")
+    if len(palette) > 256:
+        raise ValueError("GIF palette holds at most 256 entries")
+    pal = list(palette) + [(0, 0, 0)] * (256 - len(palette))
+    # packed: global table present | color resolution 8 | size 2^8
+    hdr = b"GIF87a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    gct = bytes(v for rgb in pal for v in rgb)
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _gif_lzw_encode(indices, 8)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return hdr + gct + desc + bytes(blocks) + b"\x3b"
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_rgb(content: bytes) -> tuple[int, int, bytes]:
+    """REAL stdlib GIF decode to (width, height, top-down RGB bytes):
+    header + logical-screen parse, global/local color tables, extension
+    blocks skipped, full variable-width LZW decompression, 4-pass
+    deinterlace.  FIRST image frame only (animation = frame 1, the
+    frame-sampling contract)."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(content) < 13:
+        raise ValueError("truncated GIF header")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = content[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(content):
+                raise ValueError("truncated GIF image descriptor")
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 2 ** ((ipacked & 0x07) + 1)
+                ct = content[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(content) and content[pos] != 0:
+                ln = content[pos]
+                data += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data short")
+            if ipacked & 0x40:  # deinterlace: 4 passes of row strides
+                rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+                order = [
+                    r
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, h, step)
+                ]
+                straight = [b""] * h
+                for src, dst in enumerate(order):
+                    straight[dst] = rows[src]
+                idx = b"".join(straight)
+            n_entries = len(ct) // 3
+            if max(idx, default=0) >= n_entries:
+                raise ValueError("GIF index out of color-table range")
+            rgb = bytearray()
+            for i in idx:
+                rgb += ct[3 * i : 3 * i + 3]
+            return w, h, bytes(rgb)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
 
 
 def decode_image_rgb(content: bytes) -> tuple[int, int, bytes]:
@@ -281,12 +570,17 @@ def decode_image_rgb(content: bytes) -> tuple[int, int, bytes]:
     * binary PPM ('P6' magic, maxval 255): header scan incl. comment
       lines, raw pixel copy.
     * PNG (8-byte magic): full stdlib decode -- chunk CRC walk, zlib
-      inflate, per-scanline unfilter incl. Paeth (decode_png_rgb).
+      inflate, per-scanline unfilter incl. Paeth, truecolor(+alpha) and
+      PLTE palette lookup (decode_png_rgb).
+    * GIF ('GIF87a'/'GIF89a'): full variable-width LZW decompression,
+      color-table lookup, deinterlace; first frame (decode_gif_rgb).
 
     Anything else raises ValueError so callers can route to the
     PIL-guarded path."""
     if content[:8] == _PNG_MAGIC:
         return decode_png_rgb(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_rgb(content)
     if content[:2] == b"BM":
         if len(content) < 54:
             raise ValueError("truncated BMP header")
@@ -334,7 +628,7 @@ def decode_image_rgb(content: bytes) -> tuple[int, int, bytes]:
         if len(rgb) < w * h * 3:
             raise ValueError("truncated PPM pixel data")
         return w, h, bytes(rgb)
-    raise ValueError("not a stdlib-decodable image (BMP/P6 PPM/PNG)")
+    raise ValueError("not a stdlib-decodable image (BMP/P6 PPM/PNG/GIF)")
 
 
 def decode_image(content: bytes) -> tuple[int, int]:
@@ -573,8 +867,13 @@ def _media_geometry(asset_id: int) -> tuple[str, dict]:
     """Deterministic per-asset media geometry, a pure function of the
     id so the DuckDB oracle can replay the EXPECTED decoded stats
     analytically while Spark computes them from genuinely decoded
-    bytes.  Even ids are images (rotating BMP / PNG / PPM by id mod 6),
-    odd ids PCM WAV."""
+    bytes.  Even ids are images rotating by id mod 10 -- BMP, truecolor
+    PNG, PPM, PALETTE PNG (color type 3), GIF (LZW) -- odd ids PCM WAV.
+    Every image format carries the SAME analytic pixel stream
+    (rgb byte i = (seed+i) mod 256): the indexed formats use
+    palette[k] = (k, k+1, k+2) with index (seed + 3*pixel) mod 256,
+    which decodes to the identical bytes -- so the oracle is
+    format-blind while the Spark side exercises five real decoders."""
     seed = asset_id % 256
     if asset_id % 2 == 0:
         w, h = 1 + asset_id % 8, 1 + asset_id % 5
@@ -582,15 +881,27 @@ def _media_geometry(asset_id: int) -> tuple[str, dict]:
             0: "image/bmp",
             2: "image/png",
             4: "image/x-portable-pixmap",
-        }[asset_id % 6]
+            6: "image/png",  # palette variant (same media type, PLTE path)
+            8: "image/gif",
+        }[asset_id % 10]
         return fmt, {"w": w, "h": h, "seed": seed}
     return "audio/wav", {"n": 8 + asset_id % 32, "seed": seed}
 
 
+_INDEXED_PALETTE = [(k, (k + 1) % 256, (k + 2) % 256) for k in range(256)]
+
+
+def _indexed_pixels(seed: int, n_px: int) -> bytes:
+    """Index stream whose palette lookup reproduces the analytic
+    truecolor bytes exactly (see _media_geometry)."""
+    return bytes((seed + 3 * p) % 256 for p in range(n_px))
+
+
 def synth_media_assets(documents: DataFrame) -> DataFrame:
     """Derive an asset table whose payloads are REAL media files:
-    uncompressed 24-bit BMPs, 8-bit truecolor PNGs (cycling scanline
-    filters, so decode exercises every unfilter branch), binary PPMs,
+    uncompressed 24-bit BMPs, 8-bit truecolor AND palette PNGs (cycling
+    scanline filters, so decode exercises every unfilter branch at both
+    bpp=3 and bpp=1), binary PPMs, LZW-compressed GIFs,
     and 16-bit PCM WAVs, built
     row-by-row inside an Arrow mapInPandas kernel from each document's
     id (pixel i = (seed+i) mod 256; sample i = (seed*31 + i*7) mod
@@ -608,6 +919,10 @@ def synth_media_assets(documents: DataFrame) -> DataFrame:
                         for i in range(g["n"])
                     ]
                     blob = encode_wav_pcm16(samples, MEDIA_SAMPLE_RATE)
+                elif asset_id % 10 in (6, 8):  # indexed formats
+                    idx = _indexed_pixels(g["seed"], g["w"] * g["h"])
+                    enc = encode_png_palette if asset_id % 10 == 6 else encode_gif
+                    blob = enc(g["w"], g["h"], idx, _INDEXED_PALETTE)
                 else:
                     n_px = g["w"] * g["h"] * 3
                     rgb = bytes((g["seed"] + i) % 256 for i in range(n_px))

@@ -204,9 +204,10 @@ def test_png_rejects_unsupported_and_corrupt():
     bad[idat_at + 6] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png_rgb(bytes(bad))
-    # palette color type routes away (guarded path), not a wrong decode
     import zlib
 
+    # r8: palette PNGs now decode, but a type-3 file WITHOUT a PLTE
+    # chunk is malformed and must fail loudly, not decode garbage
     pal_ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
     pal = (
         _PNG_MAGIC
@@ -214,8 +215,18 @@ def test_png_rejects_unsupported_and_corrupt():
         + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="unsupported PNG"):
+    with pytest.raises(ValueError, match="PLTE"):
         decode_png_rgb(pal)
+    # grayscale (color type 0) still routes to the guarded path
+    gray_ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    gray = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", gray_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png_rgb(gray)
     with pytest.raises(ValueError, match="truncated|missing"):
         decode_png_rgb(_PNG_MAGIC + b"\x00\x00")
 
@@ -333,7 +344,9 @@ def test_spark_media_round_trip_decode_stats(spark):
                 0: "image/bmp",
                 2: "image/png",
                 4: "image/x-portable-pixmap",
-            }[i % 6]
+                6: "image/png",  # palette variant
+                8: "image/gif",
+            }[i % 10]
             assert (r["width"], r["height"]) == (w, h)
             assert r["sample_rate"] is None
             assert r["n_samples"] == n
@@ -354,9 +367,10 @@ def test_synth_media_assets_payloads_are_genuine_files(spark):
     n_bytes matches the real file size (header + padded pixel rows for
     BMP -- not just w*h*3)."""
     docs = spark.createDataFrame(
-        [(i, "x") for i in range(8)], "doc_id long, text string"
+        [(i, "x") for i in range(10)], "doc_id long, text string"
     )
     rows = multimodal.synth_media_assets(docs).collect()
+    seen = set()
     for r in rows:
         blob = bytes(r["content"])
         assert r["n_bytes"] == len(blob)
@@ -366,12 +380,20 @@ def test_synth_media_assets_payloads_are_genuine_files(spark):
         elif r["media_type"] == "image/png":
             assert blob[:8] == _PNG_MAGIC
             decode_image_rgb(blob)
+        elif r["media_type"] == "image/gif":
+            assert blob[:6] == b"GIF87a"
+            decode_image_rgb(blob)
         elif r["media_type"] == "image/x-portable-pixmap":
             assert blob[:2] == b"P6"
             decode_image_rgb(blob)
         else:
             assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
             decode_wav_pcm16(blob)
+        seen.add(r["media_type"])
+    assert seen == {
+        "image/bmp", "image/png", "image/x-portable-pixmap",
+        "image/gif", "audio/wav",
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -439,3 +461,216 @@ def test_ahash_rejects_oversized_images():
 
     with pytest.raises(ValueError, match="63 pixels"):
         ahash_bits(bytes(64 * 3), 64)
+
+
+# ---------------------------------------------------------------------------
+# r8: palette PNG (color type 3) + GIF/LZW
+# ---------------------------------------------------------------------------
+
+
+def _demo_palette():
+    return [(k, (k + 1) % 256, (k + 3) % 256) for k in range(256)]
+
+
+def test_png_palette_round_trip_all_filters():
+    """Palette PNG: 7 rows so every filter type (row % 5) appears,
+    bpp=1 unfilter + PLTE lookup must reconstruct the exact RGB."""
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        encode_png_palette,
+    )
+
+    w, h = 5, 7
+    pal = _demo_palette()
+    idx = bytes((3 + 7 * i) % 256 for i in range(w * h))
+    want = b"".join(bytes(pal[i]) for i in idx)
+    blob = encode_png_palette(w, h, idx, pal)
+    assert decode_image_rgb(blob) == (w, h, want)
+    assert decode_png_rgb(blob) == (w, h, want)
+
+
+def test_png_palette_golden_file_hand_built():
+    """Hand-built 2x2 palette PNG (independent of encode_png_palette):
+    filter 0 rows, 3-entry PLTE; decoder must map indices through the
+    table in order."""
+    import zlib
+
+    plte = b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff"  # R, G, B
+    raw = b"\x00\x00\x01" + b"\x00\x02\x00"  # rows: [R,G], [B,R]
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    blob = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, rgb = decode_png_rgb(blob)
+    assert (w, h) == (2, 2)
+    assert rgb == b"\xff\x00\x00\x00\xff\x00" + b"\x00\x00\xff\xff\x00\x00"
+
+
+def test_png_palette_rejects_malformed():
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        encode_png_palette,
+    )
+
+    with pytest.raises(ValueError, match="palette"):
+        encode_png_palette(2, 1, b"\x00\x05", [(0, 0, 0)] * 3)  # index 5 > 2
+    # missing PLTE: strip the PLTE chunk from a valid palette PNG
+    blob = encode_png_palette(2, 1, b"\x00\x01", [(1, 2, 3), (4, 5, 6)])
+    import zlib as _z
+
+    pos, chunks = 8, []
+    while pos + 12 <= len(blob):
+        (clen,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        if ctype != b"PLTE":
+            chunks.append(blob[pos : pos + 12 + clen])
+        pos += 12 + clen
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png_rgb(_PNG_MAGIC + b"".join(chunks))
+
+
+def test_gif_round_trip_small():
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        decode_gif_rgb,
+        encode_gif,
+    )
+
+    w, h = 8, 5
+    pal = _demo_palette()
+    idx = bytes((11 + 5 * i) % 256 for i in range(w * h))
+    want = b"".join(bytes(pal[i]) for i in idx)
+    blob = encode_gif(w, h, idx, pal)
+    assert blob[:6] == b"GIF87a" and blob[-1:] == b"\x3b"
+    assert decode_gif_rgb(blob) == (w, h, want)
+    assert decode_image_rgb(blob) == (w, h, want)  # dispatch by magic
+
+
+def test_gif_lzw_width_growth_and_table_full():
+    """An 80x60 high-entropy index stream assigns >4096 LZW codes:
+    the encoder must grow code width 9->12, hit the table ceiling, emit
+    CLEAR, and the decoder must track every transition bit-exactly."""
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        decode_gif_rgb,
+        encode_gif,
+    )
+
+    w, h = 80, 60
+    pal = _demo_palette()
+    idx = bytes((i * i + 7 * i + 3) % 256 for i in range(w * h))
+    blob = encode_gif(w, h, idx, pal)
+    want = b"".join(bytes(pal[i]) for i in idx)
+    assert decode_gif_rgb(blob) == (w, h, want)
+
+
+def test_gif_lzw_kwkwk_case():
+    """The code == next_code (KwKwK) LZW case: 'aaaa...' runs force the
+    decoder to emit an entry the instant it is defined."""
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    idx = b"\x01" * 40 + b"\x02" + b"\x01" * 17
+    assert _gif_lzw_decode(_gif_lzw_encode(idx, 8), 8, len(idx)) == idx
+
+
+def test_gif_golden_file_hand_built_uncompressed_codes():
+    """Hand-built 2x1 GIF89a with a 2-entry color table (min code size
+    2 per spec floor) and literal LZW codes packed by hand -- fully
+    independent of the encoder: CLEAR(100b) 0(000b) 1(001b) EOI(101b)
+    at width 3, LSB-first."""
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        decode_gif_rgb,
+    )
+
+    # width-3 codes LSB-first: 4, 0, 1, 5 -> bits 100 000 001 101
+    # byte0 = 4 | 0<<3 | (1&3)<<6 = 0b01000100; byte1 = (1>>2) | 5<<1 = 0b1010
+    lzw = bytes([0b01000100, 0b00001010])
+    blob = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)  # global table, 2 entries
+        + b"\x10\x20\x30" + b"\x40\x50\x60"
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+        + bytes([2])  # LZW min code size
+        + bytes([len(lzw)]) + lzw + b"\x00"
+        + b"\x3b"
+    )
+    assert decode_gif_rgb(blob) == (2, 1, b"\x10\x20\x30\x40\x50\x60")
+
+
+def test_gif_interlaced_deinterlace():
+    """Interlaced GIF: rows stored in 4-pass order must be restored.
+    Build an 1x8 column image by hand-reordering an encoder-produced
+    stream's indices into pass order and setting the interlace bit."""
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        decode_gif_rgb,
+    )
+
+    w, h = 1, 8
+    pal = _demo_palette()
+    straight = bytes(range(8))  # row r has index r
+    pass_order = [0, 4, 2, 6, 1, 3, 5, 7]  # GIF 4-pass row sequence for h=8
+    stored = bytes(straight[r] for r in pass_order)
+    lzw = _gif_lzw_encode(stored, 8)
+    blocks = bytes([8, len(lzw)]) + lzw + b"\x00"
+    blob = (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + b"".join(bytes(p) for p in pal)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+        + blocks
+        + b"\x3b"
+    )
+    want = b"".join(bytes(pal[i]) for i in straight)
+    assert decode_gif_rgb(blob) == (w, h, want)
+
+
+def test_gif_skips_extension_blocks():
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        decode_gif_rgb,
+        encode_gif,
+    )
+
+    pal = _demo_palette()
+    blob = encode_gif(2, 1, b"\x00\x01", pal)
+    # splice a graphic-control extension between screen desc + image
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    head_len = 13 + 768  # header + logical screen + 256-entry table
+    spliced = blob[:head_len] + ext + blob[head_len:]
+    want = bytes(pal[0]) + bytes(pal[1])
+    assert decode_gif_rgb(spliced) == (2, 1, want)
+
+
+def test_gif_decoder_agrees_with_pil_when_available():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        encode_gif,
+    )
+
+    pal = _demo_palette()
+    idx = bytes((5 * i + 1) % 256 for i in range(6 * 4))
+    blob = encode_gif(6, 4, idx, pal)
+    with PIL.open(io.BytesIO(blob)) as img:
+        got = img.convert("RGB").tobytes()
+    assert got == b"".join(bytes(pal[i]) for i in idx)
+
+
+def test_pil_golden_palette_png_when_available():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        encode_png_palette,
+    )
+
+    pal = _demo_palette()
+    idx = bytes((9 * i + 2) % 256 for i in range(5 * 3))
+    blob = encode_png_palette(5, 3, idx, pal)
+    with PIL.open(io.BytesIO(blob)) as img:
+        got = img.convert("RGB").tobytes()
+    assert got == b"".join(bytes(pal[i]) for i in idx)
