@@ -8,7 +8,7 @@ differentially testable.  Patterns stick to ASCII classes: Java regex
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
@@ -688,6 +688,85 @@ def token_entropy(
         F.sum("__c").alias("n_tokens"),
         F.count("*").alias("n_distinct"),
         F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a query-term set -- the
+    lexical ranking half of a retrieval pipeline (the embedding top-k
+    queries are the semantic half; production RAG serves both).
+
+    score(d) = sum over query terms t of
+      idf(t) * tf(t,d) * (k1+1) / (tf(t,d) + k1 * (1 - b + b*dl/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)) -- the Lucene
+    smoothing, always positive.  Output: (doc_id, score, rank), rank in
+    [1, k]; scores round to 6dp BEFORE ranking and ties break on
+    doc_id, so the cut is engine-deterministic.
+
+    Scale shape: the token explode filters to the QUERY'S terms
+    immediately -- the shuffled frame is the query's posting lists,
+    never the corpus vocabulary [shuffle 1: (doc, term) tf];
+    per-term document frequency is a count window on that tiny frame
+    (rows unique per (doc, term)).  Document length dl is a map-side
+    projection (size of the token split -- no explode, no shuffle),
+    joined onto the postings doc-keyed [shuffle 2, slim]; N and avgdl
+    ride a 1-row broadcast crossJoin (action-free).  The final top-k
+    is a TakeOrdered.  At 100 TB the postings and doc-stats frames are
+    materialized dimensions of an inverted index; this operator IS the
+    query-time plan over them."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    norm_terms = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    ).filter(F.col("term").isin(norm_terms))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    with_df = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    )
+    dl = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(normalize_text(text_col), " ")).alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    scored = (
+        with_df.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
     )
 
 

@@ -2009,6 +2009,63 @@ def text_repetition_stats(spark, sf_dir):
     return text.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+_BM25_TERMS = ["hash", "join", "spark"]
+_BM25_K, _BM25_K1, _BM25_B = 10, 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+    k1, b = _BM25_K1, _BM25_B
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, {{norm}} AS norm FROM documents
+    ), dl AS (
+      SELECT doc_id, len(string_split(norm, ' ')) AS dl FROM docs
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), toks AS (
+      SELECT doc_id, t.t AS term
+      FROM docs, unnest(string_split(norm, ' ')) AS t(t)
+      WHERE t.t IN ({terms})
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), wdf AS (
+      SELECT doc_id, term, tf,
+             COUNT(*) OVER (PARTITION BY term) AS df
+      FROM tf
+    ), scored AS (
+      SELECT w.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - w.df + 0.5) / (w.df + 0.5))
+               * (w.tf * ({k1} + 1))
+               / (w.tf + {k1} * (1 - {b} + {b} * d.dl / s.avgdl))
+             ), 6) AS score
+      FROM wdf w JOIN dl d USING (doc_id), stats s
+      GROUP BY 1
+    )
+    SELECT doc_id, score,
+           (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC))::INT AS rank
+    FROM scored ORDER BY score DESC, doc_id ASC LIMIT {_BM25_K}
+    """.replace("{norm}", "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+
+
+@register("text_bm25_topk", _bm25_oracle())
+def text_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval: top-10 documents for a fixed query-term
+    set (the lexical half of a RAG retrieval pipeline; the embedding
+    top-k queries are the semantic half).  The explode filters to the
+    query's posting lists immediately -- the shuffled frame is
+    query-sized, never vocabulary-sized; doc length is a map-side
+    projection; N/avgdl ride a 1-row broadcast."""
+    return text.bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        k=_BM25_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
 _BPE_K = 50
 
 
