@@ -185,6 +185,9 @@ HEADLINE = [
     "tpch_q19_discounted_revenue",
     "events_user_rolling_features",
     "events_training_set_pit",
+    "text_bm25_topk",
+    "metric_p90_approx_bound",
+    "corpus_cdc_chunks",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -245,6 +245,121 @@ def stratified_sample(
     return df.where(sample_keep(id_col, stratum_col, rate))
 
 
+CDC_WINDOW = 8  # rolling-hash window (chars)
+CDC_BASE = 31
+CDC_DIVISOR = 64  # boundary when h % divisor == 0 -> ~64-char chunks
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style CDC, the boundary rule
+    behind LBFS/restic/borg storage dedup): cut the normalized text
+    wherever the rolling hash of the trailing `window` chars satisfies
+    h % divisor == 0.  Boundaries are a function of LOCAL CONTENT, not
+    position -- so inserting or deleting a prefix shifts fixed-width
+    chunk hashes wholesale but leaves CDC chunk hashes downstream of
+    the edit intact (the shift-resilience test pins this against
+    `chunk_fixed`).  This is the sub-document dedup primitive for
+    templated/boilerplate corpora where edits move content around.
+
+    Output: (doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash) --
+    chunk_hash is the portable 64-bit content hash, the key cross-doc
+    chunk dedup (count window / groupBy) runs on.
+
+    Scale shape: everything is MAP-SIDE JVM expression work -- the
+    per-position rolling hash is an O(window) fold over an array
+    slice inside one projection (no UDF, no shuffle), boundary
+    positions collapse to an array per doc, and chunks posexplode.
+    The rolling hash folds (acc*B + code) mod 2^31-1 per char, which
+    equals the closed-form polynomial sum mod M -- the DuckDB oracle
+    replays it in closed form, pinning the fold algebra.  Classic CDC
+    adds min/max chunk-size clamps for pathological content; omitted
+    here (the divisor bounds the EXPECTED size; a clamp is a filter on
+    the same boundary array)."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    M = MERSENNE31
+    norm = normalize_text(text_col)
+    base = df.select(F.col(id_col), norm.alias("__norm")).where(
+        F.col("__norm").isNotNull() & (F.length("__norm") > 0)
+    )
+    # STAGE the char-code array and its size in their own projection
+    # (SCALE.md lambda trap: an expression inlined into a higher-order
+    # lambda re-evaluates PER ELEMENT -- an inlined split here would
+    # re-split the document at every position, O(n^2) per doc;
+    # measured 90s -> sub-second at sf0.1)
+    staged = base.select(
+        F.col(id_col),
+        "__norm",
+        F.transform(
+            F.split(F.col("__norm"), "(?!^)(?=.)"), F.ascii
+        ).alias("__codes"),
+    ).withColumn("__n", F.size("__codes"))
+    codes, n = F.col("__codes"), F.col("__n")
+
+    # ONE O(n) fold per document: the accumulator carries the rolling
+    # hash (evicting c[pos-w]*B^w as the window slides -- the Rabin
+    # update, not an O(w) re-hash per position), the position, and the
+    # boundary list.  pmod guards the subtraction's sign.  Equality
+    # with the closed-form window polynomial (which the DuckDB oracle
+    # computes) holds because both reduce the same sum mod M.
+    bw = pow(CDC_BASE, window, M)
+    init = F.struct(
+        F.lit(0).cast("long").alias("h"),
+        F.lit(0).alias("pos"),
+        F.array().cast("array<int>").alias("cuts"),
+    )
+
+    def step(acc, x):
+        evict = F.when(
+            acc.pos >= window,
+            F.element_at(codes, acc.pos - window + 1).cast("long") * bw,
+        ).otherwise(F.lit(0).cast("long"))
+        h2 = F.pmod(acc.h * CDC_BASE + x - evict, F.lit(M))
+        is_cut = (
+            (acc.pos >= window - 1)
+            & (acc.pos <= n - 2)
+            & (h2 % divisor == 0)
+        )
+        return F.struct(
+            h2.alias("h"),
+            (acc.pos + 1).alias("pos"),
+            F.when(
+                is_cut, F.concat(acc.cuts, F.array(acc.pos))
+            ).otherwise(acc.cuts).alias("cuts"),
+        )
+
+    with_cuts = staged.withColumn(
+        "__cuts", F.aggregate(codes, init, step, lambda acc: acc.cuts)
+    )
+    cuts = F.col("__cuts")
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform(cuts, lambda p: p + 1)
+    )
+    ends = F.concat(cuts, F.array(n - 1))
+    spans = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+    )
+    exploded = with_cuts.select(
+        F.col(id_col), F.col("__norm"), F.posexplode(spans).alias("chunk_idx", "__sp")
+    )
+    chunk = F.col("__norm").substr(
+        F.col("__sp.s") + 1, F.col("__sp.e") - F.col("__sp.s") + 1
+    )
+    return exploded.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.col("__sp.s").alias("chunk_start"),
+        (F.col("__sp.e") - F.col("__sp.s") + 1).alias("chunk_len"),
+        hash64(chunk).alias("chunk_hash"),
+    )
+
+
 def weighted_priority_sample(
     df: DataFrame,
     weight: Column,

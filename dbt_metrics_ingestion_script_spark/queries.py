@@ -702,6 +702,62 @@ def metric_p90_order_value_month(spark, sf_dir):
     return _round(df, {"p90_order_value": 6})
 
 
+_P90_ACC = 10_000  # percentile_approx accuracy: rank error <= 1/acc
+
+
+@register(
+    "metric_p90_approx_bound",
+    # self-verifying sketch pattern (the HLL / windowed-WAU discipline
+    # applied to quantiles): the oracle cannot replay Spark's GK sketch
+    # internals, so it predicts the BOUND.  The sketch returns an ACTUAL
+    # element whose rank is within n/accuracy (< 1 row here) of 0.9n,
+    # so the envelope must be rank-based DISCRETE quantiles -- an
+    # interpolated envelope is provably wrong on tiny groups (a 2-row
+    # month: the sketch returns max, interpolated p92 sits below it).
+    # disc(0.85) has rank ceil(0.85n) <= ceil((0.9-eps)n) and disc(0.95)
+    # rank >= ceil((0.9+eps)n) for every n >= 1, so TRUE everywhere.
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ts,
+           COUNT(*) AS n_orders,
+           TRUE AS within_bound
+    FROM orders GROUP BY 1
+    """,
+)
+def metric_p90_approx_bound(spark, sf_dir):
+    """Mergeable-quantile scale path with an in-plan quality check:
+    `percentile_approx` (the GK sketch -- mergeable across partitions
+    and grains, O(accuracy) state vs the exact percentile's full sort)
+    computed alongside the exact discrete [p85, p95] rank envelope in
+    ONE orders scan; the emitted boolean asserts the sketch lands
+    inside it.  At 100 TB the exact side disappears and only the
+    sketch runs -- this query is the offline calibration that licenses
+    that swap (the ann_recall / HLL-bound evaluation discipline for
+    quantiles)."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("ts")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.expr(
+            f"percentile_approx(o_totalprice, 0.9, {_P90_ACC})"
+        ).alias("__approx"),
+        F.expr(
+            "percentile_disc(0.85) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("__lo"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("__hi"),
+    )
+    return g.select(
+        "ts",
+        "n_orders",
+        (
+            (F.col("__approx") >= F.col("__lo"))
+            & (F.col("__approx") <= F.col("__hi"))
+        ).alias("within_bound"),
+    )
+
+
 # Pivoted metric: status categories become columns.  The status list
 # is DECLARED (not discovered) so the pivot compiles to one pass of
 # conditional aggregates with a fixed output schema -- at 100 TB a

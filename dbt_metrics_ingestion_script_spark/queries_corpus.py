@@ -410,6 +410,65 @@ def corpus_bloom_decontamination(spark, sf_dir):
     )
 
 
+def _cdc_oracle() -> str:
+    from .operators.corpus import CDC_BASE, CDC_DIVISOR, CDC_WINDOW
+
+    w, d = CDC_WINDOW, CDC_DIVISOR
+    powers = "[" + ", ".join(
+        str(CDC_BASE ** (w - 1 - j)) for j in range(w)
+    ) + "]"
+    chunk = "substr(norm, starts[k] + 1, ends[k] - starts[k] + 1)"
+    # closed-form polynomial sum mod M == Spark's per-char fold mod M
+    # (max term 255 * 31^7 ~ 7e12, 8-term sum well inside int64)
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, {_NORM} AS norm FROM documents
+    ), nz AS (
+      SELECT doc_id, norm FROM docs WHERE norm IS NOT NULL AND norm <> ''
+    ), pos AS (
+      SELECT doc_id, unnest(range({w} - 1, length(norm)::BIGINT - 1)) AS i,
+             norm
+      FROM nz WHERE length(norm) >= {w} + 1
+    ), hh AS (
+      SELECT doc_id, i FROM pos
+      WHERE (list_sum(list_transform(range({w}),
+               j -> ascii(substr(norm, (i - {w} + 2 + j)::INT, 1))
+                    * {powers}[j + 1])) % {MERSENNE31}) % {d} = 0
+    ), cuts AS (
+      SELECT n.doc_id, n.norm,
+             coalesce(list_sort(list(h.i) FILTER (WHERE h.i IS NOT NULL)),
+                      []) AS cs
+      FROM nz n LEFT JOIN hh h ON n.doc_id = h.doc_id
+      GROUP BY n.doc_id, n.norm
+    ), spans AS (
+      SELECT doc_id, norm,
+             list_prepend(0::BIGINT, list_transform(cs, c -> c + 1)) AS starts,
+             list_append(cs, length(norm)::BIGINT - 1) AS ends
+      FROM cuts
+    )
+    SELECT doc_id,
+           (k - 1)::INT AS chunk_idx,
+           starts[k]::INT AS chunk_start,
+           (ends[k] - starts[k] + 1)::INT AS chunk_len,
+           {_H.format(x=chunk)} AS chunk_hash
+    FROM spans, unnest(range(1, len(starts) + 1)) AS t(k)
+    """
+
+
+@register("corpus_cdc_chunks", _cdc_oracle())
+def corpus_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (Rabin-style CDC): cut where the
+    trailing-window rolling hash hits the divisor -- boundaries follow
+    CONTENT, not position, so a prefix edit leaves downstream chunk
+    hashes intact where fixed-width chunking shifts them all (the
+    storage-dedup primitive, shift-resilience pinned in pytest).
+    Entirely map-side JVM expression work: per-position hash is an
+    O(window) fold in one projection, chunks posexplode, no shuffle."""
+    from .operators.corpus import cdc_chunks
+
+    return cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
 _CAP_K = 10
 
 

@@ -695,3 +695,77 @@ def test_mixing_schedule_interleaves_at_weight_ratios(spark, sf_dir):
     assert heavy and light
     ratio = (sum(heavy) / len(heavy)) / (sum(light) / len(light))
     assert 2.5 <= ratio <= 3.5  # weight 3 vs 1, +/- boundary rounding
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The CDC selling point: inserting a prefix shifts EVERY
+    fixed-width chunk hash but preserves the content-defined chunk
+    hashes downstream of the edit -- boundaries follow content, not
+    position."""
+    from dbt_metrics_ingestion_script_spark.operators.corpus import (
+        cdc_chunks,
+        chunk_fixed,
+    )
+
+    body = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "cat naps by the warm stove and the rain taps the window "
+        "glass softly through the long gray afternoon hours again "
+        "and again until the kettle sings and the bread is done"
+    ) * 3
+    docs = spark.createDataFrame(
+        [(1, body), (2, "breaking news update " + body)],
+        "doc_id long, text string",
+    )
+    cdc = cdc_chunks(docs)
+    h1 = {r["chunk_hash"] for r in cdc.where("doc_id = 1").collect()}
+    h2 = {r["chunk_hash"] for r in cdc.where("doc_id = 2").collect()}
+    shared = len(h1 & h2)
+    assert shared >= len(h1) * 0.6, (shared, len(h1), len(h2))
+    # fixed-width chunking of the same pair: the prefix shifts every
+    # boundary, so (almost) nothing is shared
+    fx = chunk_fixed(docs)
+    f1 = {r["chunk_hash"] for r in fx.where("doc_id = 1").collect()}
+    f2 = {r["chunk_hash"] for r in fx.where("doc_id = 2").collect()}
+    assert len(f1 & f2) < shared
+
+
+def test_cdc_chunks_partition_document_exactly(spark):
+    """Chunks tile the normalized document: contiguous, non-overlapping,
+    covering; short docs (< window) come back as one whole-doc chunk;
+    empty/NULL docs are dropped."""
+    from dbt_metrics_ingestion_script_spark.operators.corpus import (
+        cdc_chunks,
+    )
+    from dbt_metrics_ingestion_script_spark.operators.dedup import (
+        normalize_text,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a long enough document body to produce several chunks "
+             "with varied content so boundaries actually fire " * 4),
+         (2, "tiny"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    norms = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.length(normalize_text("text")).alias("n")
+        ).collect()
+        if r["n"]
+    }
+    for doc_id, chunks in by_doc.items():
+        pos = 0
+        for c in chunks:
+            assert c["chunk_start"] == pos
+            assert c["chunk_len"] >= 1
+            pos += c["chunk_len"]
+        assert pos == norms[doc_id]
+    assert len(by_doc[1]) > 1
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_len"] == 4
