@@ -188,6 +188,7 @@ HEADLINE = [
     "text_bm25_topk",
     "metric_p90_approx_bound",
     "corpus_cdc_chunks",
+    "corpus_cdc_dup_fraction",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

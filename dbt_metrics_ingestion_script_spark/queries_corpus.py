@@ -455,6 +455,58 @@ def _cdc_oracle() -> str:
     """
 
 
+def _cdc_dup_oracle() -> str:
+    base = _cdc_oracle()
+    return rf"""
+    WITH chunks AS ({base}), with_df AS (
+      SELECT doc_id, chunk_len,
+             COUNT(*) OVER (PARTITION BY chunk_hash) AS cdf
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN cdf > 1 THEN chunk_len ELSE 0 END) AS BIGINT)
+             AS dup_chars,
+           CAST(SUM(chunk_len) AS BIGINT) AS n_chars,
+           ROUND(SUM(CASE WHEN cdf > 1 THEN chunk_len ELSE 0 END)::DOUBLE
+                 / SUM(chunk_len), 6) AS dup_char_fraction
+    FROM with_df GROUP BY doc_id
+    """
+
+
+@register("corpus_cdc_dup_fraction", _cdc_dup_oracle())
+def corpus_cdc_dup_fraction(spark, sf_dir):
+    """Per-document CHARACTER share covered by CDC chunks that also
+    occur in other documents (or repeat within one) -- the
+    storage-dedup duplication signal: where dup-ngram counts gram HITS,
+    this weights by chunk LENGTH, so it reads as 'fraction of this
+    document's bytes that are boilerplate'.  Same window shape as
+    cross_doc_dup_fraction: chunk document-frequency is a count window
+    on the 64-bit chunk hash over ONE chunk frame (itself map-side),
+    then a doc rollup -- two slim keyed shuffles, text never moves."""
+    from pyspark.sql import Window
+
+    from .operators.corpus import cdc_chunks
+
+    chunks = cdc_chunks(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("chunk_hash")
+    with_df = chunks.withColumn("__cdf", F.count("*").over(w))
+    return (
+        with_df.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("__cdf") > 1, F.col("chunk_len")).otherwise(0)
+            ).cast("long").alias("dup_chars"),
+            F.sum("chunk_len").cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "dup_char_fraction",
+            F.round(F.col("dup_chars") / F.col("n_chars"), 6),
+        )
+    )
+
+
 @register("corpus_cdc_chunks", _cdc_oracle())
 def corpus_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (Rabin-style CDC): cut where the
