@@ -141,36 +141,9 @@ def write_zordered(
     )
 
 
-def write_bucketed(
-    df: DataFrame,
-    table_name: str,
-    key: str,
-    n_buckets: int = 8,
-) -> None:
-    """Materialize a BUCKETED table: rows hash-route to `n_buckets`
-    files by `key` and sort by it within each bucket
-    (`bucketBy(...).sortBy(...)` -- Spark's native Hive-style
-    bucketing).  This is the co-located-join layout: two tables
-    bucketed on the same key with the same bucket count join with ZERO
-    Exchange on either side -- each task zips bucket i of both tables.
-    (Spark 3+ still inserts a partition-local Sort before the merge
-    join unless `spark.sql.legacy.bucketedTableScan.outputOrdering` is
-    set -- an in-memory spill-safe pass, not a shuffle; the Exchange is
-    the cost that matters at scale.)  At 100 TB this is THE
-    fact-to-fact join strategy: the shuffle a repeated join would pay
-    per query is paid once at write time (the same pay-once discipline
-    as `write_zordered`, for hash equi-joins instead of range scans).
-
-    Bucket-pruning bonus: an equality filter on `key` scans 1/n_buckets
-    of the files.  Plan-locked in tests: bucketed-bucketed join has no
-    Exchange and no Sort; bucketed-vs-unbucketed shuffles only the
-    unbucketed side."""
-    if n_buckets < 1:
-        raise ValueError("n_buckets must be >= 1")
-    (
-        df.write.mode("overwrite")
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
-        .format("parquet")
-        .saveAsTable(table_name)
-    )
+# The bucketed co-located-join writer lives in sources/bucketed.py
+# (write_bucketed): same pay-the-shuffle-once discipline as
+# write_zordered, applied to hash equi-joins instead of range scans.
+# Plan locks: tests/test_bucketed.py (zero-Exchange join) and
+# tests/test_ext_operators.py::test_bucketed_join_is_shuffle_free_and_
+# prunes_buckets (bucket pruning, SelectedBucketsCount).

@@ -883,13 +883,8 @@ def bpe_train(
     n_merges rounds never replay round 1."""
     from pyspark import StorageLevel
 
-    words = df.select(
-        F.explode(F.split(normalize_text(text_col), " ")).alias("w")
-    ).where(F.length("w") >= 2)
-    wf = (
-        words.groupBy("w")
-        .agg(F.count("*").alias("wc"))
-        .select(F.split("w", "(?!^)(?=.)").alias("symbols"), "wc")
+    wf = _bpe_word_freq(df, text_col).select(
+        F.split("w", "(?!^)(?=.)").alias("symbols"), "wc"
     )
     wf = wf.persist(StorageLevel.MEMORY_AND_DISK)
     spark = df.sparkSession

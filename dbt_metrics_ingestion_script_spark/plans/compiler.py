@@ -831,7 +831,13 @@ class MetricCompiler:
         for idx, inp in enumerate(inputs):
             pred = filters_predicate(inp.filters)
             marker = None
-            if pred is not None:
+            # coarse averages need no marker: when(cnt > 0) already
+            # yields the join path's NULL for no-match buckets
+            needs_marker = pred is not None and not (
+                set(inp.dimensions) != fine_dims
+                and inp.calculation_method == "average"
+            )
+            if needs_marker:
                 marker = f"__mk_{idx}"
                 base_aggs.append(F.max(F.when(pred, F.lit(1))).alias(marker))
             if set(inp.dimensions) == fine_dims:

@@ -25,13 +25,14 @@ Usage: python scripts/bench_layer_a.py [out.json]
 from __future__ import annotations
 
 import json
+import pathlib
 import sys
 import tempfile
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from dbt_metrics_ingestion_script_spark.pipeline import ingest_metrics  # noqa: E402
 from dbt_metrics_ingestion_script_spark.session import get_spark  # noqa: E402

@@ -2812,7 +2812,7 @@ def test_bucketed_join_is_shuffle_free_and_prunes_buckets(spark, sf_dir):
     the plain join's rows."""
     from pyspark.sql import functions as F
 
-    from dbt_metrics_ingestion_script_spark.operators.layout import (
+    from dbt_metrics_ingestion_script_spark.sources.bucketed import (
         write_bucketed,
     )
 
@@ -2826,8 +2826,8 @@ def test_bucketed_join_is_shuffle_free_and_prunes_buckets(spark, sf_dir):
     try:
         # repartition(1): one writer task -> one file per bucket, the
         # layout that lets the join reuse the write-time sort order
-        write_bucketed(orders.repartition(1), t_o, "o_custkey", 4)
-        write_bucketed(customer.repartition(1), t_c, "o_custkey", 4)
+        write_bucketed(orders.repartition(1), t_o, ["o_custkey"], n_buckets=4)
+        write_bucketed(customer.repartition(1), t_c, ["o_custkey"], n_buckets=4)
         bo, bc = spark.table(t_o), spark.table(t_c)
         j = bo.hint("merge").join(bc, "o_custkey")
         from .conftest import SF_DIR  # noqa: F401  (plan_of lives in plan tests)
