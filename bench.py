@@ -189,6 +189,7 @@ HEADLINE = [
     "metric_p90_approx_bound",
     "corpus_cdc_chunks",
     "corpus_cdc_dup_fraction",
+    "dedup_minhash_eval",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -282,6 +282,72 @@ def dedup_minhash_lsh_candidates(spark, sf_dir):
     )
 
 
+_MH_EVAL_T = 0.5  # exact-Jaccard ground-truth threshold for the eval
+
+
+def _minhash_eval_oracle() -> str:
+    cand = _minhash_oracle()
+    return f"""
+    WITH cand AS ({cand}), exact AS (
+      {_NGRAM_PAIRS_CTE.lstrip()}
+      SELECT id_a, id_b FROM pairs
+      WHERE n_common / (n_a + n_b - n_common) >= {_MH_EVAL_T}
+    ), joined AS (
+      SELECT coalesce(e.id_a, c.id_a) AS id_a,
+             e.id_a IS NOT NULL AS is_exact,
+             c.id_a IS NOT NULL AS is_cand
+      FROM exact e FULL JOIN cand c
+        ON e.id_a = c.id_a AND e.id_b = c.id_b
+    )
+    SELECT {_MH_EVAL_T} AS threshold,
+           CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           ROUND(SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)::DOUBLE
+                 / SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 6) AS precision,
+           ROUND(SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)::DOUBLE
+                 / SUM(CASE WHEN is_exact THEN 1 ELSE 0 END), 6) AS recall
+    FROM joined
+    """
+
+
+@register("dedup_minhash_eval", _minhash_eval_oracle())
+def dedup_minhash_eval(spark, sf_dir):
+    """Self-evaluating MinHash banding (the text-dedup sibling of
+    `similarity_ann_recall`): candidate pairs from the banded LSH join
+    measured against the EXACT capped-index Jaccard pairs at the
+    banding's design threshold -- one row of
+    (n_exact, n_candidates, n_hits, precision, recall), every number
+    cross-engine-verified because BOTH sides replay bit-identically.
+    This is the offline calibration that licenses running banding
+    alone at 100 TB; the exact side (still inverted-index, never
+    all-pairs) is the cost you pay once on a sample, not per run."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, k=_K, bands=_BANDS)
+    exact = dedup.ngram_jaccard_pairs(
+        docs, threshold=_MH_EVAL_T, df_max=dedup.NGRAM_DF_MAX
+    ).select("id_a", "id_b")
+    joined = exact.withColumn("__e", F.lit(1)).join(
+        cand.withColumn("__c", F.lit(1)), ["id_a", "id_b"], "full"
+    )
+    return joined.agg(
+        F.lit(_MH_EVAL_T).alias("threshold"),
+        F.count("__e").alias("n_exact"),
+        F.count("__c").alias("n_candidates"),
+        F.count(F.when(F.col("__e").isNotNull() & F.col("__c").isNotNull(), 1)).alias("n_hits"),
+    ).select(
+        "threshold",
+        "n_exact",
+        "n_candidates",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias("precision"),
+        F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+    )
+
+
 def _simhash_oracle() -> str:
     """Brute-force SimHash oracle.  The Spark plan finds pairs via
     pigeonhole bands, but the banding is an exact cover (hamming <=
