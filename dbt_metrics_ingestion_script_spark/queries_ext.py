@@ -299,7 +299,7 @@ def _minhash_eval_oracle() -> str:
       FROM exact e FULL JOIN cand c
         ON e.id_a = c.id_a AND e.id_b = c.id_b
     )
-    SELECT {_MH_EVAL_T} AS threshold,
+    SELECT {_MH_EVAL_T}::DOUBLE AS threshold,
            CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
              AS n_exact,
            CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
