@@ -190,6 +190,7 @@ HEADLINE = [
     "corpus_cdc_chunks",
     "corpus_cdc_dup_fraction",
     "dedup_minhash_eval",
+    "corpus_curriculum_phases",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -245,6 +245,57 @@ def stratified_sample(
     return df.where(sample_keep(id_col, stratum_col, rate))
 
 
+def curriculum_phases(
+    scores: DataFrame,
+    n_phases: int = 10,
+    score_col: str = "avg_logprob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum ordering: assign every document an easiest-first
+    training PHASE (1 = most typical under the quality score, n_phases
+    = hardest) plus a deterministic within-phase shuffle key -- the
+    stage that turns a scored corpus into a curriculum-learning
+    schedule (typical data first, tail data later).
+
+    Phase boundaries are EXACT score percentiles computed once into a
+    1-row broadcast threshold frame; each row's phase is
+    1 + (number of thresholds strictly above its score) -- a map-side
+    comparison, monotone nonincreasing in score by construction.  A
+    global ntile() would sort the corpus through one reducer; the
+    threshold frame keeps the corpus scan shuffle-free (the
+    corpus_length_histogram bounds-frame discipline).  Thresholds
+    round to 6dp so both engines compare identical doubles.
+
+    Output: (id, score_col, phase, order_key); (phase, order_key) is
+    the training SORT KEY -- like the global shuffle and mixing
+    schedule, global order is a sort key, never a row_number."""
+    if n_phases < 2:
+        raise ValueError("n_phases must be >= 2")
+    qs = [i / n_phases for i in range(1, n_phases)]
+    thr = scores.agg(
+        *[
+            F.round(
+                F.expr(f"percentile({score_col}, {q})"), 6
+            ).alias(f"__t{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    joined = scores.crossJoin(F.broadcast(thr))
+    above = [
+        F.when(F.col(f"__t{i}") > F.col(score_col), 1).otherwise(0)
+        for i in range(len(qs))
+    ]
+    phase = F.lit(1)
+    for a in above:
+        phase = phase + a
+    return joined.select(
+        F.col(id_col),
+        F.col(score_col),
+        phase.alias("phase"),
+        hash64(F.col(id_col).cast("string")).alias("order_key"),
+    )
+
+
 CDC_WINDOW = 8  # rolling-hash window (chars)
 CDC_BASE = 31
 CDC_DIVISOR = 64  # boundary when h % divisor == 0 -> ~64-char chunks

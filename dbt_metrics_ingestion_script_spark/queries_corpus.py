@@ -410,6 +410,60 @@ def corpus_bloom_decontamination(spark, sf_dir):
     )
 
 
+_CURRICULUM_PHASES = 10
+
+
+def _curriculum_oracle() -> str:
+    n = _CURRICULUM_PHASES
+    ts = ", ".join(
+        f"ROUND(quantile_cont(avg_logprob, {i / n}), 6)" for i in range(1, n)
+    )
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split({_NORM}, ' ') AS toks
+      FROM documents
+    ), terms AS (
+      SELECT doc_id, t.term FROM docs, unnest(toks) AS t(term)
+      WHERE t.term <> ''
+    ), rc AS (
+      SELECT term, COUNT(*) AS c FROM terms GROUP BY 1
+    ), tot AS (
+      SELECT SUM(c) AS n, COUNT(*) AS v FROM rc
+    ), lp AS (
+      SELECT terms.doc_id,
+             ROUND(AVG(ln((rc.c + 1.0) / (tot.n + tot.v + 1.0))), 6)
+               AS avg_logprob
+      FROM terms JOIN rc USING (term) CROSS JOIN tot
+      GROUP BY 1
+    ), thr AS (
+      SELECT [{ts}] AS ts FROM lp
+    )
+    SELECT doc_id, avg_logprob,
+           (1 + len(list_filter(ts, t -> t > avg_logprob)))::INT AS phase,
+           {_H.format(x="doc_id::VARCHAR")} AS order_key
+    FROM lp, thr
+    """
+
+
+@register("corpus_curriculum_phases", _curriculum_oracle())
+def corpus_curriculum_phases(spark, sf_dir):
+    """Curriculum-learning schedule: every document gets an
+    easiest-first phase (decile of its unigram typicality score via a
+    broadcast exact-percentile threshold frame -- no global ntile
+    sort) and a deterministic within-phase shuffle key; (phase,
+    order_key) is the training sort key.  Completes the corpus
+    pipeline's ordering stages: global shuffle (uniform), mixing
+    schedule (by source), curriculum (by difficulty)."""
+    from .operators.corpus import curriculum_phases
+    from .operators.text import unigram_logprob_score
+
+    scores = unigram_logprob_score(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "avg_logprob")
+    return curriculum_phases(scores, n_phases=_CURRICULUM_PHASES)
+
+
 def _cdc_oracle() -> str:
     from .operators.corpus import CDC_BASE, CDC_DIVISOR, CDC_WINDOW
 

@@ -959,6 +959,42 @@ def corpus_cluster_balanced_cap(spark, sf_dir):
     )
 
 
+_PROBE_SWEEP = [1, 2, 4, 8, 16]
+
+
+def _ann_probe_sweep_oracle() -> str:
+    branches = []
+    for i, p in enumerate(_PROBE_SWEEP):
+        inner = _ann_recall_oracle(n_probe=p)
+        head = f"{p} AS n_probe" if i == 0 else str(p)
+        branches.append(f"SELECT {head}, t.* FROM ({inner}) t")
+    return "\nUNION ALL\n".join(branches)
+
+
+@register("similarity_ann_probe_sweep", _ann_probe_sweep_oracle())
+def similarity_ann_probe_sweep(spark, sf_dir):
+    """The IVF TUNING CURVE: recall@10 at every probe count in
+    {probes} over the same 16-list index -- the offline sweep that
+    picks production n_probe (the recall/cost knee).  The last point
+    probes every list, so the curve must END at recall 1.0: a built-in
+    sanity the oracle re-verifies branch by branch (each probe level
+    replays the full index build + both top-k sides in DuckDB).
+    Monotonicity in n_probe is pinned by pytest.  At 100 TB this runs
+    on a sampled query set against the materialized index; serving
+    never pays the exact side.""".format(probes=_PROBE_SWEEP)
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _min_id_query(emb)
+    frames = [
+        similarity.ann_recall(emb, q, k=10, n_centroids=16, n_probe=p).select(
+            F.lit(p).alias("n_probe"), "k", "n_exact", "n_hits", "recall"
+        )
+        for p in _PROBE_SWEEP
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
 @register("similarity_ann_recall", _ann_recall_oracle())
 def similarity_ann_recall(spark, sf_dir):
     """Offline ANN quality evaluation: recall@10 of the IVF index vs

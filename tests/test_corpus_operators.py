@@ -769,3 +769,35 @@ def test_cdc_chunks_partition_document_exactly(spark):
         assert pos == norms[doc_id]
     assert len(by_doc[1]) > 1
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_len"] == 4
+
+
+def test_curriculum_phases_monotone_and_balanced(spark, sf_dir):
+    """Phase is monotone nonincreasing in score (a higher-scoring doc
+    never lands in a later phase), phases span 1..10, and no phase is
+    grossly imbalanced (exact-percentile boundaries)."""
+    from dbt_metrics_ingestion_script_spark.operators.corpus import (
+        curriculum_phases,
+    )
+    from dbt_metrics_ingestion_script_spark.operators.text import (
+        unigram_logprob_score,
+    )
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    scores = unigram_logprob_score(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "avg_logprob")
+    rows = curriculum_phases(scores).collect()
+    assert rows
+    by_score = sorted(rows, key=lambda r: -r["avg_logprob"])
+    phases = [r["phase"] for r in by_score]
+    assert all(a <= b for a, b in zip(phases, phases[1:]))
+    assert min(phases) == 1 and max(phases) <= 10
+    n = len(rows)
+    from collections import Counter
+
+    sizes = Counter(phases)
+    # exact percentiles: no phase exceeds ~2x its fair share unless the
+    # score distribution has heavy ties (the synthetic corpus doesn't)
+    assert max(sizes.values()) <= max(2 * n // 10, 3), sizes
+    # order keys are deterministic 64-bit hashes, distinct per doc
+    assert len({r["order_key"] for r in rows}) == n

@@ -2864,3 +2864,22 @@ def test_bucketed_join_is_shuffle_free_and_prunes_buckets(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
+def test_ann_probe_sweep_monotone_and_ends_at_one(spark, sf_dir):
+    """The IVF tuning curve: recall is nondecreasing in n_probe, and
+    probing every list IS brute force, so the curve ends at exactly
+    1.0."""
+    from dbt_metrics_ingestion_script_spark.queries_ext import (
+        similarity_ann_probe_sweep,
+    )
+
+    rows = sorted(
+        similarity_ann_probe_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8, 16]
+    recalls = [r["recall"] for r in rows]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] == 1.0
+    assert all(r["n_exact"] == 10 for r in rows)
