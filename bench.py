@@ -191,6 +191,16 @@ HEADLINE = [
     "corpus_cdc_dup_fraction",
     "dedup_minhash_eval",
     "corpus_curriculum_phases",
+    "events_snapshot_at_time",
+    "events_snapshot_diff",
+    "events_kmv_daily_users",
+    "events_kmv_merge_rollup",
+    "events_join_size_estimate",
+    "metric_regression_revenue_trend",
+    "metric_revenue_drawdown",
+    "events_feature_scaling",
+    "corpus_negative_samples",
+    "dq_key_skew_profile",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -102,3 +102,99 @@ def countmin_estimate(
         .groupBy(key_col, *extra_cols)
         .agg(F.min("c").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+#
+# The distinct-count sibling with an EXACT mergeability story: a KMV
+# sketch is the k smallest distinct hash values of a set (Bar-Yossef
+# et al. 2002, "Counting distinct elements in a data stream").  Its
+# union law is order-statistic algebra, not approximation: the k
+# smallest of the union of per-part k-smallest sets IS the k smallest
+# of the full union (any global top-k element is top-k within its
+# part).  So daily sketches roll up to monthly estimates BIT-IDENTICAL
+# to sketching the month directly -- verified in-plan, not assumed.
+#
+# Like Count-Min above, sketches are plain rows ((group, h) pairs)
+# built on the portable md5-based hash64, so a DuckDB oracle replays
+# every hash, every kth-minimum, and every estimate exactly.
+#
+# Scale shape: one distinct on (group, hash) -- partial-aggregated,
+# ships one row per distinct hash -- then a per-group window that
+# sorts only the deduplicated hash frame (bounded by distinct keys,
+# never by event rows) and keeps k rows per group.  Estimation and
+# merging touch only k-row-per-group frames.
+
+KMV_HASH_SPACE = float(1 << 60)  # hash64 = 15 hex chars = 60 bits
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch rows: (*group_cols, h) -- the k smallest
+    distinct hash64 values of `key_col` in each group.  NULL keys and
+    NULL group values carry no element and are dropped."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash64
+
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator uses k-1)")
+    cond = F.col(key_col).isNotNull()
+    for g in group_cols:
+        cond = cond & F.col(g).isNotNull()
+    hashed = (
+        df.where(cond)
+        .select(*group_cols, hash64(F.col(key_col).cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Distinct-count estimate per group from KMV sketch rows:
+    (k-1) * H / h_(k) when the sketch is full, else the exact count of
+    sketch rows (fewer than k distinct values means the sketch IS the
+    set).  Pure double arithmetic in a fixed operand order, so any
+    engine reproduces the estimate bit-identically."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"), F.max("h").alias("__kth")
+    )
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_HASH_SPACE) / F.col("__kth").cast("double")
+    )
+    return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))
+
+
+def kmv_merge(
+    sketch: DataFrame,
+    from_groups: list[str],
+    to_groups: list[str],
+    k: int,
+) -> DataFrame:
+    """Re-group KMV sketch rows to a coarser grouping: union the
+    member sketches and keep the k smallest per coarse group.  By the
+    order-statistic union law this EQUALS the sketch built directly at
+    the coarse grain -- the property kmv_merge_rollup verifies
+    in-plan.  `to_groups` must be derivable columns already present
+    on `sketch` (computed by the caller)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*to_groups).orderBy("h")
+    return (
+        sketch.select(*to_groups, "h")
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,754 @@
+"""Temporal / sketch / ML-prep query family (EXT, round 8 wave 2).
+
+Lakehouse temporal primitives (changelog snapshot reconstruction and
+snapshot diff), the KMV distinct-count sketch with its exact
+mergeability law verified in-plan, sample-based join-size estimation,
+closed-form grouped OLS regression, drawdown analysis, feature
+scaling for training-set assembly, deterministic hash-bucketed
+negative sampling, and a key-skew profiler.
+
+Same driver contract as queries.py: every computed column aliased
+identically in Spark and SQL; float aggregates either made exact via
+decimal summation (order-independent in every engine) or rounded
+identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import (
+    DUCKDB_HASH31,
+    DUCKDB_HASH64,
+    duckdb_family_hash,
+    family_hash,
+    hash31,
+    hash64,
+)
+from .operators.sketches import (
+    KMV_HASH_SPACE,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+from .operators.temporal import snapshot_at, snapshot_diff
+from .registry import register
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# changelog snapshots: point-in-time reconstruction + diff
+# ---------------------------------------------------------------------------
+#
+# The events log read as a keyed changelog: user_id is the key,
+# (ts, event_id) the monotone position, event_type the op -- 'error'
+# acts as the tombstone op for the demo (documented mapping; any op
+# vocabulary plugs in), every other op upserts the row's value.
+
+_SNAP_T1 = "2024-01-10 00:00:00"
+_SNAP_T2 = "2024-01-20 00:00:00"
+
+
+def _snapshot_oracle(as_of: str) -> str:
+    return f"""
+    WITH ranked AS (
+      SELECT user_id, ts AS state_ts, event_id AS state_seq,
+             event_type AS state_op, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+      WHERE ts IS NOT NULL AND ts <= TIMESTAMP '{as_of}'
+    )
+    SELECT user_id, state_ts, state_seq, state_op, value
+    FROM ranked WHERE rn = 1 AND state_op <> 'error'
+    """
+
+
+def _events_snapshot(spark, sf_dir, as_of: str):
+    return snapshot_at(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        seq_col="event_id",
+        op_col="event_type",
+        delete_op="error",
+        value_cols=["value"],
+        as_of=as_of,
+    )
+
+
+@register("events_snapshot_at_time", _snapshot_oracle(_SNAP_T2))
+def events_snapshot_at_time(spark, sf_dir):
+    """Point-in-time table state from an append-only changelog: the
+    latest record per key at T wins, ordered by (ts, seq) so
+    co-timestamped records resolve deterministically; a key whose
+    latest record is the tombstone op is absent.  ONE
+    partial-aggregated shuffle (max_by combines map-side, shipping one
+    candidate per key per partition -- never the log; a window
+    row_number formulation would shuffle and sort every log row).
+    The oracle deliberately uses the window formulation: two
+    formulations, one semantics."""
+    return _events_snapshot(spark, sf_dir, _SNAP_T2)
+
+
+@register(
+    "events_snapshot_diff",
+    f"""
+    WITH r1 AS (
+      SELECT user_id, event_type AS state_op, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events WHERE ts IS NOT NULL AND ts <= TIMESTAMP '{_SNAP_T1}'
+    ), s1 AS (
+      SELECT user_id, state_op, value FROM r1
+      WHERE rn = 1 AND state_op <> 'error'
+    ), r2 AS (
+      SELECT user_id, event_type AS state_op, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events WHERE ts IS NOT NULL AND ts <= TIMESTAMP '{_SNAP_T2}'
+    ), s2 AS (
+      SELECT user_id, state_op, value FROM r2
+      WHERE rn = 1 AND state_op <> 'error'
+    )
+    SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+           CASE
+             WHEN s1.user_id IS NULL THEN 'added'
+             WHEN s2.user_id IS NULL THEN 'removed'
+             WHEN s1.state_op IS NOT DISTINCT FROM s2.state_op
+              AND s1.value IS NOT DISTINCT FROM s2.value THEN 'unchanged'
+             ELSE 'changed'
+           END AS status,
+           s1.state_op AS old_state_op, s1.value AS old_value,
+           s2.state_op AS new_state_op, s2.value AS new_value
+    FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    """,
+)
+def events_snapshot_diff(spark, sf_dir):
+    """Diff two point-in-time states of the changelog-reconstructed
+    table: added / removed / changed / unchanged per key, NULL-safe on
+    the payload.  Both snapshots are outputs of the same keyed
+    aggregate, so at scale they arrive identically partitioned and the
+    diff join never re-shuffles the log.  'removed' is a key whose T2
+    state is a tombstone; 'added' first appeared after T1."""
+    s1 = _events_snapshot(spark, sf_dir, _SNAP_T1)
+    s2 = _events_snapshot(spark, sf_dir, _SNAP_T2)
+    return snapshot_diff(
+        s1, s2, key_col="user_id", value_cols=["state_op", "value"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch: daily estimates + exact merge law
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE_SQL = "1152921504606846976.0"  # 2^60, hash64's range
+_H64_USER = DUCKDB_HASH64.format(x="CAST(user_id AS VARCHAR)")
+
+
+def _kmv_est_sql(n: str, kth: str) -> str:
+    return (
+        f"ROUND(CASE WHEN {n} < {_KMV_K} THEN CAST({n} AS DOUBLE) "
+        f"ELSE {float(_KMV_K - 1)} * {_KMV_SPACE_SQL} / CAST({kth} AS DOUBLE) "
+        f"END, 4)"
+    )
+
+
+@register(
+    "events_kmv_daily_users",
+    f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), hs AS (
+      SELECT DISTINCT day, {_H64_USER} AS h FROM du
+    ), ranked AS (
+      SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM hs
+    ), sk AS (
+      SELECT day, COUNT(*) AS n, MAX(h) AS kth
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY 1
+    ), est AS (
+      SELECT day, {_kmv_est_sql('n', 'kth')} AS est_distinct FROM sk
+    ), ex AS (
+      SELECT day, COUNT(*) AS n_exact FROM du GROUP BY 1
+    )
+    SELECT ex.day, ex.n_exact, est.est_distinct,
+           ROUND(ABS(est.est_distinct - ex.n_exact) / ex.n_exact, 4) AS rel_err
+    FROM ex JOIN est USING (day)
+    """,
+)
+def events_kmv_daily_users(spark, sf_dir):
+    """Daily distinct users via a KMV (k-minimum-values) sketch
+    (Bar-Yossef et al. 2002): keep the k smallest distinct hash
+    values per day; estimate (k-1)*H/h_(k).  Built on the portable
+    md5 hash64, so the oracle replays every hash, kth minimum, and
+    estimate bit-identically -- the sketch's ERROR is verified, not
+    assumed.  Scale: one partial-aggregated distinct on (day, hash),
+    then a window over the deduplicated hash frame only (bounded by
+    distinct users, never event rows)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.date_trunc("day", "ts").cast("date").alias("day"), "user_id")
+    )
+    sk = kmv_sketch(ev, "user_id", ["day"], _KMV_K)
+    est = kmv_estimate(sk, ["day"], _KMV_K)
+    exact = ev.distinct().groupBy("day").agg(F.count("*").alias("n_exact"))
+    return exact.join(est, "day").select(
+        "day",
+        "n_exact",
+        "est_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+@register(
+    "events_kmv_merge_rollup",
+    # the merge law (k smallest of a union of per-part k-smallest sets
+    # == k smallest of the union) is an order-statistic THEOREM, so the
+    # oracle computes the direct weekly sketch once and predicts the
+    # merged path equals it exactly
+    f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), hs AS (
+      SELECT DISTINCT week, {_H64_USER} AS h FROM du
+    ), ranked AS (
+      SELECT week, h, ROW_NUMBER() OVER (PARTITION BY week ORDER BY h) AS rn
+      FROM hs
+    ), sk AS (
+      SELECT week, COUNT(*) AS n, MAX(h) AS kth
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY 1
+    ), est AS (
+      SELECT week, {_kmv_est_sql('n', 'kth')} AS est_direct FROM sk
+    ), ex AS (
+      SELECT week, COUNT(*) AS n_exact FROM du GROUP BY 1
+    )
+    SELECT ex.week, ex.n_exact, est.est_direct AS est_merged,
+           est.est_direct, TRUE AS merge_exact
+    FROM ex JOIN est USING (week)
+    """,
+)
+def events_kmv_merge_rollup(spark, sf_dir):
+    """KMV mergeability, verified in-plan: weekly distinct-user
+    estimates computed TWO ways -- folding the daily sketches up to
+    weeks (the rollup a metric store performs, touching only
+    k-rows-per-day frames) and sketching the weeks directly from the
+    log -- must agree exactly, because the k smallest of the union of
+    per-day k-smallest sets IS the k smallest of the week (order
+    statistics, not approximation).  merge_exact asserts it row by
+    row; the oracle predicts TRUE everywhere."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            "user_id",
+        )
+    )
+    daily = kmv_sketch(ev, "user_id", ["day"], _KMV_K).withColumn(
+        "week", F.date_trunc("week", "day").cast("date")
+    )
+    merged = kmv_estimate(
+        kmv_merge(daily, ["day"], ["week"], _KMV_K), ["week"], _KMV_K
+    ).withColumnRenamed("est_distinct", "est_merged")
+    direct = kmv_estimate(
+        kmv_sketch(ev, "user_id", ["week"], _KMV_K), ["week"], _KMV_K
+    ).withColumnRenamed("est_distinct", "est_direct")
+    exact = (
+        ev.select("week", "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        exact.join(merged, "week")
+        .join(direct, "week")
+        .select(
+            "week",
+            "n_exact",
+            "est_merged",
+            "est_direct",
+            (F.col("est_merged") == F.col("est_direct")).alias("merge_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample-based join-size estimation (hash-range correlated sampling)
+# ---------------------------------------------------------------------------
+
+_JS_DIV = 8  # keep keys whose hash falls in the lowest 1/8 of the range
+_JS_THRESHOLD = (1 << 60) // _JS_DIV
+_H64_CUST = DUCKDB_HASH64.format(x="CAST(o_custkey AS VARCHAR)")
+
+
+@register(
+    "events_join_size_estimate",
+    f"""
+    WITH es AS (
+      SELECT user_id FROM events
+      WHERE user_id IS NOT NULL AND {_H64_USER} < {_JS_THRESHOLD}
+    ), os AS (
+      SELECT o_custkey FROM orders
+      WHERE o_custkey IS NOT NULL AND {_H64_CUST} < {_JS_THRESHOLD}
+    ), sample_join AS (
+      SELECT COUNT(*) * {_JS_DIV} AS est_rows
+      FROM es JOIN os ON es.user_id = os.o_custkey
+    ), ea AS (
+      SELECT user_id, COUNT(*) AS a FROM events
+      WHERE user_id IS NOT NULL GROUP BY 1
+    ), oa AS (
+      SELECT o_custkey, COUNT(*) AS b FROM orders
+      WHERE o_custkey IS NOT NULL GROUP BY 1
+    ), exact AS (
+      SELECT CAST(SUM(a * b) AS BIGINT) AS exact_rows
+      FROM ea JOIN oa ON ea.user_id = oa.o_custkey
+    )
+    SELECT est_rows, exact_rows,
+           ROUND(ABS(CAST(est_rows AS DOUBLE) - exact_rows) / exact_rows, 6)
+             AS rel_err
+    FROM sample_join, exact
+    """,
+)
+def events_join_size_estimate(spark, sf_dir):
+    """Join-cardinality estimation by correlated hash-range sampling
+    (the optimizer-statistics primitive): both sides keep only keys
+    whose shared hash lands in the lowest 1/8 of the range, join the
+    samples, scale by 8.  Because the SAME hash gates both sides, a
+    surviving key keeps its full multiplicity on each side -- the
+    estimator is unbiased over Sum(a_k*b_k), unlike independent
+    row-level sampling which quadratically under-samples matches.
+    Filters push to both scans; the exact side (sum of per-key
+    count products, never a materialized join) is the offline
+    evaluation, as in similarity_ann_recall."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    od = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull()
+    )
+    thr = F.lit(_JS_THRESHOLD)
+    es = ev.where(hash64(F.col("user_id").cast("string")) < thr).select(
+        "user_id"
+    )
+    os_ = od.where(hash64(F.col("o_custkey").cast("string")) < thr).select(
+        "o_custkey"
+    )
+    est = (
+        es.join(os_, es.user_id == os_.o_custkey)
+        .agg((F.count("*") * _JS_DIV).alias("est_rows"))
+    )
+    ea = ev.groupBy("user_id").agg(F.count("*").alias("a"))
+    oa = od.groupBy("o_custkey").agg(F.count("*").alias("b"))
+    exact = (
+        ea.join(oa, ea.user_id == oa.o_custkey)
+        .agg(F.sum(F.col("a") * F.col("b")).alias("exact_rows"))
+    )
+    return est.crossJoin(exact).select(
+        "est_rows",
+        "exact_rows",
+        F.round(
+            F.abs(F.col("est_rows").cast("double") - F.col("exact_rows"))
+            / F.col("exact_rows"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS regression (closed form over exact sums)
+# ---------------------------------------------------------------------------
+
+_REG_EPOCH = "1995-01-01"
+
+
+@register(
+    "metric_regression_revenue_trend",
+    f"""
+    WITH daily AS (
+      SELECT o_orderstatus AS status,
+             datediff('day', DATE '{_REG_EPOCH}',
+                      CAST(date_trunc('day', o_orderdate) AS DATE)) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+    ), s AS (
+      SELECT status, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(y) AS sy, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM daily GROUP BY 1
+    )
+    SELECT status, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def metric_regression_revenue_trend(spark, sf_dir):
+    """Per-group OLS trend of daily revenue, closed form: slope /
+    intercept / R^2 from the five sufficient sums -- ONE aggregate
+    over the pre-aggregated daily frame, no iteration, no ML library.
+    The sufficient-statistics shape is exactly what scales: sums
+    combine map-side, and model fitting is O(groups), not O(rows).
+    Parity engineering: daily y sums DECIMAL (order-independent in
+    every engine, so both engines regress on bit-identical inputs),
+    x is a small integer day index (integer sums exact), and both
+    engines evaluate the identical closed-form expression."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.datediff(
+                F.date_trunc("day", "o_orderdate").cast("date"),
+                F.lit(_REG_EPOCH).cast("date"),
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    s = daily.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "status",
+        "n",
+        F.round(num / den, 6).alias("slope"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den, 6
+        ).alias("intercept"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# drawdown: running peak vs current (the monitoring window shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "metric_revenue_drawdown",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    )
+    SELECT month, revenue,
+           MAX(revenue) OVER (
+             ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS run_peak,
+           ROUND((MAX(revenue) OVER (
+             ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - revenue) / MAX(revenue) OVER (
+             ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) AS drawdown_pct
+    FROM monthly
+    """,
+)
+def metric_revenue_drawdown(spark, sf_dir):
+    """Drawdown of the monthly revenue series: running peak and the
+    fraction below it -- the health-monitoring twin of the alerting
+    suite (plans/alerts.py), as a cumulative window over the tiny
+    monthly aggregate.  Revenue sums DECIMAL then casts, so the series
+    is bit-identical across engines with no rounding step; only the
+    final ratio rounds."""
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        peak.alias("run_peak"),
+        F.round((peak - F.col("revenue")) / peak, 6).alias("drawdown_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature scaling for training-set assembly
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_feature_scaling",
+    """
+    WITH feat AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n, SUM(total_value) AS s,
+             SUM(total_value * total_value) AS ss,
+             MIN(total_value) AS lo, MAX(total_value) AS hi
+      FROM feat
+    )
+    SELECT f.user_id, f.n_events, f.total_value,
+           ROUND((f.total_value - s.s / s.n)
+                 / sqrt(s.ss / s.n - (s.s / s.n) * (s.s / s.n)), 6) AS z_score,
+           ROUND((f.total_value - s.lo) / (s.hi - s.lo), 6) AS min_max,
+           ROUND(PERCENT_RANK() OVER (ORDER BY f.total_value, f.user_id), 6)
+             AS pct_rank
+    FROM feat f, stats s
+    """,
+)
+def events_feature_scaling(spark, sf_dir):
+    """Feature scaling for training-set assembly: z-score, min-max,
+    and percent-rank of a per-entity aggregate feature.  The scaling
+    statistics come from a ONE-ROW aggregate broadcast back over the
+    feature frame (never a global window over the data): at 100 TB
+    the entity frame is corpus-sublinear and the stats pass is a
+    partial-aggregated reduce to a single row.  percent_rank alone
+    needs a global order -- over the entity frame only, with a
+    deterministic (value, key) tie-break.  Variance uses the explicit
+    E[x^2]-E[x]^2 form so both engines evaluate the identical
+    expression over the identical (decimal-exact) inputs."""
+    feat = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    stats = feat.agg(
+        F.count("*").alias("n"),
+        F.sum("total_value").alias("s"),
+        F.sum(F.col("total_value") * F.col("total_value")).alias("ss"),
+        F.min("total_value").alias("lo"),
+        F.max("total_value").alias("hi"),
+    )
+    mu = F.col("s") / F.col("n")
+    sigma = F.sqrt(F.col("ss") / F.col("n") - mu * mu)
+    w = Window.orderBy("total_value", "user_id")
+    return (
+        feat.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n_events",
+            "total_value",
+            F.round((F.col("total_value") - mu) / sigma, 6).alias("z_score"),
+            F.round(
+                (F.col("total_value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")),
+                6,
+            ).alias("min_max"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash-bucketed negative sampling (contrastive training)
+# ---------------------------------------------------------------------------
+
+_NEG_NB = 32  # codebook buckets
+_NEG_K = 3  # negatives per anchor
+_H31_DOC = DUCKDB_HASH31.format(x="CAST(doc_id AS VARCHAR)")
+
+
+def _neg_probe_sql() -> str:
+    cases = " ".join(
+        f"WHEN j = {j} THEN ({duckdb_family_hash('h31', j)} % {_NEG_NB})"
+        for j in range(1, _NEG_K + 1)
+    )
+    return f"CASE {cases} END"
+
+
+@register(
+    "corpus_negative_samples",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, source, {_H31_DOC} AS h31
+      FROM documents WHERE doc_id IS NOT NULL
+    ), leaders AS (
+      SELECT b, doc_id AS negative_id, source AS neg_source FROM (
+        SELECT h31 % {_NEG_NB} AS b, doc_id, source,
+               ROW_NUMBER() OVER (
+                 PARTITION BY h31 % {_NEG_NB} ORDER BY h31, doc_id
+               ) AS rn
+        FROM docs
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT d.doc_id AS anchor_id, d.source, j,
+             {_neg_probe_sql()} AS b
+      FROM docs d,
+           (SELECT unnest([{", ".join(str(j) for j in range(1, _NEG_K + 1))}]) AS j)
+    )
+    SELECT p.anchor_id, p.j, l.negative_id
+    FROM probes p JOIN leaders l USING (b)
+    WHERE l.negative_id <> p.anchor_id AND l.neg_source <> p.source
+    """,
+)
+def corpus_negative_samples(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws K pseudo-random negatives by probing a hash-bucketed
+    codebook -- bucket leaders (min-hash doc per bucket) stand in as
+    the negatives, probes come from the portable universal hash family
+    so every draw replays bit-identically in the oracle.  Same-source
+    and self pairs are filtered (would-be false negatives).  Scale:
+    the codebook is NB rows built by one aggregate and broadcast; the
+    anchor side is map-side only (explode xK + broadcast join) -- no
+    global index, no shuffle of the corpus, unlike row_number-based
+    pairing which needs a total order."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            hash31(F.col("doc_id").cast("string")).alias("h31"),
+        )
+    )
+    w = Window.partitionBy("b").orderBy("h31", "doc_id")
+    leaders = (
+        docs.withColumn("b", F.col("h31") % _NEG_NB)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "b",
+            F.col("doc_id").alias("negative_id"),
+            F.col("source").alias("neg_source"),
+        )
+    )
+    probes = docs.select(
+        F.col("doc_id").alias("anchor_id"),
+        "source",
+        F.posexplode(
+            F.array(
+                *[
+                    (family_hash(F.col("h31"), j) % _NEG_NB)
+                    for j in range(1, _NEG_K + 1)
+                ]
+            )
+        ).alias("pos", "b"),
+    ).select(
+        "anchor_id", "source", (F.col("pos") + 1).alias("j"), "b"
+    )
+    return (
+        probes.join(F.broadcast(leaders), "b")
+        .where(
+            (F.col("negative_id") != F.col("anchor_id"))
+            & (F.col("neg_source") != F.col("source"))
+        )
+        .select("anchor_id", "j", "negative_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# key-skew profiler (the pre-flight check for every shuffle above)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS c FROM events
+      WHERE user_id IS NOT NULL GROUP BY 1
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM counts
+    )
+    SELECT MAX(n) AS n_keys, CAST(SUM(c) AS BIGINT) AS total_rows, MAX(c) AS max_cnt,
+           MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN c END) AS p50_cnt,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN c END) AS p99_cnt,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top1_share,
+           ROUND(CAST(SUM(CASE WHEN rn > n - 10 THEN c END) AS DOUBLE)
+                 / SUM(c), 6) AS top10_share,
+           ROUND((2.0 * SUM(rn * c) - (MAX(n) + 1.0) * SUM(c))
+                 / (CAST(MAX(n) AS DOUBLE) * SUM(c)), 6) AS gini
+    FROM ranked
+    """,
+)
+def dq_key_skew_profile(spark, sf_dir):
+    """Key-skew profile of a join/aggregation key: discrete p50/p99
+    per-key counts, top-1/top-10 share, and the Gini coefficient of
+    the count distribution -- the pre-flight diagnostic that decides
+    between a plain shuffle, salting (operators/skew.py), or AQE skew
+    handling.  Works on the KEY frame (one partial-aggregated count,
+    corpus-sublinear), then a single window+aggregate over it; all
+    statistics are integer arithmetic until the final ratios, so
+    parity is exact.  Gini uses the sorted-index identity
+    (2*Sum(i*c_i) - (n+1)*Sum(c)) / (n*Sum(c)) with a deterministic
+    (count, key) tie-break."""
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy("c", "user_id")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    n = F.max("n")
+    tot = F.sum("c")
+    return ranked.agg(
+        n.alias("n_keys"),
+        tot.alias("total_rows"),
+        F.max("c").alias("max_cnt"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.50) * F.col("n")).cast("bigint"),
+                F.col("c"),
+            )
+        ).alias("p50_cnt"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.99) * F.col("n")).cast("bigint"),
+                F.col("c"),
+            )
+        ).alias("p99_cnt"),
+        F.round(F.max("c").cast("double") / tot, 6).alias("top1_share"),
+        F.round(
+            F.sum(F.when(F.col("rn") > F.col("n") - 10, F.col("c"))).cast(
+                "double"
+            )
+            / tot,
+            6,
+        ).alias("top10_share"),
+        F.round(
+            (
+                F.lit(2.0) * F.sum(F.col("rn") * F.col("c"))
+                - (n + F.lit(1.0)) * tot
+            )
+            / (n.cast("double") * tot),
+            6,
+        ).alias("gini"),
+    )

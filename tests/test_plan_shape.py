@@ -644,3 +644,60 @@ def test_training_set_assembly_two_shuffles(spark):
     plan = plan_of(run(spark, "events_training_set_pit"), "simple")
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2, plan
     assert "Join" not in plan
+
+
+def test_snapshot_at_single_partial_aggregated_shuffle(spark):
+    """snapshot_at is ONE partial-aggregated max_by shuffle: each
+    partition ships one candidate per key it saw, never the log
+    (operators/temporal.py).  A window row_number formulation would
+    shuffle and sort every log row -- guard against regressing to it."""
+    plan = plan_of(run(spark, "events_snapshot_at_time"))
+    assert plan.count("Exchange (") == 1
+    assert "max_by" in plan
+    assert "Window" not in plan  # the one-shuffle shape is the aggregate form
+    # partial aggregate sits BELOW the exchange (map-side combine)
+    tree = plan.split("\n\n")[0]
+    agg_lines = [
+        i for i, ln in enumerate(tree.splitlines()) if "Aggregate" in ln
+    ]
+    ex_lines = [i for i, ln in enumerate(tree.splitlines()) if "Exchange" in ln]
+    assert len(agg_lines) == 2 and ex_lines[0] > agg_lines[0]
+    assert ex_lines[0] < agg_lines[1]
+
+
+def test_negative_samples_codebook_is_broadcast(spark):
+    """corpus_negative_samples shuffles only the slim hashed-doc frame
+    (to elect bucket leaders, with the rank-limit pushed below the
+    exchange) and probes via broadcast -- the corpus itself never
+    shuffles and there is no global row index
+    (queries_temporal.py)."""
+    plan = plan_of(run(spark, "corpus_negative_samples"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count(" Exchange (") == 1  # shuffle = leaders election only
+    assert "WindowGroupLimit" in plan  # rank filter pushed into the sort
+
+
+def test_kmv_sketch_dedup_is_partial_aggregated(spark):
+    """The KMV build dedups (group, hash) with a partial aggregate
+    before its exchange -- ships one row per distinct hash, never per
+    event -- and the per-group k-smallest filter runs as a group limit
+    below the shuffle where Spark supports it
+    (operators/sketches.py)."""
+    plan = plan_of(run(spark, "events_kmv_daily_users"))
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    first_ex = next(i for i, ln in enumerate(lines) if "Exchange" in ln)
+    aggs_below = [i for i, ln in enumerate(lines) if "Aggregate" in ln and i > first_ex]
+    assert aggs_below, "no partial aggregate below the first exchange"
+    assert "WindowGroupLimit" in plan
+
+
+def test_join_size_estimate_sample_filters_reach_both_scans(spark):
+    """Both sides of the sampled join filter on the shared hash BEFORE
+    joining (the whole point: only ~1/8 of keys ever reach the join),
+    and the exact side is count-products, never a materialized join of
+    row frames (queries_temporal.py)."""
+    plan = plan_of(run(spark, "events_join_size_estimate"))
+    # the hash-range predicate appears as a Filter on each sampled scan
+    assert plan.count("< 144115188075855872") >= 2

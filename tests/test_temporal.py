@@ -1,0 +1,180 @@
+"""Changelog snapshot / KMV sketch / ML-prep operator semantics
+(queries_temporal.py family).
+
+Operator-level pins on synthetic frames -- the driver queries cover the
+oracle differentials; these pin the SEMANTICS edge cases: tombstone
+resolution, co-timestamped tie-breaks, NULL-payload diffs, the KMV
+merge law on adversarial splits, and negative-sampling invariants.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_metrics_ingestion_script_spark.operators.sketches import (
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+from dbt_metrics_ingestion_script_spark.operators.temporal import (
+    snapshot_at,
+    snapshot_diff,
+)
+
+
+def _ts(day: int, sec: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, day, 0, 0, sec)
+
+
+def _log(spark):
+    rows = [
+        # key 1: upsert then tombstone then re-upsert
+        (1, _ts(1), 1, "set", 10.0),
+        (2, _ts(2), 1, "del", None),
+        (3, _ts(3), 1, "set", 30.0),
+        # key 2: latest is a tombstone -> absent
+        (4, _ts(1), 2, "set", 5.0),
+        (5, _ts(4), 2, "del", None),
+        # key 3: co-timestamped records -> higher seq wins
+        (6, _ts(2), 3, "set", 1.0),
+        (7, _ts(2), 3, "set", 2.0),
+        # key 4: NULL ts ignored entirely
+        (8, None, 4, "set", 9.0),
+    ]
+    return spark.createDataFrame(
+        rows, "seq bigint, ts timestamp, k bigint, op string, v double"
+    )
+
+
+def _snap(spark, as_of):
+    return snapshot_at(
+        _log(spark),
+        key_col="k",
+        ts_col="ts",
+        seq_col="seq",
+        op_col="op",
+        delete_op="del",
+        value_cols=["v"],
+        as_of=as_of,
+    )
+
+
+def test_snapshot_tombstone_and_tiebreak(spark):
+    got = {
+        r["k"]: (r["v"], r["state_seq"])
+        for r in _snap(spark, "2024-01-05 00:00:00").collect()
+    }
+    # key 1 re-upserted after its tombstone; key 2 ends tombstoned;
+    # key 3 resolves the ts tie by seq; key 4 never has a position
+    assert got == {1: (30.0, 3), 3: (2.0, 7)}
+
+
+def test_snapshot_as_of_is_inclusive_and_historical(spark):
+    # at T=day2 exactly, key 1's tombstone (ts == as_of) applies,
+    # while key 2's later tombstone (day 4) has not happened yet
+    got = {r["k"]: r["v"] for r in _snap(spark, "2024-01-02 00:00:00").collect()}
+    assert got == {2: 5.0, 3: 2.0}
+    # before any record: empty state
+    assert _snap(spark, "2023-12-31 00:00:00").count() == 0
+
+
+def test_snapshot_diff_classifies_all_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, None), (5, 7.0)], "k bigint, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (3, None), (4, 4.0), (5, 8.0)], "k bigint, v double"
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, key_col="k", value_cols=["v"]).collect()
+    }
+    # NULL payloads compare null-safely: key 3 is unchanged, not changed
+    assert got == {
+        1: "unchanged",
+        2: "removed",
+        3: "unchanged",
+        4: "added",
+        5: "changed",
+    }
+
+
+def test_kmv_merge_law_on_adversarial_split(spark):
+    # keys arranged so every part's sketch differs from the union's:
+    # the merged sketch must still equal the direct union sketch EXACTLY
+    rows = [(g, i) for g in ("a", "b", "c") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, x bigint").withColumn(
+        "all", F.lit("u")
+    )
+    k = 16
+    parts = kmv_sketch(df, "x", ["g"], k).withColumn("all", F.lit("u"))
+    merged = kmv_merge(parts, ["g"], ["all"], k)
+    direct = kmv_sketch(df, "x", ["all"], k)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in direct.collect()
+    )
+    em = kmv_estimate(merged, ["all"], k).collect()[0]["est_distinct"]
+    ed = kmv_estimate(direct, ["all"], k).collect()[0]["est_distinct"]
+    assert em == ed
+
+
+def test_kmv_small_group_is_exact(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5)], "g string, x bigint"
+    )
+    sk = kmv_sketch(df, "x", ["g"], k=16)
+    assert sk.count() == 5  # sketch IS the set when |set| < k
+    est = kmv_estimate(sk, ["g"], 16).collect()[0]["est_distinct"]
+    assert est == 5.0
+
+
+def test_kmv_estimate_within_standard_error(spark):
+    # k=64 -> relative standard error ~ 1/sqrt(k-2) ~ 12.7%; assert a
+    # generous 4-sigma envelope on a 500-distinct set
+    df = spark.createDataFrame(
+        [("u", i) for i in range(500)], "g string, x bigint"
+    )
+    k = 64
+    est = kmv_estimate(kmv_sketch(df, "x", ["g"], k), ["g"], k).collect()[0][
+        "est_distinct"
+    ]
+    assert abs(est - 500) / 500 < 0.51
+
+
+def test_negative_samples_invariants(spark, sf_dir):
+    from dbt_metrics_ingestion_script_spark.queries_temporal import (
+        _NEG_K,
+        corpus_negative_samples,
+    )
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    out = corpus_negative_samples(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert out, "sampling produced no pairs"
+    for r in out:
+        assert r["negative_id"] != r["anchor_id"]
+        assert docs[r["negative_id"]] != docs[r["anchor_id"]]
+        assert 1 <= r["j"] <= _NEG_K
+    # deterministic: a second run produces the identical pair set
+    again = corpus_negative_samples(spark, sf_dir).collect()
+    key = lambda r: (r["anchor_id"], r["j"], r["negative_id"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, again))
+
+
+def test_join_size_estimate_scales_sample_correctly(spark, sf_dir):
+    from dbt_metrics_ingestion_script_spark.queries_temporal import (
+        events_join_size_estimate,
+    )
+
+    r = events_join_size_estimate(spark, sf_dir).collect()[0]
+    assert r["est_rows"] % 8 == 0  # est is 8x an integer sample count
+    assert r["exact_rows"] > 0
+    assert r["rel_err"] == pytest.approx(
+        abs(r["est_rows"] - r["exact_rows"]) / r["exact_rows"], abs=1e-6
+    )
