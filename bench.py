@@ -201,6 +201,9 @@ HEADLINE = [
     "events_feature_scaling",
     "corpus_negative_samples",
     "dq_key_skew_profile",
+    "events_user_pagerank",
+    "events_kmv_weekly_overlap",
+    "dq_value_histogram_equidepth",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -752,3 +752,327 @@ def dq_key_skew_profile(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph centrality: PageRank over the daily interaction graph
+# ---------------------------------------------------------------------------
+
+_PR_D = 0.85
+_PR_ITERS = 5
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS, d: float = _PR_D) -> str:
+    """Chained-CTE replay of every power-method round: the oracle runs
+    the SAME iteration the Spark loop builds, with the same per-round
+    9-dp rounding that re-synchronizes ulp-level sum-order drift."""
+    dd, omd = repr(d), repr(1.0 - d)
+    ctes = [
+        """seq AS MATERIALIZED (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, ts, event_id, user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), e0 AS MATERIALIZED (
+      SELECT LAG(user_id) OVER (PARTITION BY day ORDER BY ts, event_id) AS src,
+             user_id AS dst
+      FROM seq
+    ), edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM e0 WHERE src IS NOT NULL AND src <> dst
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ), deg AS MATERIALIZED (
+      SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY 1
+    ), nn AS MATERIALIZED (
+      SELECT COUNT(*) AS n FROM nodes
+    ), r0 AS MATERIALIZED (
+      SELECT node, 1.0 / nn.n AS r FROM nodes, nn
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(r{p}.r / deg.out_deg) AS contrib
+      FROM edges e
+      JOIN r{p} ON e.src = r{p}.node
+      JOIN deg ON deg.src = e.src
+      GROUP BY 1
+    ), d{i} AS MATERIALIZED (
+      SELECT COALESCE(SUM(r{p}.r), 0) AS m
+      FROM r{p} LEFT JOIN deg ON r{p}.node = deg.src
+      WHERE deg.src IS NULL
+    ), r{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             ROUND({omd} / nn.n
+                   + {dd} * (COALESCE(c.contrib, 0) + dd_.m / nn.n), 9) AS r
+      FROM nodes
+      CROSS JOIN nn
+      CROSS JOIN d{i} dd_
+      LEFT JOIN c{i} c ON nodes.node = c.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS user_id, r AS pagerank FROM r{iters}"
+    )
+
+
+@register("events_user_pagerank", _pagerank_oracle())
+def events_user_pagerank(spark, sf_dir):
+    """PageRank centrality over the daily interaction graph (directed
+    edges between consecutive actors within a day): the metadata-/
+    entity-importance ranking primitive, run as a fixed-iteration
+    power method with dangling-mass redistribution so rank conserves
+    exactly every round (operators/graph.py pagerank).  The oracle
+    replays ALL five rounds as chained CTEs -- per-round 9-dp rounding
+    makes the iteration bit-stable across engines, the kmeans-trace
+    discipline applied to graph centrality.  Scale: each round is one
+    edges-to-ranks join (rank/degree frames are node-sized,
+    broadcast; pre-partition edges by src at cluster scale) plus one
+    groupBy(dst); the loop builds ONE plan -- no per-round action."""
+    from .operators.graph import pagerank
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "ts",
+            "event_id",
+            "user_id",
+        )
+    )
+    w = Window.partitionBy("day").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.lag("user_id").over(w).alias("src"),
+            F.col("user_id").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    return pagerank(
+        edges, damping=_PR_D, iterations=_PR_ITERS, round_dp=9
+    ).select(F.col("node").alias("user_id"), "pagerank")
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: union / intersection / Jaccard between sketches
+# ---------------------------------------------------------------------------
+#
+# The capability HLL fundamentally lacks: set INTERSECTION.  The k
+# smallest hashes of A union B are a uniform sample of A union B, so
+# the fraction of them belonging to both sketches estimates Jaccard
+# (Broder 1997 resemblance, on KMV sketches per Beyer et al. 2007),
+# and est_intersection = jaccard * est_union.  Every step -- union
+# order statistics, membership flags, both estimates -- replays
+# bit-identically in the oracle.
+
+
+@register(
+    "events_kmv_weekly_overlap",
+    f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), hs AS (
+      SELECT DISTINCT week, {_H64_USER} AS h FROM du
+    ), sk AS (
+      SELECT week, h FROM (
+        SELECT week, h, ROW_NUMBER() OVER (PARTITION BY week ORDER BY h) AS rn
+        FROM hs
+      ) WHERE rn <= {_KMV_K}
+    ), wk AS (
+      SELECT DISTINCT week FROM sk
+    ), pairs AS (
+      SELECT a.week AS week_a, b.week AS week_b
+      FROM wk a JOIN wk b ON a.week < b.week
+    ), tagged AS (
+      SELECT p.week_a, p.week_b, s.h,
+             MAX(CASE WHEN s.week = p.week_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.week = p.week_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.week = p.week_a OR s.week = p.week_b
+      GROUP BY 1, 2, 3
+    ), combined AS (
+      SELECT week_a, week_b, h, in_a, in_b,
+             ROW_NUMBER() OVER (
+               PARTITION BY week_a, week_b ORDER BY h
+             ) AS rn
+      FROM tagged
+    ), agg AS (
+      SELECT week_a, week_b, COUNT(*) AS n, MAX(h) AS kth,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      FROM combined WHERE rn <= {_KMV_K} GROUP BY 1, 2
+    ), est AS (
+      SELECT week_a, week_b,
+             {_kmv_est_sql('n', 'kth')} AS est_union,
+             ROUND(CAST(n_both AS DOUBLE) / n, 6) AS jaccard_kmv
+      FROM agg
+    ), ex AS (
+      SELECT p.week_a, p.week_b,
+             CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS exact_intersection,
+             (SELECT COUNT(*) FROM du WHERE week = p.week_a)
+               + (SELECT COUNT(*) FROM du WHERE week = p.week_b)
+               - CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS exact_union
+      FROM pairs p
+      JOIN du a ON a.week = p.week_a
+      LEFT JOIN du b ON b.week = p.week_b AND b.user_id = a.user_id
+      GROUP BY 1, 2
+    )
+    SELECT est.week_a, est.week_b, est.est_union,
+           ROUND(est.jaccard_kmv * est.est_union, 4) AS est_intersection,
+           est.jaccard_kmv, ex.exact_union, ex.exact_intersection
+    FROM est JOIN ex ON est.week_a = ex.week_a AND est.week_b = ex.week_b
+    """,
+)
+def events_kmv_weekly_overlap(spark, sf_dir):
+    """Audience overlap between every pair of weeks from MERGEABLE KMV
+    sketches: union cardinality from the combined sketch's kth
+    minimum, Jaccard from the fraction of the combined k-minimum
+    sample present in both weeks' sketches, intersection as their
+    product -- the set-algebra HLL cannot do.  Weekly sketches are
+    computed ONCE (k rows per week) and every pairwise combination
+    touches only sketch rows; the exact side is the offline
+    evaluation, as in similarity_ann_recall."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+        )
+    )
+    sk = kmv_sketch(ev, "user_id", ["week"], _KMV_K)
+    wk = sk.select("week").distinct()
+    pairs = (
+        wk.select(F.col("week").alias("week_a"))
+        .join(wk.select(F.col("week").alias("week_b")))
+        .where(F.col("week_a") < F.col("week_b"))
+    )
+    side_a = pairs.join(sk, sk.week == pairs.week_a).select(
+        "week_a", "week_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    side_b = pairs.join(sk, sk.week == pairs.week_b).select(
+        "week_a", "week_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    tagged = (
+        side_a.unionByName(side_b)
+        .groupBy("week_a", "week_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("week_a", "week_b").orderBy("h")
+    agg = (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("week_a", "week_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("h").alias("kth"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        )
+    )
+    est_union = F.when(F.col("n") < _KMV_K, F.col("n").cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1))
+        * F.lit(KMV_HASH_SPACE)
+        / F.col("kth").cast("double")
+    )
+    est = agg.select(
+        "week_a",
+        "week_b",
+        F.round(est_union, 4).alias("est_union"),
+        F.round(F.col("n_both").cast("double") / F.col("n"), 6).alias(
+            "jaccard_kmv"
+        ),
+    )
+    du = ev.distinct()
+    wk_sizes = du.groupBy("week").agg(F.count("*").alias("sz"))
+    inter = (
+        du.select(F.col("week").alias("week_a"), "user_id")
+        .join(du.select(F.col("week").alias("week_b"), "user_id"), "user_id")
+        .where(F.col("week_a") < F.col("week_b"))
+        .groupBy("week_a", "week_b")
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    ex = (
+        pairs.join(F.broadcast(inter), ["week_a", "week_b"], "left")
+        .join(
+            F.broadcast(wk_sizes.select(F.col("week").alias("week_a"), F.col("sz").alias("sz_a"))),
+            "week_a",
+        )
+        .join(
+            F.broadcast(wk_sizes.select(F.col("week").alias("week_b"), F.col("sz").alias("sz_b"))),
+            "week_b",
+        )
+        .select(
+            "week_a",
+            "week_b",
+            F.coalesce(F.col("exact_intersection"), F.lit(0)).alias(
+                "exact_intersection"
+            ),
+            (F.col("sz_a") + F.col("sz_b")
+             - F.coalesce(F.col("exact_intersection"), F.lit(0))).alias(
+                "exact_union"
+            ),
+        )
+    )
+    return est.join(ex, ["week_a", "week_b"]).select(
+        "week_a",
+        "week_b",
+        "est_union",
+        F.round(F.col("jaccard_kmv") * F.col("est_union"), 4).alias(
+            "est_intersection"
+        ),
+        "jaccard_kmv",
+        "exact_union",
+        "exact_intersection",
+    )
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram (the other optimizer-statistics primitive)
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 10
+
+
+@register(
+    "dq_value_histogram_equidepth",
+    f"""
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM (
+      SELECT o_totalprice,
+             NTILE({_HIST_BUCKETS}) OVER (
+               ORDER BY o_totalprice, o_orderkey
+             ) AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    GROUP BY 1
+    """,
+)
+def dq_value_histogram_equidepth(spark, sf_dir):
+    """Equi-depth histogram of a value column -- the selectivity-
+    estimation companion of events_join_size_estimate: bucket
+    boundaries that equalize row counts (NTILE with a deterministic
+    (value, key) tie-break), then per-bucket count/lo/hi.  Exact
+    integer/minmax output, no float drift.  The build is a global
+    sort -- the same cost class as the z-order/global-shuffle layout
+    writes, run as an occasional statistics pass; the approximate
+    swap at 100 TB is percentile_approx boundaries + a map-side
+    width_bucket pass (the metric_p90_approx_bound sketch
+    discipline)."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select("o_totalprice", F.ntile(_HIST_BUCKETS).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

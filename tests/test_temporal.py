@@ -178,3 +178,75 @@ def test_join_size_estimate_scales_sample_correctly(spark, sf_dir):
     assert r["rel_err"] == pytest.approx(
         abs(r["est_rows"] - r["exact_rows"]) / r["exact_rows"], abs=1e-6
     )
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from dbt_metrics_ingestion_script_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["pagerank"] for r in pagerank(cyc).collect()}
+    # a cycle is rank-symmetric: everyone stays at exactly 1/3
+    assert got == {1: pytest.approx(1 / 3), 2: pytest.approx(1 / 3),
+                   3: pytest.approx(1 / 3)}
+
+
+def test_pagerank_conserves_mass_with_dangling(spark):
+    from dbt_metrics_ingestion_script_spark.operators.graph import pagerank
+
+    # node 3 is dangling (no out-edges): its mass redistributes, total
+    # rank must stay 1 (up to the per-round 9-dp rounding)
+    g = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src bigint, dst bigint"
+    )
+    ranks = pagerank(g).collect()
+    assert sum(r["pagerank"] for r in ranks) == pytest.approx(1.0, abs=1e-7)
+    got = {r["node"]: r["pagerank"] for r in ranks}
+    # 3 receives from both 1 and 2: strictly the most central
+    assert got[3] > got[2] > got[1]
+
+
+def test_pagerank_star_center_dominates(spark):
+    from dbt_metrics_ingestion_script_spark.operators.graph import pagerank
+
+    star = spark.createDataFrame(
+        [(s, 0) for s in range(1, 6)] + [(0, 1)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["pagerank"] for r in pagerank(star).collect()}
+    assert got[0] == max(got.values())
+    assert got[0] > 0.4
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    from dbt_metrics_ingestion_script_spark.operators.sketches import kmv_sketch
+
+    rows = [("a", i) for i in range(200)] + [("b", i) for i in range(200)] + [
+        ("c", i + 1000) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, x bigint")
+    sk = kmv_sketch(df, "x", ["g"], 32).collect()
+    by_g = {}
+    for r in sk:
+        by_g.setdefault(r["g"], set()).add(r["h"])
+    # identical sets -> identical sketches -> jaccard estimator = 1
+    assert by_g["a"] == by_g["b"]
+    # disjoint sets -> combined k-min sample shares nothing
+    assert not (by_g["a"] & by_g["c"])
+
+
+def test_equidepth_buckets_balanced_and_ordered(spark, sf_dir):
+    from dbt_metrics_ingestion_script_spark.queries_temporal import (
+        _HIST_BUCKETS,
+        dq_value_histogram_equidepth,
+    )
+
+    rows = sorted(
+        dq_value_histogram_equidepth(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(1, _HIST_BUCKETS + 1))
+    counts = [r["n_rows"] for r in rows]
+    assert max(counts) - min(counts) <= 1  # equi-depth
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi"] <= cur["lo"]  # non-overlapping value ranges
