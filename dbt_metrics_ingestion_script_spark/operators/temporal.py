@@ -41,6 +41,86 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def latest_records(
+    log: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    op_col: str,
+    value_cols: list[str],
+    as_of: str | Column | None = None,
+) -> DataFrame:
+    """Latest record per key (tombstones INCLUDED), optionally bounded
+    by ``as_of`` (inclusive): (key, state_ts, state_seq, state_op,
+    *value_cols).  NULL ts rows carry no position and are ignored.
+
+    Latest-wins over the (ts, seq) order is ASSOCIATIVE and
+    COMMUTATIVE, so this fold can run over any partition of the log --
+    per micro-batch, per shard -- and re-fold its own outputs
+    (``snapshot_fold``) to the same result as one pass over the union.
+    Tombstones must stay in the folded state for that to hold: a
+    tombstone dropped early could be resurrected by a LATE record with
+    an EARLIER timestamp arriving in a later batch.
+    """
+    cond = F.col(ts_col).isNotNull()
+    if as_of is not None:
+        as_of_c = (
+            F.lit(as_of).cast("timestamp") if isinstance(as_of, str) else as_of
+        )
+        cond = cond & (F.col(ts_col) <= as_of_c)
+    payload = F.struct(
+        F.col(ts_col).alias("state_ts"),
+        F.col(seq_col).alias("state_seq"),
+        F.col(op_col).alias("state_op"),
+        *[F.col(c) for c in value_cols],
+    )
+    order = F.struct(F.col(ts_col), F.col(seq_col))
+    return (
+        log.where(cond)
+        .groupBy(F.col(key_col))
+        .agg(F.max_by(payload, order).alias("__s"))
+        .select(
+            key_col,
+            F.col("__s.state_ts").alias("state_ts"),
+            F.col("__s.state_seq").alias("state_seq"),
+            F.col("__s.state_op").alias("state_op"),
+            *[F.col(f"__s.{c}").alias(c) for c in value_cols],
+        )
+    )
+
+
+def snapshot_fold(
+    prior: DataFrame,
+    batch_latest: DataFrame,
+    *,
+    key_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Fold a batch's latest-records frame into a prior state frame:
+    per key, the later (state_ts, state_seq) record wins.  Both inputs
+    and the output are ``latest_records``-shaped (tombstones kept), so
+    folds chain across arbitrarily many batches -- the streaming
+    maintenance loop's one-step state transition."""
+    cols = ["state_ts", "state_seq", "state_op", *value_cols]
+    unioned = prior.select(key_col, *cols).unionByName(
+        batch_latest.select(key_col, *cols)
+    )
+    payload = F.struct(*[F.col(c) for c in cols])
+    order = F.struct(F.col("state_ts"), F.col("state_seq"))
+    return (
+        unioned.groupBy(F.col(key_col))
+        .agg(F.max_by(payload, order).alias("__s"))
+        .select(key_col, *[F.col(f"__s.{c}").alias(c) for c in cols])
+    )
+
+
+def live_view(snapshot: DataFrame, *, op_col: str = "state_op", delete_op: str = "del") -> DataFrame:
+    """The readable face of a tombstone-keeping state frame: live keys
+    only."""
+    return snapshot.where(F.col(op_col) != F.lit(delete_op))
+
+
 def snapshot_at(
     log: DataFrame,
     *,
@@ -58,28 +138,17 @@ def snapshot_at(
     state_op, *value_cols); tombstoned keys are absent.  NULL ts rows
     carry no position in the log and are ignored.
     """
-    as_of_c = F.lit(as_of).cast("timestamp") if isinstance(as_of, str) else as_of
-    payload = F.struct(
-        F.col(ts_col).alias("state_ts"),
-        F.col(seq_col).alias("state_seq"),
-        F.col(op_col).alias("state_op"),
-        *[F.col(c) for c in value_cols],
-    )
-    order = F.struct(F.col(ts_col), F.col(seq_col))
-    latest = (
-        log.where(F.col(ts_col).isNotNull() & (F.col(ts_col) <= as_of_c))
-        .groupBy(F.col(key_col))
-        .agg(F.max_by(payload, order).alias("__s"))
-    )
-    return (
-        latest.where(F.col("__s.state_op") != F.lit(delete_op))
-        .select(
-            key_col,
-            F.col("__s.state_ts").alias("state_ts"),
-            F.col("__s.state_seq").alias("state_seq"),
-            F.col("__s.state_op").alias("state_op"),
-            *[F.col(f"__s.{c}").alias(c) for c in value_cols],
-        )
+    return live_view(
+        latest_records(
+            log,
+            key_col=key_col,
+            ts_col=ts_col,
+            seq_col=seq_col,
+            op_col=op_col,
+            value_cols=value_cols,
+            as_of=as_of,
+        ),
+        delete_op=delete_op,
     )
 
 

@@ -49,7 +49,8 @@ _SNAP_T1 = "2024-01-10 00:00:00"
 _SNAP_T2 = "2024-01-20 00:00:00"
 
 
-def _snapshot_oracle(as_of: str) -> str:
+def _snapshot_oracle(as_of: str | None) -> str:
+    bound = f"AND ts <= TIMESTAMP '{as_of}'" if as_of else ""
     return f"""
     WITH ranked AS (
       SELECT user_id, ts AS state_ts, event_id AS state_seq,
@@ -58,7 +59,7 @@ def _snapshot_oracle(as_of: str) -> str:
                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
              ) AS rn
       FROM events
-      WHERE ts IS NOT NULL AND ts <= TIMESTAMP '{as_of}'
+      WHERE ts IS NOT NULL {bound}
     )
     SELECT user_id, state_ts, state_seq, state_op, value
     FROM ranked WHERE rn = 1 AND state_op <> 'error'
@@ -1076,3 +1077,55 @@ def dq_value_histogram_equidepth(spark, sf_dir):
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming changelog-snapshot maintenance
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_snapshot_maintenance", _snapshot_oracle(None))
+def streaming_snapshot_maintenance_query(spark, sf_dir):
+    """STREAMING face of the changelog snapshot: events arrive as
+    micro-batches (the fixture is re-laid as two files, maxFilesPerTrigger=1
+    -> two foreachBatch folds), each batch reduces to its per-key
+    latest records and folds into the crash-atomic snapshot store;
+    latest-wins over (ts, seq) is associative+commutative so the
+    drained store equals the batch snapshot_at over the whole log --
+    the DuckDB window oracle -- regardless of how ingestion split the
+    records.  Tombstones live in the store (a late-but-earlier record
+    cannot resurrect a deleted key); only the returned live view
+    filters them."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.metrics_stream import (
+        read_events_stream,
+        streaming_snapshot_maintenance,
+    )
+
+    d = tempfile.mkdtemp(prefix="events_snap_stream_")
+    try:
+        src = os.path.join(d, "log")
+        store = os.path.join(d, "store")
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(
+            2
+        ).write.parquet(src)
+        stream = read_events_stream(spark, src)
+        snap = streaming_snapshot_maintenance(
+            spark,
+            stream,
+            store,
+            key_col="user_id",
+            ts_col="ts",
+            seq_col="event_id",
+            op_col="event_type",
+            delete_op="error",
+            value_cols=["value"],
+        )
+        # materialize before the temp store is removed
+        out = spark.createDataFrame(snap.collect(), snap.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -646,3 +646,74 @@ def streaming_semantic_ingestion(
         q.stop()
         raise TimeoutError("streaming_semantic_ingestion did not drain")
     return spark.read.parquet(labels_cur)
+
+
+def streaming_snapshot_maintenance(
+    spark,
+    log_stream: DataFrame,
+    store_dir: str,
+    *,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    op_col: str,
+    delete_op: str,
+    value_cols: list[str],
+    timeout_s: int = 120,
+):
+    """Streaming changelog-snapshot maintenance: the point-in-time
+    reconstruction operator (operators/temporal.py) run as a
+    continuously folded state store instead of a log replay.
+
+    Each micro-batch reduces to its per-key latest records
+    (`latest_records`, tombstones INCLUDED) and folds into the prior
+    snapshot with `snapshot_fold` -- latest-wins over (ts, seq) is
+    associative and commutative, so the drained store equals the batch
+    `snapshot_at(union of all batches)` REGARDLESS of how ingestion
+    split or ordered the records; a late record with an earlier
+    timestamp can never resurrect a tombstoned key because tombstones
+    stay in the store (only `live_view` filters them).  Same
+    write-vN-then-swap crash-atomic store discipline as the metric
+    store and cluster-label maintainers.
+
+    Per-batch cost follows the BATCH (one partial-aggregated max_by
+    over batch rows) plus one key-join-sized fold against the store --
+    the log itself is never re-read.  Returns the final LIVE snapshot
+    (tombstones filtered)."""
+    import os
+
+    from ..operators.temporal import latest_records, live_view, snapshot_fold
+
+    cur = os.path.join(store_dir, "current")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_snapshot(cur)
+        latest = latest_records(
+            batch_df,
+            key_col=key_col,
+            ts_col=ts_col,
+            seq_col=seq_col,
+            op_col=op_col,
+            value_cols=value_cols,
+        )
+        if os.path.exists(cur):
+            prior = spark.read.parquet(cur)
+            out = snapshot_fold(
+                prior, latest, key_col=key_col, value_cols=value_cols
+            )
+        else:
+            out = latest
+        nxt = os.path.join(store_dir, f"v{batch_id}")
+        out.write.mode("overwrite").parquet(nxt)
+        _swap_snapshot(nxt, cur)
+
+    q = (
+        log_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(store_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError("streaming_snapshot_maintenance did not drain")
+    return live_view(spark.read.parquet(cur), delete_op=delete_op)
