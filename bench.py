@@ -204,6 +204,8 @@ HEADLINE = [
     "events_user_pagerank",
     "events_kmv_weekly_overlap",
     "dq_value_histogram_equidepth",
+    "dq_orders_psi_drift",
+    "events_ab_conversion_ztest",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

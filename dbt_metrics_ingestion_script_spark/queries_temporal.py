@@ -1129,3 +1129,212 @@ def streaming_snapshot_maintenance_query(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift (the tabular twin of embeddings_label_drift)
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 10
+_PSI_SPLIT = "1998-01-01"  # reference period < split <= comparison period
+
+
+@register(
+    "dq_orders_psi_drift",
+    f"""
+    WITH base AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}' THEN 'ref'
+                  ELSE 'cmp' END AS period
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    ), bounds AS (
+      SELECT MIN(v) AS lo, MAX(v) AS hi FROM base
+    ), bucketed AS (
+      SELECT period,
+             LEAST(CAST(FLOOR((v - b.lo) / ((b.hi - b.lo) / {_PSI_BUCKETS}))
+                        AS BIGINT), {_PSI_BUCKETS - 1}) AS bucket
+      FROM base, bounds b
+    ), counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(SUM(CASE WHEN period = 'cmp' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cmp
+      FROM bucketed GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             CAST(SUM(n_cmp) AS BIGINT) AS t_cmp FROM counts
+    ), shares AS (
+      SELECT bucket, n_ref, n_cmp,
+             (n_ref + 1.0) / (t.t_ref + {_PSI_BUCKETS}) AS p_ref,
+             (n_cmp + 1.0) / (t.t_cmp + {_PSI_BUCKETS}) AS p_cmp
+      FROM counts, tot t
+    )
+    SELECT bucket, n_ref, n_cmp,
+           ROUND(p_ref, 6) AS p_ref, ROUND(p_cmp, 6) AS p_cmp,
+           ROUND((p_ref - p_cmp) * LN(p_ref / p_cmp), 6) AS psi_term,
+           ROUND(SUM((p_ref - p_cmp) * LN(p_ref / p_cmp)) OVER (), 6)
+             AS psi_total
+    FROM shares
+    """,
+)
+def dq_orders_psi_drift(spark, sf_dir):
+    """Population Stability Index between a reference and a comparison
+    period of the order-value distribution -- the standard tabular
+    drift monitor (PSI < 0.1 stable, > 0.25 shifted), the scalar twin
+    of embeddings_label_drift.  Equi-width buckets from the GLOBAL
+    min/max (a 1-row broadcast, deterministic in both engines --
+    ref-period quantile binning would be the equi-depth variant);
+    Laplace-smoothed shares so empty buckets stay finite; the total is
+    a window sum over the 10-bucket frame.  One scan builds the
+    bucketed counts (conditional aggregates, no per-period re-scan)."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(
+                F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp"),
+                F.lit("ref"),
+            )
+            .otherwise(F.lit("cmp"))
+            .alias("period"),
+        )
+    )
+    bounds = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / _PSI_BUCKETS
+    bucketed = base.crossJoin(F.broadcast(bounds)).select(
+        "period",
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / width).cast("bigint"),
+            F.lit(_PSI_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cmp", 1).otherwise(0)).alias("n_cmp"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cmp").alias("t_cmp")
+    )
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cmp",
+        ((F.col("n_ref") + F.lit(1.0)) / (F.col("t_ref") + _PSI_BUCKETS)).alias(
+            "p_ref"
+        ),
+        ((F.col("n_cmp") + F.lit(1.0)) / (F.col("t_cmp") + _PSI_BUCKETS)).alias(
+            "p_cmp"
+        ),
+    )
+    term = (F.col("p_ref") - F.col("p_cmp")) * F.log(
+        F.col("p_ref") / F.col("p_cmp")
+    )
+    return shares.select(
+        "bucket",
+        "n_ref",
+        "n_cmp",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cmp", 6).alias("p_cmp"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(Window.partitionBy()), 6).alias("psi_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: two-proportion z-test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_conversion_ztest",
+    f"""
+    WITH assigned AS (
+      SELECT user_id,
+             {_H64_USER} % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END)
+               AS converted
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1
+    ), arms AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM assigned
+    ), stats AS (
+      SELECT n_a, n_b, conv_a, conv_b,
+             CAST(conv_a AS DOUBLE) / n_a AS p_a,
+             CAST(conv_b AS DOUBLE) / n_b AS p_b,
+             CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pool
+      FROM arms
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b,
+           ROUND((p_a - p_b)
+                 / SQRT(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b)), 4)
+             AS z_score,
+           ABS((p_a - p_b)
+               / SQRT(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b))) > 1.96
+             AS significant
+    FROM stats
+    """,
+)
+def events_ab_conversion_ztest(spark, sf_dir):
+    """A/B experiment readout: users deterministically hash-split into
+    two arms (the corpus_train_val_test_split assignment discipline --
+    retry-stable, no stored assignment table), per-user conversion
+    (any high-value purchase, value > 150 -- chosen so neither arm
+    saturates), then the classic two-proportion pooled z-test.
+    One partial-aggregated pass builds per-user rows, a second
+    conditional aggregate folds both arms in one row -- no per-arm
+    re-scan.  sqrt is IEEE-correctly-rounded, so the statistic is
+    bit-identical across engines.  Null hypothesis holds by
+    construction (both arms sample the same population), so
+    `significant` reads FALSE -- the A/A-test sanity every experiment
+    platform ships."""
+    assigned = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            (hash64(F.col("user_id").cast("string")) % 2).alias("variant"),
+            "converted",
+        )
+    )
+    arms = assigned.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

@@ -301,3 +301,29 @@ def test_snapshot_fold_late_record_cannot_resurrect_tombstone(spark):
     )
     assert live_view(folded).count() == 0  # still deleted
     assert folded.collect()[0]["state_op"] == "del"  # tombstone retained
+
+
+def test_psi_drift_totals_and_smoothing(spark, sf_dir):
+    from dbt_metrics_ingestion_script_spark.queries_temporal import (
+        _PSI_BUCKETS,
+        dq_orders_psi_drift,
+    )
+
+    rows = dq_orders_psi_drift(spark, sf_dir).collect()
+    assert len(rows) <= _PSI_BUCKETS
+    totals = {r["psi_total"] for r in rows}
+    assert len(totals) == 1  # one scalar, repeated per bucket row
+    assert totals.pop() >= 0.0  # PSI is a symmetrized KL: non-negative
+    for r in rows:
+        assert r["p_ref"] > 0 and r["p_cmp"] > 0  # Laplace-smoothed
+
+
+def test_ab_ztest_consistency(spark, sf_dir):
+    from dbt_metrics_ingestion_script_spark.queries_temporal import (
+        events_ab_conversion_ztest,
+    )
+
+    r = events_ab_conversion_ztest(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert 0 < r["conv_a"] < r["n_a"]  # the arm is not saturated
+    assert r["significant"] == (abs(r["z_score"]) > 1.96)
