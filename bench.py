@@ -206,6 +206,7 @@ HEADLINE = [
     "dq_value_histogram_equidepth",
     "dq_orders_psi_drift",
     "events_ab_conversion_ztest",
+    "events_survival_curve",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

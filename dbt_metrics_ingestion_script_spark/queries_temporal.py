@@ -1338,3 +1338,179 @@ def events_ab_conversion_ztest(spark, sf_dir):
         F.round(z, 4).alias("z_score"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# survival analysis: Kaplan-Meier churn curve with right-censoring
+# ---------------------------------------------------------------------------
+
+_KM_INACTIVE_DAYS = 7  # quiet this long before the window end = churned
+
+
+@register(
+    "events_survival_curve",
+    f"""
+    WITH act AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), span AS (
+      SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day
+      FROM act GROUP BY 1
+    ), horizon AS (
+      SELECT MAX(day) AS t_end FROM act
+    ), durs AS (
+      SELECT CASE WHEN s.last_day <= h.t_end - {_KM_INACTIVE_DAYS}
+                  THEN datediff('day', s.first_day, s.last_day)
+                  ELSE datediff('day', s.first_day, h.t_end) END AS dur_days,
+             CASE WHEN s.last_day <= h.t_end - {_KM_INACTIVE_DAYS}
+                  THEN 1 ELSE 0 END AS churned_flag
+      FROM span s, horizon h
+    ), by_dur AS (
+      SELECT dur_days,
+             CAST(SUM(churned_flag) AS BIGINT) AS churned,
+             CAST(SUM(1 - churned_flag) AS BIGINT) AS censored
+      FROM durs GROUP BY 1
+    ), risk AS (
+      SELECT dur_days, churned, censored,
+             CAST(SUM(churned + censored) OVER (
+               ORDER BY dur_days DESC ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS n_at_risk
+      FROM by_dur
+    )
+    SELECT dur_days, n_at_risk, churned, censored,
+           ROUND(EXP(SUM(LN(1 - CAST(churned AS DOUBLE) / n_at_risk)) OVER (
+             ORDER BY dur_days ASC ROWS UNBOUNDED PRECEDING
+           )), 6) AS survival
+    FROM risk WHERE n_at_risk > churned
+    """,
+)
+def events_survival_curve(spark, sf_dir):
+    """Kaplan-Meier survival curve of user lifetime with
+    right-censoring -- the churn-analysis staple: a user quiet for the
+    last 7 days of the window churned at their last-active
+    day, everyone else is censored at the window end (their lifetime
+    is only KNOWN to exceed the observed span -- dropping them would
+    bias survival down, the censoring mistake KM exists to fix).
+    S(t) = prod over event days <= t of (1 - d_i/n_i), computed as
+    exp of a cumulative-sum of logs over the DURATION frame (at most
+    max-lifetime rows; the user span aggregate before it is one
+    partial-aggregated pass over the log).  At-risk counts come from a
+    reverse cumulative sum, no self-join.  The terminal
+    everyone-churns row (d == n, survival exactly 0) is excluded
+    BEFORE the log -- ANSI engines reject ln(0) -- which only that
+    row's own output ever used."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    horizon = ev.agg(F.max("day").alias("t_end"))
+    churned = F.col("last_day") <= F.date_sub(
+        F.col("t_end"), _KM_INACTIVE_DAYS
+    )
+    durs = span.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            churned, F.datediff(F.col("last_day"), F.col("first_day"))
+        )
+        .otherwise(F.datediff(F.col("t_end"), F.col("first_day")))
+        .alias("dur_days"),
+        F.when(churned, F.lit(1)).otherwise(F.lit(0)).alias("churned_flag"),
+    )
+    by_dur = durs.groupBy("dur_days").agg(
+        F.sum("churned_flag").alias("churned"),
+        F.sum(F.lit(1) - F.col("churned_flag")).alias("censored"),
+    )
+    w_desc = Window.orderBy(F.col("dur_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_dur.select(
+        "dur_days",
+        "churned",
+        "censored",
+        F.sum(F.col("churned") + F.col("censored")).over(w_desc).alias(
+            "n_at_risk"
+        ),
+    ).where(F.col("n_at_risk") > F.col("churned"))
+    w_asc = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return risk.select(
+        "dur_days",
+        "n_at_risk",
+        "churned",
+        "censored",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("churned").cast("double") / F.col("n_at_risk")
+                    )
+                ).over(w_asc)
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming exactly-once dedup within watermark
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events WHERE ts IS NOT NULL
+    """,
+)
+def streaming_dedup_within_watermark(spark, sf_dir):
+    """At-least-once ingestion healed in-stream: the event feed is
+    deliberately delivered TWICE (two identical files, one per
+    micro-batch) and `dropDuplicatesWithinWatermark` on the event key
+    emits each event exactly once -- the second delivery hits the
+    keyed state within the watermark and is dropped, state for keys
+    older than the watermark is evicted (bounded memory, unlike an
+    unbounded `dropDuplicates`).  The oracle is simply the events
+    table: a correct exactly-once heal leaves NO trace of the
+    duplication.  Redelivery across micro-batches is precisely the
+    failure-retry shape checkpointed sources produce."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.metrics_stream import read_events_stream
+
+    d = tempfile.mkdtemp(prefix="events_dup_stream_")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, os.path.join(d, "copy1.parquet"))
+        shutil.copy(src, os.path.join(d, "copy2.parquet"))
+        stream = (
+            read_events_stream(spark, d)
+            .where(F.col("ts").isNotNull())
+            .select("event_id", "user_id", "ts", "event_type", "value")
+            .withWatermark("ts", "60 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        name = "dedup_wm_" + uuid.uuid4().hex[:8]
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("streaming_dedup_within_watermark did not drain")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)

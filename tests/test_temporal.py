@@ -327,3 +327,25 @@ def test_ab_ztest_consistency(spark, sf_dir):
     assert r["n_a"] > 0 and r["n_b"] > 0
     assert 0 < r["conv_a"] < r["n_a"]  # the arm is not saturated
     assert r["significant"] == (abs(r["z_score"]) > 1.96)
+
+
+def test_survival_curve_monotone_and_bounded(spark, sf_dir):
+    from dbt_metrics_ingestion_script_spark.queries_temporal import (
+        events_survival_curve,
+    )
+
+    rows = sorted(
+        events_survival_curve(spark, sf_dir).collect(),
+        key=lambda r: r["dur_days"],
+    )
+    assert rows
+    surv = [r["survival"] for r in rows]
+    assert all(0 <= s <= 1 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))  # non-increasing
+    # at-risk counts shrink as duration grows
+    risk = [r["n_at_risk"] for r in rows]
+    assert all(a >= b for a, b in zip(risk, risk[1:]))
+    # survival only drops where churn happened
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["churned"] == 0:
+            assert cur["survival"] == pytest.approx(prev["survival"], abs=1e-6)
