@@ -207,6 +207,7 @@ HEADLINE = [
     "dq_orders_psi_drift",
     "events_ab_conversion_ztest",
     "events_survival_curve",
+    "events_hilbert_layout",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -147,3 +147,114 @@ def write_zordered(
 # Plan locks: tests/test_bucketed.py (zero-Exchange join) and
 # tests/test_ext_operators.py::test_bucketed_join_is_shuffle_free_and_
 # prunes_buckets (bucket pruning, SelectedBucketsCount).
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout keys (the better-locality sibling of Z-order)
+# ---------------------------------------------------------------------------
+#
+# Morton interleave is one bit-shuffle, but its curve JUMPS: consecutive
+# keys can sit in distant cells, so file boundaries cut across space and
+# min/max pruning admits wider rectangles.  The Hilbert curve visits
+# every cell of the 2^bits x 2^bits grid with CONSECUTIVE KEYS ALWAYS IN
+# ADJACENT CELLS (unit Manhattan steps -- pinned by test), which is why
+# Delta's OPTIMIZE moved from ZORDER to Hilbert for liquid clustering.
+#
+# The classic xy2d walk (quadrant accumulate + rotate, e.g. Hamilton's
+# compact Hilbert indices / the canonical public-domain formulation)
+# is stateful per level, so instead of a static bit plan it renders as
+# `bits` STAGED projections -- each level's (x, y, d) are named columns
+# computed from the previous level's, in both dialects, so the operator
+# and its oracle run the identical integer recurrence (the
+# lambda-re-evaluation discipline: stage, never inline, or the
+# expression tree grows 4^bits).
+
+def _hilbert_level(s: int, n: int, x, y, d):
+    """One xy2d level over Spark columns: returns (x', y', d')."""
+    rx = F.when(x.bitwiseAND(F.lit(s)) != 0, F.lit(1)).otherwise(F.lit(0))
+    ry = F.when(y.bitwiseAND(F.lit(s)) != 0, F.lit(1)).otherwise(F.lit(0))
+    d2 = d + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry)
+    fx = F.when(rx == 1, F.lit(n - 1) - x).otherwise(x)
+    fy = F.when(rx == 1, F.lit(n - 1) - y).otherwise(y)
+    x2 = F.when(ry == 0, fy).otherwise(x)
+    y2 = F.when(ry == 0, fx).otherwise(y)
+    return x2, y2, d2
+
+
+def hilbert_stages(df: DataFrame, bits: int, passthrough: list[str]) -> DataFrame:
+    """Run the xy2d recurrence over staged projections: df must carry
+    integer columns __hx, __hy in [0, 2^bits); adds __hd."""
+    n = 1 << bits
+    out = df.withColumn("__hd", F.lit(0).cast("bigint"))
+    for lvl in range(bits):
+        s = 1 << (bits - 1 - lvl)
+        x2, y2, d2 = _hilbert_level(
+            s, n, F.col("__hx"), F.col("__hy"), F.col("__hd")
+        )
+        out = out.select(
+            *passthrough,
+            x2.alias("__hx"),
+            y2.alias("__hy"),
+            d2.alias("__hd"),
+        )
+    return out
+
+
+def render_hilbert_sql(inner: str, bits: int, passthrough: str) -> str:
+    """DuckDB rendering of the same staged recurrence: `inner` must
+    select `passthrough` columns plus hx, hy; yields hd beside them."""
+    n = 1 << bits
+    q = f"SELECT {passthrough}, hx, hy, CAST(0 AS BIGINT) AS hd FROM ({inner})"
+    for lvl in range(bits):
+        s = 1 << (bits - 1 - lvl)
+        rx = f"(CASE WHEN (hx & {s}) <> 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) <> 0 THEN 1 ELSE 0 END)"
+        fx = f"(CASE WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END)"
+        fy = f"(CASE WHEN {rx} = 1 THEN {n - 1} - hy ELSE hy END)"
+        q = (
+            f"SELECT {passthrough}, "
+            f"CASE WHEN {ry} = 0 THEN {fy} ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN {fx} ELSE hy END AS hy, "
+            f"hd + {s * s} * xor(3 * {rx}, {ry}) AS hd "
+            f"FROM ({q})"
+        )
+    return q
+
+
+def hilbert_key(
+    df: DataFrame,
+    id_col: str,
+    dim_a: str,
+    dim_b: str,
+    bits: int = 8,
+    shards: int = 64,
+) -> DataFrame:
+    """(id, hkey, shard) for every row with non-NULL dimensions --
+    the Hilbert twin of `zorder_key`: same integer affine bucketing
+    off a 1-row broadcast bounds frame, then the staged xy2d walk.
+    Key computation is map-side; the one shuffle in a real layout job
+    is the final repartitionByRange(hkey) write."""
+    top = (1 << bits) - 1
+    e = df.where(F.col(dim_a).isNotNull() & F.col(dim_b).isNotNull())
+    bounds = e.agg(
+        F.min(dim_a).alias("amn"),
+        F.max(dim_a).alias("amx"),
+        F.min(dim_b).alias("bmn"),
+        F.max(dim_b).alias("bmx"),
+    )
+    scaled = e.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col),
+        F.expr(
+            f"(({dim_a} - amn) * {top}) DIV GREATEST(amx - amn, 1)"
+        ).alias("__hx"),
+        F.expr(
+            f"(({dim_b} - bmn) * {top}) DIV GREATEST(bmx - bmn, 1)"
+        ).alias("__hy"),
+    )
+    walked = hilbert_stages(scaled, bits, [id_col])
+    shift = 2 * bits - (shards.bit_length() - 1)
+    return walked.select(
+        id_col,
+        F.col("__hd").alias("hkey"),
+        F.shiftright(F.col("__hd"), shift).alias("shard"),
+    )

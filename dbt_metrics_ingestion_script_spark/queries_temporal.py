@@ -1514,3 +1514,59 @@ def streaming_dedup_within_watermark(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout keys (better-locality sibling of events_zorder_layout)
+# ---------------------------------------------------------------------------
+
+_H_BITS = 8
+_H_SHARDS = 64
+
+
+def _hilbert_oracle() -> str:
+    from .operators.layout import render_hilbert_sql
+
+    top = (1 << _H_BITS) - 1
+    shift = 2 * _H_BITS - (_H_SHARDS.bit_length() - 1)
+    inner = f"""
+      SELECT event_id,
+             ((user_id - amn) * {top}) // GREATEST(amx - amn, 1) AS hx,
+             ((us - bmn) * {top}) // GREATEST(bmx - bmn, 1) AS hy
+      FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           (SELECT MIN(user_id) AS amn, MAX(user_id) AS amx,
+                   MIN(epoch_us(ts)) AS bmn, MAX(epoch_us(ts)) AS bmx
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+    """
+    walked = render_hilbert_sql(inner, _H_BITS, "event_id")
+    return f"""
+    SELECT event_id, hd AS hkey, hd >> {shift} AS shard
+    FROM ({walked})
+    """
+
+
+@register("events_hilbert_layout", _hilbert_oracle())
+def events_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve layout keys over (user_id, event time) -- the
+    better-locality sibling of events_zorder_layout: consecutive keys
+    always sit in ADJACENT grid cells (unit Manhattan steps,
+    test-pinned on the full grid), so file boundaries cut tighter
+    rectangles and min/max pruning admits less -- the reason liquid
+    clustering moved past Morton.  The staged xy2d recurrence runs as
+    `bits` named projections in BOTH dialects (inlining would grow the
+    expression tree 4^bits); key computation is map-side off a 1-row
+    broadcast bounds frame."""
+    from .operators.layout import hilbert_key
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    return hilbert_key(
+        e, "event_id", "user_id", "us", bits=_H_BITS, shards=_H_SHARDS
+    )

@@ -349,3 +349,49 @@ def test_survival_curve_monotone_and_bounded(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         if cur["churned"] == 0:
             assert cur["survival"] == pytest.approx(prev["survival"], abs=1e-6)
+
+
+def _xy2d_py(n, x, y):
+    # canonical public-domain Hilbert xy->d walk, independent reference
+    rx = ry = 0
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_walk_matches_reference_and_is_a_curve(spark):
+    from dbt_metrics_ingestion_script_spark.operators.layout import (
+        hilbert_stages,
+    )
+
+    bits, n = 4, 16
+    grid = spark.createDataFrame(
+        [(x * n + y, x, y) for x in range(n) for y in range(n)],
+        "cell bigint, __hx bigint, __hy bigint",
+    )
+    got = {
+        r["cell"]: r["__hd"]
+        for r in hilbert_stages(grid, bits, ["cell"]).collect()
+    }
+    # exact match with the independent Python reference on every cell
+    for x in range(n):
+        for y in range(n):
+            assert got[x * n + y] == _xy2d_py(n, x, y), (x, y)
+    # a space-filling curve: d is a bijection onto [0, n^2) ...
+    assert sorted(got.values()) == list(range(n * n))
+    # ... and consecutive keys are ALWAYS in adjacent cells (the
+    # locality Morton lacks): unit Manhattan step everywhere
+    by_d = {d: divmod(cell, n) for cell, d in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
