@@ -208,6 +208,8 @@ HEADLINE = [
     "events_ab_conversion_ztest",
     "events_survival_curve",
     "events_hilbert_layout",
+    "events_feature_mutual_info",
+    "events_feature_correlations",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

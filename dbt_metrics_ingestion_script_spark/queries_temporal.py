@@ -1570,3 +1570,163 @@ def events_hilbert_layout(spark, sf_dir):
     return hilbert_key(
         e, "event_id", "user_id", "us", bits=_H_BITS, shards=_H_SHARDS
     )
+
+
+# ---------------------------------------------------------------------------
+# information-theoretic feature scoring + feature correlation matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_feature_mutual_info",
+    """
+    WITH base AS (
+      SELECT event_type, CASE WHEN value > 150 THEN 1 ELSE 0 END AS hv
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), joint AS (
+      SELECT event_type, hv, COUNT(*) AS n_xy FROM base GROUP BY 1, 2
+    ), mx AS (
+      SELECT event_type, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY 1
+    ), my AS (
+      SELECT hv, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint
+    ), terms AS (
+      SELECT j.event_type, j.hv, j.n_xy, mx.n_x, my.n_y,
+             (CAST(j.n_xy AS DOUBLE) / t.n)
+               * LN(CAST(t.n AS DOUBLE) * j.n_xy
+                    / (CAST(mx.n_x AS DOUBLE) * my.n_y)) AS term
+      FROM joint j
+      JOIN mx USING (event_type) JOIN my USING (hv), tot t
+    )
+    SELECT event_type, hv, n_xy, n_x, n_y,
+           ROUND(term, 6) AS mi_term,
+           ROUND(SUM(term) OVER (), 6) AS mi_total
+    FROM terms
+    """,
+)
+def events_feature_mutual_info(spark, sf_dir):
+    """Mutual information between a categorical feature (event_type)
+    and the high-value label -- the feature-selection primitive: one
+    partial-aggregated joint-count pass, marginals re-aggregated from
+    the tiny joint frame (never a second scan), MI as the plug-in
+    estimator Sum p(x,y) ln(p(x,y)/(p(x)p(y))).  Zero cells
+    contribute nothing and never reach the log.  Counts are integers
+    end to end; only the final terms round."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.when(F.col("value") > 150, 1).otherwise(0).alias("hv"),
+        )
+    )
+    joint = base.groupBy("event_type", "hv").agg(F.count("*").alias("n_xy"))
+    mx = joint.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("hv").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n"))
+    term = (F.col("n_xy").cast("double") / F.col("n")) * F.log(
+        F.col("n").cast("double")
+        * F.col("n_xy")
+        / (F.col("n_x").cast("double") * F.col("n_y"))
+    )
+    terms = (
+        joint.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "hv")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "hv", "n_xy", "n_x", "n_y", term.alias("term")
+        )
+    )
+    return terms.select(
+        "event_type",
+        "hv",
+        "n_xy",
+        "n_x",
+        "n_y",
+        F.round("term", 6).alias("mi_term"),
+        F.round(F.sum("term").over(Window.partitionBy()), 6).alias("mi_total"),
+    )
+
+
+@register(
+    "events_feature_correlations",
+    """
+    WITH feat AS (
+      SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS a,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS b,
+             CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+                  AS DOUBLE) AS c
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc,
+             SUM(a*a) AS saa, SUM(b*b) AS sbb, SUM(c*c) AS scc,
+             SUM(a*b) AS sab, SUM(a*c) AS sac, SUM(b*c) AS sbc
+      FROM feat
+    )
+    SELECT n AS n_users,
+           ROUND((n*sab - sa*sb)
+                 / SQRT((n*saa - sa*sa) * (n*sbb - sb*sb)), 6)
+             AS corr_events_value,
+           ROUND((n*sac - sa*sc)
+                 / SQRT((n*saa - sa*sa) * (n*scc - sc*sc)), 6)
+             AS corr_events_days,
+           ROUND((n*sbc - sb*sc)
+                 / SQRT((n*sbb - sb*sb) * (n*scc - sc*sc)), 6)
+             AS corr_value_days
+    FROM s
+    """,
+)
+def events_feature_correlations(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the per-entity feature
+    frame (event count, total value, active days) -- the
+    multicollinearity pre-flight before model fitting, by the same
+    sufficient-statistics discipline as the OLS query: ONE aggregate
+    collects the ten sums, every pairwise correlation is O(1)
+    arithmetic on them.  Feature b sums DECIMAL so both engines
+    correlate bit-identical inputs; a and c are integer-valued."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    feat = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("a"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("b"),
+        F.countDistinct(F.date_trunc("day", "ts").cast("date"))
+        .cast("double")
+        .alias("c"),
+    )
+    s = feat.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("c")).alias("sac"),
+        F.sum(F.col("b") * F.col("c")).alias("sbc"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        return F.round(
+            (n * F.col(sxy) - F.col(sx) * F.col(sy))
+            / F.sqrt(
+                (n * F.col(sxx) - F.col(sx) * F.col(sx))
+                * (n * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            6,
+        )
+
+    return s.select(
+        F.col("n").alias("n_users"),
+        corr("sab", "sa", "sb", "saa", "sbb").alias("corr_events_value"),
+        corr("sac", "sa", "sc", "saa", "scc").alias("corr_events_days"),
+        corr("sbc", "sb", "sc", "sbb", "scc").alias("corr_value_days"),
+    )

@@ -395,3 +395,33 @@ def test_hilbert_walk_matches_reference_and_is_a_curve(spark):
     for d in range(n * n - 1):
         (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_mutual_info_nonnegative_and_consistent(spark, sf_dir):
+    from dbt_metrics_ingestion_script_spark.queries_temporal import (
+        events_feature_mutual_info,
+    )
+
+    rows = events_feature_mutual_info(spark, sf_dir).collect()
+    totals = {r["mi_total"] for r in rows}
+    assert len(totals) == 1
+    assert totals.pop() >= 0.0  # MI is a KL divergence: non-negative
+    # marginals re-aggregate from the joint: per-x sums agree
+    for r in rows:
+        same_x = sum(q["n_xy"] for q in rows if q["event_type"] == r["event_type"])
+        assert same_x == r["n_x"]
+
+
+def test_feature_correlations_bounded_and_sane(spark, sf_dir):
+    from dbt_metrics_ingestion_script_spark.queries_temporal import (
+        events_feature_correlations,
+    )
+
+    r = events_feature_correlations(spark, sf_dir).collect()[0]
+    for c in ("corr_events_value", "corr_events_days", "corr_value_days"):
+        assert -1.0 <= r[c] <= 1.0
+    # more events mechanically means more total value (a near-linear
+    # relation) and at least directionally more active days (weaker at
+    # tiny SF where day counts saturate)
+    assert r["corr_events_value"] > 0.5
+    assert r["corr_events_days"] > 0.0
