@@ -210,6 +210,7 @@ HEADLINE = [
     "events_hilbert_layout",
     "events_feature_mutual_info",
     "events_feature_correlations",
+    "events_golden_record",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -1730,3 +1730,69 @@ def events_feature_correlations(spark, sf_dir):
         corr("sac", "sa", "sc", "saa", "scc").alias("corr_events_days"),
         corr("sbc", "sb", "sc", "sbb", "scc").alias("corr_value_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# golden-record assembly (field-level survivorship)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_golden_record",
+    """
+    WITH e AS (
+      SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), span AS (
+      SELECT user_id, MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+             COUNT(*) AS n_records
+      FROM e GROUP BY 1
+    ), lv AS (
+      SELECT user_id, value AS latest_value FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM e WHERE value IS NOT NULL
+      ) WHERE rn = 1
+    ), lt AS (
+      SELECT user_id, event_type AS latest_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM e WHERE event_type IS NOT NULL
+      ) WHERE rn = 1
+    )
+    SELECT s.user_id, s.first_seen, s.last_seen, s.n_records,
+           lv.latest_value, lt.latest_type
+    FROM span s
+    LEFT JOIN lv USING (user_id)
+    LEFT JOIN lt USING (user_id)
+    """,
+)
+def events_golden_record(spark, sf_dir):
+    """Golden-record assembly (MDM survivorship): per entity, each
+    FIELD independently keeps its latest NON-NULL observation -- the
+    field-level refinement of the whole-row-wins changelog snapshot
+    (a record with a fresher timestamp but a NULL field must not blank
+    the golden value).  ONE partial-aggregated pass: per-field
+    `max_by ... FILTER (WHERE field IS NOT NULL)` aggregates combine
+    map-side, where the window formulation (kept as the oracle) would
+    need one sorted pass PER FIELD.  NULL-ts records are positionless
+    and excluded, as in snapshot_at."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return e.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count("*").alias("n_records"),
+        F.expr(
+            "max_by(value, struct(ts, event_id)) "
+            "FILTER (WHERE value IS NOT NULL)"
+        ).alias("latest_value"),
+        F.expr(
+            "max_by(event_type, struct(ts, event_id)) "
+            "FILTER (WHERE event_type IS NOT NULL)"
+        ).alias("latest_type"),
+    )

@@ -425,3 +425,34 @@ def test_feature_correlations_bounded_and_sane(spark, sf_dir):
     # tiny SF where day counts saturate)
     assert r["corr_events_value"] > 0.5
     assert r["corr_events_days"] > 0.0
+
+
+def test_golden_record_null_field_does_not_blank_value(spark):
+    from dbt_metrics_ingestion_script_spark.queries_temporal import (
+        events_golden_record,
+    )
+    import os
+    import tempfile
+
+    rows = [
+        (1, _ts(1), 7, "set", 10.0, None),
+        # fresher record with NULL value: must NOT blank latest_value,
+        # but MUST win latest_type
+        (2, _ts(2), 7, "ping", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="golden_")
+    try:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        r = events_golden_record(spark, d).collect()[0]
+        assert r["latest_value"] == 10.0  # survived the NULL overwrite
+        assert r["latest_type"] == "ping"  # freshest non-null field wins
+        assert r["n_records"] == 2
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
