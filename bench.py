@@ -211,6 +211,17 @@ HEADLINE = [
     "events_feature_mutual_info",
     "events_feature_correlations",
     "events_golden_record",
+    "events_target_encoding_oof",
+    "metric_rfm_segments",
+    "text_pii_pattern_counts",
+    "dq_mad_outliers",
+    "text_classifier_agreement_kappa",
+    "events_feature_hashing_profile",
+    "metric_part_affinity_lift",
+    "similarity_hybrid_rrf_topk",
+    "dq_completeness_profile",
+    "dq_referential_integrity",
+    "events_sequence_trigrams",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

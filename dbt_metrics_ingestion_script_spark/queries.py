@@ -541,7 +541,7 @@ def _load_all_query_modules() -> None:
     the first 50 registered queries got CORRECTNESS rows)."""
     from . import queries_manifest  # noqa: F401
     from . import queries_corpus, queries_ext, queries_layer_a  # noqa: F401
-    from . import queries_temporal  # noqa: F401
+    from . import queries_mlprep, queries_temporal  # noqa: F401
 
 
 @register(

@@ -1,0 +1,975 @@
+"""ML-preparation / data-quality query family (EXT, round 8 wave 3).
+
+The remaining feature-engineering primitives a training pipeline runs
+between raw tables and a model: leakage-safe out-of-fold target
+encoding, percentile-binned RFM segmentation, a PII pattern scan for
+scrubbing audits, robust (MAD) outlier profiling, inter-labeler
+agreement (Cohen's kappa) between heuristic quality classifiers, the
+hashing-trick collision profile, and frequent-pair association lift
+over order baskets (the Apriori first pass).
+
+Same driver contract as queries.py: every computed column aliased
+identically in Spark and the DuckDB oracle; floats rounded identically
+on both sides BEFORE any ranking/limit; exact interpolated percentile
+(Spark `percentile` == DuckDB `quantile_cont`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashing import DUCKDB_HASH64, hash64
+from .registry import register
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# out-of-fold target encoding (leakage-safe categorical encoding)
+# ---------------------------------------------------------------------------
+#
+# Target encoding replaces a categorical feature with the mean of the
+# label over that category.  Done naively it leaks the row's own label
+# into its feature; the standard fix is K-fold out-of-fold encoding:
+# a row in fold f is encoded with the category mean computed from the
+# OTHER folds only, smoothed toward the global mean by a pseudo-count
+# prior m (Micci-Barreca 2001).  The artifact that ships to training
+# is the tiny (category x fold) -> encoding map, broadcast-joined onto
+# the raw rows -- so the query returns that map, not 10^11 encoded
+# rows.  ONE scan: per-(category, fold) partial sums; category totals
+# and the global mean re-aggregate from the tiny partial frame.
+
+_TE_FOLDS = 5
+_TE_SMOOTH = 10.0  # prior pseudo-count toward the global mean
+
+
+@register(
+    "events_target_encoding_oof",
+    f"""
+    WITH labeled AS (
+      SELECT event_type,
+             ({DUCKDB_HASH64.format(x="event_id::VARCHAR")}) % {_TE_FOLDS}
+               AS fold,
+             value
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), cf AS (
+      SELECT event_type, fold,
+             SUM(value) AS s_cf, COUNT(*) AS n_cf
+      FROM labeled GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, SUM(s_cf) AS s_c, SUM(n_cf) AS n_c
+      FROM cf GROUP BY 1
+    ), g AS (
+      SELECT SUM(s_c) / SUM(n_c) AS mu FROM c
+    )
+    SELECT cf.event_type, cf.fold, cf.n_cf AS n_rows,
+           ROUND((c.s_c - cf.s_cf + {_TE_SMOOTH} * g.mu)
+                 / (c.n_c - cf.n_cf + {_TE_SMOOTH}), 6) AS oof_encoding
+    FROM cf JOIN c USING (event_type) CROSS JOIN g
+    """,
+)
+def events_target_encoding_oof(spark, sf_dir):
+    """K-fold out-of-fold target encoding of event_type against the
+    numeric label `value`.  Leakage-safe by construction: the encoding
+    for fold f sums every fold EXCEPT f (category total minus the
+    fold's own partial), so no row's label contributes to its own
+    feature.  One events scan produces the (category, fold) partial
+    frame; category totals and the global prior mean re-aggregate from
+    that tiny frame (never a second scan), and at serving time the
+    returned map broadcast-joins onto the raw rows."""
+    labeled = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            (hash64(F.col("event_id")) % _TE_FOLDS).alias("fold"),
+            "value",
+        )
+    )
+    cf = labeled.groupBy("event_type", "fold").agg(
+        F.sum("value").alias("s_cf"), F.count("*").alias("n_cf")
+    )
+    c = cf.groupBy("event_type").agg(
+        F.sum("s_cf").alias("s_c"), F.sum("n_cf").alias("n_c")
+    )
+    g = cf.agg((F.sum("s_cf") / F.sum("n_cf")).alias("mu"))
+    return (
+        cf.join(c, "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "fold",
+            F.col("n_cf").alias("n_rows"),
+            F.round(
+                (F.col("s_c") - F.col("s_cf") + F.lit(_TE_SMOOTH) * F.col("mu"))
+                / (F.col("n_c") - F.col("n_cf") + F.lit(_TE_SMOOTH)),
+                6,
+            ).alias("oof_encoding"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (percentile-binned, scale-safe)
+# ---------------------------------------------------------------------------
+#
+# Classic recency/frequency/monetary segmentation.  The textbook form
+# ranks every customer with NTILE(5) -- a single-partition global sort
+# that does not survive 100 TB.  Here the quintile BOUNDARIES are a
+# 1-row exact-percentile aggregate (percentile_approx at real scale --
+# same shape, sketch instead of sort), broadcast onto the per-customer
+# frame, and bucket assignment is pure comparison -- no global sort
+# anywhere.  Boundary floats compare exactly in both engines because
+# both interpolate quantiles identically from the same doubles.
+
+_RFM_QS = "0.2, 0.4, 0.6, 0.8"
+
+
+@register(
+    "metric_rfm_segments",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             DATE_DIFF('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS monetary
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT quantile_cont(recency_days, [{_RFM_QS}]) AS rq,
+             quantile_cont(frequency,   [{_RFM_QS}]) AS fq,
+             quantile_cont(CAST(monetary AS DOUBLE), [{_RFM_QS}]) AS mq
+      FROM cust
+    ), scored AS (
+      SELECT
+        1 + CAST(recency_days > rq[1] AS INT) + CAST(recency_days > rq[2] AS INT)
+          + CAST(recency_days > rq[3] AS INT) + CAST(recency_days > rq[4] AS INT)
+          AS r_bin,
+        1 + CAST(frequency > fq[1] AS INT) + CAST(frequency > fq[2] AS INT)
+          + CAST(frequency > fq[3] AS INT) + CAST(frequency > fq[4] AS INT)
+          AS f_bin,
+        1 + CAST(CAST(monetary AS DOUBLE) > mq[1] AS INT)
+          + CAST(CAST(monetary AS DOUBLE) > mq[2] AS INT)
+          + CAST(CAST(monetary AS DOUBLE) > mq[3] AS INT)
+          + CAST(CAST(monetary AS DOUBLE) > mq[4] AS INT)
+          AS m_bin,
+        monetary
+      FROM cust CROSS JOIN b
+    )
+    SELECT r_bin, f_bin, m_bin, COUNT(*) AS n_customers,
+           ROUND(SUM(monetary), 2) AS segment_revenue
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def metric_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-customer recency/frequency/monetary from
+    one orders scan, quintile boundaries as a 1-row exact-percentile
+    aggregate over the per-customer frame (percentile_approx at real
+    scale -- identical plan shape), bucket assignment by broadcast
+    comparison.  No NTILE: the global sort the textbook form implies
+    is the thing that dies at 100 TB, and comparisons against four
+    broadcast boundary values replace it exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    cust = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("anchor"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    b = cust.agg(
+        F.expr(f"percentile(recency_days, array({_RFM_QS}))").alias("rq"),
+        F.expr(f"percentile(frequency, array({_RFM_QS}))").alias("fq"),
+        F.expr(
+            f"percentile(CAST(monetary AS DOUBLE), array({_RFM_QS}))"
+        ).alias("mq"),
+    )
+
+    def bin_col(value, bounds):
+        out = F.lit(1)
+        for i in range(len(qs)):
+            out = out + (value > F.col(bounds)[i]).cast("int")
+        return out
+
+    scored = cust.crossJoin(F.broadcast(b)).select(
+        bin_col(F.col("recency_days").cast("double"), "rq").alias("r_bin"),
+        bin_col(F.col("frequency").cast("double"), "fq").alias("f_bin"),
+        bin_col(F.col("monetary").cast("double"), "mq").alias("m_bin"),
+        "monetary",
+    )
+    return scored.groupBy("r_bin", "f_bin", "m_bin").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("segment_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII pattern scan (scrubbing audit)
+# ---------------------------------------------------------------------------
+#
+# Before a web corpus ships to training, a scrubbing pass counts and
+# redacts PII-shaped spans.  The AUDIT side of that pass is pure
+# map-side regex over one scan -- counts per source so the mixing
+# schedule can downweight dirty sources.  Patterns deliberately use
+# only syntax with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, no lookaround.
+
+_PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phones": r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+    "ipv4s": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "ssns": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def _pii_oracle() -> str:
+    per = ",\n           ".join(
+        f"SUM(len(regexp_extract_all(text, '{pat}'))) AS n_{name}"
+        for name, pat in _PII_PATTERNS.items()
+    )
+    any_hit = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for pat in _PII_PATTERNS.values()
+    )
+    return f"""
+    SELECT source, COUNT(*) AS n_docs,
+           {per},
+           SUM(CAST(({any_hit}) > 0 AS BIGINT)) AS n_docs_with_pii,
+           ROUND(SUM(CAST(({any_hit}) > 0 AS BIGINT))::DOUBLE / COUNT(*), 6)
+             AS pii_doc_fraction
+    FROM documents GROUP BY 1
+    """
+
+
+@register("text_pii_pattern_counts", _pii_oracle())
+def text_pii_pattern_counts(spark, sf_dir):
+    """PII scrubbing audit: per source, non-overlapping match counts
+    for email / phone / IPv4 / SSN shapes plus the fraction of
+    documents containing any hit.  One scan, regexp_count entirely
+    inside whole-stage codegen (no Python), aggregate output is one
+    row per source -- the shape that feeds a mixing-schedule
+    downweight.  Patterns restricted to the Java-regex/RE2 common
+    subset so the oracle replays them exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    # NB: F.regexp_count + F.lit, NOT F.expr with an embedded literal --
+    # Spark SQL string literals process backslash escapes ('\.' -> '.'),
+    # which would silently change the pattern the oracle replays.
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).alias(f"c_{name}")
+        for name, pat in _PII_PATTERNS.items()
+    ]
+    scanned = docs.select("source", *counts)
+    any_hit = None
+    for name in _PII_PATTERNS:
+        term = F.col(f"c_{name}")
+        any_hit = term if any_hit is None else any_hit + term
+    scanned = scanned.withColumn("any_hit", (any_hit > 0).cast("bigint"))
+    aggs = [F.count("*").alias("n_docs")] + [
+        F.sum(f"c_{name}").alias(f"n_{name}") for name in _PII_PATTERNS
+    ]
+    return scanned.groupBy("source").agg(
+        *aggs,
+        F.sum("any_hit").alias("n_docs_with_pii"),
+        F.round(F.sum("any_hit") / F.count("*"), 6).alias("pii_doc_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outlier profile
+# ---------------------------------------------------------------------------
+#
+# Winsorization (already registered) clips at fixed percentiles; the
+# robust-statistics standard for DETECTING outliers is the median
+# absolute deviation: |x - median| > k * 1.4826 * MAD (1.4826 scales
+# MAD to sigma under normality; k=3 is the usual fence).  MAD is
+# inherently two-pass (the second quantile is of deviations from the
+# first); both quantile passes become mergeable sketches at scale --
+# the plan SHAPE (tiny broadcast stats joined onto the scan) is the
+# same either way.
+
+_MAD_K = 3.0
+_MAD_SIGMA = 1.4826
+
+
+@register(
+    "dq_mad_outliers",
+    f"""
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY 1
+    ), mad AS (
+      SELECT o.o_orderpriority,
+             quantile_cont(ABS(o.o_totalprice - med.med), 0.5) AS mad
+      FROM orders o JOIN med USING (o_orderpriority)
+      GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(ANY_VALUE(med.med), 6) AS median_price,
+           ROUND(ANY_VALUE(mad.mad), 6) AS mad_price,
+           SUM(CAST(ABS(o.o_totalprice - med.med)
+                    > {_MAD_K} * {_MAD_SIGMA} * mad.mad AS BIGINT))
+             AS n_outliers
+    FROM orders o
+    JOIN med USING (o_orderpriority)
+    JOIN mad USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def dq_mad_outliers(spark, sf_dir):
+    """Robust outlier profile per order priority: |x - median| >
+    3 * 1.4826 * MAD.  Two quantile passes (MAD is a quantile OF
+    deviations from a quantile -- irreducibly two-pass), each
+    collapsing to a 5-row stats frame that broadcast-joins onto the
+    counting scan; at 100 TB both passes swap percentile for the
+    mergeable percentile_approx sketch with the identical plan
+    shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    mad = (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(ABS(o_totalprice - med), 0.5)").alias("mad")
+        )
+    )
+    stats = med.join(mad, "o_orderpriority")
+    return (
+        orders.join(F.broadcast(stats), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.first("med"), 6).alias("median_price"),
+            F.round(F.first("mad"), 6).alias("mad_price"),
+            F.sum(
+                (
+                    F.abs(F.col("o_totalprice") - F.col("med"))
+                    > F.lit(_MAD_K * _MAD_SIGMA) * F.col("mad")
+                ).cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# inter-labeler agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+#
+# Quality-filtering pipelines run several cheap heuristic labelers and
+# keep documents where they agree; Cohen's kappa is the standard
+# chance-corrected agreement statistic between two of them.  Labeler A
+# votes on raw length, labeler B on word count -- correlated but not
+# identical, so kappa lands strictly inside (0, 1).
+
+_KAPPA_A_CHARS = 400
+_KAPPA_B_WORDS = 80
+
+
+@register(
+    "text_classifier_agreement_kappa",
+    f"""
+    WITH votes AS (
+      SELECT CAST(n_chars >= {_KAPPA_A_CHARS} AS INT) AS a,
+             CAST(len(regexp_extract_all(text, '[^ ]+'))
+                  >= {_KAPPA_B_WORDS} AS INT) AS b
+      FROM documents
+    ), cells AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(a = 1 AND b = 1 AS BIGINT)) AS n11,
+             SUM(CAST(a = 1 AND b = 0 AS BIGINT)) AS n10,
+             SUM(CAST(a = 0 AND b = 1 AS BIGINT)) AS n01,
+             SUM(CAST(a = 0 AND b = 0 AS BIGINT)) AS n00
+      FROM votes
+    )
+    SELECT n, n11, n10, n01, n00,
+           ROUND((n11 + n00)::DOUBLE / n, 6) AS p_observed,
+           ROUND(((n11 + n10) * (n11 + n01)
+                  + (n01 + n00) * (n10 + n00))::DOUBLE / (n * n), 6)
+             AS p_expected,
+           ROUND(((n11 + n00)::DOUBLE / n
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00))::DOUBLE / (n * n))
+                 / (1 - ((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00))::DOUBLE / (n * n)), 6)
+             AS kappa
+    FROM cells
+    """,
+)
+def text_classifier_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between two heuristic quality labelers (length
+    vote vs word-count vote) over one documents scan: the 2x2
+    agreement table as four conditional counts in a single aggregate,
+    kappa = (p_o - p_e) / (1 - p_e) computed from those integer cells
+    (exact in both engines; only the final ratios round)."""
+    docs = load_table(spark, sf_dir, "documents")
+    votes = docs.select(
+        (F.col("n_chars") >= _KAPPA_A_CHARS).cast("int").alias("a"),
+        (
+            F.regexp_count(F.col("text"), F.lit("[^ ]+")) >= _KAPPA_B_WORDS
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    cells = votes.agg(
+        F.count("*").alias("n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("bigint")).alias("n11"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("bigint")).alias("n10"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("bigint")).alias("n01"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 0)).cast("bigint")).alias("n00"),
+    )
+    n, n11, n10, n01, n00 = (F.col(c) for c in ("n", "n11", "n10", "n01", "n00"))
+    p_o = (n11 + n00).cast("double") / n
+    p_e = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)).cast(
+        "double"
+    ) / (n * n)
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(p_o, 6).alias("p_observed"),
+        F.round(p_e, 6).alias("p_expected"),
+        F.round((p_o - p_e) / (F.lit(1.0) - p_e), 6).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick collision profile
+# ---------------------------------------------------------------------------
+#
+# The hashing trick maps an unbounded categorical vocabulary into a
+# fixed bucket space with no dictionary -- the only stateless encoding
+# that works on a 100 TB stream.  Its cost is collisions; this query
+# IS the collision audit: per bucket, how many distinct categories
+# landed there and how much mass they carry, so the bucket width can
+# be sized before training.
+
+_FH_BUCKETS = 16
+
+
+@register(
+    "events_feature_hashing_profile",
+    f"""
+    SELECT ({DUCKDB_HASH64.format(x="event_type")}) % {_FH_BUCKETS} AS bucket,
+           COUNT(DISTINCT event_type) AS n_types,
+           COUNT(*) AS n_events,
+           ROUND(SUM(COALESCE(value, 0)), 6) AS bucket_mass
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_feature_hashing_profile(spark, sf_dir):
+    """Hashing-trick collision audit: event_type hashed into a fixed
+    {16}-bucket feature space; per bucket the distinct-category
+    collision count, row count, and value mass.  One scan, one
+    shuffle on the bucket key; hash64 is non-negative by construction
+    (60-bit md5 prefix) so `%` needs no sign fix-up in either
+    engine."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    return (
+        events.select(
+            (hash64(F.col("event_type")) % _FH_BUCKETS).alias("bucket"),
+            "event_type",
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("event_type").alias("n_types"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6).alias(
+                "bucket_mass"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association lift (Apriori first pass)
+# ---------------------------------------------------------------------------
+#
+# Pairs of parts co-purchased in the same order, with support /
+# confidence / lift.  The naive self-join explodes quadratically in
+# basket size; the Apriori downward-closure bound fixes the scale
+# path: only items above a support floor can appear in a frequent
+# pair, so the pair join runs over the support-filtered projection
+# (top-N frequent items), never the raw table.
+
+_BASKET_TOP_ITEMS = 100
+_BASKET_TOP_PAIRS = 20
+
+
+@register(
+    "metric_part_affinity_lift",
+    f"""
+    WITH item AS (
+      SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS item_orders
+      FROM lineitem GROUP BY 1
+    ), frequent AS (
+      SELECT l_partkey, item_orders FROM item
+      ORDER BY item_orders DESC, l_partkey LIMIT {_BASKET_TOP_ITEMS}
+    ), basket AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN frequent f USING (l_partkey)
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS pair_orders
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, pair_orders,
+           ROUND(pair_orders::DOUBLE / n.n, 6) AS support,
+           ROUND(pair_orders::DOUBLE / fa.item_orders, 6) AS confidence,
+           ROUND(pair_orders::DOUBLE * n.n
+                 / (fa.item_orders * fb.item_orders), 6) AS lift
+    FROM pairs
+    JOIN frequent fa ON fa.l_partkey = pairs.part_a
+    JOIN frequent fb ON fb.l_partkey = pairs.part_b
+    CROSS JOIN n_orders n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT {_BASKET_TOP_PAIRS}
+    """,
+)
+def metric_part_affinity_lift(spark, sf_dir):
+    """Association lift over order baskets: top-{100} frequent parts
+    (Apriori downward closure -- an infrequent item cannot join a
+    frequent pair, so the pair self-join runs on the support-filtered
+    projection only), pair support counted on the orderkey equi-join,
+    confidence/lift from the broadcast item-support map.  Lift rounds
+    to 6 dp BEFORE the top-{20} ordering so both engines rank
+    identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    item = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("item_orders")
+    )
+    frequent = item.orderBy(
+        F.desc("item_orders"), F.asc("l_partkey")
+    ).limit(_BASKET_TOP_ITEMS)
+    basket = (
+        li.join(F.broadcast(frequent.select("l_partkey")), "l_partkey")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("pair_orders"))
+    )
+    fa = frequent.select(
+        F.col("l_partkey").alias("part_a"), F.col("item_orders").alias("oa")
+    )
+    fb = frequent.select(
+        F.col("l_partkey").alias("part_b"), F.col("item_orders").alias("ob")
+    )
+    scored = (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            F.round(F.col("pair_orders").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("pair_orders").cast("double") / F.col("oa"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("pair_orders").cast("double")
+                * F.col("n")
+                / (F.col("oa") * F.col("ob")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(_BASKET_TOP_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 + embedding cosine
+# ---------------------------------------------------------------------------
+#
+# Production RAG retrieval serves BOTH a lexical index and a vector
+# index and fuses the two rankings; reciprocal-rank fusion
+# (Cormack/Clarke/Buettcher 2009) is the standard score-free fuser:
+# rrf(d) = sum over lists of 1 / (C + rank_list(d)), C = 60.  Rank
+# positions -- not raw scores -- fuse, so the two lists need no score
+# calibration.  The synthetic documents and embeddings tables share
+# the 0..N-1 id space (doc_id == vec_id), making the join honest.
+
+_RRF_C = 60
+_RRF_DEPTH = 50  # per-list candidate depth feeding the fusion
+_RRF_K = 10
+
+
+def _hybrid_rrf_oracle() -> str:
+    from .queries_ext import _BM25_B, _BM25_K1, _BM25_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+    k1, b = _BM25_K1, _BM25_B
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(string_split(norm, ' ')) AS dl FROM docs
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), toks AS (
+      SELECT doc_id, t.t AS term
+      FROM docs, unnest(string_split(norm, ' ')) AS t(t)
+      WHERE t.t IN ({terms})
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), wdf AS (
+      SELECT doc_id, term, tf,
+             COUNT(*) OVER (PARTITION BY term) AS df
+      FROM tf
+    ), lex_scored AS (
+      SELECT w.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - w.df + 0.5) / (w.df + 0.5))
+               * (w.tf * ({k1} + 1))
+               / (w.tf + {k1} * (1 - {b} + {b} * d.dl / s.avgdl))
+             ), 6) AS score
+      FROM wdf w JOIN dl d USING (doc_id), stats s
+      GROUP BY 1
+    ), lex AS (
+      SELECT doc_id,
+             (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC))::INT
+               AS lex_rank
+      FROM lex_scored
+      ORDER BY score DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ), sem_scored AS (
+      SELECT vec_id AS doc_id,
+             ROUND(list_dot_product(embedding::DOUBLE[], qv) /
+                   (sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+      FROM embeddings, q
+    ), sem AS (
+      SELECT doc_id,
+             (ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id ASC))::INT
+               AS sem_rank
+      FROM sem_scored
+      ORDER BY cosine_sim DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           lex.lex_rank, sem.sem_rank,
+           ROUND(COALESCE(1.0 / ({_RRF_C} + lex.lex_rank), 0)
+                 + COALESCE(1.0 / ({_RRF_C} + sem.sem_rank), 0), 6)
+             AS rrf_score
+    FROM lex FULL OUTER JOIN sem USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT {_RRF_K}
+    """
+
+
+@register("similarity_hybrid_rrf_topk", _hybrid_rrf_oracle())
+def similarity_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
+    top-50 and the embedding-cosine top-50 (same corpus, shared id
+    space) fused by rrf = sum 1/(60 + rank) -- rank positions fuse,
+    never raw scores, so the lists need no calibration.  Both
+    candidate lists are the registered scale paths (query-sized
+    posting lists; broadcast query vector); the fusion itself is a
+    FULL OUTER join of two <=50-row frames -- depth-bounded, so the
+    rank windows sort candidate frames, never the corpus."""
+    from pyspark.sql import Window
+
+    from .operators import similarity
+    from .operators.text import bm25_topk
+    from .queries_ext import _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = (
+        bm25_topk(docs, _BM25_TERMS, k=_RRF_DEPTH)
+        .select("doc_id", F.col("rank").alias("lex_rank"))
+    )
+
+    qv = emb.join(
+        F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id"
+    ).select(similarity.as_double("embedding").alias("__qvec"))
+    sem_scored = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            similarity.cosine(
+                similarity.as_double("embedding"), F.col("__qvec")
+            ),
+            6,
+        ).alias("cosine_sim"),
+    )
+    # depth-bounded candidate list: TakeOrdered to _RRF_DEPTH rows, then
+    # the rank window sorts only that tiny frame
+    sem = (
+        sem_scored.orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine_sim"), F.asc("doc_id")))
+            .cast("int")
+            .alias("sem_rank"),
+        )
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_C) + F.col("sem_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_K)
+
+
+# ---------------------------------------------------------------------------
+# completeness profile (one-pass column profiler)
+# ---------------------------------------------------------------------------
+#
+# The dbt-style column profiler every ingestion run executes before
+# trusting a new drop: per column, null count, distinct count, and the
+# value range, in ONE scan -- the long-format output is what a
+# freshness/completeness dashboard ingests.  Distinct counts are exact
+# here; at 100 TB each becomes approx_count_distinct (HLL) with the
+# identical one-pass shape.
+
+_PROFILE_COLS = {
+    "o_orderkey": "BIGINT",
+    "o_custkey": "BIGINT",
+    "o_orderstatus": "VARCHAR",
+    "o_totalprice": "DOUBLE",
+    "o_orderpriority": "VARCHAR",
+}
+
+
+def _completeness_oracle() -> str:
+    arms = []
+    for c in _PROFILE_COLS:
+        arms.append(f"""
+    SELECT '{c}' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           ROUND(MIN(CAST({c} AS DOUBLE)), 6) AS min_num,
+           ROUND(MAX(CAST({c} AS DOUBLE)), 6) AS max_num
+    FROM orders""" if _PROFILE_COLS[c] != "VARCHAR" else f"""
+    SELECT '{c}' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num,
+           CAST(NULL AS DOUBLE) AS max_num
+    FROM orders""")
+    return " UNION ALL ".join(arms)
+
+
+@register("dq_completeness_profile", _completeness_oracle())
+def dq_completeness_profile(spark, sf_dir):
+    """One-pass column profiler over orders: per column the null
+    count, exact distinct count, and numeric range, in long format.
+    The Spark plan aggregates ALL columns in a single scan (one
+    aggregate with per-column branches, then an explode to long
+    format); the oracle's UNION ALL of per-column scans is the
+    naive formulation kept as the semantic spec.  At 100 TB the
+    distinct counts swap to approx_count_distinct with the same
+    one-pass shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, typ in _PROFILE_COLS.items():
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+        if typ != "VARCHAR":
+            aggs.append(
+                F.round(F.min(F.col(c).cast("double")), 6).alias(f"{c}__min")
+            )
+            aggs.append(
+                F.round(F.max(F.col(c).cast("double")), 6).alias(f"{c}__max")
+            )
+    wide = orders.agg(*aggs)
+    structs = []
+    for c, typ in _PROFILE_COLS.items():
+        mn = (
+            F.col(f"{c}__min")
+            if typ != "VARCHAR"
+            else F.lit(None).cast("double")
+        )
+        mx = (
+            F.col(f"{c}__max")
+            if typ != "VARCHAR"
+            else F.lit(None).cast("double")
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                mn.alias("min_num"),
+                mx.alias("max_num"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*structs)).alias("p")
+    ).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# referential integrity audit
+# ---------------------------------------------------------------------------
+#
+# The standard FK orphan check an ingestion gate runs between fact and
+# dimension drops: children whose parent key is absent.  Left-anti
+# joins, counted -- at scale each becomes a broadcast or bucketed
+# anti-join, and the audit emits counts, never the orphan payloads.
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_children,
+           SUM(CAST(o_orderkey IS NULL AS BIGINT)) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer' AS fk, COUNT(*) AS n_children,
+           SUM(CAST(c_custkey IS NULL AS BIGINT)) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def dq_referential_integrity(spark, sf_dir):
+    """FK orphan audit: lineitem rows without a parent order, orders
+    without a parent customer.  LEFT joins keep the child cardinality
+    exact under duplicate parents (impossible on true PKs, cheap to be
+    safe about); output is two count rows, never orphan payloads.  At
+    scale the dimension side broadcasts (customer) or the join runs
+    bucket-co-located (orders/lineitem share the orderkey layout
+    registered in events_bucketed_join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    lo = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        .agg(
+            F.count("*").alias("n_children"),
+            F.sum(F.col("o_orderkey").isNull().cast("bigint")).alias(
+                "n_orphans"
+            ),
+        )
+        .select(
+            F.lit("lineitem->orders").alias("fk"), "n_children", "n_orphans"
+        )
+    )
+    oc = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
+        )
+        .agg(
+            F.count("*").alias("n_children"),
+            F.sum(F.col("c_custkey").isNull().cast("bigint")).alias(
+                "n_orphans"
+            ),
+        )
+        .select(
+            F.lit("orders->customer").alias("fk"), "n_children", "n_orphans"
+        )
+    )
+    return lo.unionByName(oc)
+
+
+# ---------------------------------------------------------------------------
+# event sequence trigrams
+# ---------------------------------------------------------------------------
+#
+# The 3-step sibling of the registered Markov bigram transitions:
+# per-user ordered event-type trigrams, the sequence features behind
+# next-action models and funnel mining.  Lead windows over ONE
+# exchange+sort on user_id -- the same partitioning the bigram,
+# session, and rolling-feature queries reuse.
+
+_TRIGRAM_K = 25
+
+
+@register(
+    "events_sequence_trigrams",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS t1, t2, t3, COUNT(*) AS n
+    FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT {_TRIGRAM_K}
+    """,
+)
+def events_sequence_trigrams(spark, sf_dir):
+    """Top event-type trigrams over per-user ordered sequences: two
+    LEAD windows sharing ONE (user_id)-partitioned sort -- the same
+    exchange the Markov bigram query pays, amortized across both lead
+    offsets; NULL-padded sequence tails drop before counting.
+    Deterministic top-k: count ties break on the full trigram."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(_TRIGRAM_K)
+    )
