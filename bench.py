@@ -222,6 +222,9 @@ HEADLINE = [
     "dq_completeness_profile",
     "dq_referential_integrity",
     "events_sequence_trigrams",
+    "embeddings_pca_power_iteration",
+    "metric_revenue_seasonal_decomposition",
+    "events_attribution_position",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

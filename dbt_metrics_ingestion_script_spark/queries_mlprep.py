@@ -973,3 +973,288 @@ def events_sequence_trigrams(spark, sf_dir):
         .orderBy(F.desc("n"), "t1", "t2", "t3")
         .limit(_TRIGRAM_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component (power iteration)
+# ---------------------------------------------------------------------------
+#
+# The embedding-space analysis primitive between k-means (registered)
+# and whitening: the top principal component of the corpus embedding
+# cloud.  Never materializes the covariance -- power iteration needs
+# only C v = sum_rows (x_c . v) x_c: a map-side dot per row plus a
+# dimension-keyed 64-row aggregate, per round.  Fixed 5 rounds from
+# v0 = 1/sqrt(d); per-round 9-dp unit re-rounding makes the recurrence
+# bit-stable across engines (the PageRank oracle discipline); the
+# oracle replays every round as chained MATERIALIZED CTEs.
+
+_PCA_DIM = 64
+_PCA_ITERS = 5
+
+
+def _pca_oracle(dim: int = _PCA_DIM, iters: int = _PCA_ITERS) -> str:
+    v0 = repr(1.0 / dim**0.5)
+    ctes = [
+        f"""base AS MATERIALIZED (
+      SELECT embedding::DOUBLE[] AS x FROM embeddings
+      WHERE len(embedding) = {dim}
+    ), mu AS MATERIALIZED (
+      SELECT r.d AS d, ROUND(AVG(x[r.d]), 9) AS m
+      FROM base, range(1, {dim + 1}) r(d) GROUP BY 1
+    ), mulist AS MATERIALIZED (
+      SELECT list(m ORDER BY d) AS mv FROM mu
+    ), c AS MATERIALIZED (
+      SELECT list_transform(range(1, {dim + 1}), i -> x[i] - mv[i]) AS xc
+      FROM base, mulist
+    ), v0 AS MATERIALIZED (
+      SELECT list_transform(range(1, {dim + 1}), i -> {v0}) AS v
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT xc, list_dot_product(xc, v) AS s FROM c, v{i - 1}
+    ), w{i} AS MATERIALIZED (
+      SELECT r.d AS d, SUM(xc[r.d] * s) AS w
+      FROM s{i}, range(1, {dim + 1}) r(d) GROUP BY 1
+    ), n{i} AS MATERIALIZED (
+      SELECT sqrt(SUM(w * w)) AS nrm FROM w{i}
+    ), v{i} AS MATERIALIZED (
+      SELECT list(ROUND(w / nrm, 9) ORDER BY d) AS v FROM w{i}, n{i}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT w{iters}.d AS dim,
+           ROUND(ROUND(w{iters}.w / n{iters}.nrm, 9), 6) AS loading,
+           ROUND(n{iters}.nrm, 6) AS lambda_hat
+    FROM w{iters}, n{iters}"""
+    )
+
+
+@register("embeddings_pca_power_iteration", _pca_oracle())
+def embeddings_pca_power_iteration(spark, sf_dir):
+    """Top principal component of the embedding cloud by 5 rounds of
+    power iteration on the centered data (covariance never
+    materialized: each round is one scan of the staged centered frame,
+    a 64-row dimension-keyed aggregate, and a 1-row broadcast of the
+    current vector -- one plan, no per-round action).  Per-round 9-dp
+    unit re-rounding keeps both engines on the identical trajectory;
+    the oracle replays all 5 rounds as chained MATERIALIZED CTEs.  At
+    100 TB, centered.persist() turns five scans into one
+    materialization, and the per-round shuffle stays 64 rows."""
+    from .operators.linalg import pca_power_iteration
+
+    return pca_power_iteration(
+        load_table(spark, sf_dir, "embeddings"),
+        dim=_PCA_DIM,
+        iters=_PCA_ITERS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition (trend / day-of-week seasonal / residual)
+# ---------------------------------------------------------------------------
+#
+# Classical additive decomposition of the daily revenue series: trend
+# as a centered 7-day moving average (full windows only), day-of-week
+# seasonal as the mean detrended value per weekday, residual as what
+# remains.  The raw-to-daily aggregation is the only data-scale
+# shuffle; every window below runs on the DATE-SPINE frame (one row
+# per day -- metadata scale even for a century of days).
+
+@register(
+    "metric_revenue_seasonal_decomposition",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT day, revenue,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN ROUND(AVG(revenue) OVER w, 9) END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), d AS (
+      SELECT day, revenue, trend, revenue - trend AS detr,
+             dayofweek(day) AS dow
+      FROM t
+    ), s AS (
+      SELECT dow, ROUND(AVG(detr), 9) AS seasonal
+      FROM d WHERE detr IS NOT NULL GROUP BY 1
+    )
+    SELECT d.day, ROUND(d.revenue, 6) AS revenue,
+           ROUND(d.trend, 6) AS trend,
+           ROUND(s.seasonal, 6) AS seasonal,
+           ROUND(d.detr - s.seasonal, 6) AS residual
+    FROM d LEFT JOIN s USING (dow)
+    """,
+)
+def metric_revenue_seasonal_decomposition(spark, sf_dir):
+    """Additive seasonal decomposition of daily revenue: centered
+    7-day moving-average trend (full windows only -- edges stay NULL
+    rather than biased), day-of-week seasonal means of the detrended
+    series, residual = value - trend - seasonal.  DECIMAL-exact daily
+    sums; trend and seasonal round at 9 dp before the subtraction so
+    both engines carry identical intermediates.  Spark dayofweek is
+    1-based Sunday, DuckDB 0-based: the Spark side shifts by -1."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "revenue",
+        F.when(
+            F.count("*").over(w) == 7, F.round(F.avg("revenue").over(w), 9)
+        ).alias("trend"),
+    )
+    d = t.select(
+        "day",
+        "revenue",
+        "trend",
+        (F.col("revenue") - F.col("trend")).alias("detr"),
+        (F.dayofweek("day") - 1).alias("dow"),
+    )
+    s = (
+        d.where(F.col("detr").isNotNull())
+        .groupBy("dow")
+        .agg(F.round(F.avg("detr"), 9).alias("seasonal"))
+    )
+    return d.join(F.broadcast(s), "dow", "left").select(
+        "day",
+        F.round("revenue", 6).alias("revenue"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# position-based (U-shaped) attribution
+# ---------------------------------------------------------------------------
+#
+# The order-AWARE sibling of the registered linear attribution: 40% of
+# a conversion's value to the first touch, 40% to the last, 20% split
+# over the middles (the standard U-shape); 1 touch takes 100%, 2
+# touches split 50/50.  Same bucketized range-join pairing as linear
+# -- only the credit rule changes, and it needs one rank window per
+# conversion (conversation-sized partitions, never corpus sorts).
+
+_ATTR_POS_LOOKBACK = 7
+
+
+@register(
+    "events_attribution_position",
+    f"""
+    WITH t AS (
+      SELECT event_id AS touch_id, user_id, ts, event_type AS touch_type
+      FROM events
+      WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
+    ), c AS (
+      SELECT event_id AS conv_id, user_id, ts AS cts, value
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ), pairs AS (
+      SELECT t.touch_type, t.touch_id, t.ts, c.conv_id, c.value
+      FROM t JOIN c
+        ON t.user_id = c.user_id
+           AND t.ts <= c.cts
+           AND t.ts >= c.cts - INTERVAL {_ATTR_POS_LOOKBACK} DAY
+    ), ranked AS (
+      SELECT touch_type, conv_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY conv_id ORDER BY ts, touch_id
+             ) AS pos,
+             COUNT(*) OVER (PARTITION BY conv_id) AS n
+      FROM pairs
+    ), credited AS (
+      SELECT touch_type,
+             value * CASE
+               WHEN n = 1 THEN 1.0
+               WHEN n = 2 THEN 0.5
+               WHEN pos = 1 OR pos = n THEN 0.4
+               ELSE 0.2 / (n - 2)
+             END AS credit
+      FROM ranked
+    )
+    SELECT touch_type, COUNT(*) AS n_touches,
+           ROUND(SUM(credit), 6) AS attributed_value
+    FROM credited GROUP BY 1
+    """,
+)
+def events_attribution_position(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: 40/20/40
+    first/middles/last credit split over the user's views/clicks in
+    the trailing {7}-day window, degenerate journeys (1 or 2 touches)
+    handled by the standard special cases.  Pairing rides the same
+    bucketized range join the linear query registered (equi-join on
+    (user, day bucket)); the rank window partitions by conversion --
+    journey-sized, never a corpus sort.  Oracle pairs with a direct
+    BETWEEN join: same pairs from a different plan."""
+    from pyspark.sql import Window
+
+    from .operators.ranges import range_join_points
+
+    events = load_table(spark, sf_dir, "events")
+    touches = events.where(
+        F.col("event_type").isin("view", "click") & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        "ts",
+    )
+    conversions = events.where(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        "value",
+        (F.col("ts") - F.expr(f"INTERVAL {_ATTR_POS_LOOKBACK} DAYS")).alias(
+            "__start"
+        ),
+        F.col("ts").alias("__end"),
+    )
+    pairs = range_join_points(
+        touches,
+        conversions,
+        on="user_id",
+        point_ts="ts",
+        start_col="__start",
+        end_col="__end",
+        bucket_minutes=24 * 60,
+    )
+    wo = Window.partitionBy("conv_id").orderBy("ts", "touch_id")
+    wc = Window.partitionBy("conv_id")
+    ranked = pairs.select(
+        "touch_type",
+        "value",
+        F.row_number().over(wo).alias("pos"),
+        F.count("*").over(wc).alias("n"),
+    )
+    credit = F.col("value") * (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        ranked.select("touch_type", credit.alias("__credit"))
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(F.sum("__credit"), 6).alias("attributed_value"),
+        )
+    )

@@ -417,3 +417,134 @@ def test_trigrams_registry_deterministic(spark):
     assert a == b
     counts = [r["n"] for r in a]
     assert counts == sorted(counts, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# PCA power iteration
+# ---------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy_replay(spark):
+    """The Spark recurrence must match a numpy implementation of the
+    SAME recurrence (identical v0, centering, per-round 9-dp unit
+    rounding) to the output rounding -- a full independent replay."""
+    import numpy as np
+
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import (
+        _PCA_DIM,
+        _PCA_ITERS,
+        embeddings_pca_power_iteration,
+    )
+
+    rows = embeddings_pca_power_iteration(spark, SF).orderBy("dim").collect()
+    assert len(rows) == _PCA_DIM
+
+    X = np.array(
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    mu = np.round(X.mean(axis=0), 9)
+    C = X - mu
+    v = np.full(_PCA_DIM, 1.0 / np.sqrt(_PCA_DIM))
+    for _ in range(_PCA_ITERS):
+        w = C.T @ (C @ v)
+        nrm = float(np.sqrt((w * w).sum()))
+        v = np.round(w / nrm, 9)
+    got = np.array([r["loading"] for r in rows])
+    assert np.allclose(got, np.round(v, 6), atol=2e-6)
+    assert rows[0]["lambda_hat"] == pytest.approx(nrm, rel=1e-5)
+
+
+def test_pca_loading_is_unit_vector(spark):
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import (
+        embeddings_pca_power_iteration,
+    )
+
+    rows = embeddings_pca_power_iteration(spark, SF).collect()
+    ss = sum(r["loading"] ** 2 for r in rows)
+    assert ss == pytest.approx(1.0, abs=1e-4)
+    assert all(r["lambda_hat"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decomposition_identity_and_edges(spark):
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import (
+        metric_revenue_seasonal_decomposition,
+    )
+
+    rows = metric_revenue_seasonal_decomposition(spark, SF).orderBy("day").collect()
+    assert len(rows) >= 14
+    # centered 7-day MA: first and last 3 days have no full window
+    for r in rows[:3] + rows[-3:]:
+        assert r["trend"] is None and r["residual"] is None
+    interior = [r for r in rows if r["trend"] is not None]
+    assert interior
+    for r in interior:
+        assert r["residual"] == pytest.approx(
+            r["revenue"] - r["trend"] - r["seasonal"], abs=5e-6
+        )
+
+
+# ---------------------------------------------------------------------------
+# position-based attribution
+# ---------------------------------------------------------------------------
+
+
+def test_position_attribution_conserves_value(spark):
+    """Every conversion with >=1 in-window touch hands out exactly its
+    value (0.4+0.2+0.4 = 1; 1.0 and 0.5x2 in the degenerate cases), so
+    total attributed == total value over attributable conversions."""
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import (
+        _ATTR_POS_LOOKBACK,
+        events_attribution_position,
+    )
+
+    rows = events_attribution_position(spark, SF).collect()
+    total = sum(r["attributed_value"] for r in rows)
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    t = e.where(
+        F.col("event_type").isin("view", "click") & F.col("ts").isNotNull()
+    ).select("user_id", F.col("ts").alias("tts"))
+    c = e.where(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select("user_id", F.col("ts").alias("cts"), "value", "event_id")
+    attributable = (
+        c.join(t, "user_id")
+        .where(
+            (F.col("tts") <= F.col("cts"))
+            & (
+                F.col("tts")
+                >= F.col("cts") - F.expr(f"INTERVAL {_ATTR_POS_LOOKBACK} DAYS")
+            )
+        )
+        .select("event_id", "value")
+        .distinct()
+        .agg(F.sum("value").alias("v"))
+        .first()["v"]
+    )
+    assert total == pytest.approx(attributable, abs=1e-3)
+
+
+def test_position_credit_shape():
+    """Closed-form U-shape: 4 touches -> 0.4, 0.1, 0.1, 0.4."""
+    def credit(pos, n):
+        if n == 1:
+            return 1.0
+        if n == 2:
+            return 0.5
+        if pos in (1, n):
+            return 0.4
+        return 0.2 / (n - 2)
+
+    assert [credit(p, 4) for p in range(1, 5)] == [0.4, 0.1, 0.1, 0.4]
+    assert sum(credit(p, 7) for p in range(1, 8)) == pytest.approx(1.0)
+    assert credit(1, 1) == 1.0
+    assert [credit(1, 2), credit(2, 2)] == [0.5, 0.5]
