@@ -225,6 +225,9 @@ HEADLINE = [
     "embeddings_pca_power_iteration",
     "metric_revenue_seasonal_decomposition",
     "events_attribution_position",
+    "text_quality_calibration",
+    "embeddings_jl_projection_error",
+    "events_run_length_stats",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -1258,3 +1258,285 @@ def events_attribution_position(spark, sf_dir):
             F.round(F.sum("__credit"), 6).alias("attributed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier calibration curve
+# ---------------------------------------------------------------------------
+#
+# Before a model-based quality gate filters a corpus, its score needs
+# a calibration check against an independent signal: bucket the score
+# into deciles and measure the positive fraction per bucket.  The
+# score is the registered feature-hashing linear classifier
+# (bit-reproducible in both engines); the independent label is the
+# raw-length vote the kappa query uses.  Decile BOUNDARIES follow the
+# RFM discipline: a 1-row exact-percentile aggregate broadcast onto
+# the scored frame, bucket assignment by comparison -- no NTILE.
+
+_CAL_LABEL_CHARS = 400
+_CAL_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _calibration_oracle() -> str:
+    from .functions.hashing import DUCKDB_HASH64, MERSENNE31, _family_coeffs
+    from .operators.text import HASHED_LINEAR_HALF
+    from .queries_ext import _CLS_BUCKETS, _CLS_SEED
+
+    a, b = _family_coeffs(_CLS_SEED)
+    h31 = f"({DUCKDB_HASH64.format(x='x')} & {MERSENNE31})"
+    w = (
+        f"(({a} * ({h31} % {_CLS_BUCKETS}) + {b}) % {MERSENNE31}"
+        f" - {HASHED_LINEAR_HALF})"
+    )
+    qs = ", ".join(repr(q) for q in _CAL_QS)
+    bins = " + ".join(f"CAST(score > qb[{i + 1}] AS INT)" for i in range(9))
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, n_chars,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             ROUND(CAST(list_sum(list_transform(toks, x -> {w})) AS BIGINT)::DOUBLE
+                   / (len(toks) * {float(HASHED_LINEAR_HALF)}), 6) AS score,
+             CAST(n_chars >= {_CAL_LABEL_CHARS} AS INT) AS is_long
+      FROM docs
+    ), qb_t AS (
+      SELECT quantile_cont(score, [{qs}]) AS qb FROM scored
+    )
+    SELECT 1 + {bins} AS decile,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(score), 6) AS avg_score,
+           ROUND(AVG(is_long::DOUBLE), 6) AS frac_long
+    FROM scored, qb_t
+    GROUP BY 1
+    """
+
+
+@register("text_quality_calibration", _calibration_oracle())
+def text_quality_calibration(spark, sf_dir):
+    """Calibration curve of the feature-hashing quality classifier
+    against the independent length label: score deciles (boundaries as
+    a 1-row exact-percentile broadcast, buckets by comparison -- the
+    RFM discipline, percentile_approx at 100 TB) vs the positive
+    fraction per decile.  The classifier score stays the registered
+    zero-shuffle scan-speed fold; calibration adds one 9-double
+    broadcast and one 10-row aggregate."""
+    from .operators.text import hashed_linear_score
+    from .queries_ext import _CLS_BUCKETS, _CLS_SEED, _CLS_THRESHOLD
+
+    scored = hashed_linear_score(
+        load_table(spark, sf_dir, "documents"),
+        n_buckets=_CLS_BUCKETS,
+        weight_seed=_CLS_SEED,
+        threshold=_CLS_THRESHOLD,
+        extra_cols=("n_chars",),
+    ).select(
+        "score",
+        (F.col("n_chars") >= _CAL_LABEL_CHARS).cast("int").alias("is_long"),
+    )
+    qs = ", ".join(repr(q) for q in _CAL_QS)
+    qb = scored.agg(F.expr(f"percentile(score, array({qs}))").alias("qb"))
+    decile = F.lit(1)
+    for i in range(9):
+        decile = decile + (F.col("score") > F.col("qb")[i]).cast("int")
+    return (
+        scored.crossJoin(F.broadcast(qb))
+        .select(decile.alias("decile"), "score", "is_long")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.round(F.avg(F.col("is_long").cast("double")), 6).alias(
+                "frac_long"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: distance preservation audit
+# ---------------------------------------------------------------------------
+#
+# Before serving ANN from a reduced space, measure what the projection
+# does to the geometry: project 64-d embeddings to 16-d with a
+# deterministic +-1 sign matrix (Achlioptas 2001 -- database-friendly
+# JL: signs, no Gaussians) and compare pairwise cosines before and
+# after on a deterministic pair sample.  The sign matrix is a pure
+# function of (row, col) computed ONCE in Python and embedded as
+# literals in BOTH plans, so the engines replay the identical
+# projection; the 1/sqrt(k) JL scale cancels inside cosine and is
+# omitted.
+
+_JL_IN_DIM = 64
+_JL_OUT_DIM = 16
+
+
+def _jl_sign(i: int, j: int) -> int:
+    from .functions.hashing import MERSENNE31, _family_coeffs
+
+    a, b = _family_coeffs(7)
+    return 1 if (a * (i * _JL_OUT_DIM + j) + b) % MERSENNE31 % 2 == 0 else -1
+
+
+_JL_SIGNS = [
+    [_jl_sign(i, j) for i in range(_JL_IN_DIM)] for j in range(_JL_OUT_DIM)
+]
+
+
+def _jl_oracle() -> str:
+    proj = ", ".join(
+        "list_dot_product(x, ["
+        + ", ".join(f"{s}.0" for s in _JL_SIGNS[j])
+        + "])"
+        for j in range(_JL_OUT_DIM)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+      WHERE len(embedding) = {_JL_IN_DIM}
+    ), proj AS (
+      SELECT vec_id, x, [{proj}] AS y FROM base
+    ), pairs AS (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             ROUND(list_dot_product(a.x, b.x)
+                   / (sqrt(list_dot_product(a.x, a.x))
+                      * sqrt(list_dot_product(b.x, b.x))), 6) AS cos_orig,
+             ROUND(list_dot_product(a.y, b.y)
+                   / (sqrt(list_dot_product(a.y, a.y))
+                      * sqrt(list_dot_product(b.y, b.y))), 6) AS cos_proj
+      FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT vec_id_a, vec_id_b, cos_orig, cos_proj,
+           ROUND(ABS(cos_orig - cos_proj), 6) AS abs_err
+    FROM pairs
+    """
+
+
+@register("embeddings_jl_projection_error", _jl_oracle())
+def embeddings_jl_projection_error(spark, sf_dir):
+    """JL random-projection audit: 64-d -> 16-d by an Achlioptas +-1
+    sign matrix (a pure function of (row, col), computed once in
+    Python and embedded as literals in both engines' plans), pairwise
+    cosine before vs after on the deterministic consecutive-id pair
+    sample.  The projection is a map-side fold (16 dot products per
+    row, zero shuffles); the pair join is id+1 -- at scale the sample
+    IS the audit, full pairs never materialize."""
+    from .operators.similarity import as_double, cosine, dot
+
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.size("embedding") == _JL_IN_DIM)
+        .select("vec_id", as_double("embedding").alias("x"))
+    )
+    proj_cols = [
+        dot(
+            F.col("x"),
+            F.array(*[F.lit(float(s)) for s in _JL_SIGNS[j]]),
+        )
+        for j in range(_JL_OUT_DIM)
+    ]
+    proj = base.select("vec_id", "x", F.array(*proj_cols).alias("y"))
+    a = proj.alias("a")
+    b = proj.alias("b")
+    pairs = a.join(
+        b, F.col("b.vec_id") == F.col("a.vec_id") + 1
+    ).select(
+        F.col("a.vec_id").alias("vec_id_a"),
+        F.col("b.vec_id").alias("vec_id_b"),
+        F.round(cosine(F.col("a.x"), F.col("b.x")), 6).alias("cos_orig"),
+        F.round(cosine(F.col("a.y"), F.col("b.y")), 6).alias("cos_proj"),
+    )
+    return pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        "cos_orig",
+        "cos_proj",
+        F.round(F.abs(F.col("cos_orig") - F.col("cos_proj")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# run-length statistics over event sequences
+# ---------------------------------------------------------------------------
+#
+# Repeated-action runs (rage clicks, retry storms, scroll bursts) are
+# a behavioral signal and a compression opportunity; this is the RLE
+# pass: consecutive equal event_types within a user's ordered stream
+# collapse into runs via the lag-marker + conditional-cumsum idiom the
+# sessionizer uses -- ONE user-partitioned exchange+sort.
+
+
+@register(
+    "events_run_length_stats",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM
+                    LAG(event_type) OVER w
+                  THEN 1 ELSE 0 END AS new_run
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             AND ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type,
+             SUM(new_run) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS run_id
+      FROM seq
+    ), rl AS (
+      SELECT event_type, COUNT(*) AS run_len
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT event_type, COUNT(*) AS n_runs,
+           ROUND(AVG(run_len), 6) AS avg_run_len,
+           MAX(run_len) AS max_run_len,
+           SUM(CAST(run_len >= 3 AS BIGINT)) AS n_bursts
+    FROM rl GROUP BY 1
+    """,
+)
+def events_run_length_stats(spark, sf_dir):
+    """Run-length encoding of per-user event streams: consecutive
+    equal event_types collapse to runs (lag marker + running sum --
+    both windows share ONE user-partitioned exchange+sort), then
+    per-type run-length stats and the burst count (runs >= 3, the
+    rage-click/retry-storm signal).  Integer counts end to end; only
+    the average rounds."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    runs = seq.select(
+        "user_id",
+        "event_type",
+        F.sum("new_run").over(w).alias("run_id"),
+    )
+    rl = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count("*").alias("run_len")
+    )
+    return rl.groupBy("event_type").agg(
+        F.count("*").alias("n_runs"),
+        F.round(F.avg("run_len"), 6).alias("avg_run_len"),
+        F.max("run_len").alias("max_run_len"),
+        F.sum((F.col("run_len") >= 3).cast("bigint")).alias("n_bursts"),
+    )

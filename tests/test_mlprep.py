@@ -548,3 +548,142 @@ def test_position_credit_shape():
     assert sum(credit(p, 7) for p in range(1, 8)) == pytest.approx(1.0)
     assert credit(1, 1) == 1.0
     assert [credit(1, 2), credit(2, 2)] == [0.5, 0.5]
+
+
+# ---------------------------------------------------------------------------
+# calibration curve
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_deciles_cover_and_bound(spark):
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import (
+        text_quality_calibration,
+    )
+
+    rows = text_quality_calibration(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 1 <= r["decile"] <= 10
+        assert 0.0 <= r["frac_long"] <= 1.0
+        assert -1.0 <= r["avg_score"] <= 1.0
+    # deciles are score-ordered: avg_score strictly increases with decile
+    by_decile = sorted(rows, key=lambda r: r["decile"])
+    scores = [r["avg_score"] for r in by_decile]
+    assert scores == sorted(scores)
+
+
+# ---------------------------------------------------------------------------
+# JL projection
+# ---------------------------------------------------------------------------
+
+
+def test_jl_matches_numpy_replay(spark):
+    """Every projected cosine must equal an independent numpy replay
+    of the SAME sign matrix; plus the weak JL sanity bound -- at k=16
+    the per-pair cosine noise is O(1/sqrt(k)), so the mean absolute
+    error stays under 0.6 (an uncorrelated projection would sit near
+    the raw cosine spread, ~0.7 on this data)."""
+    import numpy as np
+
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import (
+        _JL_SIGNS,
+        embeddings_jl_projection_error,
+    )
+
+    rows = embeddings_jl_projection_error(spark, SF).orderBy("vec_id_a").collect()
+    assert rows
+
+    pdf = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    S = np.array(_JL_SIGNS, dtype=np.float64)  # (16, 64)
+
+    def cos(a, b):
+        return float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+
+    for r in rows[:50]:
+        xa = np.array(pdf.loc[r["vec_id_a"], "embedding"], dtype=np.float64)
+        xb = np.array(pdf.loc[r["vec_id_b"], "embedding"], dtype=np.float64)
+        assert r["cos_orig"] == pytest.approx(cos(xa, xb), abs=2e-6)
+        assert r["cos_proj"] == pytest.approx(cos(S @ xa, S @ xb), abs=2e-6)
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.6, mean_err
+
+
+def test_jl_sign_matrix_is_balanced():
+    """Achlioptas signs must be near-balanced per output row (a skewed
+    row would bias every projection)."""
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import (
+        _JL_IN_DIM,
+        _JL_SIGNS,
+    )
+
+    for row in _JL_SIGNS:
+        assert set(row) <= {-1, 1}
+        assert abs(sum(row)) <= _JL_IN_DIM // 3
+
+
+# ---------------------------------------------------------------------------
+# run-length stats
+# ---------------------------------------------------------------------------
+
+
+def test_run_lengths_on_constructed_stream(spark):
+    """User stream A A A B A -> runs: A(3), B(1), A(1)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, t, 1.0, "{}")
+        for i, t in enumerate(["A", "A", "A", "B", "A"])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = df.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_run"),
+    )
+    runs = seq.select(
+        "user_id", "event_type", F.sum("new_run").over(w).alias("run_id")
+    )
+    rl = {
+        (r["event_type"], r["run_len"])
+        for r in runs.groupBy("user_id", "run_id", "event_type")
+        .agg(F.count("*").alias("run_len"))
+        .collect()
+    }
+    assert rl == {("A", 3), ("B", 1), ("A", 1)}
+
+
+def test_run_length_totals_conserve_events(spark):
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import (
+        events_run_length_stats,
+    )
+
+    rows = events_run_length_stats(spark, SF).collect()
+    total_run_events = sum(
+        round(r["avg_run_len"] * r["n_runs"]) for r in rows
+    )
+    expected = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .count()
+    )
+    # avg*count reconstructs each type's event total up to 6-dp rounding
+    assert abs(total_run_events - expected) <= len(rows)
