@@ -72,10 +72,14 @@ def events_target_encoding_oof(spark, sf_dir):
     numeric label `value`.  Leakage-safe by construction: the encoding
     for fold f sums every fold EXCEPT f (category total minus the
     fold's own partial), so no row's label contributes to its own
-    feature.  One events scan produces the (category, fold) partial
-    frame; category totals and the global prior mean re-aggregate from
-    that tiny frame (never a second scan), and at serving time the
-    returned map broadcast-joins onto the raw rows."""
+    feature.  ONE events scan produces the (category, fold) partial
+    frame; category totals and the global prior mean are WINDOWS over
+    that tiny frame (a category partition and an empty-key window --
+    the Q15 anchor idiom), never a re-derivation that would rescan
+    events; at serving time the returned map broadcast-joins onto the
+    raw rows (plan-locked to a single events scan)."""
+    from pyspark.sql import Window
+
     labeled = (
         load_table(spark, sf_dir, "events")
         .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
@@ -88,23 +92,26 @@ def events_target_encoding_oof(spark, sf_dir):
     cf = labeled.groupBy("event_type", "fold").agg(
         F.sum("value").alias("s_cf"), F.count("*").alias("n_cf")
     )
-    c = cf.groupBy("event_type").agg(
-        F.sum("s_cf").alias("s_c"), F.sum("n_cf").alias("n_c")
+    wc = Window.partitionBy("event_type")
+    wg = Window.partitionBy()
+    enriched = cf.select(
+        "event_type",
+        "fold",
+        "s_cf",
+        "n_cf",
+        F.sum("s_cf").over(wc).alias("s_c"),
+        F.sum("n_cf").over(wc).alias("n_c"),
+        (F.sum("s_cf").over(wg) / F.sum("n_cf").over(wg)).alias("mu"),
     )
-    g = cf.agg((F.sum("s_cf") / F.sum("n_cf")).alias("mu"))
-    return (
-        cf.join(c, "event_type")
-        .crossJoin(F.broadcast(g))
-        .select(
-            "event_type",
-            "fold",
-            F.col("n_cf").alias("n_rows"),
-            F.round(
-                (F.col("s_c") - F.col("s_cf") + F.lit(_TE_SMOOTH) * F.col("mu"))
-                / (F.col("n_c") - F.col("n_cf") + F.lit(_TE_SMOOTH)),
-                6,
-            ).alias("oof_encoding"),
-        )
+    return enriched.select(
+        "event_type",
+        "fold",
+        F.col("n_cf").alias("n_rows"),
+        F.round(
+            (F.col("s_c") - F.col("s_cf") + F.lit(_TE_SMOOTH) * F.col("mu"))
+            / (F.col("n_c") - F.col("n_cf") + F.lit(_TE_SMOOTH)),
+            6,
+        ).alias("oof_encoding"),
     )
 
 
@@ -167,27 +174,41 @@ def metric_rfm_segments(spark, sf_dir):
     scale -- identical plan shape), bucket assignment by broadcast
     comparison.  No NTILE: the global sort the textbook form implies
     is the thing that dies at 100 TB, and comparisons against four
-    broadcast boundary values replace it exactly."""
+    boundary values replace it exactly.  ONE orders scan: the anchor
+    date and all twelve boundaries are empty-key windows over the
+    per-customer frame (the Q15 anchor idiom; plan-locked) -- at 100 TB
+    persist that frame and swap the windows for broadcast 1-row
+    percentile_approx aggregates, same shape."""
+    from pyspark.sql import Window
+
     orders = load_table(spark, sf_dir, "orders")
-    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
-    cust = (
-        orders.crossJoin(F.broadcast(anchor))
-        .groupBy("o_custkey")
-        .agg(
-            F.datediff(F.first("anchor"), F.max("o_orderdate")).alias(
-                "recency_days"
-            ),
-            F.count("*").alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
-        )
+    cust0 = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    wg = Window.partitionBy()
+    cust = cust0.select(
+        F.datediff(F.max("last_order").over(wg), F.col("last_order")).alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary",
     )
     qs = [0.2, 0.4, 0.6, 0.8]
-    b = cust.agg(
-        F.expr(f"percentile(recency_days, array({_RFM_QS}))").alias("rq"),
-        F.expr(f"percentile(frequency, array({_RFM_QS}))").alias("fq"),
-        F.expr(
-            f"percentile(CAST(monetary AS DOUBLE), array({_RFM_QS}))"
-        ).alias("mq"),
+    scored0 = cust.select(
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.expr(f"percentile(recency_days, array({_RFM_QS}))")
+        .over(wg)
+        .alias("rq"),
+        F.expr(f"percentile(frequency, array({_RFM_QS}))")
+        .over(wg)
+        .alias("fq"),
+        F.expr(f"percentile(CAST(monetary AS DOUBLE), array({_RFM_QS}))")
+        .over(wg)
+        .alias("mq"),
     )
 
     def bin_col(value, bounds):
@@ -196,7 +217,7 @@ def metric_rfm_segments(spark, sf_dir):
             out = out + (value > F.col(bounds)[i]).cast("int")
         return out
 
-    scored = cust.crossJoin(F.broadcast(b)).select(
+    scored = scored0.select(
         bin_col(F.col("recency_days").cast("double"), "rq").alias("r_bin"),
         bin_col(F.col("frequency").cast("double"), "fq").alias("f_bin"),
         bin_col(F.col("monetary").cast("double"), "mq").alias("m_bin"),

@@ -701,3 +701,53 @@ def test_join_size_estimate_sample_filters_reach_both_scans(spark):
     plan = plan_of(run(spark, "events_join_size_estimate"))
     # the hash-range predicate appears as a Filter on each sampled scan
     assert plan.count("< 144115188075855872") >= 2
+
+
+def test_target_encoding_single_scan(spark):
+    """OOF target encoding: category totals and the global prior are
+    WINDOWS over the (category, fold) partial frame -- a refactor back
+    to join-on-reaggregated-frames would rescan events per reference
+    (this lock caught exactly that: 3 scans before the window form)."""
+    plan = plan_of(run(spark, "events_target_encoding_oof"), "simple")
+    assert plan.count("events.parquet") == 1, plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 2, plan
+
+
+def test_rfm_single_scan_no_ntile(spark):
+    """RFM segmentation: one orders scan, anchor + all twelve quintile
+    boundaries as empty-key windows over the per-customer frame, and
+    NO NTILE anywhere (the textbook form's global sort)."""
+    plan = plan_of(run(spark, "metric_rfm_segments"), "simple")
+    assert plan.count("orders.parquet") == 1, plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 2, plan
+    import re as _re
+
+    # \b so the percentile window itself (contains "ntile(") never trips
+    assert not _re.search(r"\bntile\(", plan.lower()), plan
+
+
+def test_trigrams_and_rle_share_one_user_sort(spark):
+    """Sequence trigrams and run-length stats: both LEAD/LAG+cumsum
+    windows ride ONE user-partitioned exchange+sort; the only other
+    shuffle is the counting aggregate."""
+    for name in ("events_sequence_trigrams", "events_run_length_stats"):
+        plan = plan_of(run(spark, name), "simple")
+        assert plan.count("events.parquet") == 1, (name, plan)
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert shuffles == 2, (name, plan)
+        sorts = plan.count("Sort ") + plan.count("Sort[")
+        assert sorts <= 1, (name, plan)
+
+
+def test_pca_scan_count_linear_in_iterations(spark):
+    """Power iteration scans the embedding table 2x per round (the
+    centered frame + its mean subtree) -- LINEAR in iters.  A refactor
+    that references the previous round's frame twice would square the
+    plan per round (2^iters scans, the documented lineage trap); this
+    lock fails long before that ships."""
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import _PCA_ITERS
+
+    plan = plan_of(run(spark, "embeddings_pca_power_iteration"), "simple")
+    assert plan.count("embeddings.parquet") == 2 * _PCA_ITERS, plan
