@@ -228,6 +228,7 @@ HEADLINE = [
     "text_quality_calibration",
     "embeddings_jl_projection_error",
     "events_run_length_stats",
+    "streaming_heavy_hitters",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

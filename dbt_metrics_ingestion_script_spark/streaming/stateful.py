@@ -27,8 +27,10 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -226,6 +228,119 @@ def streaming_funnel_stages(
             update,
             FUNNEL_OUT_SCHEMA,
             FUNNEL_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters (space-saving summary)
+# ---------------------------------------------------------------------------
+
+HEAVY_HITTERS_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("est_count", LongType()),
+        StructField("max_err", LongType()),
+        StructField("n_total", LongType()),
+    ]
+)
+
+_HH_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def space_saving_heavy_hitters(
+    events, key_col: str = "user_id", m: int = 32
+):
+    """Streaming top-key summary by the space-saving algorithm (Metwally
+    et al. 2005): at most `m` tracked counters; an untracked arrival
+    evicts the minimum counter and inherits its count as error.  The
+    classic guarantees hold whatever the arrival order: every key with
+    true frequency > n/m is tracked, and for every tracked key
+    true <= est_count <= true + max_err with max_err <= n/m.
+
+    With m >= the stream's distinct-key count nothing ever evicts and
+    the summary converges to EXACT counts -- the registered driver
+    query runs in that regime so the stateful plumbing gets a full
+    batch-SQL oracle; the eviction regime is pinned by property tests
+    against exact per-prefix counts.
+
+    Scale: rows reach the single summary group pre-projected to the
+    key column only.  The single-group fold is the textbook
+    single-node summary; at cluster scale space-saving summaries are
+    MERGEABLE (Agarwal et al. 2012), so the production shape is one
+    summary per partition folded pairwise -- the per-partition state
+    function is this same update, and the merge is the insertion loop
+    over (key, count) pairs, both exercised here.
+
+    Emits the full current summary each micro-batch (update mode);
+    the converged frame is the rows with the final n_total.
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, counts, errs, n = state.get
+            summary = {
+                k: [c, e] for k, c, e in zip(keys, counts, errs)
+            }
+        else:
+            summary, n = {}, 0
+        for pdf in pdfs:
+            vc = pdf[key_col].value_counts()
+            n += int(vc.sum())
+            # deterministic insertion order: by (-batch_count, key), so
+            # the same batch contents always produce the same summary
+            for k in sorted(vc.index, key=lambda x: (-int(vc[x]), str(x))):
+                c = int(vc[k])
+                k = str(k)
+                if k in summary:
+                    summary[k][0] += c
+                elif len(summary) < m:
+                    summary[k] = [c, 0]
+                else:
+                    victim = min(
+                        summary.items(), key=lambda kv: (kv[1][0], kv[0])
+                    )
+                    vmin = victim[1][0]
+                    del summary[victim[0]]
+                    summary[k] = [c + vmin, vmin]
+        ks = sorted(summary)
+        state.update(
+            (
+                ks,
+                [summary[k][0] for k in ks],
+                [summary[k][1] for k in ks],
+                n,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "key": ks,
+                "est_count": [summary[k][0] for k in ks],
+                "max_err": [summary[k][1] for k in ks],
+                "n_total": [n] * len(ks),
+            }
+        )
+
+    return (
+        events.select(F.col(key_col).cast("string").alias(key_col))
+        .where(F.col(key_col).isNotNull())
+        .withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandasWithState(
+            update,
+            HEAVY_HITTERS_SCHEMA,
+            _HH_STATE_SCHEMA,
             "update",
             GroupStateTimeout.NoTimeout,
         )
