@@ -229,6 +229,9 @@ HEADLINE = [
     "embeddings_jl_projection_error",
     "events_run_length_stats",
     "streaming_heavy_hitters",
+    "events_woe_information_value",
+    "events_feature_chi2",
+    "embeddings_label_separability",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

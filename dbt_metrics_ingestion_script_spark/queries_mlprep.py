@@ -1629,3 +1629,303 @@ def streaming_heavy_hitters(spark, sf_dir):
                    max_by(max_err, n_total) AS max_err
             FROM {name} GROUP BY key"""
     )
+
+
+# ---------------------------------------------------------------------------
+# weight-of-evidence encoding + information value
+# ---------------------------------------------------------------------------
+#
+# The credit-scoring standard for categorical encoding against a
+# binary label: WOE(x) = ln(P(x|pos)/P(x|neg)), with the category's
+# information-value contribution (P(x|pos)-P(x|neg)) * WOE and the
+# feature's total IV.  Laplace 0.5 smoothing keeps empty cells off
+# ln(0) -- Spark 4 runs ANSI mode, a bare ln(0) is a job abort, not a
+# NULL.  Label and base filter match the registered mutual-information
+# query, so the two feature scores are directly comparable.
+
+_WOE_LABEL_THRESHOLD = 150
+
+
+@register(
+    "events_woe_information_value",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN value > {_WOE_LABEL_THRESHOLD} THEN 1 ELSE 0 END AS hv
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), cat AS (
+      SELECT event_type,
+             SUM(hv) AS n_pos,
+             COUNT(*) - SUM(hv) AS n_neg
+      FROM base GROUP BY 1
+    ), tot AS (
+      SELECT event_type, n_pos, n_neg,
+             SUM(n_pos) OVER () AS p_tot,
+             SUM(n_neg) OVER () AS n_tot
+      FROM cat
+    ), scored AS (
+      SELECT event_type, n_pos, n_neg,
+             ROUND(ln(((n_pos + 0.5) / (p_tot + 0.5))
+                      / ((n_neg + 0.5) / (n_tot + 0.5))), 6) AS woe,
+             (n_pos::DOUBLE / p_tot - n_neg::DOUBLE / n_tot) AS dp
+      FROM tot
+    )
+    SELECT event_type, n_pos, n_neg, woe,
+           ROUND(dp * woe, 6) AS iv_term,
+           ROUND(SUM(dp * woe) OVER (), 6) AS iv_total
+    FROM scored
+    """,
+)
+def events_woe_information_value(spark, sf_dir):
+    """Weight-of-evidence encoding of event_type against the
+    high-value label, with per-category information-value terms and
+    the feature's total IV.  ONE events scan to the per-category
+    conditional-count frame; class totals are empty-key windows over
+    that tiny frame (the Q15 anchor idiom, plan-locked elsewhere in
+    this family).  Laplace 0.5 smoothing keeps ln off zero cells
+    (ANSI); ln rounds at 6 dp on both engines before the IV product
+    re-rounds."""
+    from pyspark.sql import Window
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.when(F.col("value") > _WOE_LABEL_THRESHOLD, 1)
+            .otherwise(0)
+            .alias("hv"),
+        )
+    )
+    cat = base.groupBy("event_type").agg(
+        F.sum("hv").alias("n_pos"),
+        (F.count("*") - F.sum("hv")).alias("n_neg"),
+    )
+    wg = Window.partitionBy()
+    tot = cat.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        F.sum("n_pos").over(wg).alias("p_tot"),
+        F.sum("n_neg").over(wg).alias("n_tot"),
+    )
+    woe = F.round(
+        F.log(
+            ((F.col("n_pos") + 0.5) / (F.col("p_tot") + 0.5))
+            / ((F.col("n_neg") + 0.5) / (F.col("n_tot") + 0.5))
+        ),
+        6,
+    )
+    dp = (
+        F.col("n_pos").cast("double") / F.col("p_tot")
+        - F.col("n_neg").cast("double") / F.col("n_tot")
+    )
+    scored = tot.select(
+        "event_type", "n_pos", "n_neg", woe.alias("woe"), dp.alias("dp")
+    )
+    return scored.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        "woe",
+        F.round(F.col("dp") * F.col("woe"), 6).alias("iv_term"),
+        F.round(
+            F.sum(F.col("dp") * F.col("woe")).over(wg), 6
+        ).alias("iv_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-squared feature-label independence test
+# ---------------------------------------------------------------------------
+#
+# The frequentist sibling of the registered mutual-information score:
+# Pearson chi-squared over the (event_type x high-value) contingency
+# table.  Same one-scan conditional-count frame; expected counts from
+# empty-key window marginals; one summary row out.
+
+
+@register(
+    "events_feature_chi2",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN value > {_WOE_LABEL_THRESHOLD} THEN 1 ELSE 0 END AS hv
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), cat AS (
+      SELECT event_type,
+             SUM(hv) AS obs_pos,
+             COUNT(*) - SUM(hv) AS obs_neg
+      FROM base GROUP BY 1
+    ), tot AS (
+      SELECT event_type, obs_pos, obs_neg,
+             SUM(obs_pos) OVER () AS p_tot,
+             SUM(obs_neg) OVER () AS n_tot,
+             SUM(obs_pos + obs_neg) OVER () AS n,
+             COUNT(*) OVER () AS k
+      FROM cat
+    )
+    SELECT ROUND(SUM(
+             POWER(obs_pos - (obs_pos + obs_neg) * p_tot::DOUBLE / n, 2)
+               / ((obs_pos + obs_neg) * p_tot::DOUBLE / n)
+             + POWER(obs_neg - (obs_pos + obs_neg) * n_tot::DOUBLE / n, 2)
+               / ((obs_pos + obs_neg) * n_tot::DOUBLE / n)
+           ), 6) AS chi2,
+           CAST(ANY_VALUE(k) - 1 AS BIGINT) AS dof,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n
+    FROM tot
+    """,
+)
+def events_feature_chi2(spark, sf_dir):
+    """Pearson chi-squared independence test between event_type and
+    the high-value label: the same one-scan conditional-count frame as
+    the WOE/MI queries, expected counts from empty-key window
+    marginals, one (chi2, dof, n) row.  Integer observed counts;
+    expected values and the statistic are exact double arithmetic,
+    rounded once at the end."""
+    from pyspark.sql import Window
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.when(F.col("value") > _WOE_LABEL_THRESHOLD, 1)
+            .otherwise(0)
+            .alias("hv"),
+        )
+    )
+    cat = base.groupBy("event_type").agg(
+        F.sum("hv").alias("obs_pos"),
+        (F.count("*") - F.sum("hv")).alias("obs_neg"),
+    )
+    wg = Window.partitionBy()
+    tot = cat.select(
+        "obs_pos",
+        "obs_neg",
+        F.sum("obs_pos").over(wg).alias("p_tot"),
+        F.sum("obs_neg").over(wg).alias("n_tot"),
+        F.sum(F.col("obs_pos") + F.col("obs_neg")).over(wg).alias("n"),
+        F.count("*").over(wg).alias("k"),
+    )
+    row_tot = (F.col("obs_pos") + F.col("obs_neg")).cast("double")
+    exp_pos = row_tot * F.col("p_tot") / F.col("n")
+    exp_neg = row_tot * F.col("n_tot") / F.col("n")
+    cell = F.pow(F.col("obs_pos") - exp_pos, 2) / exp_pos + F.pow(
+        F.col("obs_neg") - exp_neg, 2
+    ) / exp_neg
+    return tot.agg(
+        F.round(F.sum(cell), 6).alias("chi2"),
+        (F.first("k") - 1).cast("bigint").alias("dof"),
+        F.first("n").cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding label separability
+# ---------------------------------------------------------------------------
+#
+# Before training on labeled embeddings, the separability audit: per
+# label the centroid and the mean within-label cosine to it, then the
+# pairwise centroid cosines -- the Davies-Bouldin-style signal of
+# whether labels are geometrically distinguishable at all.  Centroids
+# round at 9 dp (sum-order re-synchronization) before any cosine.
+
+
+def _separability_oracle() -> str:
+    d = _JL_IN_DIM
+    return f"""
+    WITH base AS (
+      SELECT label, embedding::DOUBLE[] AS x FROM embeddings
+      WHERE len(embedding) = {d}
+    ), cdim AS (
+      SELECT label, r.d AS d, ROUND(AVG(x[r.d]), 9) AS m
+      FROM base, range(1, {d + 1}) r(d) GROUP BY 1, 2
+    ), cent AS (
+      SELECT label, list(m ORDER BY d) AS c FROM cdim GROUP BY 1
+    ), within AS (
+      SELECT b.label,
+             ROUND(AVG(list_dot_product(b.x, c.c)
+                   / (sqrt(list_dot_product(b.x, b.x))
+                      * sqrt(list_dot_product(c.c, c.c)))), 6) AS within_cos,
+             COUNT(*) AS n_vecs
+      FROM base b JOIN cent c USING (label) GROUP BY 1
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(list_dot_product(a.c, b.c)
+                 / (sqrt(list_dot_product(a.c, a.c))
+                    * sqrt(list_dot_product(b.c, b.c))), 6) AS centroid_cos,
+           wa.within_cos AS within_a, wb.within_cos AS within_b,
+           wa.n_vecs AS n_a, wb.n_vecs AS n_b
+    FROM cent a JOIN cent b ON a.label < b.label
+    JOIN within wa ON wa.label = a.label
+    JOIN within wb ON wb.label = b.label
+    """
+
+
+@register("embeddings_label_separability", _separability_oracle())
+def embeddings_label_separability(spark, sf_dir):
+    """Label separability audit over the embedding cloud: per-label
+    centroids (9-dp rounded per dimension -- the sum-order
+    re-synchronization discipline), mean within-label cosine to the
+    own centroid, and pairwise centroid cosines.  The within-cosine
+    uses the mean-unit-vector identity
+    avg_r cos(x, c) = dot(avg_r x/|x|, c) / |c| (c constant over the
+    label's rows, so the average pushes inside the dot product):
+    centroid AND mean-unit accumulate in the SAME per-dimension
+    aggregate, so rows never join back to centroids (that formulation
+    scanned the table 6x; this one is plan-locked at 2 -- one per side
+    of the label-sized broadcast self-join).  The oracle deliberately
+    keeps the per-row-average formulation -- two formulations, one
+    semantics."""
+    from .operators.similarity import as_double, cosine, dot, l2_norm
+
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.size("embedding") == _JL_IN_DIM)
+        .select("label", as_double("embedding").alias("x"))
+    )
+    staged = base.select("label", "x", l2_norm(F.col("x")).alias("nrm"))
+    cdim = (
+        staged.select("label", "nrm", F.posexplode("x").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("val"), 9).alias("m"),
+            F.round(F.avg(F.col("val") / F.col("nrm")), 9).alias("u"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+    stats = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda t: t["m"],
+        ).alias("c"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", F.col("u").alias("m")))),
+            lambda t: t["m"],
+        ).alias("u"),
+        F.max("n_vecs").alias("n_vecs"),
+    )
+    stats = stats.select(
+        "label",
+        "c",
+        "n_vecs",
+        F.round(
+            dot(F.col("u"), F.col("c")) / l2_norm(F.col("c")), 6
+        ).alias("within_cos"),
+    )
+    a = stats.alias("a")
+    b = stats.alias("b")
+    return a.join(
+        F.broadcast(b), F.col("a.label") < F.col("b.label")
+    ).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.round(cosine(F.col("a.c"), F.col("b.c")), 6).alias("centroid_cos"),
+        F.col("a.within_cos").alias("within_a"),
+        F.col("b.within_cos").alias("within_b"),
+        F.col("a.n_vecs").alias("n_a"),
+        F.col("b.n_vecs").alias("n_b"),
+    )

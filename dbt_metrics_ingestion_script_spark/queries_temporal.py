@@ -1622,21 +1622,24 @@ def events_feature_mutual_info(spark, sf_dir):
         )
     )
     joint = base.groupBy("event_type", "hv").agg(F.count("*").alias("n_xy"))
-    mx = joint.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
-    my = joint.groupBy("hv").agg(F.sum("n_xy").alias("n_y"))
-    tot = joint.agg(F.sum("n_xy").alias("n"))
+    # marginals and the total as WINDOWS over the tiny joint frame (the
+    # Q15 anchor idiom): re-aggregating through joins re-derives `joint`
+    # per reference and rescans events 4x (caught by the plan lock)
+    terms = joint.select(
+        "event_type",
+        "hv",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("event_type")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("hv")).alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy()).alias("n"),
+    )
     term = (F.col("n_xy").cast("double") / F.col("n")) * F.log(
         F.col("n").cast("double")
         * F.col("n_xy")
         / (F.col("n_x").cast("double") * F.col("n_y"))
     )
-    terms = (
-        joint.join(F.broadcast(mx), "event_type")
-        .join(F.broadcast(my), "hv")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "event_type", "hv", "n_xy", "n_x", "n_y", term.alias("term")
-        )
+    terms = terms.select(
+        "event_type", "hv", "n_xy", "n_x", "n_y", term.alias("term")
     )
     return terms.select(
         "event_type",

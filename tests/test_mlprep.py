@@ -760,3 +760,89 @@ def test_streaming_heavy_hitters_converges_to_exact(spark):
     assert got.keys() == exact.keys()
     for k, (est, err) in got.items():
         assert est == exact[k] and err == 0
+
+
+# ---------------------------------------------------------------------------
+# WOE / chi2 / separability
+# ---------------------------------------------------------------------------
+
+
+def test_woe_matches_closed_form(spark):
+    import math
+
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import (
+        events_woe_information_value,
+    )
+
+    rows = events_woe_information_value(spark, SF).collect()
+    assert rows
+    P = sum(r["n_pos"] for r in rows)
+    N = sum(r["n_neg"] for r in rows)
+    iv = 0.0
+    for r in rows:
+        woe = math.log(
+            ((r["n_pos"] + 0.5) / (P + 0.5)) / ((r["n_neg"] + 0.5) / (N + 0.5))
+        )
+        assert r["woe"] == pytest.approx(woe, abs=2e-6)
+        dp = r["n_pos"] / P - r["n_neg"] / N
+        assert r["iv_term"] == pytest.approx(dp * round(woe, 6), abs=2e-6)
+        iv += dp * round(woe, 6)
+    assert rows[0]["iv_total"] == pytest.approx(iv, abs=5e-6)
+
+
+def test_chi2_matches_scipy_free_reference(spark):
+    """chi2 recomputed from the raw contingency table in pure Python."""
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import (
+        _WOE_LABEL_THRESHOLD,
+        events_feature_chi2,
+    )
+
+    got = events_feature_chi2(spark, SF).first()
+    pdf = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("value") > _WOE_LABEL_THRESHOLD).cast("int").alias("hv"),
+        )
+        .toPandas()
+    )
+    tab = pdf.groupby(["event_type", "hv"]).size().unstack(fill_value=0)
+    n = tab.values.sum()
+    chi2 = 0.0
+    row_t = tab.sum(axis=1)
+    col_t = tab.sum(axis=0)
+    for et in tab.index:
+        for c in tab.columns:
+            exp = row_t[et] * col_t[c] / n
+            chi2 += (tab.loc[et, c] - exp) ** 2 / exp
+    assert got["chi2"] == pytest.approx(chi2, abs=1e-4)
+    assert got["dof"] == len(tab.index) - 1
+    assert got["n"] == n
+
+
+def test_separability_bounds_and_identity(spark):
+    """Pairs cover all label combinations; cosines bounded; within
+    cosines positive (vectors cluster around their own centroid)."""
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import (
+        embeddings_label_separability,
+    )
+
+    rows = embeddings_label_separability(spark, SF).collect()
+    labels = {
+        r["label"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert r["label_a"] < r["label_b"]
+        assert -1.0 <= r["centroid_cos"] <= 1.0
+        assert 0.0 < r["within_a"] <= 1.0 + 1e-9
+        assert 0.0 < r["within_b"] <= 1.0 + 1e-9
+        # labels are real clusters: own-centroid coherence beats the
+        # cross-centroid alignment
+        assert r["within_a"] >= r["centroid_cos"] - 0.2

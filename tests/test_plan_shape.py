@@ -751,3 +751,28 @@ def test_pca_scan_count_linear_in_iterations(spark):
 
     plan = plan_of(run(spark, "embeddings_pca_power_iteration"), "simple")
     assert plan.count("embeddings.parquet") == 2 * _PCA_ITERS, plan
+
+
+def test_feature_score_family_single_scan(spark):
+    """MI / WOE / chi2 all collapse to the conditional-count frame in
+    ONE events scan with marginals as windows -- the join formulation
+    rescanned events per marginal (MI shipped at 4 scans before this
+    lock)."""
+    for name in (
+        "events_feature_mutual_info",
+        "events_woe_information_value",
+        "events_feature_chi2",
+    ):
+        plan = plan_of(run(spark, name), "simple")
+        assert plan.count("events.parquet") == 1, (name, plan)
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert shuffles == 2, (name, plan)
+
+
+def test_label_separability_two_scans(spark):
+    """The mean-unit-vector identity keeps the within-cosine inside
+    the per-dimension aggregate: embeddings scan exactly twice (one
+    per side of the label-sized self-join), never per-row-joined back
+    to centroids (6 scans in the naive form)."""
+    plan = plan_of(run(spark, "embeddings_label_separability"), "simple")
+    assert plan.count("embeddings.parquet") == 2, plan
