@@ -232,6 +232,7 @@ HEADLINE = [
     "events_woe_information_value",
     "events_feature_chi2",
     "embeddings_label_separability",
+    "events_time_to_convert",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -1929,3 +1929,110 @@ def embeddings_label_separability(spark, sf_dir):
         F.col("a.n_vecs").alias("n_a"),
         F.col("b.n_vecs").alias("n_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-to-convert latency distribution
+# ---------------------------------------------------------------------------
+#
+# The funnel-latency summary growth teams track: among users who ever
+# viewed, how many purchased AFTER their first view, and how long the
+# first such conversion took (p50/p90).  ONE events scan: the first
+# view rides a user-partitioned window, the per-user conditional
+# aggregate reuses that partitioning, and the final frame is one row.
+# Deltas are integer epoch-microseconds (the RANGE-frame discipline);
+# only the hour conversions round.
+
+
+@register(
+    "events_time_to_convert",
+    """
+    WITH fv AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id) AS fv_us
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+             MIN(fv_us) AS fv_us,
+             MIN(CASE WHEN event_type = 'purchase' AND ts_us > fv_us
+                      THEN ts_us END) AS conv_us
+      FROM fv GROUP BY 1
+    )
+    SELECT SUM(viewed) AS n_viewed_users,
+           SUM(CAST(viewed = 1 AND conv_us IS NOT NULL AS BIGINT))
+             AS n_converted_users,
+           ROUND(SUM(CAST(viewed = 1 AND conv_us IS NOT NULL AS BIGINT))::DOUBLE
+                 / SUM(viewed), 6) AS conversion_rate,
+           ROUND(quantile_cont((conv_us - fv_us)::DOUBLE, 0.5)
+                 / 3600000000.0, 6) AS p50_hours,
+           ROUND(quantile_cont((conv_us - fv_us)::DOUBLE, 0.9)
+                 / 3600000000.0, 6) AS p90_hours
+    FROM per_user
+    """,
+)
+def events_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: among users who ever viewed, the
+    fraction whose first purchase follows their first view, and the
+    p50/p90 latency of that first conversion.  ONE events scan -- the
+    first-view timestamp is a user-partitioned window, the per-user
+    conditional aggregate reuses that exact partitioning (no second
+    exchange for the groupBy), and the output is one row.  Integer
+    microsecond deltas feed the exact percentile (NULLs -- never-
+    converted users -- drop out in both engines identically)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id")
+    fv = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros(F.col("ts").cast("timestamp")))
+        )
+        .over(w)
+        .alias("fv_us"),
+    )
+    per_user = fv.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("viewed"),
+        F.min("fv_us").alias("fv_us"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("fv_us")),
+                F.col("ts_us"),
+            )
+        ).alias("conv_us"),
+    )
+    converted = (
+        (F.col("viewed") == 1) & F.col("conv_us").isNotNull()
+    ).cast("bigint")
+    delta = (F.col("conv_us") - F.col("fv_us")).cast("double")
+    return per_user.agg(
+        F.sum("viewed").alias("n_viewed_users"),
+        F.sum(converted).alias("n_converted_users"),
+        F.round(F.sum(converted) / F.sum("viewed"), 6).alias(
+            "conversion_rate"
+        ),
+        F.round(
+            F.expr(
+                "percentile(CAST(conv_us - fv_us AS DOUBLE), 0.5)"
+            )
+            / 3.6e9,
+            6,
+        ).alias("p50_hours"),
+        F.round(
+            F.expr(
+                "percentile(CAST(conv_us - fv_us AS DOUBLE), 0.9)"
+            )
+            / 3.6e9,
+            6,
+        ).alias("p90_hours"),
+    )

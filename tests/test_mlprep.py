@@ -846,3 +846,40 @@ def test_separability_bounds_and_identity(spark):
         # labels are real clusters: own-centroid coherence beats the
         # cross-centroid alignment
         assert r["within_a"] >= r["centroid_cos"] - 0.2
+
+
+# ---------------------------------------------------------------------------
+# time-to-convert
+# ---------------------------------------------------------------------------
+
+
+def test_time_to_convert_bounds_and_replay(spark):
+    """Single-row sanity plus a pandas replay of the per-user logic."""
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import (
+        events_time_to_convert,
+    )
+
+    r = events_time_to_convert(spark, SF).first()
+    assert 0 <= r["n_converted_users"] <= r["n_viewed_users"]
+    assert 0.0 <= r["conversion_rate"] <= 1.0
+    if r["n_converted_users"] > 0:
+        assert 0.0 <= r["p50_hours"] <= r["p90_hours"]
+
+    pdf = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts")
+        .toPandas()
+    )
+    viewed = converted = 0
+    for _, g in pdf.groupby("user_id"):
+        views = g[g.event_type == "view"].ts
+        if views.empty:
+            continue
+        viewed += 1
+        fv = views.min()
+        purchases = g[(g.event_type == "purchase") & (g.ts > fv)]
+        if not purchases.empty:
+            converted += 1
+    assert r["n_viewed_users"] == viewed
+    assert r["n_converted_users"] == converted
