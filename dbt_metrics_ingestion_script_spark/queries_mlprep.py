@@ -250,7 +250,8 @@ _PII_PATTERNS = {
 
 def _pii_oracle() -> str:
     per = ",\n           ".join(
-        f"SUM(len(regexp_extract_all(text, '{pat}'))) AS n_{name}"
+        f"CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)"
+        f" AS n_{name}"
         for name, pat in _PII_PATTERNS.items()
     )
     any_hit = " + ".join(
@@ -260,7 +261,8 @@ def _pii_oracle() -> str:
     return f"""
     SELECT source, COUNT(*) AS n_docs,
            {per},
-           SUM(CAST(({any_hit}) > 0 AS BIGINT)) AS n_docs_with_pii,
+           CAST(SUM(CAST(({any_hit}) > 0 AS BIGINT)) AS BIGINT)
+             AS n_docs_with_pii,
            ROUND(SUM(CAST(({any_hit}) > 0 AS BIGINT))::DOUBLE / COUNT(*), 6)
              AS pii_doc_fraction
     FROM documents GROUP BY 1
@@ -334,9 +336,9 @@ _MAD_SIGMA = 1.4826
            COUNT(*) AS n_orders,
            ROUND(ANY_VALUE(med.med), 6) AS median_price,
            ROUND(ANY_VALUE(mad.mad), 6) AS mad_price,
-           SUM(CAST(ABS(o.o_totalprice - med.med)
-                    > {_MAD_K} * {_MAD_SIGMA} * mad.mad AS BIGINT))
-             AS n_outliers
+           CAST(SUM(CAST(ABS(o.o_totalprice - med.med)
+                         > {_MAD_K} * {_MAD_SIGMA} * mad.mad AS BIGINT))
+                AS BIGINT) AS n_outliers
     FROM orders o
     JOIN med USING (o_orderpriority)
     JOIN mad USING (o_orderpriority)
@@ -404,10 +406,10 @@ _KAPPA_B_WORDS = 80
       FROM documents
     ), cells AS (
       SELECT COUNT(*) AS n,
-             SUM(CAST(a = 1 AND b = 1 AS BIGINT)) AS n11,
-             SUM(CAST(a = 1 AND b = 0 AS BIGINT)) AS n10,
-             SUM(CAST(a = 0 AND b = 1 AS BIGINT)) AS n01,
-             SUM(CAST(a = 0 AND b = 0 AS BIGINT)) AS n00
+             CAST(SUM(CAST(a = 1 AND b = 1 AS BIGINT)) AS BIGINT) AS n11,
+             CAST(SUM(CAST(a = 1 AND b = 0 AS BIGINT)) AS BIGINT) AS n10,
+             CAST(SUM(CAST(a = 0 AND b = 1 AS BIGINT)) AS BIGINT) AS n01,
+             CAST(SUM(CAST(a = 0 AND b = 0 AS BIGINT)) AS BIGINT) AS n00
       FROM votes
     )
     SELECT n, n11, n10, n01, n00,
@@ -891,11 +893,13 @@ def dq_completeness_profile(spark, sf_dir):
     "dq_referential_integrity",
     """
     SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_children,
-           SUM(CAST(o_orderkey IS NULL AS BIGINT)) AS n_orphans
+           CAST(SUM(CAST(o_orderkey IS NULL AS BIGINT)) AS BIGINT)
+             AS n_orphans
     FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     UNION ALL
     SELECT 'orders->customer' AS fk, COUNT(*) AS n_children,
-           SUM(CAST(c_custkey IS NULL AS BIGINT)) AS n_orphans
+           CAST(SUM(CAST(c_custkey IS NULL AS BIGINT)) AS BIGINT)
+             AS n_orphans
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     """,
 )
@@ -1516,7 +1520,7 @@ def embeddings_jl_projection_error(spark, sf_dir):
     SELECT event_type, COUNT(*) AS n_runs,
            ROUND(AVG(run_len), 6) AS avg_run_len,
            MAX(run_len) AS max_run_len,
-           SUM(CAST(run_len >= 3 AS BIGINT)) AS n_bursts
+           CAST(SUM(CAST(run_len >= 3 AS BIGINT)) AS BIGINT) AS n_bursts
     FROM rl GROUP BY 1
     """,
 )
@@ -1656,8 +1660,8 @@ _WOE_LABEL_THRESHOLD = 150
       WHERE event_type IS NOT NULL AND value IS NOT NULL
     ), cat AS (
       SELECT event_type,
-             SUM(hv) AS n_pos,
-             COUNT(*) - SUM(hv) AS n_neg
+             CAST(SUM(hv) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(hv) AS BIGINT) AS n_neg
       FROM base GROUP BY 1
     ), tot AS (
       SELECT event_type, n_pos, n_neg,
@@ -1961,9 +1965,9 @@ def embeddings_label_separability(spark, sf_dir):
                       THEN ts_us END) AS conv_us
       FROM fv GROUP BY 1
     )
-    SELECT SUM(viewed) AS n_viewed_users,
-           SUM(CAST(viewed = 1 AND conv_us IS NOT NULL AS BIGINT))
-             AS n_converted_users,
+    SELECT CAST(SUM(viewed) AS BIGINT) AS n_viewed_users,
+           CAST(SUM(CAST(viewed = 1 AND conv_us IS NOT NULL AS BIGINT))
+                AS BIGINT) AS n_converted_users,
            ROUND(SUM(CAST(viewed = 1 AND conv_us IS NOT NULL AS BIGINT))::DOUBLE
                  / SUM(viewed), 6) AS conversion_rate,
            ROUND(quantile_cont((conv_us - fv_us)::DOUBLE, 0.5)
