@@ -330,7 +330,13 @@ def ann_recall(
             F.lit(k).alias("k"),
             F.col("n_exact"),
             F.col("n_hits"),
-            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+            # NULL recall on an empty exact side -- Spark 4 ANSI mode
+            # raises DIVIDE_BY_ZERO on a bare division when a probe or
+            # filter yields zero exact rows.
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("n_hits") / F.col("n_exact"), 6),
+            ).alias("recall"),
         )
     )
 

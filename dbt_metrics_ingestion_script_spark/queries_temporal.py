@@ -938,7 +938,16 @@ def events_kmv_weekly_overlap(spark, sf_dir):
     product -- the set-algebra HLL cannot do.  Weekly sketches are
     computed ONCE (k rows per week) and every pairwise combination
     touches only sketch rows; the exact side is the offline
-    evaluation, as in similarity_ann_recall."""
+    evaluation, as in similarity_ann_recall.
+
+    Plan shape: the distinct (week, user) frame and the k-row-per-week
+    sketch are each eagerly localCheckpoint-ed BEFORE the pairwise
+    fan-out -- Catalyst re-derives every multiply-referenced
+    DataFrame, so without the cut the 5 references below re-scanned
+    events 12x (the SCALE.md multi-reference rescan trap).  Events is
+    scanned exactly once; the sketch is built from the checkpointed
+    distinct frame (kmv_sketch distincts hashes itself, so the result
+    is identical).  Scan-locked in tests/test_plan_shape.py."""
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
@@ -946,7 +955,10 @@ def events_kmv_weekly_overlap(spark, sf_dir):
             F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
         )
     )
-    sk = kmv_sketch(ev, "user_id", ["week"], _KMV_K)
+    du = ev.distinct().localCheckpoint(eager=True)
+    sk = kmv_sketch(du, "user_id", ["week"], _KMV_K).localCheckpoint(
+        eager=True
+    )
     wk = sk.select("week").distinct()
     pairs = (
         wk.select(F.col("week").alias("week_a"))
@@ -988,7 +1000,6 @@ def events_kmv_weekly_overlap(spark, sf_dir):
             "jaccard_kmv"
         ),
     )
-    du = ev.distinct()
     wk_sizes = du.groupBy("week").agg(F.count("*").alias("sz"))
     inter = (
         du.select(F.col("week").alias("week_a"), "user_id")
@@ -1214,19 +1225,22 @@ def dq_orders_psi_drift(spark, sf_dir):
         F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("period") == "cmp", 1).otherwise(0)).alias("n_cmp"),
     )
-    tot = counts.agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cmp").alias("t_cmp")
-    )
-    shares = counts.crossJoin(F.broadcast(tot)).select(
+    # Totals as empty-key window sums over the 10-row counts frame (the
+    # Q15 anchor idiom) -- a crossJoin with counts.agg(...) would make
+    # Catalyst re-derive `counts` and re-scan orders per reference.
+    wall = Window.partitionBy()
+    shares = counts.select(
         "bucket",
         "n_ref",
         "n_cmp",
-        ((F.col("n_ref") + F.lit(1.0)) / (F.col("t_ref") + _PSI_BUCKETS)).alias(
-            "p_ref"
-        ),
-        ((F.col("n_cmp") + F.lit(1.0)) / (F.col("t_cmp") + _PSI_BUCKETS)).alias(
-            "p_cmp"
-        ),
+        (
+            (F.col("n_ref") + F.lit(1.0))
+            / (F.sum("n_ref").over(wall) + _PSI_BUCKETS)
+        ).alias("p_ref"),
+        (
+            (F.col("n_cmp") + F.lit(1.0))
+            / (F.sum("n_cmp").over(wall) + _PSI_BUCKETS)
+        ).alias("p_cmp"),
     )
     term = (F.col("p_ref") - F.col("p_cmp")) * F.log(
         F.col("p_ref") / F.col("p_cmp")
