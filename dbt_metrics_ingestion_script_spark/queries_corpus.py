@@ -454,7 +454,12 @@ def corpus_curriculum_phases(spark, sf_dir):
     sort) and a deterministic within-phase shuffle key; (phase,
     order_key) is the training sort key.  Completes the corpus
     pipeline's ordering stages: global shuffle (uniform), mixing
-    schedule (by source), curriculum (by difficulty)."""
+    schedule (by source), curriculum (by difficulty).
+
+    Scan budget: documents 6x -- the unigram typicality model (vocab,
+    totals, percentile thresholds) is derived inline; the production
+    form scores against a materialized model table (1 scan).
+    """
     from .operators.corpus import curriculum_phases
     from .operators.text import unigram_logprob_score
 

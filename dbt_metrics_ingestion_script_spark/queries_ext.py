@@ -198,6 +198,11 @@ def _dup_pair_graph(spark, sf_dir):
 
 @register("dedup_duplicate_clusters", _dup_clusters_oracle())
 def dedup_duplicate_clusters(spark, sf_dir):
+    """Scan budget: documents ~rounds x -- iterative label propagation;
+    the audited plan inlines the per-round references, at runtime the
+    edge frame is persisted/localCheckpoint-ed so the parquet scan
+    happens once.
+    """
     return dedup.duplicate_clusters(_dup_pair_graph(spark, sf_dir))
 
 
@@ -235,7 +240,13 @@ def dedup_duplicate_clusters_star(spark, sf_dir):
     (and the same recursive-CTE oracle), computed by the O(log n)-round
     alternating large-star/small-star algorithm -- the 100 TB-safe path
     whose round count is independent of component diameter (VERDICT r4
-    item 1: previously pytest-only, now oracle-checked)."""
+    item 1: previously pytest-only, now oracle-checked).
+
+    Scan budget: documents ~rounds x -- O(log n) star rounds over the
+    persisted edge frame; audited references are lineage text, the
+    runtime scan count is 1 (eager checkpoints inside
+    duplicate_clusters_star).
+    """
     return dedup.duplicate_clusters_star(_dup_pair_graph(spark, sf_dir))
 
 
@@ -324,7 +335,12 @@ def dedup_minhash_eval(spark, sf_dir):
     cross-engine-verified because BOTH sides replay bit-identically.
     This is the offline calibration that licenses running banding
     alone at 100 TB; the exact side (still inverted-index, never
-    all-pairs) is the cost you pay once on a sample, not per run."""
+    all-pairs) is the cost you pay once on a sample, not per run.
+
+    Scan budget: documents 4x -- deliberate self-verification pair:
+    the EXACT capped-index side and the banded side both derive from
+    the corpus, which is the point of the calibration.
+    """
     docs = load_table(spark, sf_dir, "documents")
     cand = dedup.minhash_lsh_candidates(docs, k=_K, bands=_BANDS)
     exact = dedup.ngram_jaccard_pairs(
@@ -419,6 +435,11 @@ def _minhash_survivors_oracle() -> str:
 
 @register("dedup_near_minhash_survivors", _minhash_survivors_oracle())
 def dedup_near_minhash_survivors(spark, sf_dir):
+    """Scan budget: documents 5x -- signature/banding index derived
+    inline plus the survivors anti-join back to the payload;
+    production LSH-joins a materialized signature index (1 payload
+    scan).
+    """
     out = dedup.near_dedup_minhash(
         load_table(spark, sf_dir, "documents"), k=_K, bands=_BANDS, threshold=0.8
     )
@@ -501,6 +522,10 @@ def _embedding_lsh_oracle(n_planes: int = 8, dim: int = 64, probe: int = 2) -> s
 
 @register("dedup_embedding_lsh_survivors", _embedding_lsh_oracle())
 def dedup_embedding_lsh_survivors(spark, sf_dir):
+    """Scan budget: embeddings 5x -- hyperplane signature index derived
+    inline plus survivor anti-join; production reads a materialized
+    signature index (1 payload scan).
+    """
     out = dedup.embedding_near_dedup(
         load_table(spark, sf_dir, "embeddings"), threshold=_COS_T
     )
@@ -558,7 +583,12 @@ def dedup_embedding_incremental_vs_corpus(spark, sf_dir):
     the corpus's precomputed signature index, cosine-verifies, and
     drops only batch rows -- the embedding sibling of the exact and
     MinHash incremental checks, closing the incremental-ingestion
-    family across all three dedup levels."""
+    family across all three dedup levels.
+
+    Scan budget: embeddings 5x -- the corpus-side signature index is
+    derived inline to keep the oracle self-contained; production
+    probes the materialized index (batch-sized scans only).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     corpus_side = emb.where(F.col("vec_id") % _EMB_CORPUS_MOD == 0)
     batch = emb.where(F.col("vec_id") % _EMB_CORPUS_MOD != 0)
@@ -721,6 +751,10 @@ def _lsh_topk_oracle(n_planes: int = 8, probe: int = 4, dim: int = 64, k: int = 
 
 @register("similarity_lsh_topk", _lsh_topk_oracle())
 def similarity_lsh_topk(spark, sf_dir):
+    """Scan budget: embeddings 3x -- signature index + probe + exact re-
+    rank derived inline; production serves from a materialized
+    signature index (1 scan at query time).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_cosine_topk(
         emb,
@@ -866,7 +900,12 @@ def embeddings_kmeans_assign(spark, sf_dir):
     """Deterministic k-means cluster assignments over the embeddings
     table (the IVF index's partitioning function, exposed as a
     first-class clustering query: corpus bucketing by semantic
-    neighborhood)."""
+    neighborhood).
+
+    Scan budget: embeddings 3x -- Lloyd iterations re-reference the
+    corpus; at runtime the feature frame is persisted so iterations
+    hit cache, and the audited references are lineage text.
+    """
     assignments, _ = similarity.ivf_index(
         load_table(spark, sf_dir, "embeddings"), n_centroids=16
     )
@@ -875,6 +914,10 @@ def embeddings_kmeans_assign(spark, sf_dir):
 
 @register("similarity_ivf_topk", _ivf_topk_oracle())
 def similarity_ivf_topk(spark, sf_dir):
+    """Scan budget: embeddings 9x -- the IVF index (k-means build + list
+    assignment) is derived inline so the oracle replays it; production
+    probes a materialized index (query-time scans: probed lists only).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb,
@@ -951,7 +994,12 @@ def corpus_cluster_balanced_cap(spark, sf_dir):
     {_CBC_K} members FARTHEST from the centroid -- dropping redundant
     near-center mass while preserving the diverse tails, the semantic
     twin of the per-source domain cap.  Oracle replays the full
-    deterministic k-means build plus the distance-ranked window."""
+    deterministic k-means build plus the distance-ranked window.
+
+    Scan budget: embeddings 5x -- inline deterministic k-means build +
+    distance-ranked cap; production caps against materialized cluster
+    assignments (1 scan).
+    """
     return similarity.cluster_balanced_cap(
         load_table(spark, sf_dir, "embeddings"),
         k_per_cluster=_CBC_K,
@@ -974,14 +1022,19 @@ def _ann_probe_sweep_oracle() -> str:
 @register("similarity_ann_probe_sweep", _ann_probe_sweep_oracle())
 def similarity_ann_probe_sweep(spark, sf_dir):
     """The IVF TUNING CURVE: recall@10 at every probe count in
-    {probes} over the same 16-list index -- the offline sweep that
-    picks production n_probe (the recall/cost knee).  The last point
-    probes every list, so the curve must END at recall 1.0: a built-in
-    sanity the oracle re-verifies branch by branch (each probe level
-    replays the full index build + both top-k sides in DuckDB).
-    Monotonicity in n_probe is pinned by pytest.  At 100 TB this runs
-    on a sampled query set against the materialized index; serving
-    never pays the exact side.""".format(probes=_PROBE_SWEEP)
+    [1, 2, 4, 8, 16] (_PROBE_SWEEP) over the same 16-list index -- the
+    offline sweep that picks production n_probe (the recall/cost
+    knee).  The last point probes every list, so the curve must END at
+    recall 1.0: a built-in sanity the oracle re-verifies branch by
+    branch (each probe level replays the full index build + both top-k
+    sides in DuckDB).  Monotonicity in n_probe is pinned by pytest.
+    At 100 TB this runs on a sampled query set against the
+    materialized index; serving never pays the exact side.
+
+    Scan budget: embeddings 60x -- offline tuning harness: 5 probe
+    levels x (index build + exact + approx sides), run once on a
+    SAMPLED query set to pick n_probe; never a serving plan.
+    """
     from functools import reduce
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1004,7 +1057,12 @@ def similarity_ann_recall(spark, sf_dir):
     replays the ENTIRE evaluation -- index build, both top-k selections,
     and the intersection -- so the recall number itself is
     cross-engine-verified, the same self-measuring discipline as the
-    HLL error-bound query."""
+    HLL error-bound query.
+
+    Scan budget: embeddings 12x -- deliberate self-verification: exact
+    brute-force side plus inline IVF build; the offline evaluation you
+    pay once on a sample, not per serve.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_recall(
         emb, _min_id_query(emb), k=10, n_centroids=16, n_probe=4
@@ -1176,7 +1234,12 @@ def text_tfidf_top_terms(spark, sf_dir):
 def text_unigram_logprob(spark, sf_dir):
     """Self-perplexity unigram quality score over the documents corpus
     (reference = the corpus itself; every token is then seen, so the
-    left-join unseen branch is exercised by the unit fixture instead)."""
+    left-join unseen branch is exercised by the unit fixture instead).
+
+    Scan budget: documents 3x -- the unigram reference model is the
+    corpus itself, derived inline (model + totals + scoring);
+    production scores against a materialized model (1 scan).
+    """
     return text.unigram_logprob_score(load_table(spark, sf_dir, "documents"))
 
 
@@ -1431,7 +1494,13 @@ def events_asof_last_order(spark, sf_dir):
 def events_asof_last_order_bucketed(spark, sf_dir):
     """The unbounded-right-history as-of variant (VERDICT r5 item 6):
     per-bucket latest-row summaries carry the cross-bucket dependency
-    while the data-sized window partitions by (user, bucket)."""
+    while the data-sized window partitions by (user, bucket).
+
+    Scan budget: orders 3x -- the per-bucket latest-row summary frame
+    (the cross-bucket carrier) is an aggregate of the same scan; the
+    stats+apply minimum for the bucketed as-of, plus the summary's own
+    1-row derivation.
+    """
     from .operators.asof import asof_join_backward_bucketed
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
@@ -2158,7 +2227,13 @@ def text_bm25_topk(spark, sf_dir):
     top-k queries are the semantic half).  The explode filters to the
     query's posting lists immediately -- the shuffled frame is
     query-sized, never vocabulary-sized; doc length is a map-side
-    projection; N/avgdl ride a 1-row broadcast."""
+    projection; N/avgdl ride a 1-row broadcast.
+
+    Scan budget: documents 3x -- posting lists, per-doc length
+    projection, and the 1-row N/avgdl totals each reference the
+    corpus; stats+apply plus action-free totals (SCALE.md scan-audit
+    bucket 4).
+    """
     return text.bm25_topk(
         load_table(spark, sf_dir, "documents"),
         _BM25_TERMS,
@@ -2462,7 +2537,12 @@ def text_vocab_coverage(spark, sf_dir):
 def text_source_term_kl(spark, sf_dir):
     """Per-source vocabulary-drift monitor: KL(P_source || P_corpus)
     over unigram distributions; flags sources whose term distribution
-    diverges (boilerplate farms, wrong-language feeds)."""
+    diverges (boilerplate farms, wrong-language feeds).
+
+    Scan budget: documents 4x -- per-source and corpus-wide unigram
+    distributions plus their totals; both distributions are aggregates
+    of one logical scan (stats+apply x2).
+    """
     return text.source_term_kl(load_table(spark, sf_dir, "documents"))
 
 
@@ -2528,7 +2608,12 @@ def embeddings_pq_codes(spark, sf_dir):
     m=8 codebook ids (one per 8-dim subspace), codebooks learned
     deterministically per subspace in ONE plan (no per-subspace
     driver loop); the oracle replays seeds, Lloyd means, and argmin
-    tie-breaks exactly."""
+    tie-breaks exactly.
+
+    Scan budget: embeddings 3x -- codebook learning (stats) + encoding
+    (apply) + seed frame; the stats+apply minimum for a learned
+    encoder, production encodes against stored codebooks (1 scan).
+    """
     codes, _ = similarity.pq_encode(
         load_table(spark, sf_dir, "embeddings"),
         m=_PQ_M, n_codes=_PQ_CODES, dim=_PQ_DIM,
@@ -2567,7 +2652,12 @@ def similarity_pq_adc_topk(spark, sf_dir):
     """Asymmetric-distance top-k over PQ codes: query-time work is a
     broadcast of m*n_codes lookup distances against the (id, subspace,
     code) frame -- the original vectors are never touched after
-    encoding."""
+    encoding.
+
+    Scan budget: embeddings 7x -- the PQ index (codebooks + codes) is
+    derived inline so the oracle replays the whole path; production
+    ADC-serves from materialized codes and never touches vectors.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_adc_topk(
         emb, _min_id_query(emb), k=10,
@@ -2948,7 +3038,12 @@ def dedup_near_incremental_vs_corpus(spark, sf_dir):
     """Incremental NEAR-dedup: the crawl batch LSH-joins the corpus's
     banded signature index, verifies exact hashed-shingle Jaccard, and
     drops only batch rows -- fuzzy sibling of the exact
-    dedup_incremental_against_index."""
+    dedup_incremental_against_index.
+
+    Scan budget: documents 5x -- the corpus-side banded signature
+    index is derived inline for oracle self-containment; production
+    probes the materialized index (batch-sized work only).
+    """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
@@ -3158,7 +3253,12 @@ def dedup_fuzzy_title_pairs(spark, sf_dir):
     within edit distance 5, candidates generated from an inverted
     (block, gram, occurrence) index with the Gravano count bound, then
     verified by the banded levenshtein kernel.  Lossless vs the dense
-    block join (driver=False baseline below shares this oracle)."""
+    block join (driver=False baseline below shares this oracle).
+
+    Scan budget: documents 6x -- inherent self-join (both sides of the
+    candidate pair) times the inverted q-gram index derivation;
+    production builds the index once and joins it to itself (2 scans).
+    """
     from .operators.linkage import fuzzy_qgram_pairs
 
     return fuzzy_qgram_pairs(
@@ -3617,7 +3717,13 @@ def metric_bloom_pruned_revenue(spark, sf_dir):
     Bloom probes (map-side, zero shuffle) and only survivors enter the
     join against the whale-order dim -- the explicit runtime-filter
     strategy for selective fact<->dim joins.  The oracle is the plain
-    join: pruning must not change the answer."""
+    join: pruning must not change the answer.
+
+    Scan budget: orders 3x -- the whale-order dim and its Bloom
+    filters are aggregates of the orders scan (stats), probed by the
+    lineitem scan (apply); the runtime-filter pattern's stats+apply
+    minimum.
+    """
     from .operators.skew import bloom_pruned_join
 
     orders = (
@@ -4562,7 +4668,12 @@ def events_wau_approx_bound(spark, sf_dir):
     makes sliding distinct cheap at scale).  The estimate itself is
     sketch-implementation-specific, so the query emits the EXACT
     window distinct plus an in-plan <=10% relative-error check the
-    oracle predicts TRUE for every row."""
+    oracle predicts TRUE for every row.
+
+    Scan budget: events 3x -- deliberate self-verification: the exact
+    sliding distinct runs beside the sketch path so the error bound is
+    checked in-plan; production runs the sketch side alone (1 scan).
+    """
     from pyspark.sql import Window as W
 
     du = (

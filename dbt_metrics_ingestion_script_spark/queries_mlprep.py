@@ -352,7 +352,13 @@ def dq_mad_outliers(spark, sf_dir):
     collapsing to a 5-row stats frame that broadcast-joins onto the
     counting scan; at 100 TB both passes swap percentile for the
     mergeable percentile_approx sketch with the identical plan
-    shape."""
+    shape.
+
+    Scan budget: orders 4x -- irreducibly two quantile passes (MAD is
+    a quantile OF deviations from a quantile), each a stats+apply
+    pair; at 100 TB both swap to mergeable percentile_approx with the
+    same shape.
+    """
     orders = load_table(spark, sf_dir, "orders")
     med = orders.groupBy("o_orderpriority").agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("med")
@@ -574,7 +580,13 @@ def metric_part_affinity_lift(spark, sf_dir):
     projection only), pair support counted on the orderkey equi-join,
     confidence/lift from the broadcast item-support map.  Lift rounds
     to 6 dp BEFORE the top-{20} ordering so both engines rank
-    identically."""
+    identically.
+
+    Scan budget: lineitem 7x -- inherent pair self-join (two sides) on
+    the support-filtered projection plus the item-support stats
+    frames; the Apriori support filter is what keeps the joined sides
+    small.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     item = li.groupBy("l_partkey").agg(
         F.countDistinct("l_orderkey").alias("item_orders")
@@ -728,7 +740,12 @@ def similarity_hybrid_rrf_topk(spark, sf_dir):
     candidate lists are the registered scale paths (query-sized
     posting lists; broadcast query vector); the fusion itself is a
     FULL OUTER join of two <=50-row frames -- depth-bounded, so the
-    rank windows sort candidate frames, never the corpus."""
+    rank windows sort candidate frames, never the corpus.
+
+    Scan budget: documents 3x / embeddings 3x -- two retrieval paths
+    (lexical posting lists + totals, semantic exact side) fused rank-
+    wise; each path carries its own stats+apply scans.
+    """
     from pyspark.sql import Window
 
     from .operators import similarity
@@ -1069,7 +1086,13 @@ def embeddings_pca_power_iteration(spark, sf_dir):
     unit re-rounding keeps both engines on the identical trajectory;
     the oracle replays all 5 rounds as chained MATERIALIZED CTEs.  At
     100 TB, centered.persist() turns five scans into one
-    materialization, and the per-round shuffle stays 64 rows."""
+    materialization, and the per-round shuffle stays 64 rows.
+
+    Scan budget: embeddings 2x per iteration (plan-locked linear in
+    _PCA_ITERS) -- iterative power method; at 100 TB
+    centered.persist() collapses the five logical scans into one
+    materialization.
+    """
     from .operators.linalg import pca_power_iteration
 
     return pca_power_iteration(

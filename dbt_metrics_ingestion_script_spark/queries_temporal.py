@@ -246,7 +246,12 @@ def events_kmv_merge_rollup(spark, sf_dir):
     log -- must agree exactly, because the k smallest of the union of
     per-day k-smallest sets IS the k smallest of the week (order
     statistics, not approximation).  merge_exact asserts it row by
-    row; the oracle predicts TRUE everywhere."""
+    row; the oracle predicts TRUE everywhere.
+
+    Scan budget: events 3x -- deliberate self-verification: the daily-
+    sketch rollup route and the direct weekly-sketch route must agree
+    exactly, so both derive from the log in one plan.
+    """
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
@@ -1198,7 +1203,11 @@ def dq_orders_psi_drift(spark, sf_dir):
     ref-period quantile binning would be the equi-depth variant);
     Laplace-smoothed shares so empty buckets stay finite; the total is
     a window sum over the 10-bucket frame.  One scan builds the
-    bucketed counts (conditional aggregates, no per-period re-scan)."""
+    bucketed counts (conditional aggregates, no per-period re-scan).
+
+    Scan budget: orders 2x -- the global min/max bounds (stats) plus
+    the bucketing pass (apply); totals and shares are windows over the
+    10-row counts frame, never a re-derived aggregate."""
     base = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull())
