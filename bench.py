@@ -193,6 +193,7 @@ HEADLINE = [
     "corpus_curriculum_phases",
     "events_snapshot_at_time",
     "events_snapshot_diff",
+    "events_snapshot_diff_single_scan",
     "events_kmv_daily_users",
     "events_kmv_merge_rollup",
     "events_join_size_estimate",
@@ -246,6 +247,50 @@ EXTRA = {
 }
 
 
+# Frozen canary set (round-9 bench protocol): queries untouched since
+# their original add commit (verified via `git log -S"def <name>"`),
+# spanning the plan classes (pushdown agg, star join, window shuffle,
+# hash dedup, text scan, broadcast top-k).  They run FIRST each bench;
+# their total, compared against the previous committed BENCHFULL_r*.json,
+# measures HOST drift so that round-over-round per-query comparisons can
+# be normalized -- round 8 committed 8 false ">2x regressions" that were
+# pure host noise (judge re-probe: 8.25s committed vs 2.70s
+# reproducible).  Any non-canary query whose canary-normalized ratio
+# exceeds 2x lands in "suspects" and must be re-probed in a fresh
+# session (scripts/bench_reprobe.py) before the bench is committed.
+CANARIES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "metric_customer_count_day",
+    "dedup_exact",
+    "text_stats",
+    "similarity_cosine_topk",
+    "events_sessionization",
+    "events_daily_agg",  # EXTRA entry, also frozen
+]
+
+
+def find_prev_benchfull() -> tuple[str, dict] | None:
+    """Latest committed BENCHFULL_r*.json next to this file, if any."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in glob.glob(os.path.join(here, "BENCHFULL_r*.json")):
+        m = re.search(r"_r(\d+)", os.path.basename(p))
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            return os.path.basename(best[1]), json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
 def infer_sf(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -266,6 +311,12 @@ def main() -> None:
     q.queries()  # force registration of all query modules
     targets = [(n, q.REGISTRY[n].fn) for n in HEADLINE if n in q.REGISTRY]
     targets += list(EXTRA.items())
+    # canaries first: host-drift reference measured before any heavy
+    # query can pollute the JVM/page cache state
+    by_name = dict(targets)
+    targets = [(n, by_name[n]) for n in CANARIES if n in by_name] + [
+        (n, fn) for n, fn in targets if n not in CANARIES
+    ]
     # warm the JVM + parquet footers so timings measure the queries
     targets[0][1](spark, SF_DIR).count()
     timings: dict[str, float] = {}
@@ -278,15 +329,46 @@ def main() -> None:
             assert n >= 0
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_runtime",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": infer_sf(SF_DIR),
-        }
-    )
+    canaries = {n: timings[n] for n in CANARIES if n in timings}
+    canary_total = round(sum(canaries.values()), 4)
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": infer_sf(SF_DIR),
+        "canaries": canaries,
+        "canary_total": canary_total,
+    }
+    # canary-normalized round-over-round comparison against the latest
+    # committed BENCHFULL_r*.json (same sf only): host drift shows up as
+    # a uniform canary ratio; a query is a SUSPECT only if it regressed
+    # >2x AFTER dividing out that ratio -- suspects get re-probed in a
+    # fresh session (scripts/bench_reprobe.py) before committing
+    prev = find_prev_benchfull()
+    if prev is not None and prev[1].get("sf") == result["sf"]:
+        prev_name, prev_data = prev
+        prev_q = prev_data.get("queries", {})
+        prev_canary = sum(
+            prev_q[n] for n in CANARIES if n in prev_q
+        ) or None
+        if prev_canary:
+            drift = canary_total / prev_canary
+            result["canary_prev"] = prev_name
+            result["canary_ratio_vs_prev"] = round(drift, 4)
+            result["canary_ratios"] = {
+                n: round(t / prev_q[n], 4)
+                for n, t in canaries.items()
+                if prev_q.get(n)
+            }
+            result["suspects"] = sorted(
+                n
+                for n, t in timings.items()
+                if n not in canaries
+                and prev_q.get(n)
+                and t / prev_q[n] / drift > 2.0
+            )
+    line = json.dumps(result)
     print(line)
     # durable full-result copy: stdout capture windows have truncated the
     # per-query map before (only a tail survived in BENCH_r06.json), so

@@ -93,9 +93,7 @@ def events_snapshot_at_time(spark, sf_dir):
     return _events_snapshot(spark, sf_dir, _SNAP_T2)
 
 
-@register(
-    "events_snapshot_diff",
-    f"""
+_SNAPSHOT_DIFF_ORACLE = f"""
     WITH r1 AS (
       SELECT user_id, event_type AS state_op, value,
              ROW_NUMBER() OVER (
@@ -126,8 +124,10 @@ def events_snapshot_at_time(spark, sf_dir):
            s1.state_op AS old_state_op, s1.value AS old_value,
            s2.state_op AS new_state_op, s2.value AS new_value
     FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
-    """,
-)
+    """
+
+
+@register("events_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
 def events_snapshot_diff(spark, sf_dir):
     """Diff two point-in-time states of the changelog-reconstructed
     table: added / removed / changed / unchanged per key, NULL-safe on
@@ -139,6 +139,61 @@ def events_snapshot_diff(spark, sf_dir):
     s2 = _events_snapshot(spark, sf_dir, _SNAP_T2)
     return snapshot_diff(
         s1, s2, key_col="user_id", value_cols=["state_op", "value"]
+    )
+
+
+@register("events_snapshot_diff_single_scan", _SNAPSHOT_DIFF_ORACLE)
+def events_snapshot_diff_single_scan(spark, sf_dir):
+    """The single-scan form of events_snapshot_diff (VERDICT r8 item
+    6): both point-in-time states as conditional max_by aggregates
+    (ts<=T1 / ts<=T2) in ONE pass over the T2-pruned changelog -- one
+    scan, one partial-aggregated shuffle, no join at all, vs the
+    two-snapshot FULL-OUTER form (kept registered above as the
+    cross-check; both share the window-formulation oracle, so three
+    formulations must agree).  The ts<=T2 predicate pushes to the
+    parquet scan, which at 100 TB is the date-partition pruning that
+    skips every file after the newer snapshot.
+
+    Scan budget: events 1x -- plan-locked in tests/test_plan_shape.py.
+    """
+    t1 = F.lit(_SNAP_T1).cast("timestamp")
+    t2 = F.lit(_SNAP_T2).cast("timestamp")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & (F.col("ts") <= t2))
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    pos = F.struct(F.col("ts"), F.col("event_id"))
+    payload = F.struct(
+        F.col("event_type").alias("state_op"), F.col("value").alias("value")
+    )
+    in1 = F.col("ts") <= t1
+    st = ev.groupBy("user_id").agg(
+        # max_by skips rows whose ordering expression is NULL, so the
+        # WHEN mask turns the T1 state into a conditional aggregate of
+        # the same scan
+        F.max_by(F.when(in1, payload), F.when(in1, pos)).alias("s1"),
+        F.max_by(payload, pos).alias("s2"),
+    )
+    p1 = F.col("s1").isNotNull() & (F.col("s1.state_op") != "error")
+    p2 = F.col("s2").isNotNull() & (F.col("s2.state_op") != "error")
+    same = F.col("s1.state_op").eqNullSafe(F.col("s2.state_op")) & F.col(
+        "s1.value"
+    ).eqNullSafe(F.col("s2.value"))
+    return (
+        st.where(p1 | p2)
+        .select(
+            "user_id",
+            F.when(~p1, F.lit("added"))
+            .when(~p2, F.lit("removed"))
+            .when(same, F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+            F.when(p1, F.col("s1.state_op")).alias("old_state_op"),
+            F.when(p1, F.col("s1.value")).alias("old_value"),
+            F.when(p2, F.col("s2.state_op")).alias("new_state_op"),
+            F.when(p2, F.col("s2.value")).alias("new_value"),
+        )
     )
 
 

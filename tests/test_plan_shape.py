@@ -355,9 +355,19 @@ def test_coverage_md_in_lockstep_with_registry(spark):
     (VERDICT r1 item 10)."""
     import pathlib
 
+    import re
+
     cov = (pathlib.Path(__file__).parent.parent / "COVERAGE.md").read_text()
     missing = [n for n in q.REGISTRY if f"`{n}`" not in cov]
     assert not missing, f"COVERAGE.md missing: {missing}"
+    # the header's registered-count parenthetical must match the
+    # registry (VERDICT r8 item 7 -- stops the stale-count drift class)
+    m = re.search(r"\((\d+) registered as of round", cov)
+    assert m, "COVERAGE.md header lost its registered-count parenthetical"
+    assert int(m.group(1)) == len(q.REGISTRY), (
+        f"COVERAGE.md says {m.group(1)} registered, registry has "
+        f"{len(q.REGISTRY)}"
+    )
 
 
 def test_committed_evidence_in_lockstep_with_registry(spark):
@@ -830,3 +840,17 @@ def test_multi_scan_rows_carry_in_code_justification(spark):
             if "Scan budget:" not in doc and "Plan shape:" not in doc:
                 offenders.append((name, scans))
     assert not offenders, offenders
+
+
+def test_snapshot_diff_single_scan_no_join(spark):
+    """The single-scan snapshot diff is ONE pass: conditional max_by
+    aggregates for both point-in-time states, one shuffle, zero joins,
+    with the ts<=T2 bound pushed to the parquet scan (at 100 TB, the
+    date-partition pruning that skips files after the newer
+    snapshot)."""
+    plan = plan_of(run(spark, "events_snapshot_diff_single_scan"))
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    simple = plan_of(run(spark, "events_snapshot_diff_single_scan"), "simple")
+    assert simple.count("Exchange") - simple.count("BroadcastExchange") == 1
+    assert "LessThanOrEqual(ts" in plan, plan
