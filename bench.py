@@ -191,6 +191,8 @@ HEADLINE = [
     "corpus_cdc_dup_fraction",
     "dedup_minhash_eval",
     "corpus_curriculum_phases",
+    "corpus_substring_extents",
+    "corpus_substring_dedup_clean",
     "events_snapshot_at_time",
     "events_snapshot_diff",
     "events_snapshot_diff_single_scan",

@@ -1061,3 +1061,150 @@ def pps_systematic_sample(
         "w_end",
         n_hits.alias("n_hits"),
     ).where(F.col("n_hits") >= 1)
+
+
+def duplicated_substring_extents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """EXACT SUBSTRING dedup, detection half (the canonical suffix-array
+    dedup mode of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", re-expressed as sorted positional
+    shingles): every maximal token extent of a document whose every
+    token is covered by some n-token window that also occurs verbatim
+    in at least one OTHER document.
+
+    Output: (doc_id, start_tok, end_tok, n_tokens) with 1-based
+    inclusive token positions over the normalized tokenization; extents
+    are maximal runs of consecutive covered tokens (overlapping and
+    adjacent duplicated windows coalesce), so the rows are disjoint per
+    document and directly drive span removal
+    (substring_dedup_clean).
+
+    Equivalence to the suffix-array formulation: a duplicated substring
+    of length >= n is exactly a run of consecutive duplicated n-gram
+    start positions, so the union of their n-token covers reproduces
+    the suffix-array extent up to the n-1 tokens of window slack at
+    run edges -- the standard positional-shingle approximation, exact
+    for the tokens it marks (every marked token IS inside a cross-doc
+    duplicate of length >= n).
+
+    Scale shape: one documents scan; the positional gram frame is slim
+    (id, pos, hash64) rows, never the text payload.  Cross-document
+    occurrence is min(doc)!=max(doc) WINDOWED over the 64-bit gram hash
+    (no distinct-count aggregate, no join back -- the same one-shuffle
+    window idiom as cross_doc_dup_fraction above); the extent merge is
+    one (doc, pos) window whose sort the per-doc groupBy reuses.  Two
+    keyed shuffles total, both on slim frames.  At 100 TB, stride the
+    gram stream (every s-th position, s < n keeps cover exactness) if
+    the positional frame dominates.
+
+    Positions come from the same single regexp pass as word_shingles
+    (match i of the lookahead pattern IS the window starting at token
+    i+1) -- no array_distinct here, because positions matter."""
+    if n < 2:
+        raise ValueError(f"need n >= 2, got n={n}")
+    norm = normalize_text(text_col)
+    pat = r"(?=(" + r"\S+ " * (n - 1) + r"\S+))\S+ ?"
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias(
+            "__p0", "__gram"
+        ),
+    ).select(
+        F.col(id_col),
+        (F.col("__p0") + 1).alias("pos"),
+        hash64(F.col("__gram")).alias("__g"),
+    )
+    wg = Window.partitionBy("__g")
+    dup = (
+        grams.withColumn("__mn", F.min(id_col).over(wg))
+        .withColumn("__mx", F.max(id_col).over(wg))
+        .where(F.col("__mn") != F.col("__mx"))
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(
+            0
+        ),
+    ).withColumn(
+        "__ext", F.sum("__new").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        marked.groupBy(id_col, "__ext")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_tok"),
+            (F.max("pos") + (n - 1)).cast("bigint").alias("end_tok"),
+        )
+        .select(
+            id_col,
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1).alias("n_tokens"),
+        )
+    )
+
+
+def substring_dedup_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """EXACT SUBSTRING dedup, removal half: re-emit every document with
+    its cross-document duplicated extents (duplicated_substring_extents
+    above) cut out.
+
+    Output: (doc_id, clean_text, n_kept, n_removed) -- token counts on
+    the normalized tokenization; a fully-duplicated document survives
+    with clean_text = '' (dropping is the caller's policy decision,
+    e.g. WHERE n_kept >= threshold).
+
+    Scale shape: the token-position frame left-joins the exploded
+    covered-position frame (extents are disjoint, so no fan-out) and
+    re-assembles per doc via array_sort(collect_list(struct(pos, tok)))
+    -- the deterministic ordered-aggregation idiom (collect_list alone
+    has no order after a shuffle).  The extent side derives from a
+    second documents scan (stats+apply: detection is the statistics
+    pass, removal the apply pass); at 100 TB the extents are a
+    materialized table and removal is a single corpus scan.
+
+    Scan budget: documents 2x -- detection (stats) + removal (apply);
+    production materializes the extents and pays one scan per pass."""
+    toks = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
+    )
+    tok = toks.select(
+        F.col(id_col), F.posexplode("__toks").alias("__p0", "tok")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "tok")
+    covered = duplicated_substring_extents(
+        df, text_col=text_col, id_col=id_col, n=n
+    ).select(
+        F.col(id_col),
+        F.explode(F.sequence("start_tok", "end_tok")).alias("pos"),
+        F.lit(1).alias("__c"),
+    )
+    flagged = tok.join(covered, [id_col, "pos"], "left").withColumn(
+        "__keep", F.col("__c").isNull()
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(F.col("__keep"), F.struct(F.col("pos"), F.col("tok")))
+        )
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            " ", F.transform(kept_sorted, lambda s: s.tok)
+        ).alias("clean_text"),
+        F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum((~F.col("__keep")).cast("int")).cast("bigint").alias(
+            "n_removed"
+        ),
+    )

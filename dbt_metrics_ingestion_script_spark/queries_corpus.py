@@ -1188,3 +1188,108 @@ def corpus_mixing_schedule(spark, sf_dir):
         .cast("long")
         .alias("mix_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup: duplicated-extent detection + span removal
+# ---------------------------------------------------------------------------
+
+_SUBSTR_N = 8  # token window; the published suffix-array dedup uses 50
+# (Lee et al.) -- 8 exercises the same machinery at this corpus's ~54
+# mean tokens/doc
+
+
+def _substring_extent_ctes() -> str:
+    """Shared CTE chain: positional grams -> cross-doc dup positions ->
+    maximal merged extents (DuckDB replay of the Spark plan, window for
+    window)."""
+    n = _SUBSTR_N
+    gram = f"array_to_string(toks[i:i+{n - 1}], ' ')"
+    return rf"""
+    docs AS (
+      SELECT doc_id, {_NORM} AS norm FROM documents
+    ), tok AS (
+      SELECT doc_id, string_split(norm, ' ') AS toks FROM docs
+    ), g AS (
+      SELECT doc_id, i AS pos, {_H.format(x=gram)} AS g
+      FROM tok, unnest(range(1, len(toks) - {n} + 2)) r(i)
+    ), dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               MIN(doc_id) OVER (PARTITION BY g) AS mn,
+               MAX(doc_id) OVER (PARTITION BY g) AS mx
+        FROM g
+      ) t WHERE mn <> mx
+    ), m AS (
+      SELECT doc_id, pos,
+             MAX(pos + {n - 1}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS pe
+      FROM dup
+    ), grps AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS ext
+      FROM m
+    ), extents AS (
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+             CAST(MAX(pos) + {n - 1} AS BIGINT) AS end_tok
+      FROM grps GROUP BY doc_id, ext
+    )"""
+
+
+@register(
+    "corpus_substring_extents",
+    f"""
+    WITH {_substring_extent_ctes()}
+    SELECT doc_id, start_tok, end_tok,
+           end_tok - start_tok + 1 AS n_tokens
+    FROM extents
+    """,
+)
+def corpus_substring_extents(spark, sf_dir):
+    """Exact substring dedup, detection half: maximal token extents
+    duplicated verbatim (>= {n}-token windows) across documents --
+    the sub-document spans whole-doc and near dedup both miss, found
+    by the positional-shingle equivalent of suffix-array dedup.  One
+    documents scan, two slim shuffles (gram window + per-doc extent
+    merge); the oracle replays every window."""
+    return corpus.duplicated_substring_extents(
+        load_table(spark, sf_dir, "documents"), n=_SUBSTR_N
+    )
+
+
+@register(
+    "corpus_substring_dedup_clean",
+    f"""
+    WITH {_substring_extent_ctes()},
+    tokp AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM tok, unnest(range(1, len(toks) + 1)) r(i)
+    ), covered AS (
+      SELECT doc_id, unnest(range(start_tok, end_tok + 1)) AS pos
+      FROM extents
+    )
+    SELECT t.doc_id,
+           COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.pos), '') AS clean_text,
+           CAST(SUM(CASE WHEN c.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM tokp t
+    LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+    GROUP BY t.doc_id
+    """,
+)
+def corpus_substring_dedup_clean(spark, sf_dir):
+    """Exact substring dedup, removal half: every document re-emitted
+    with its cross-document duplicated extents cut out (clean_text,
+    n_kept, n_removed); fully-duplicated documents survive with empty
+    text so the keep threshold stays the caller's policy.  The oracle
+    replays detection AND removal, so the cleaned strings themselves
+    are cross-engine-verified."""
+    return corpus.substring_dedup_clean(
+        load_table(spark, sf_dir, "documents"), n=_SUBSTR_N
+    )

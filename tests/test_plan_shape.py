@@ -854,3 +854,14 @@ def test_snapshot_diff_single_scan_no_join(spark):
     simple = plan_of(run(spark, "events_snapshot_diff_single_scan"), "simple")
     assert simple.count("Exchange") - simple.count("BroadcastExchange") == 1
     assert "LessThanOrEqual(ts" in plan, plan
+
+
+def test_substring_extents_single_scan_two_shuffles(spark):
+    """Substring-extent detection: one documents scan; cross-doc
+    occurrence is a min/max window on the gram hash (no distinct-count,
+    no join back) and the extent merge reuses one (doc, pos) sort --
+    two slim shuffles total."""
+    plan = plan_of(run(spark, "corpus_substring_extents"), "simple")
+    assert plan.count("documents.parquet") == 1, plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2, plan
+    assert "Join" not in plan, plan
