@@ -74,6 +74,7 @@ HEADLINE = [
     "embeddings_kmeans_assign",
     "embeddings_pq_codes",
     "similarity_pq_adc_topk",
+    "similarity_ivf_pq_topk",
     "text_stats",
     "text_language_id",
     "text_quality_score",

@@ -759,3 +759,174 @@ def kmeans_convergence(
     return spark.createDataFrame(
         rows, "iter int, inertia double, n_moved long"
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    shortlist: int = 30,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """The composed IVF->PQ->rerank SERVING plan (the billion-scale ANN
+    architecture: IVFADC of Jegou et al., "Product Quantization for
+    Nearest Neighbor Search", + the standard exact re-rank stage):
+
+      1. probe the `n_probe` IVF cells nearest the query (coarse
+         quantizer prunes ~n_probe/n_centroids of the corpus),
+      2. ADC-rank ONLY the probed cells' members by PQ lookup distance
+         (no original vectors touched) down to a `shortlist`,
+      3. exact cosine re-rank of the shortlist (shortlist original
+         vectors fetched, typically 3-5x k) to the final top-k.
+
+    Output: (id_col, cosine_sim) descending, ties on id -- the same
+    contract as ivf_topk, so the two serve interchangeably.
+
+    Scale shape: query-time work is [n_probe/n_centroids of the codes
+    table] x [m broadcast-lookup joins] + shortlist vector fetches --
+    the corpus's original vectors are read only at index-build time
+    and for `shortlist` rows per query.  Both index builds happen
+    inline here so the differential oracle can replay them; production
+    materializes assignments (partitioned by centroid_id) and codes
+    once and serves many queries.
+
+    round_digits rounds BOTH the ADC distance (before the shortlist
+    limit) and the cosine (before the final limit) so both engines
+    select identical row sets at ties."""
+    assignments, centroids = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    codes, codebooks = pq_encode(
+        embeddings, m=m, n_codes=n_codes, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    q = query.select(as_double(vec_col).alias("__qvec"))
+    d2c = F.aggregate(
+        F.zip_with(F.col("cvec"), F.col("__qvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("centroid_id", d2c.alias("d2"))
+        .orderBy("d2", "centroid_id")
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    cand = assignments.join(F.broadcast(probes), "centroid_id").select(
+        "id", "vec"
+    )
+    d_sub = dim // m
+    q_subs = q.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice("__qvec", j * d_sub + 1, d_sub).alias("qsub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s")
+    ).select("s.subspace", "s.qsub")
+    d2s = F.aggregate(
+        F.zip_with(F.col("qsub"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = codebooks.join(F.broadcast(q_subs), "subspace").select(
+        "subspace", "code", d2s.alias("__dd")
+    )
+    adc = codes.join(cand.select("id"), "id").join(
+        F.broadcast(dists), ["subspace", "code"]
+    ).groupBy("id").agg(F.sum("__dd").alias("adc_d2"))
+    if round_digits is not None:
+        adc = adc.withColumn("adc_d2", F.round("adc_d2", round_digits))
+    short = adc.orderBy(F.asc("adc_d2"), F.asc("id")).limit(shortlist).select("id")
+    rer = (
+        short.join(cand, "id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("id").alias(id_col),
+            cosine(F.col("vec"), F.col("__qvec")).alias("cosine_sim"),
+        )
+    )
+    if round_digits is not None:
+        rer = rer.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
+    return rer.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def ivf_pq_recall(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    shortlist: int = 30,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Side-by-side offline evaluation of BOTH approximate serving
+    paths at the same probe budget: one row per path ('ivf' = probe +
+    exact cosine within probed cells; 'ivf_pq' = probe + ADC shortlist
+    + exact re-rank), each scored against the same brute-force exact
+    top-k -- so the composed path's recall is MEASURED >= or < the
+    IVF-only path in one cross-engine-verified frame (the ann_recall
+    discipline, extended to a path comparison).
+
+    Output: (path, k, n_exact, n_hits, recall), 2 rows."""
+    q = query.select(as_double(vec_col).alias("__qvec"))
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(
+            cosine(as_double(vec_col), F.col("__qvec")), round_digits
+        ).alias("__s"),
+    )
+    exact = (
+        scored.orderBy(F.desc("__s"), F.asc(id_col)).limit(k).select(id_col)
+    )
+    paths = {
+        "ivf": ivf_topk(
+            embeddings, query, k=k, n_centroids=n_centroids, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+        ).select(id_col),
+        "ivf_pq": ivf_pq_topk(
+            embeddings, query, k=k, shortlist=shortlist,
+            n_centroids=n_centroids, n_probe=n_probe, m=m, n_codes=n_codes,
+            dim=dim, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits,
+        ).select(id_col),
+    }
+    frames = []
+    for name, approx in paths.items():
+        frames.append(
+            exact.join(approx.withColumn("__hit", F.lit(1)), id_col, "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("__hit").alias("n_hits"),
+            )
+            .select(
+                F.lit(name).alias("path"),
+                F.lit(k).alias("k"),
+                F.col("n_exact"),
+                F.col("n_hits"),
+                F.when(
+                    F.col("n_exact") > 0,
+                    F.round(F.col("n_hits") / F.col("n_exact"), 6),
+                ).alias("recall"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

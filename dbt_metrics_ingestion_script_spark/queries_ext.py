@@ -2549,49 +2549,62 @@ def text_source_term_kl(spark, sf_dir):
 _PQ_M, _PQ_CODES, _PQ_DIM = 8, 16, 64
 
 
-def _pq_cte(m: int = _PQ_M, n_codes: int = _PQ_CODES, dim: int = _PQ_DIM) -> str:
+def _pq_cte(
+    m: int = _PQ_M,
+    n_codes: int = _PQ_CODES,
+    dim: int = _PQ_DIM,
+    standalone: bool = True,
+    prefix: str = "",
+) -> str:
     """CTE chain replaying the deterministic per-subspace PQ codebook
     build (same seed/Lloyd/tie rules as the IVF oracle, applied to
     subvector slices) through the final code assignment."""
     d_sub = dim // m
     d2 = _IVF_D2
-    return f"""
+    x = prefix
+    head = (
+        """
     WITH e AS (
       SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
-    ), subs AS (
+    ), """
+        if standalone
+        else """
+    , """
+    )
+    return head + f"""{x}subs AS (
       SELECT id, j.j AS subspace,
              vec[j.j * {d_sub} + 1 : j.j * {d_sub} + {d_sub}] AS svec
       FROM e, unnest(range({m})) AS j(j)
-    ), seeds AS (
+    ), {x}seeds AS (
       SELECT subspace,
              ROW_NUMBER() OVER (PARTITION BY subspace ORDER BY id) - 1 AS code,
              svec AS cvec
-      FROM subs
+      FROM {x}subs
       QUALIFY ROW_NUMBER() OVER (PARTITION BY subspace ORDER BY id) <= {n_codes}
-    ), a0 AS (
+    ), {x}a0 AS (
       SELECT id, subspace, svec, code FROM (
         SELECT s.id, s.subspace, s.svec, c.code,
                ROW_NUMBER() OVER (
                  PARTITION BY s.id, s.subspace
                  ORDER BY {d2.format(n=d_sub, a='s.svec', b='c.cvec')}, c.code
                ) AS rn
-        FROM subs s JOIN seeds c USING (subspace)
+        FROM {x}subs s JOIN {x}seeds c USING (subspace)
       ) WHERE rn = 1
-    ), cm AS (
+    ), {x}cm AS (
       SELECT subspace, code, i.i AS pos, AVG(svec[i.i]) AS mmean
-      FROM a0, unnest(range(1, {d_sub} + 1)) AS i(i)
+      FROM {x}a0, unnest(range(1, {d_sub} + 1)) AS i(i)
       GROUP BY 1, 2, 3
-    ), books AS (
+    ), {x}books AS (
       SELECT subspace, code, list(mmean ORDER BY pos) AS cvec
-      FROM cm GROUP BY 1, 2
-    ), asg AS (
+      FROM {x}cm GROUP BY 1, 2
+    ), {x}asg AS (
       SELECT id, subspace, code FROM (
         SELECT s.id, s.subspace, c.code,
                ROW_NUMBER() OVER (
                  PARTITION BY s.id, s.subspace
                  ORDER BY {d2.format(n=d_sub, a='s.svec', b='c.cvec')}, c.code
                ) AS rn
-        FROM subs s JOIN books c USING (subspace)
+        FROM {x}subs s JOIN {x}books c USING (subspace)
       ) WHERE rn = 1
     )"""
 
@@ -2662,6 +2675,164 @@ def similarity_pq_adc_topk(spark, sf_dir):
     return similarity.pq_adc_topk(
         emb, _min_id_query(emb), k=10,
         m=_PQ_M, n_codes=_PQ_CODES, dim=_PQ_DIM,
+    )
+
+
+# ---------------------------------------------------------------------------
+# composed IVF -> PQ -> exact-rerank serving plan (VERDICT r8 item 5)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_SHORTLIST = 50  # 5x k: measured recall parity with the IVF-only path (a 30-row shortlist dropped 2 of the 10 true neighbors at sf0.01)
+
+
+def _ivf_pq_ctes(
+    shortlist: int = _IVFPQ_SHORTLIST, n_probe: int = 4, k: int = 10
+) -> str:
+    """Composed CTE chain: the shared IVF k-means build, the PQ chain
+    under a pq_ prefix (same e base), query probing, candidate cells,
+    ADC shortlist (rounded BEFORE the limit), exact cosine re-rank."""
+    d2 = _IVF_D2
+    d_sub = _PQ_DIM // _PQ_M
+    cos = (
+        "ROUND(list_dot_product({a}, q.qv) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    return (
+        _ivf_asg_cte()
+        + _pq_cte(standalone=False, prefix="pq_")
+        + f"""
+    , q AS (
+      SELECT vec AS qv FROM e WHERE id = (SELECT min(id) FROM e)
+    ), probes AS (
+      SELECT c.centroid_id
+      FROM cent c, q
+      ORDER BY {d2.format(n=64, a='c.cvec', b='q.qv')}, c.centroid_id
+      LIMIT {n_probe}
+    ), cand AS (
+      SELECT asg.id, asg.vec FROM asg JOIN probes USING (centroid_id)
+    ), qsubs AS (
+      SELECT j.j AS subspace,
+             qv[j.j * {d_sub} + 1 : j.j * {d_sub} + {d_sub}] AS qsub
+      FROM q, unnest(range({_PQ_M})) AS j(j)
+    ), dists AS (
+      SELECT b.subspace, b.code,
+             {d2.format(n=d_sub, a='qs.qsub', b='b.cvec')} AS dd
+      FROM pq_books b JOIN qsubs qs USING (subspace)
+    ), adc AS (
+      SELECT c.id, ROUND(SUM(d.dd), 6) AS adc_d2
+      FROM cand c
+      JOIN pq_asg pa ON pa.id = c.id
+      JOIN dists d ON d.subspace = pa.subspace AND d.code = pa.code
+      GROUP BY c.id
+    ), short AS (
+      SELECT id FROM adc ORDER BY adc_d2 ASC, id ASC LIMIT {shortlist}
+    ), rer AS (
+      SELECT c.id AS vec_id, {cos.format(a='c.vec')} AS cosine_sim
+      FROM short JOIN cand c USING (id), q
+    )"""
+    )
+
+
+@register(
+    "similarity_ivf_pq_topk",
+    _ivf_pq_ctes()
+    + """
+    SELECT vec_id, cosine_sim FROM rer
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def similarity_ivf_pq_topk(spark, sf_dir):
+    """The composed IVF->PQ->rerank serving plan (IVFADC, Jegou et al.,
+    + exact re-rank): probe 4/16 cells, ADC-rank only the probed
+    cells' codes to a 50-row shortlist, exact-cosine re-rank the
+    shortlist to the top-10.  Same output contract as
+    similarity_ivf_topk, so the two serve interchangeably; the oracle
+    replays BOTH index builds, the shortlist, and the re-rank.
+
+    Scan budget: embeddings 12x -- both indexes (IVF k-means + m
+    per-subspace PQ codebooks) are derived inline so the oracle
+    replays the whole path; production serves from materialized
+    assignments/codes and touches only probed lists + shortlist
+    vectors per query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb,
+        _min_id_query(emb),
+        k=10,
+        shortlist=_IVFPQ_SHORTLIST,
+        n_centroids=16,
+        n_probe=4,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        dim=_PQ_DIM,
+        round_digits=6,
+    )
+
+
+@register(
+    "similarity_ivf_pq_recall",
+    _ivf_pq_ctes()
+    + f"""
+    , exactk AS (
+      SELECT e.id FROM e, q
+      ORDER BY ROUND(list_dot_product(e.vec, q.qv) /
+                     (sqrt(list_dot_product(e.vec, e.vec)) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) DESC, e.id ASC
+      LIMIT 10
+    ), ivfk AS (
+      SELECT c.id FROM cand c, q
+      ORDER BY ROUND(list_dot_product(c.vec, q.qv) /
+                     (sqrt(list_dot_product(c.vec, c.vec)) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) DESC, c.id ASC
+      LIMIT 10
+    ), pqk AS (
+      SELECT vec_id AS id FROM rer
+      ORDER BY cosine_sim DESC, vec_id ASC
+      LIMIT 10
+    )
+    SELECT 'ivf' AS path, 10 AS k,
+           (SELECT COUNT(*) FROM exactk) AS n_exact,
+           COUNT(*) AS n_hits,
+           ROUND(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM exactk), 6)
+             AS recall
+    FROM exactk JOIN ivfk USING (id)
+    UNION ALL
+    SELECT 'ivf_pq' AS path, 10 AS k,
+           (SELECT COUNT(*) FROM exactk) AS n_exact,
+           COUNT(*) AS n_hits,
+           ROUND(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM exactk), 6)
+             AS recall
+    FROM exactk JOIN pqk USING (id)
+    """,
+)
+def similarity_ivf_pq_recall(spark, sf_dir):
+    """Offline path comparison at EQUAL probe budget: recall@10 of the
+    IVF-only path and the composed IVF->PQ->rerank path against the
+    same brute-force exact top-10, one row per path -- the ann_recall
+    self-evaluation discipline extended to an architecture decision
+    (is the PQ compression losing neighbors the cosine-within-cells
+    path keeps?).  Pinned >= in pytest: at shortlist 5x k the re-rank
+    recovers everything ADC mis-ranks on this corpus, so the composed
+    path must not trail the IVF-only path here.
+
+    Scan budget: embeddings 15x -- offline evaluation harness: both
+    index builds + the exact side, run once on a sampled query set;
+    never a serving plan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_recall(
+        emb,
+        _min_id_query(emb),
+        k=10,
+        shortlist=_IVFPQ_SHORTLIST,
+        n_centroids=16,
+        n_probe=4,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        dim=_PQ_DIM,
+        round_digits=6,
     )
 
 

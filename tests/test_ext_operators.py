@@ -230,6 +230,57 @@ def test_ann_recall_small_corpus_reaches_one(spark, sf_dir):
     assert r["recall"] == 1.0
 
 
+def test_ivf_pq_recall_not_below_ivf_only(spark, sf_dir):
+    """The composed IVF->PQ->rerank path must not trail the IVF-only
+    path at equal probe budget (VERDICT r8 item 5): the 5x-k ADC
+    shortlist plus exact re-rank recovers everything the PQ
+    compression mis-ranks on this corpus.  Also pins the degenerate
+    sanity: with the shortlist covering every candidate, the composed
+    path IS the IVF-only path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from dbt_metrics_ingestion_script_spark.queries_ext import _min_id_query
+
+    rows = {
+        r["path"]: r
+        for r in similarity.ivf_pq_recall(
+            emb, _min_id_query(emb), k=10, shortlist=50,
+            n_centroids=16, n_probe=4,
+        ).collect()
+    }
+    assert set(rows) == {"ivf", "ivf_pq"}
+    assert rows["ivf_pq"]["recall"] >= rows["ivf"]["recall"], rows
+    # shortlist >= corpus: ADC prunes nothing, re-rank sees every
+    # probed candidate -> identical recall by construction
+    wide = {
+        r["path"]: r["recall"]
+        for r in similarity.ivf_pq_recall(
+            emb, _min_id_query(emb), k=10, shortlist=10_000,
+            n_centroids=16, n_probe=4,
+        ).collect()
+    }
+    assert wide["ivf_pq"] == wide["ivf"]
+
+
+def test_ivf_pq_topk_matches_ivf_topk_rows(spark, sf_dir):
+    """With the shortlist covering all candidates the composed serving
+    plan returns EXACTLY the IVF-only rows (same ids, same rounded
+    scores) -- the degenerate-equivalence pin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from dbt_metrics_ingestion_script_spark.queries_ext import _min_id_query
+
+    a = similarity.ivf_pq_topk(
+        emb, _min_id_query(emb), k=10, shortlist=10_000,
+        n_centroids=16, n_probe=4, round_digits=6,
+    ).collect()
+    b = similarity.ivf_topk(
+        emb, _min_id_query(emb), k=10, n_centroids=16, n_probe=4,
+        round_digits=6,
+    ).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in a] == [
+        (r["vec_id"], r["cosine_sim"]) for r in b
+    ]
+
+
 def test_cluster_balanced_cap_semantics(spark, sf_dir):
     """Per-cluster cap: at most k rows per centroid, ranks contiguous
     from 1, d2 non-increasing within a cluster (farthest kept first),
