@@ -128,6 +128,8 @@ HEADLINE = [
     "text_bpe_pair_counts",
     "text_bpe_merges",
     "text_bpe_encoded_lengths",
+    "text_unigram_seed_candidates",
+    "text_unigram_lm_encoded_lengths",
     "metric_whale_revenue_month_spine",
     "events_user_sketch_rollup",
     "events_interarrival_profile",

@@ -1131,3 +1131,319 @@ def bpe_encode_token_counts(
             F.sum(F.col("n_w") * F.col("__n_sym")).alias("n_bpe_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (SentencePiece-style EM), VERDICT r8 stretch
+# ---------------------------------------------------------------------------
+
+_UNI_LMAX = 6
+
+
+def _unigram_word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus -> word-frequency table for the unigram trainer.  Unlike
+    _bpe_word_freq this KEEPS single-char words: unigram coverage
+    requires every corpus character to stay encodable."""
+    words = df.select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w")
+    ).where(F.col("w") != "")
+    return words.groupBy("w").agg(F.count("*").alias("wc"))
+
+
+def unigram_seed_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    max_len: int = _UNI_LMAX,
+    top: int | None = None,
+) -> DataFrame:
+    """Seed-vocabulary candidates for unigram-LM training: every
+    substring of length 1..max_len of every corpus word, weighted by
+    occurrence count x word frequency (the frequency-seeded candidate
+    set SentencePiece's trainer starts from, minus the ESA scoring).
+
+    Output: (piece, weight) -- with `top`, the `top` heaviest pieces
+    by (weight DESC, piece ASC).
+
+    Scale shape: the explode runs over the Heaps-sublinear DISTINCT
+    word table, never the corpus (one corpus scan feeds the word
+    count); a word of length n yields <= n * max_len candidate rows,
+    aggregated map-side by piece.  The optional top-N is a single
+    global sort of the candidate aggregate."""
+    wf = _unigram_word_freq(df, text_col)
+    pos = wf.select(
+        "w", "wc", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i")
+    )
+    subs = pos.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_len), F.length("w") - F.col("i") + 1),
+                ),
+                lambda l: F.col("w").substr(F.col("i"), l),
+            )
+        ).alias("piece"),
+    )
+    cand = subs.groupBy("piece").agg(F.sum("wc").alias("weight"))
+    if top is not None:
+        w = Window.orderBy(F.desc("weight"), F.asc("piece"))
+        cand = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= top)
+            .drop("__rn")
+        )
+    return cand
+
+
+def _uni_normalize(counts: dict[str, int], alpha: float) -> dict[str, float]:
+    """Laplace-smoothed piece probabilities.  counts are integers, so
+    the total is order-free and the floats deterministic."""
+    tot = sum(counts.values())
+    v = len(counts)
+    return {p: (c + alpha) / (tot + alpha * v) for p, c in counts.items()}
+
+
+def _uni_cost(p: float) -> float:
+    import math
+
+    return round(-math.log(p), 9)
+
+
+def _uni_viterbi(
+    w: str, cost: dict[str, float], max_len: int
+) -> list[str]:
+    """Deterministic Viterbi segmentation: best[i] minimizes
+    (round-9 cumulative cost, piece count, max_len - last_piece_len)
+    lexicographically -- the identical comparison the Spark encode
+    fold performs with F.least over structs, so lengths agree
+    bit-for-bit across the two paths."""
+    n = len(w)
+    inf = float("inf")
+    # (cum_cost, n_pieces, tie, backpointer_len)
+    best: list[tuple[float, int, int, int]] = [(inf, 0, 0, 0)] * (n + 1)
+    best[0] = (0.0, 0, 0, 0)
+    for i in range(1, n + 1):
+        chosen = None
+        for l in range(1, min(max_len, i) + 1):
+            c = cost.get(w[i - l : i])
+            if c is None or best[i - l][0] == inf:
+                continue
+            key = (
+                round(best[i - l][0] + c, 9),
+                best[i - l][1] + 1,
+                max_len - l,
+            )
+            if chosen is None or key < chosen[0]:
+                chosen = (key, l)
+        if chosen is None:
+            continue  # unreachable prefix (never happens with full
+            # single-char coverage; kept for partial-vocab callers)
+        best[i] = (*chosen[0], chosen[1])
+    out: list[str] = []
+    i = n
+    while i > 0:
+        l = best[i][3]
+        if l == 0:
+            return []  # unencodable under a partial vocab
+        out.append(w[i - l : i])
+        i -= l
+    return out[::-1]
+
+
+def unigram_train_local(
+    df: DataFrame,
+    vocab_size: int = 300,
+    seed_size: int = 600,
+    max_len: int = _UNI_LMAX,
+    em_rounds: int = 4,
+    alpha: float = 0.1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM tokenizer training (the SentencePiece algorithm
+    family: frequency-seeded candidate vocabulary, EM re-estimation of
+    piece probabilities, pruning to the target size -- Kudo 2018),
+    with the EM loop run DRIVER-LOCALLY over the collected
+    word-frequency table, exactly the bpe_train_local scale argument:
+    the corpus is touched once by the distributed word count, and the
+    Heaps-sublinear word table is the only thing collected.
+
+    Deterministic spec (replicated by the independent reference EM in
+    tests/test_unigram_lm.py -- every rule below is part of the
+    contract):
+      seed    = all single chars + the (seed_size - n_chars) heaviest
+                multi-char substrings by (weight DESC, piece ASC),
+                weight = occurrences x word frequency;
+      E-step  = hard-EM Viterbi (see _uni_viterbi: round-9 cumulative
+                cost, then fewer pieces, then longer final piece);
+      M-step  = Laplace(alpha) re-normalization of Viterbi counts over
+                the CURRENT vocab (zero-count pieces keep alpha mass);
+      prune   = after em_rounds, keep all single chars + the
+                (vocab_size - n_chars) best multi-char pieces by
+                (final count DESC, piece ASC), then one more E-step on
+                the pruned vocab for the emitted counts/probs.
+
+    Output: (rank, piece, n_chars, count, logprob), rank by
+    (count DESC, piece ASC); logprob = round(ln p, 9) under the final
+    smoothed distribution.  Single-char pieces always survive, so
+    every corpus word stays encodable (the coverage guarantee the
+    encode fold relies on)."""
+    rows = _unigram_word_freq(df, text_col).collect()
+    words = sorted((r["w"], int(r["wc"])) for r in rows)
+    weight: dict[str, int] = {}
+    chars: set[str] = set()
+    for w, wc in words:
+        chars.update(w)
+        n = len(w)
+        for i in range(n):
+            for l in range(1, min(max_len, n - i) + 1):
+                p = w[i : i + l]
+                weight[p] = weight.get(p, 0) + wc
+    singles = sorted(chars)
+    multi = sorted(
+        (p for p in weight if len(p) > 1),
+        key=lambda p: (-weight[p], p),
+    )
+    vocab = singles + multi[: max(0, seed_size - len(singles))]
+    probs = _uni_normalize({p: weight[p] for p in vocab}, alpha)
+
+    def e_step(vocab_probs: dict[str, float]) -> dict[str, int]:
+        cost = {p: _uni_cost(v) for p, v in vocab_probs.items()}
+        counts: dict[str, int] = {}
+        for w, wc in words:
+            for piece in _uni_viterbi(w, cost, max_len):
+                counts[piece] = counts.get(piece, 0) + wc
+        return counts
+
+    counts: dict[str, int] = {}
+    for _ in range(em_rounds):
+        counts = e_step(probs)
+        probs = _uni_normalize(
+            {p: counts.get(p, 0) for p in vocab}, alpha
+        )
+    kept_multi = sorted(
+        (p for p in vocab if len(p) > 1),
+        key=lambda p: (-counts.get(p, 0), p),
+    )
+    final_vocab = singles + kept_multi[: max(0, vocab_size - len(singles))]
+    final_counts = e_step(
+        _uni_normalize({p: counts.get(p, 0) for p in final_vocab}, alpha)
+    )
+    final_probs = _uni_normalize(
+        {p: final_counts.get(p, 0) for p in final_vocab}, alpha
+    )
+    import math
+
+    ranked = sorted(
+        final_vocab, key=lambda p: (-final_counts.get(p, 0), p)
+    )
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                rank,
+                p,
+                len(p),
+                final_counts.get(p, 0),
+                round(math.log(final_probs[p]), 9),
+            )
+            for rank, p in enumerate(ranked)
+        ],
+        "rank int, piece string, n_chars int, count bigint, logprob double",
+    )
+
+
+def unigram_encode_token_counts(
+    df: DataFrame,
+    pieces: list[tuple[str, float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = _UNI_LMAX,
+) -> DataFrame:
+    """Encode the corpus under a trained unigram vocabulary and report
+    per-document sequence lengths: (doc_id, n_words, n_uni_tokens) --
+    the unigram twin of bpe_encode_token_counts.
+
+    `pieces` is the driver-side tokenizer artifact:
+    [(piece, cost)] with cost = round(-ln p, 9) from
+    unigram_train_local (cost = -logprob).
+
+    The Viterbi DP runs as ONE JVM expression per distinct word: an
+    F.aggregate fold over character positions whose accumulator is the
+    best-(cost, piece_count) array, the per-position argmin an
+    F.least over max_len candidate structs -- the identical
+    (cost, n_pieces, max_len - l) comparison as _uni_viterbi, so both
+    paths produce the same lengths (pinned in tests).  The piece-cost
+    map is staged into its own projection BEFORE the fold (lambda
+    re-evaluation discipline) and is a plan literal: the tokenizer is
+    an artifact, not data.
+
+    Scale shape: one corpus scan -> per-(doc, word) counts [shuffle
+    1], the DP folds over the DISTINCT word frame only (within-doc
+    repetition pays once), doc rollup weighted by multiplicity
+    [shuffle 2].  Spark's literal-map element_at is a linear probe, so
+    per distinct word the fold costs O(len x max_len x |vocab|)
+    comparisons -- vocabulary-sized work; for a 100k-piece production
+    vocab, swap the literal map for a broadcast (piece -> cost) join
+    against the exploded (word, i, l) candidate frame, same DP."""
+    inf = float("inf")
+    cost_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p, _ in pieces]),
+        F.array(*[F.lit(c) for _, c in pieces]),
+    )
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    per_doc_word = words.groupBy(id_col, "w").agg(F.count("*").alias("n_w"))
+    vocab = per_doc_word.select("w").distinct().withColumn("__m", cost_map)
+
+    def step(acc, i):
+        cands = []
+        for l in range(1, max_len + 1):
+            prev = F.element_at(acc, (i - F.lit(l) + 1).cast("int"))
+            pc = F.element_at(
+                F.col("__m"), F.col("w").substr(i - F.lit(l) + 1, F.lit(l))
+            )
+            cand = F.when(
+                (F.lit(l) <= i) & pc.isNotNull(),
+                F.struct(
+                    F.round(prev["c"] + pc, 9).alias("c"),
+                    (prev["np"] + 1).alias("np"),
+                    F.lit(max_len - l).alias("tb"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.lit(inf).alias("c"),
+                    F.lit(0).alias("np"),
+                    F.lit(max_len).alias("tb"),
+                )
+            )
+            cands.append(cand)
+        best = F.least(*cands)
+        return F.concat(
+            acc,
+            F.array(F.struct(best["c"].alias("c"), best["np"].alias("np"))),
+        )
+
+    # NULL (not 0) for a word the vocabulary cannot cover -- impossible
+    # when encoding the training corpus (all single chars survive
+    # pruning), but an out-of-corpus word with an unseen character must
+    # surface as NULL, never silently count as zero tokens
+    n_sym = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.array(F.struct(F.lit(0.0).alias("c"), F.lit(0).alias("np"))),
+        step,
+        lambda acc: F.when(
+            F.element_at(acc, -1)["c"] != F.lit(inf),
+            F.element_at(acc, -1)["np"],
+        ),
+    )
+    enc = vocab.select("w", n_sym.alias("n_sym"))
+    return (
+        per_doc_word.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_w").alias("n_words"),
+            F.sum(F.col("n_w") * F.col("n_sym")).alias("n_uni_tokens"),
+        )
+    )

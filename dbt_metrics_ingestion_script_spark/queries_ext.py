@@ -2417,6 +2417,97 @@ def text_bpe_encoded_lengths(spark, sf_dir):
     return text.bpe_encode_token_counts(docs, rules)
 
 
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (SentencePiece-style), VERDICT r8 stretch
+# ---------------------------------------------------------------------------
+
+_UNI_VOCAB, _UNI_SEED, _UNI_ROUNDS = 200, 400, 3
+_UNI_SEED_TOP = 300
+
+
+@register(
+    "text_unigram_seed_candidates",
+    f"""
+    WITH docs AS (
+      SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents
+    ), words AS (
+      SELECT w, COUNT(*) AS wc FROM (
+        SELECT unnest(string_split(norm, ' ')) AS w FROM docs
+      ) t WHERE w <> '' GROUP BY w
+    ), pos AS (
+      SELECT w, wc, i.i AS i
+      FROM words, unnest(range(1, len(w) + 1)) AS i(i)
+    ), subs AS (
+      SELECT wc, substr(w, CAST(i AS INT), CAST(l.l AS INT)) AS piece
+      FROM pos, unnest(range(1, least(6, len(w) - i + 1) + 1)) AS l(l)
+    ), cand AS (
+      SELECT piece, CAST(SUM(wc) AS BIGINT) AS weight
+      FROM subs GROUP BY piece
+    )
+    SELECT piece, weight FROM cand
+    QUALIFY ROW_NUMBER() OVER (ORDER BY weight DESC, piece ASC)
+            <= {_UNI_SEED_TOP}
+    """,
+)
+def text_unigram_seed_candidates(spark, sf_dir):
+    """The unigram trainer's seed stage as a first-class query: the
+    {_UNI_SEED_TOP} heaviest substring candidates (length 1..6, every
+    occurrence weighted by word frequency) -- the frequency-seeded
+    vocabulary SentencePiece's trainer starts from.  Fully
+    SQL-expressible, so the seed of the (iterative, driver=False)
+    EM trainer below is cross-engine-verified."""
+    from .operators.text import unigram_seed_candidates
+
+    return unigram_seed_candidates(
+        load_table(spark, sf_dir, "documents"), top=_UNI_SEED_TOP
+    )
+
+
+@register("text_unigram_lm_pieces", None, driver=False)
+def text_unigram_lm_pieces(spark, sf_dir):
+    """Unigram-LM tokenizer training (SentencePiece EM, Kudo 2018):
+    the final (rank, piece, count, logprob) vocabulary after
+    frequency seeding, {_UNI_ROUNDS} hard-EM rounds, and pruning to
+    {_UNI_VOCAB} pieces -- driver-local over the collected
+    Heaps-sublinear word-frequency table, the bpe_train_local scale
+    path.  (Iterative, non-SQL-expressible; pytest-differentialed
+    against an independent Python EM on the same corpus.)"""
+    from .operators.text import unigram_train_local
+
+    return unigram_train_local(
+        load_table(spark, sf_dir, "documents"),
+        vocab_size=_UNI_VOCAB,
+        seed_size=_UNI_SEED,
+        em_rounds=_UNI_ROUNDS,
+    )
+
+
+@register("text_unigram_lm_encoded_lengths", None, driver=False)
+def text_unigram_lm_encoded_lengths(spark, sf_dir):
+    """Train-then-encode under the unigram-LM tokenizer: per-document
+    (n_words, n_uni_tokens) with the Viterbi DP as one JVM fold per
+    DISTINCT word (the bpe_encode_token_counts shape; no Python in
+    the encode path).  Depends on the iterative trainer, so
+    non-SQL-expressible; the fold's lengths are pytest-pinned equal
+    to the Python Viterbi on every corpus word."""
+    from .operators.text import (
+        unigram_encode_token_counts,
+        unigram_train_local,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    arts = [
+        (r["piece"], round(-r["logprob"], 9))
+        for r in unigram_train_local(
+            docs,
+            vocab_size=_UNI_VOCAB,
+            seed_size=_UNI_SEED,
+            em_rounds=_UNI_ROUNDS,
+        ).collect()
+    ]
+    return unigram_encode_token_counts(docs, arts)
+
+
 _VOCAB_K, _VOCAB_MIN_DF = 100, 2
 
 
