@@ -354,17 +354,17 @@ def main() -> None:
     if prev is not None and prev[1].get("sf") == result["sf"]:
         prev_name, prev_data = prev
         prev_q = prev_data.get("queries", {})
-        prev_canary = sum(
-            prev_q[n] for n in CANARIES if n in prev_q
-        ) or None
+        # drift ratio over the INTERSECTION of canaries measured in BOTH
+        # runs: summing all current canaries against only the previously
+        # present ones biases the ratio whenever the canary set changes
+        shared = [n for n in CANARIES if n in prev_q and n in canaries]
+        prev_canary = sum(prev_q[n] for n in shared) or None
         if prev_canary:
-            drift = canary_total / prev_canary
+            drift = sum(canaries[n] for n in shared) / prev_canary
             result["canary_prev"] = prev_name
             result["canary_ratio_vs_prev"] = round(drift, 4)
             result["canary_ratios"] = {
-                n: round(t / prev_q[n], 4)
-                for n, t in canaries.items()
-                if prev_q.get(n)
+                n: round(canaries[n] / prev_q[n], 4) for n in shared
             }
             result["suspects"] = sorted(
                 n
@@ -373,16 +373,34 @@ def main() -> None:
                 and prev_q.get(n)
                 and t / prev_q[n] / drift > 2.0
             )
+    # durable full-result copy FIRST: the complete per-query map (~8 KB
+    # for 200+ queries) goes to a file; per-round evidence is committed
+    # as BENCHFULL_r{N}.json (see README "Benchmarks").
     line = json.dumps(result)
-    print(line)
-    # durable full-result copy: stdout capture windows have truncated the
-    # per-query map before (only a tail survived in BENCH_r06.json), so
-    # the complete JSON is also written to a file; per-round evidence is
-    # committed as BENCHFULL_r{N}.json (see README "Benchmarks").
     out = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCHFULL.json")
     if out:
         with open(out, "w") as f:
             f.write(line + "\n")
+    # stdout machine line LAST but COMPACT: the driver records only the
+    # final ~2 KB of output (BENCH_r08/r09 "parsed": null -- the 8 KB
+    # full-map line had its HEAD truncated away), so the stdout line
+    # bounds its queries map to the canaries plus the slowest entries
+    # and points at the full file for the rest.
+    slowest = sorted(
+        (n for n in timings if n not in canaries),
+        key=lambda n: -timings[n],
+    )[:25]
+    compact = dict(result)
+    compact["queries"] = {
+        n: timings[n] for n in list(canaries) + slowest
+    }
+    compact["queries_elided"] = len(timings) - len(compact["queries"])
+    compact["queries_full"] = out or "BENCHFULL.json"
+    compact.pop("canary_ratios", None)
+    # canary VALUES already appear in the bounded queries map; the
+    # per-name sub-map lives in the full file
+    compact.pop("canaries", None)
+    print(json.dumps(compact))
     spark.stop()
 
 
