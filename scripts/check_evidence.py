@@ -1,0 +1,123 @@
+"""Refuse to end a round while committed evidence lags the registry.
+
+Usage: python scripts/check_evidence.py [--worktree]
+
+Exit 0 iff the LATEST DRIVERSIM_r{N}.txt and PLANAUDIT_r{N}.txt in git
+HEAD (or, with --worktree, on disk) cover every driver-registered query
+-- the same condition as
+tests/test_plan_shape.py::test_committed_evidence_in_lockstep_with_registry,
+but runnable in ~5 s without a SparkSession, so it belongs at the END
+of any session that registered queries, BEFORE starting stretch work.
+
+Why this is a standalone script and not a blocking pre-commit hook: the
+round's final snapshot and the judge's verdict are committed by the
+DRIVER, non-interactively; a hook that refuses those commits would
+strand a whole round's work (or the verdict itself) outside git, which
+is strictly worse than one red lockstep test.  The enforcement contract
+is therefore:
+
+  1. mid-round: new driver queries commit freely (evidence legitimately
+     lags until the regen pass);
+  2. after each feature batch: run the evidence chain (driver_sim x2 ->
+     plan_audit -> bench) in the background and commit the artifacts --
+     do NOT defer regen to a single end-of-round pass (rounds 7 and 9
+     both ran out of turns there);
+  3. before any stretch item and before the round's last hour: this
+     script must exit 0 against HEAD.
+
+tests/test_plan_shape.py::test_committed_evidence_in_lockstep_with_registry
+remains the CI backstop that makes a violation visible to the judge.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+import subprocess
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def committed_names(pattern: str) -> list[str]:
+    """Evidence files matching pattern in git HEAD."""
+    out = subprocess.run(
+        ["git", "ls-tree", "--name-only", "HEAD"],
+        cwd=ROOT, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    return [n for n in out if re.fullmatch(pattern, n)]
+
+
+def latest(names: list[str], prefix: str) -> str:
+    cands = {
+        int(m.group(1)): n
+        for n in names
+        if (m := re.match(rf"{prefix}_r(\d+)", n))
+    }
+    if not cands:
+        sys.exit(f"FAIL: no committed {prefix}_r*.txt evidence in HEAD")
+    return cands[max(cands)]
+
+
+def read_evidence(name: str, worktree: bool) -> str:
+    if worktree:
+        return (ROOT / name).read_text()
+    return subprocess.run(
+        ["git", "show", f"HEAD:{name}"],
+        cwd=ROOT, capture_output=True, text=True, check=True,
+    ).stdout
+
+
+def main() -> int:
+    worktree = "--worktree" in sys.argv[1:]
+    where = "worktree" if worktree else "HEAD"
+
+    # registry import is Spark-free: registration happens at module
+    # import, no JVM starts
+    import __spark_entry__ as E
+
+    E.queries()
+    from dbt_metrics_ingestion_script_spark.registry import REGISTRY
+
+    driver_names = [n for n, qd in REGISTRY.items() if qd.driver]
+
+    if worktree:
+        files = [p.name for p in ROOT.glob("*_r*.txt")]
+    else:
+        files = committed_names(r"(DRIVERSIM|PLANAUDIT)_r\w*\.txt")
+
+    failed = False
+    sim_name = latest(files, "DRIVERSIM")
+    sim = read_evidence(sim_name, worktree)
+    missing = [n for n in driver_names if f"PASS {n}:" not in sim]
+    if missing:
+        failed = True
+        print(f"FAIL: {sim_name} ({where}) missing/failing: {missing}")
+
+    audit_name = latest(files, "PLANAUDIT")
+    audit = read_evidence(audit_name, worktree)
+    missing = [
+        n for n in driver_names if not re.search(rf"^{n} ", audit, re.M)
+    ]
+    if missing:
+        failed = True
+        print(f"FAIL: {audit_name} ({where}) missing: {missing}")
+
+    if failed:
+        print(
+            "evidence lags the registry -- run the regen chain "
+            "(scripts/driver_sim.py, DRIVER_SIM_SHUFFLE=32 variant, "
+            "scripts/plan_audit.py, bench.py) and commit the artifacts "
+            "BEFORE ending the round"
+        )
+        return 1
+    print(
+        f"OK: {sim_name} + {audit_name} ({where}) cover all "
+        f"{len(driver_names)} driver-registered queries"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
