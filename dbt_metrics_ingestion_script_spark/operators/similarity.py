@@ -818,9 +818,12 @@ def ivf_pq_topk(
         .limit(n_probe)
         .select("centroid_id")
     )
-    cand = assignments.join(F.broadcast(probes), "centroid_id").select(
-        "id", "vec"
-    )
+    # ids ONLY: the ADC stage is structurally unable to touch original
+    # vectors (not merely optimizer-pruned); the re-rank below fetches
+    # vectors for the shortlist alone
+    cand_ids = assignments.select("id", "centroid_id").join(
+        F.broadcast(probes), "centroid_id"
+    ).select("id")
     d_sub = dim // m
     q_subs = q.select(
         F.explode(
@@ -843,14 +846,15 @@ def ivf_pq_topk(
     dists = codebooks.join(F.broadcast(q_subs), "subspace").select(
         "subspace", "code", d2s.alias("__dd")
     )
-    adc = codes.join(cand.select("id"), "id").join(
+    adc = codes.join(cand_ids, "id").join(
         F.broadcast(dists), ["subspace", "code"]
     ).groupBy("id").agg(F.sum("__dd").alias("adc_d2"))
     if round_digits is not None:
         adc = adc.withColumn("adc_d2", F.round("adc_d2", round_digits))
     short = adc.orderBy(F.asc("adc_d2"), F.asc("id")).limit(shortlist).select("id")
     rer = (
-        short.join(cand, "id")
+        assignments.select("id", "vec")
+        .join(F.broadcast(short), "id")
         .crossJoin(F.broadcast(q))
         .select(
             F.col("id").alias(id_col),
@@ -924,6 +928,303 @@ def ivf_pq_recall(
                     F.col("n_exact") > 0,
                     F.round(F.col("n_hits") / F.col("n_exact"), 6),
                 ).alias("recall"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def ivf_batch_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """ivf_topk generalized to a query BATCH: one shared index build,
+    per-query probing/scoring/top-k keyed by query_id -- no per-query
+    job loop (production retrieval serves batches, VERDICT r9 item 3).
+
+    Output: (query_id, vec_id, cosine_sim), k rows per query, the same
+    per-query contract as ivf_topk.
+
+    Scale shape: the query frame is broadcast (a serving batch is
+    KB-sized); probes are a rank window over the batch x centroid
+    frame (B x n_centroids rows); candidates fan out per (query,
+    probed cell) and the per-query top-k is a rank-filter window that
+    Spark rewrites into map-side WindowGroupLimit partial top-k, so a
+    hot query cannot serialize a partition's full candidate list
+    through the sort."""
+    assignments, centroids = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), as_double(vec_col).alias("__qvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("cvec"), F.col("__qvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    probes = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("qid", "centroid_id", d2.alias("d2"))
+        .withColumn("__rn", F.row_number().over(wp))
+        .where(F.col("__rn") <= n_probe)
+        .select("qid", "centroid_id")
+    )
+    cands = assignments.join(F.broadcast(probes), "centroid_id")
+    scored = cands.join(F.broadcast(q), "qid").select(
+        "qid",
+        "id",
+        cosine(F.col("vec"), F.col("__qvec")).alias("cosine_sim"),
+    )
+    if round_digits is not None:
+        scored = scored.withColumn(
+            "cosine_sim", F.round("cosine_sim", round_digits)
+        )
+    wk = Window.partitionBy("qid").orderBy(
+        F.desc("cosine_sim"), F.asc("id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wk))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("id").alias(id_col),
+            "cosine_sim",
+        )
+    )
+
+
+def ivf_pq_batch_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 30,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """The composed IVF->PQ->rerank serving plan for a query BATCH
+    (VERDICT r9 item 3): both indexes build once; probing, ADC, the
+    shortlist, and the final top-k are all keyed by query_id, so one
+    plan serves the whole batch with zero per-query driver work.
+
+    Output: (query_id, vec_id, cosine_sim), k rows per query --
+    ivf_pq_topk's contract per query.
+
+    Scale shape, stage by stage:
+      - probes: rank window over batch x centroids (B x n_centroids
+        rows, broadcast-fed);
+      - candidates: IDS ONLY join probed cells (the codes-only ADC
+        contract is structural here -- original vectors never enter
+        the candidate frame);
+      - ADC: codes join the (query, id) candidates, then a BROADCAST
+        lookup join against the B x m x n_codes distance table,
+        partial-aggregated sum per (query, id);
+      - shortlist + final top-k: rank-filter windows per query_id that
+        Spark rewrites to map-side WindowGroupLimit partial top-k;
+      - re-rank: original vectors fetched via a broadcast of the
+        B x shortlist id set -- the only stage that touches vectors.
+    At 100 TB with materialized assignments/codes partitioned by
+    centroid_id, the probe join prunes partitions and everything else
+    is broadcast-fed map work plus one (query, id)-keyed partial agg.
+
+    round_digits rounds the ADC distance before the shortlist window
+    and the cosine before the final window (the ivf_pq_topk
+    cross-engine tie convention, per query)."""
+    assignments, centroids = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    codes, codebooks = pq_encode(
+        embeddings, m=m, n_codes=n_codes, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), as_double(vec_col).alias("__qvec")
+    )
+    d2c = F.aggregate(
+        F.zip_with(F.col("cvec"), F.col("__qvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    probes = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("qid", "centroid_id", d2c.alias("d2"))
+        .withColumn("__rn", F.row_number().over(wp))
+        .where(F.col("__rn") <= n_probe)
+        .select("qid", "centroid_id")
+    )
+    # ids only: the ADC stage must be structurally unable to touch
+    # original vectors (VERDICT r9 nit 4)
+    cand_ids = (
+        assignments.select("id", "centroid_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .select("qid", "id")
+    )
+    d_sub = dim // m
+    q_subs = q.select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice("__qvec", j * d_sub + 1, d_sub).alias("qsub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("qid", "s.subspace", "s.qsub")
+    d2s = F.aggregate(
+        F.zip_with(F.col("qsub"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = codebooks.join(F.broadcast(q_subs), "subspace").select(
+        "qid", "subspace", "code", d2s.alias("__dd")
+    )
+    adc = (
+        codes.join(cand_ids, "id")
+        .join(F.broadcast(dists), ["qid", "subspace", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("__dd").alias("adc_d2"))
+    )
+    if round_digits is not None:
+        adc = adc.withColumn("adc_d2", F.round("adc_d2", round_digits))
+    ws = Window.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc("id"))
+    short = (
+        adc.withColumn("__rn", F.row_number().over(ws))
+        .where(F.col("__rn") <= shortlist)
+        .select("qid", "id")
+    )
+    rer = (
+        assignments.select("id", "vec")
+        .join(F.broadcast(short), "id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "id",
+            cosine(F.col("vec"), F.col("__qvec")).alias("cosine_sim"),
+        )
+    )
+    if round_digits is not None:
+        rer = rer.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("id"))
+    return (
+        rer.withColumn("__rn", F.row_number().over(wk))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("id").alias(id_col),
+            "cosine_sim",
+        )
+    )
+
+
+def ivf_pq_batch_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 30,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ivf_pq_recall over a query SAMPLE: per-query recall@k of both
+    approximate serving paths against the per-query brute-force exact
+    top-k, aggregated to the batch mean AND minimum -- the mean is the
+    number an index sign-off quotes, the minimum is the worst query
+    the sample saw (a mean can hide a dead cell).
+
+    Output: (path, k, n_queries, mean_recall, min_recall), 2 rows.
+
+    Per-query recall divides by that query's ACTUAL exact-side row
+    count (the ann_recall convention); scores round before every rank
+    window so both engines of the differential harness select
+    identical per-query row sets at ties."""
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), as_double(vec_col).alias("__qvec")
+    )
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("id"), as_double(vec_col).alias("__vec")
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "id",
+            F.round(
+                cosine(F.col("__vec"), F.col("__qvec")), round_digits
+            ).alias("__s"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("__s"), F.asc("id"))
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(wk))
+        .where(F.col("__rn") <= k)
+        .select("qid", "id")
+    )
+    paths = {
+        "ivf": ivf_batch_topk(
+            embeddings, queries, k=k, n_centroids=n_centroids,
+            n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, round_digits=round_digits,
+        ),
+        "ivf_pq": ivf_pq_batch_topk(
+            embeddings, queries, k=k, shortlist=shortlist,
+            n_centroids=n_centroids, n_probe=n_probe, m=m,
+            n_codes=n_codes, dim=dim, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, round_digits=round_digits,
+        ),
+    }
+    frames = []
+    for name, approx in paths.items():
+        hits = approx.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(id_col).alias("id"),
+            F.lit(1).alias("__hit"),
+        )
+        per_q = (
+            exact.join(hits, ["qid", "id"], "left")
+            .groupBy("qid")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("__hit").alias("n_hits"),
+            )
+            .select(
+                (F.col("n_hits") / F.col("n_exact")).alias("__recall")
+            )
+        )
+        frames.append(
+            per_q.agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.round(F.avg("__recall"), 6).alias("mean_recall"),
+                F.round(F.min("__recall"), 6).alias("min_recall"),
+            ).select(
+                F.lit(name).alias("path"),
+                F.lit(k).alias("k"),
+                "n_queries",
+                "mean_recall",
+                "min_recall",
             )
         )
     out = frames[0]

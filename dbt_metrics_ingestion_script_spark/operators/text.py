@@ -1217,7 +1217,15 @@ def _uni_viterbi(
     (round-9 cumulative cost, piece count, max_len - last_piece_len)
     lexicographically -- the identical comparison the Spark encode
     fold performs with F.least over structs, so lengths agree
-    bit-for-bit across the two paths."""
+    bit-for-bit across the two paths.
+
+    Rounding-mode caveat (ADVICE r9): Python round() is HALF_EVEN,
+    Spark F.round is HALF_UP, so the two 9-dp cumulative costs could
+    in principle diverge on an EXACT half-tie at the 10th decimal.
+    Log costs are irrational in binary FP, so an exact ...5 at 1e-10
+    is practically unreachable (and the full-corpus differential test
+    pins equality on real data), but the cross-path guarantee is
+    'identical up to that measure-zero case', not unconditional."""
     n = len(w)
     inf = float("inf")
     # (cum_cost, n_pieces, tie, backpointer_len)

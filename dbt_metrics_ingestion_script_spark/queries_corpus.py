@@ -1253,8 +1253,10 @@ def corpus_substring_extents(spark, sf_dir):
     duplicated verbatim (>= {n}-token windows) across documents --
     the sub-document spans whole-doc and near dedup both miss, found
     by the positional-shingle equivalent of suffix-array dedup.  One
-    documents scan, two slim shuffles (gram window + per-doc extent
-    merge); the oracle replays every window."""
+    real documents scan (eager gram checkpoint), three slim shuffles
+    (skew-proof gram aggregate, AQE-splittable coverage join-back,
+    per-doc extent merge); the oracle replays the same semantics as
+    one window chain."""
     return corpus.duplicated_substring_extents(
         load_table(spark, sf_dir, "documents"), n=_SUBSTR_N
     )

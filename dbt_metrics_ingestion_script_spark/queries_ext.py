@@ -2841,11 +2841,11 @@ def similarity_ivf_pq_topk(spark, sf_dir):
     similarity_ivf_topk, so the two serve interchangeably; the oracle
     replays BOTH index builds, the shortlist, and the re-rank.
 
-    Scan budget: embeddings 12x -- both indexes (IVF k-means + m
-    per-subspace PQ codebooks) are derived inline so the oracle
-    replays the whole path; production serves from materialized
-    assignments/codes and touches only probed lists + shortlist
-    vectors per query.
+    Scan budget: embeddings ~19x (was 23x before the r10 ids-only
+    candidate split) -- both indexes (IVF k-means + m per-subspace PQ
+    codebooks) are derived inline so the oracle replays the whole
+    path; production serves from materialized assignments/codes and
+    touches only probed lists + shortlist vectors per query.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_pq_topk(
@@ -2926,6 +2926,219 @@ def similarity_ivf_pq_recall(spark, sf_dir):
         round_digits=6,
     )
 
+
+_IVFPQ_BATCH_NQ = 4
+# 8x k, NOT the single-query 5x k: the batch recall harness measured
+# that the 50-row shortlist tuned on the min-id query drops true
+# neighbors for other sample queries (mean recall 0.875 vs IVF-only
+# 0.925 at sf0.001; 0.775 vs 0.875 at sf0.01), while 80 reaches mean
+# AND min parity with the IVF-only path at both scales -- exactly the
+# drift a per-query-sample recall harness exists to catch
+_IVFPQ_BATCH_SHORTLIST = 80
+
+
+def _min_ids_queries(emb, nq=_IVFPQ_BATCH_NQ):
+    """Deterministic nq-vector serving batch (the nq lowest vec_ids),
+    derived in-plan (sort + limit, no driver action) -- the batch
+    analogue of _min_id_query."""
+    return (
+        emb.orderBy("vec_id")
+        .limit(nq)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def _ivf_pq_batch_ctes(
+    shortlist: int = _IVFPQ_BATCH_SHORTLIST,
+    n_probe: int = 4,
+    k: int = 10,
+    nq: int = _IVFPQ_BATCH_NQ,
+) -> str:
+    """_ivf_pq_ctes generalized to a query batch: every stage carries
+    query_id and each per-query selection is a PARTITION BY query_id
+    rank -- the exact relational mirror of the Spark batch plan's
+    windows.  `cand` carries ids only (the codes-only ADC contract);
+    the re-rank fetches vectors from the base frame."""
+    d2 = _IVF_D2
+    d_sub = _PQ_DIM // _PQ_M
+    cos = (
+        "ROUND(list_dot_product({a}, q.qv) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    return (
+        _ivf_asg_cte()
+        + _pq_cte(standalone=False, prefix="pq_")
+        + f"""
+    , q AS (
+      SELECT id AS query_id, vec AS qv FROM e ORDER BY id LIMIT {nq}
+    ), probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {d2.format(n=64, a='c.cvec', b='q.qv')}, c.centroid_id
+               ) AS rn
+        FROM cent c CROSS JOIN q
+      ) WHERE rn <= {n_probe}
+    ), cand AS (
+      SELECT p.query_id, asg.id FROM asg JOIN probes p USING (centroid_id)
+    ), qsubs AS (
+      SELECT query_id, j.j AS subspace,
+             qv[j.j * {d_sub} + 1 : j.j * {d_sub} + {d_sub}] AS qsub
+      FROM q, unnest(range({_PQ_M})) AS j(j)
+    ), dists AS (
+      SELECT qs.query_id, b.subspace, b.code,
+             {d2.format(n=d_sub, a='qs.qsub', b='b.cvec')} AS dd
+      FROM pq_books b JOIN qsubs qs USING (subspace)
+    ), adc AS (
+      SELECT c.query_id, c.id, ROUND(SUM(d.dd), 6) AS adc_d2
+      FROM cand c
+      JOIN pq_asg pa ON pa.id = c.id
+      JOIN dists d ON d.query_id = c.query_id
+                  AND d.subspace = pa.subspace AND d.code = pa.code
+      GROUP BY c.query_id, c.id
+    ), short AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY adc_d2 ASC, id ASC
+               ) AS rn
+        FROM adc
+      ) WHERE rn <= {shortlist}
+    ), rer AS (
+      SELECT s.query_id, s.id AS vec_id, {cos.format(a='ev.vec')} AS cosine_sim
+      FROM short s
+      JOIN e ev ON ev.id = s.id
+      JOIN q ON q.query_id = s.query_id
+    ), finalk AS (
+      SELECT query_id, vec_id, cosine_sim FROM (
+        SELECT query_id, vec_id, cosine_sim,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC
+               ) AS rn
+        FROM rer
+      ) WHERE rn <= {k}
+    )"""
+    )
+
+
+@register(
+    "similarity_ivf_pq_batch_topk",
+    _ivf_pq_batch_ctes()
+    + """
+    SELECT query_id, vec_id, cosine_sim FROM finalk
+    """,
+)
+def similarity_ivf_pq_batch_topk(spark, sf_dir):
+    """The composed IVF->PQ->rerank serving plan for a query BATCH
+    (VERDICT r9 item 3 -- production retrieval serves batches, not
+    single vectors): one shared index build; probing, ADC, shortlist,
+    and the final top-10 all keyed per query_id with rank windows, so
+    ONE plan serves the whole batch -- no per-query job loop.  The
+    oracle replays both index builds and every per-query window.
+
+    Scan budget: embeddings ~16x -- both indexes (IVF k-means + m
+    per-subspace PQ codebooks) plus the in-plan 4-row query batch are
+    derived inline so the oracle replays the whole path; production
+    serves from materialized assignments/codes and touches only probed
+    lists + shortlist vectors per query -- and the per-query cost is
+    amortized over the batch: serving B queries costs ONE index
+    derivation, not B.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_batch_topk(
+        emb,
+        _min_ids_queries(emb),
+        k=10,
+        shortlist=_IVFPQ_BATCH_SHORTLIST,
+        n_centroids=16,
+        n_probe=4,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        dim=_PQ_DIM,
+        round_digits=6,
+    )
+
+
+@register(
+    "similarity_ivf_pq_batch_recall",
+    _ivf_pq_batch_ctes()
+    + """
+    , exactk AS (
+      SELECT query_id, id FROM (
+        SELECT q.query_id, e.id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_dot_product(e.vec, q.qv) /
+                                (sqrt(list_dot_product(e.vec, e.vec)) *
+                                 sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                          e.id ASC
+               ) AS rn
+        FROM e CROSS JOIN q
+      ) WHERE rn <= 10
+    ), ivfk AS (
+      SELECT query_id, id FROM (
+        SELECT c.query_id, c.id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY ROUND(list_dot_product(ev.vec, q.qv) /
+                                (sqrt(list_dot_product(ev.vec, ev.vec)) *
+                                 sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                          c.id ASC
+               ) AS rn
+        FROM cand c
+        JOIN e ev ON ev.id = c.id
+        JOIN q ON q.query_id = c.query_id
+      ) WHERE rn <= 10
+    ), hits_ivf AS (
+      SELECT x.query_id, COUNT(*) AS n_exact, COUNT(i.id) AS n_hits
+      FROM exactk x
+      LEFT JOIN ivfk i ON i.query_id = x.query_id AND i.id = x.id
+      GROUP BY x.query_id
+    ), hits_pq AS (
+      SELECT x.query_id, COUNT(*) AS n_exact, COUNT(f.vec_id) AS n_hits
+      FROM exactk x
+      LEFT JOIN finalk f ON f.query_id = x.query_id AND f.vec_id = x.id
+      GROUP BY x.query_id
+    )
+    SELECT 'ivf' AS path, 10 AS k, COUNT(*) AS n_queries,
+           ROUND(AVG(CAST(n_hits AS DOUBLE) / n_exact), 6) AS mean_recall,
+           ROUND(MIN(CAST(n_hits AS DOUBLE) / n_exact), 6) AS min_recall
+    FROM hits_ivf
+    UNION ALL
+    SELECT 'ivf_pq' AS path, 10 AS k, COUNT(*) AS n_queries,
+           ROUND(AVG(CAST(n_hits AS DOUBLE) / n_exact), 6) AS mean_recall,
+           ROUND(MIN(CAST(n_hits AS DOUBLE) / n_exact), 6) AS min_recall
+    FROM hits_pq
+    """,
+)
+def similarity_ivf_pq_batch_recall(spark, sf_dir):
+    """Offline path comparison over a query SAMPLE at equal probe
+    budget: per-query recall@10 of the IVF-only and composed
+    IVF->PQ->rerank paths against each query's brute-force exact
+    top-10, aggregated to the batch mean AND minimum (a mean can hide
+    one dead query; the min is the worst the sample saw) -- the
+    ivf_pq_recall path-comparison discipline extended to the batch
+    serving plan, VERDICT r9 item 3.
+
+    Scan budget: embeddings ~27x -- offline evaluation harness run
+    once on a sampled query set: BOTH serving paths rebuild their
+    indexes inline (so the oracle can replay each end-to-end) plus the
+    exact brute-force side per query; never a serving plan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_batch_recall(
+        emb,
+        _min_ids_queries(emb),
+        k=10,
+        shortlist=_IVFPQ_BATCH_SHORTLIST,
+        n_centroids=16,
+        n_probe=4,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        dim=_PQ_DIM,
+        round_digits=6,
+    )
 
 _SESSION_WINDOW_GAP_MIN = 30
 

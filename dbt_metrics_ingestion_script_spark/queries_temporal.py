@@ -175,8 +175,13 @@ def events_snapshot_diff_single_scan(spark, sf_dir):
         F.max_by(F.when(in1, payload), F.when(in1, pos)).alias("s1"),
         F.max_by(payload, pos).alias("s2"),
     )
-    p1 = F.col("s1").isNotNull() & (F.col("s1.state_op") != "error")
-    p2 = F.col("s2").isNotNull() & (F.col("s2.state_op") != "error")
+    # coalesce-to-false mirrors the oracle's `state_op <> 'error'`
+    # filter exactly: a NULL op (or no state at all -- s1 NULL makes
+    # s1.state_op NULL too) counts as ABSENT, never as present-with-
+    # unknown-op (ADVICE r9: the bare != would leave p1 NULL and let a
+    # NULL-op latest state be classified changed/unchanged)
+    p1 = F.coalesce(F.col("s1.state_op") != "error", F.lit(False))
+    p2 = F.coalesce(F.col("s2.state_op") != "error", F.lit(False))
     same = F.col("s1.state_op").eqNullSafe(F.col("s2.state_op")) & F.col(
         "s1.value"
     ).eqNullSafe(F.col("s2.value"))

@@ -2934,3 +2934,91 @@ def test_ann_probe_sweep_monotone_and_ends_at_one(spark, sf_dir):
     assert all(a <= b for a, b in zip(recalls, recalls[1:]))
     assert recalls[-1] == 1.0
     assert all(r["n_exact"] == 10 for r in rows)
+
+def test_ivf_pq_batch_topk_matches_single_query_path(spark, sf_dir):
+    """The batch serving plan must return, per query_id, EXACTLY the
+    rows the single-query ivf_pq_topk returns for that vector (same
+    ids, same rounded scores) -- batching is a plan generalization,
+    never a semantics change (VERDICT r9 item 3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from dbt_metrics_ingestion_script_spark.queries_ext import (
+        _min_ids_queries,
+    )
+
+    queries = _min_ids_queries(emb, nq=3)
+    batch = similarity.ivf_pq_batch_topk(
+        emb, queries, k=10, shortlist=50, n_centroids=16, n_probe=4,
+        round_digits=6,
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["cosine_sim"])
+        )
+    for qid, vec in [(r["query_id"], r["embedding"]) for r in queries.collect()]:
+        single_q = spark.createDataFrame(
+            [(qid, vec)], "vec_id long, embedding array<float>"
+        )
+        single = similarity.ivf_pq_topk(
+            emb, single_q, k=10, shortlist=50, n_centroids=16,
+            n_probe=4, round_digits=6,
+        ).collect()
+        assert by_q[qid] == [
+            (r["vec_id"], r["cosine_sim"]) for r in single
+        ], qid
+
+
+def test_ivf_batch_topk_matches_single_query_path(spark, sf_dir):
+    """Same per-query equivalence pin for the IVF-only batch path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from dbt_metrics_ingestion_script_spark.queries_ext import (
+        _min_ids_queries,
+    )
+
+    queries = _min_ids_queries(emb, nq=3)
+    batch = similarity.ivf_batch_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4, round_digits=6
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["cosine_sim"])
+        )
+    for qid, vec in [(r["query_id"], r["embedding"]) for r in queries.collect()]:
+        single_q = spark.createDataFrame(
+            [(qid, vec)], "vec_id long, embedding array<float>"
+        )
+        single = similarity.ivf_topk(
+            emb, single_q, k=10, n_centroids=16, n_probe=4,
+            round_digits=6,
+        ).collect()
+        assert by_q[qid] == [
+            (r["vec_id"], r["cosine_sim"]) for r in single
+        ], qid
+
+
+def test_ivf_pq_batch_recall_shape_and_ordering(spark, sf_dir):
+    """Batch recall: one row per path; mean/min in [0, 1] with
+    min <= mean; n_queries == the batch size; at the batch-tuned 8x-k
+    shortlist the composed path must not trail IVF-only on the mean.
+    (The harness itself caught that the single-query 5x-k tune does
+    NOT generalize: at shortlist 50 the composed mean trails 0.875 vs
+    0.925 on this corpus -- which is why the registered batch queries
+    use _IVFPQ_BATCH_SHORTLIST = 80.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from dbt_metrics_ingestion_script_spark.queries_ext import (
+        _min_ids_queries,
+    )
+
+    rows = {
+        r["path"]: r
+        for r in similarity.ivf_pq_batch_recall(
+            emb, _min_ids_queries(emb, nq=4), k=10, shortlist=80,
+            n_centroids=16, n_probe=4,
+        ).collect()
+    }
+    assert set(rows) == {"ivf", "ivf_pq"}
+    for r in rows.values():
+        assert r["n_queries"] == 4
+        assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0, r
+    assert rows["ivf_pq"]["mean_recall"] >= rows["ivf"]["mean_recall"], rows
