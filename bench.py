@@ -383,6 +383,12 @@ def main() -> None:
     if out:
         with open(out, "w") as f:
             f.write(line + "\n")
+    else:
+        # no sidecar requested: the full map must survive SOMEWHERE, so
+        # fall back to the pre-compact behavior (full JSON on stdout)
+        print(line)
+        spark.stop()
+        return
     # stdout machine line LAST but COMPACT: the driver records only the
     # final ~2 KB of output (BENCH_r08/r09 "parsed": null -- the 8 KB
     # full-map line had its HEAD truncated away), so the stdout line

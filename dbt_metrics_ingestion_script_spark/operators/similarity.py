@@ -936,6 +936,15 @@ def ivf_pq_recall(
     return out
 
 
+# NOTE on the deliberate single/batch split: the single-query paths
+# (ivf_topk / ivf_pq_topk) keep their orderBy().limit() form -- for one
+# query that compiles to TakeOrderedAndProject, strictly better than a
+# batch-of-1 window (one partition, full sort). Delegating single to
+# batch would simplify the code but regress the B=1 plan; the per-query
+# equivalence of the two paths is pinned in
+# tests/test_ext_operators.py::test_ivf_pq_batch_topk_matches_single_query_path.
+
+
 def ivf_batch_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -3066,7 +3066,8 @@ def similarity_ivf_pq_recall(spark, sf_dir):
     recovers everything ADC mis-ranks on this corpus, so the composed
     path must not trail the IVF-only path here.
 
-    Scan budget: embeddings 15x -- offline evaluation harness: both
+    Scan budget: embeddings ~34x (plan audit; was 38x before the r10
+    ids-only candidate split) -- offline evaluation harness: both
     index builds + the exact side, run once on a sampled query set;
     never a serving plan.
     """

@@ -49,15 +49,18 @@ def committed_names(pattern: str) -> list[str]:
     return [n for n in out if re.fullmatch(pattern, n)]
 
 
-def latest(names: list[str], prefix: str) -> str:
-    cands = {
-        int(m.group(1)): n
-        for n in names
-        if (m := re.match(rf"{prefix}_r(\d+)", n))
-    }
+def latest(names: list[str], prefix: str) -> list[str]:
+    """ALL evidence files of the newest round for prefix -- both the
+    base DRIVERSIM_rN.txt and its _rN_shuffle32 variant must cover the
+    registry (a dict keyed on N alone silently checked only whichever
+    variant sorted last)."""
+    cands: dict[int, list[str]] = {}
+    for n in names:
+        if m := re.match(rf"{prefix}_r(\d+)", n):
+            cands.setdefault(int(m.group(1)), []).append(n)
     if not cands:
         sys.exit(f"FAIL: no committed {prefix}_r*.txt evidence in HEAD")
-    return cands[max(cands)]
+    return sorted(cands[max(cands)])
 
 
 def read_evidence(name: str, worktree: bool) -> str:
@@ -88,21 +91,29 @@ def main() -> int:
         files = committed_names(r"(DRIVERSIM|PLANAUDIT)_r\w*\.txt")
 
     failed = False
-    sim_name = latest(files, "DRIVERSIM")
-    sim = read_evidence(sim_name, worktree)
-    missing = [n for n in driver_names if f"PASS {n}:" not in sim]
-    if missing:
-        failed = True
-        print(f"FAIL: {sim_name} ({where}) missing/failing: {missing}")
+    checked = []
+    for sim_name in latest(files, "DRIVERSIM"):
+        sim = read_evidence(sim_name, worktree)
+        missing = [n for n in driver_names if f"PASS {n}:" not in sim]
+        if missing:
+            failed = True
+            print(f"FAIL: {sim_name} ({where}) missing/failing: {missing}")
+        checked.append(sim_name)
 
-    audit_name = latest(files, "PLANAUDIT")
-    audit = read_evidence(audit_name, worktree)
-    missing = [
-        n for n in driver_names if not re.search(rf"^{n} ", audit, re.M)
-    ]
-    if missing:
-        failed = True
-        print(f"FAIL: {audit_name} ({where}) missing: {missing}")
+    for audit_name in latest(files, "PLANAUDIT"):
+        audit = read_evidence(audit_name, worktree)
+        # a plan_audit row is "<name> <scans...>"; its error path prints
+        # "<name padded> ERROR <exc>" -- a bare ^name-space match would
+        # count a failed plan build as audited
+        missing = [
+            n
+            for n in driver_names
+            if not re.search(rf"^{n} +(?!ERROR )\S", audit, re.M)
+        ]
+        if missing:
+            failed = True
+            print(f"FAIL: {audit_name} ({where}) missing/errored: {missing}")
+        checked.append(audit_name)
 
     if failed:
         print(
@@ -113,7 +124,7 @@ def main() -> int:
         )
         return 1
     print(
-        f"OK: {sim_name} + {audit_name} ({where}) cover all "
+        f"OK: {' + '.join(checked)} ({where}) cover all "
         f"{len(driver_names)} driver-registered queries"
     )
     return 0
