@@ -81,6 +81,7 @@ HEADLINE = [
     "text_language_id",
     "text_quality_score",
     "text_doc_fingerprint",
+    "text_repetition_signals",
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     "text_vocab_top_terms",

@@ -1455,3 +1455,154 @@ def unigram_encode_token_counts(
             F.sum(F.col("n_w") * F.col("n_sym")).alias("n_uni_tokens"),
         )
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Intra-document repetition profile -- the Gopher/MassiveText
+    repetition filter family (Rae et al. 2021, table A1; the
+    quality-filter axis text_quality_score's length/punct/stopword
+    signals do not cover): duplicate LINE fraction and duplicate-line
+    CHARACTER fraction, the character fraction of the single most
+    frequent word {2,3,4}-gram, and the character fraction of
+    duplicated word {5..10}-grams.
+
+    Definitions (the deterministic RedPajama-style forms; the paper's
+    positional-coverage variant of the dup-n-gram signal is exactly
+    the cross-document substring-dedup machinery in
+    operators/corpus.py, applied intra-doc):
+      dup_line_frac       = (n_lines - n_distinct_lines) / n_lines
+      dup_line_char_frac  = (line_chars - distinct_line_chars)
+                            / line_chars
+      top_Ngram_char_frac = count(most frequent N-gram)
+                            * chars(N-gram) / chars(normalized text)
+                            (ties -> lexicographically smallest gram)
+      dup_Ngram_char_frac = sum over N-grams occurring more than once
+                            of (count - 1) * chars(gram)
+                            / chars(normalized text) -- every
+                            occurrence after the first; overlapping
+                            grams double-count, so the signal may
+                            exceed 1 on degenerate text (it is a
+                            filter statistic, not a measure).
+    Lines split on raw newlines of the RAW text; words on the
+    normalized (lower/collapse/trim) text; zero denominators yield
+    0.0 instead of an ANSI divide error.
+
+    Scale shape: map-ONLY -- zero shuffles, zero joins; every signal
+    is an array fold over per-row staged arrays (each n-gram frequency
+    is a sort + single-run fold over that document's sorted gram
+    array, never a groupBy).  At 100 TB this runs at scan speed next
+    to the other per-document quality signals.  Arrays are staged in
+    their own projections before the lambdas (the SCALE.md
+    lambda-re-evaluation trap)."""
+    staged = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), "\n").alias("__lines"),
+        normalize_text(text_col).alias("__norm"),
+    ).select(
+        F.col(id_col),
+        "__lines",
+        F.array_distinct("__lines").alias("__dlines"),
+        F.length("__norm").alias("__nc"),
+        F.filter(F.split("__norm", " "), lambda x: x != "").alias("__ws"),
+    )
+
+    def ngrams(n: int) -> Column:
+        return F.when(
+            F.size("__ws") >= n,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__ws") - n),
+                    lambda i: F.array_join(F.slice("__ws", i + 1, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    staged = staged.select(
+        F.col(id_col),
+        "__lines",
+        "__dlines",
+        "__nc",
+        *[ngrams(n).alias(f"__g{n}") for n in (*top_ns, *dup_ns)],
+    )
+
+    def run_len(acc: Column, x: Column) -> Column:
+        return F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+
+    def top_chars(g: str) -> Column:
+        """chars covered by the most frequent gram: single fold over
+        the sorted gram array tracking the current run and the best
+        (count, gram); sorted order makes the first maximum the
+        lexicographically smallest."""
+        return F.aggregate(
+            F.col(g),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+                F.lit("").alias("gram"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                run_len(acc, x).alias("run"),
+                F.when(run_len(acc, x) > acc["best"], run_len(acc, x))
+                .otherwise(acc["best"])
+                .alias("best"),
+                F.when(run_len(acc, x) > acc["best"], x)
+                .otherwise(acc["gram"])
+                .alias("gram"),
+            ),
+            lambda acc: acc["best"] * F.length(acc["gram"]),
+        )
+
+    def dup_chars(g: str) -> Column:
+        """chars of every occurrence after the first: one fold, adding
+        len(gram) whenever the sorted neighbor repeats."""
+        return F.aggregate(
+            F.col(g),
+            F.struct(F.lit("").alias("prev"), F.lit(0).alias("dc")),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                (
+                    acc["dc"]
+                    + F.when(x == acc["prev"], F.length(x)).otherwise(F.lit(0))
+                ).alias("dc"),
+            ),
+            lambda acc: acc["dc"],
+        )
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+    n_lines = F.size("__lines")
+    line_chars = F.aggregate(
+        "__lines", F.lit(0), lambda a, x: a + F.length(x)
+    )
+    dline_chars = F.aggregate(
+        "__dlines", F.lit(0), lambda a, x: a + F.length(x)
+    )
+    return staged.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        frac(n_lines - F.size("__dlines"), n_lines).alias("dup_line_frac"),
+        frac(line_chars - dline_chars, line_chars).alias(
+            "dup_line_char_frac"
+        ),
+        *[
+            frac(top_chars(f"__g{n}"), F.col("__nc")).alias(
+                f"top_{n}gram_char_frac"
+            )
+            for n in top_ns
+        ],
+        *[
+            frac(dup_chars(f"__g{n}"), F.col("__nc")).alias(
+                f"dup_{n}gram_char_frac"
+            )
+            for n in dup_ns
+        ],
+    )

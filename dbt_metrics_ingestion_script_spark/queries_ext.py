@@ -1138,6 +1138,100 @@ def text_quality_score(spark, sf_dir):
     return text.quality_score(load_table(spark, sf_dir, "documents"))
 
 
+def _repetition_oracle() -> str:
+    """Relational mirror of operators/text.py repetition_signals: the
+    per-doc gram frequencies come from an unnest + GROUP BY (where the
+    Spark side is a per-row sorted-array fold), top grams tie-break
+    (count DESC, gram ASC), dup chars sum (count-1)*len over grams
+    occurring more than once."""
+    top_cols = ",\n           ".join(
+        f"CASE WHEN w.nc > 0 THEN ROUND(COALESCE(t{n}.chars, 0)::DOUBLE / w.nc, 6) "
+        f"ELSE 0.0 END AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    dup_cols = ",\n           ".join(
+        f"CASE WHEN w.nc > 0 THEN ROUND(COALESCE(d{n}.chars, 0)::DOUBLE / w.nc, 6) "
+        f"ELSE 0.0 END AS dup_{n}gram_char_frac"
+        for n in (5, 6, 7, 8, 9, 10)
+    )
+    top_joins = "\n    ".join(
+        f"LEFT JOIN topg t{n} ON t{n}.doc_id = d.doc_id AND t{n}.n = {n}"
+        for n in (2, 3, 4)
+    )
+    dup_joins = "\n    ".join(
+        f"LEFT JOIN dupg d{n} ON d{n}.doc_id = d.doc_id AND d{n}.n = {n}"
+        for n in (5, 6, 7, 8, 9, 10)
+    )
+    return rf"""
+    WITH d AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM d
+    ), ls AS (
+      SELECT doc_id, COUNT(*) AS n_lines, COUNT(DISTINCT ln) AS nd,
+             SUM(len(ln)) AS tlc
+      FROM lines GROUP BY doc_id
+    ), dl AS (
+      SELECT doc_id, SUM(len(ln)) AS dlc
+      FROM (SELECT DISTINCT doc_id, ln FROM lines) GROUP BY doc_id
+    ), w AS (
+      SELECT doc_id, len(norm) AS nc,
+             list_filter(string_split(norm, ' '), x -> x <> '') AS ws
+      FROM d
+    ), grams AS (
+      SELECT w.doc_id, n.n AS n,
+             array_to_string(ws[CAST(i.i AS INT) : CAST(i.i + n.n - 1 AS INT)], ' ') AS gram
+      FROM w, unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n(n),
+           unnest(range(1, len(ws) - n.n + 2)) AS i(i)
+      WHERE len(ws) >= n.n
+    ), gcnt AS (
+      SELECT doc_id, n, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+    ), topg AS (
+      SELECT doc_id, n, c * len(gram) AS chars FROM (
+        SELECT doc_id, n, gram, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                  ORDER BY c DESC, gram ASC) AS rn
+        FROM gcnt WHERE n IN (2, 3, 4)
+      ) WHERE rn = 1
+    ), dupg AS (
+      SELECT doc_id, n, SUM((c - 1) * len(gram)) AS chars
+      FROM gcnt WHERE n IN (5, 6, 7, 8, 9, 10) AND c > 1
+      GROUP BY doc_id, n
+    )
+    SELECT d.doc_id,
+           CAST(ls.n_lines AS INT) AS n_lines,
+           ROUND((ls.n_lines - ls.nd)::DOUBLE / ls.n_lines, 6)
+             AS dup_line_frac,
+           CASE WHEN ls.tlc > 0
+                THEN ROUND((ls.tlc - dl.dlc)::DOUBLE / ls.tlc, 6)
+                ELSE 0.0 END AS dup_line_char_frac,
+           {top_cols},
+           {dup_cols}
+    FROM d
+    JOIN ls ON ls.doc_id = d.doc_id
+    JOIN dl ON dl.doc_id = d.doc_id
+    JOIN w ON w.doc_id = d.doc_id
+    {top_joins}
+    {dup_joins}
+    """
+
+
+@register("text_repetition_signals", _repetition_oracle())
+def text_repetition_signals(spark, sf_dir):
+    """Gopher/MassiveText intra-document repetition filters (Rae et
+    al. 2021 table A1) as one map-ONLY pass: duplicate-line fraction
+    and char fraction, top-{{2,3,4}}-gram char fraction, duplicated
+    {{5..10}}-gram char fraction -- the repetition axis the
+    length/punct/stopword quality score does not cover.  Zero
+    shuffles/joins on the Spark side (per-row sorted-array folds);
+    the oracle re-derives every frequency relationally (unnest +
+    GROUP BY + rank), so the fold logic is cross-engine-verified."""
+    return text.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+
 def _lang_id_oracle() -> str:
     score = {
         lang: f"len(regexp_extract_all(lower(text), '{pat}'))"

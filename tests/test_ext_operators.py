@@ -3022,3 +3022,77 @@ def test_ivf_pq_batch_recall_shape_and_ordering(spark, sf_dir):
         assert r["n_queries"] == 4
         assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0, r
     assert rows["ivf_pq"]["mean_recall"] >= rows["ivf"]["mean_recall"], rows
+
+
+def test_repetition_signals_match_bruteforce_reference(spark):
+    """Crafted docs (multi-line dups, heavy n-gram repetition, empty
+    text, single word, trailing newline) against a plain-Python
+    reference implementing the documented definitions."""
+    import re as _re
+
+    docs = [
+        (1, "a b a b a b\na b a b a b\nunique line"),
+        (2, "the cat sat on the mat the cat sat on the mat the cat"),
+        (3, ""),
+        (4, "word"),
+        (5, "x y z\n"),
+        (6, "same\nsame\nsame\nsame"),
+    ]
+    from dbt_metrics_ingestion_script_spark.operators import text
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict() for r in text.repetition_signals(df).collect()
+    }
+
+    def ref(doc_id, raw):
+        lines = raw.split("\n")
+        norm = _re.sub(r"\s+", " ", raw.lower()).strip()
+        words = [w for w in norm.split(" ") if w]
+        nc = len(norm)
+        out = {
+            "doc_id": doc_id,
+            "n_lines": len(lines),
+            "dup_line_frac": round(
+                (len(lines) - len(set(lines))) / len(lines), 6
+            ),
+        }
+        tlc = sum(len(l) for l in lines)
+        dlc = sum(len(l) for l in set(lines))
+        out["dup_line_char_frac"] = round((tlc - dlc) / tlc, 6) if tlc else 0.0
+        for n in (2, 3, 4):
+            grams = [
+                " ".join(words[i : i + n])
+                for i in range(len(words) - n + 1)
+            ]
+            if grams and nc:
+                cnt = {}
+                for g in grams:
+                    cnt[g] = cnt.get(g, 0) + 1
+                best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                out[f"top_{n}gram_char_frac"] = round(
+                    best[1] * len(best[0]) / nc, 6
+                )
+            else:
+                out[f"top_{n}gram_char_frac"] = 0.0
+        for n in (5, 6, 7, 8, 9, 10):
+            grams = [
+                " ".join(words[i : i + n])
+                for i in range(len(words) - n + 1)
+            ]
+            cnt = {}
+            for g in grams:
+                cnt[g] = cnt.get(g, 0) + 1
+            dup = sum((c - 1) * len(g) for g, c in cnt.items() if c > 1)
+            out[f"dup_{n}gram_char_frac"] = (
+                round(dup / nc, 6) if nc else 0.0
+            )
+        return out
+
+    for doc_id, raw in docs:
+        assert got[doc_id] == ref(doc_id, raw), (doc_id, got[doc_id])
+    # sanity anchors on the crafted data
+    assert got[6]["dup_line_frac"] == 0.75  # 4 identical lines
+    assert got[1]["n_lines"] == 3
+    assert got[2]["dup_5gram_char_frac"] > 0  # repeated 13-word phrase
+    assert got[3] == ref(3, "")  # empty doc yields all zeros

@@ -890,3 +890,15 @@ def test_ivf_pq_batch_topk_single_plan_group_limits(spark):
     # the skew-critical per-query selections: shortlist + final top-k
     assert simple.count("WindowGroupLimit") >= 2, simple
 
+
+
+def test_repetition_signals_map_only(spark):
+    """The Gopher repetition-filter profile is ONE map-side pass: every
+    n-gram frequency is a per-row sorted-array fold, so the plan has
+    zero Exchanges, zero Joins, zero Python eval -- it runs at scan
+    speed next to the other per-document quality signals."""
+    plan = plan_of(run(spark, "text_repetition_signals"), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("documents.parquet") == 1, plan
