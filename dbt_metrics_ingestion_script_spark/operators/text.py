@@ -1470,7 +1470,10 @@ def repetition_signals(
     signals do not cover): duplicate LINE fraction and duplicate-line
     CHARACTER fraction, the character fraction of the single most
     frequent word {2,3,4}-gram, and the character fraction of
-    duplicated word {5..10}-grams.
+    duplicated word {5..10}-grams.  (repetition_stats above is the
+    COUNT-fraction bigram pair from the same paper family; this is the
+    full character-fraction suite the MassiveText thresholds are
+    defined over.)
 
     Definitions (the deterministic RedPajama-style forms; the paper's
     positional-coverage variant of the dup-n-gram signal is exactly

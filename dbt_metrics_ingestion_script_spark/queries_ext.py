@@ -2603,15 +2603,14 @@ def _uni_norm_ctes(tag: str, vocab_cte: str, cnt_cte: str) -> str:
     )"""
 
 
-def _uni_train_oracle() -> str:
-    """Full cross-engine replay of unigram_train_local (VERDICT r9
-    item 4, the last differential-only family converted to driver
-    evidence): substring seeding, {_UNI_ROUNDS} hard-EM rounds (each a
-    recursive-CTE Viterbi E-step + Laplace M-step), pruning to
-    {_UNI_VOCAB} pieces, and the final E-step/normalization that emits
-    (rank, piece, n_chars, count, logprob).  Verified equal to the
-    Python trainer's exact output -- including the 9-dp logprobs -- at
-    development time; the driver re-checks it every round."""
+def _uni_train_ctes() -> str:
+    """The full trainer replay as a reusable CTE chain: substring
+    seeding, {_UNI_ROUNDS} hard-EM rounds (each a recursive-CTE
+    Viterbi E-step + Laplace M-step), pruning to {_UNI_VOCAB} pieces,
+    the final E-step (rfcnt) and final normalization (nfp probs +
+    nfcost costs).  Shared by the trainer oracle and the
+    encoded-lengths oracle (which appends one more E-step under
+    nfcost)."""
     lmax = _UNI_LMAX
     sql = f"""
     WITH RECURSIVE {_uni_words_cte()}
@@ -2655,7 +2654,17 @@ def _uni_train_oracle() -> str:
     sql += _uni_norm_ctes("nk", "kept", last_cnt)
     sql += _uni_estep_ctes("rf", "nkcost")
     sql += _uni_norm_ctes("nf", "kept", "rfcnt")
-    sql += """
+    return sql
+
+
+def _uni_train_oracle() -> str:
+    """Full cross-engine replay of unigram_train_local (VERDICT r9
+    item 4, the last differential-only family converted to driver
+    evidence): the trainer CTE chain plus the emitted
+    (rank, piece, n_chars, count, logprob).  Verified equal to the
+    Python trainer's exact output -- including the 9-dp logprobs -- at
+    development time; the driver re-checks it every round."""
+    return _uni_train_ctes() + """
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(fc.cnt, 0) DESC, k.piece ASC) - 1 AS INT) AS rank,
            k.piece,
            CAST(len(k.piece) AS INT) AS n_chars,
@@ -2665,7 +2674,35 @@ def _uni_train_oracle() -> str:
     LEFT JOIN rfcnt fc ON fc.piece = k.piece
     JOIN nfp fp ON fp.piece = k.piece
     """
-    return sql
+
+
+def _uni_encode_oracle() -> str:
+    r"""Train-then-ENCODE replay: the trainer chain, one more
+    recursive-CTE Viterbi pass under the FINAL cost table (nfcost --
+    the encode cost round(-logprob, 9) equals round(-ln p, 9) because
+    rounding commutes with negation in both engines), then the
+    per-document rollup: every corpus word joins its Viterbi piece
+    count and docs aggregate (n_words, n_uni_tokens)."""
+    return (
+        _uni_train_ctes()
+        + _uni_estep_ctes("enc", "nfcost")
+        + r"""
+    , wtok AS (
+      SELECT w, win[len(win)].np AS np FROM encvit WHERE i = len(w)
+    ), docw AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(t.np) AS BIGINT) AS n_uni_tokens
+    FROM docw dw JOIN wtok t ON t.w = dw.w
+    GROUP BY dw.doc_id
+    """
+    )
 
 
 
@@ -2734,14 +2771,18 @@ def text_unigram_lm_pieces(spark, sf_dir):
     )
 
 
-@register("text_unigram_lm_encoded_lengths", None, driver=False)
+@register("text_unigram_lm_encoded_lengths", _uni_encode_oracle())
 def text_unigram_lm_encoded_lengths(spark, sf_dir):
     """Train-then-encode under the unigram-LM tokenizer: per-document
     (n_words, n_uni_tokens) with the Viterbi DP as one JVM fold per
     DISTINCT word (the bpe_encode_token_counts shape; no Python in
-    the encode path).  Depends on the iterative trainer, so
-    non-SQL-expressible; the fold's lengths are pytest-pinned equal
-    to the Python Viterbi on every corpus word."""
+    the encode path).  Promoted to a FULL oracle in round 10 together
+    with the trainer: the DuckDB side replays training AND re-encodes
+    every corpus word with one more recursive-CTE Viterbi pass under
+    the final cost table, so the per-document lengths -- the number a
+    data-mixing budget actually consumes -- are cross-engine-verified
+    end to end.  The fold's lengths stay pytest-pinned equal to the
+    Python Viterbi on every corpus word as the third implementation."""
     from .operators.text import (
         unigram_encode_token_counts,
         unigram_train_local,
