@@ -133,6 +133,7 @@ HEADLINE = [
     "text_bpe_encoded_lengths",
     "text_unigram_seed_candidates",
     "text_unigram_lm_encoded_lengths",
+    "text_unigram_fertility_by_source",
     "metric_whale_revenue_month_spine",
     "events_user_sketch_rollup",
     "events_interarrival_profile",

@@ -2801,6 +2801,100 @@ def text_unigram_lm_encoded_lengths(spark, sf_dir):
     return unigram_encode_token_counts(docs, arts)
 
 
+def _uni_fertility_oracle() -> str:
+    r"""The encode chain rolled up per SOURCE: per-doc
+    (n_words, n_uni_tokens) joined back to the documents frame for
+    source and normalized char counts, then the mixing-budget
+    statistics per source."""
+    return (
+        _uni_train_ctes()
+        + _uni_estep_ctes("enc", "nfcost")
+        + r"""
+    , wtok AS (
+      SELECT w, win[len(win)].np AS np FROM encvit WHERE i = len(w)
+    ), dnorm AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), docw AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(norm, ' '), x -> x <> '')) AS w
+      FROM dnorm
+    ), perdoc AS (
+      SELECT dw.doc_id, COUNT(*) AS n_words, SUM(t.np) AS n_tok
+      FROM docw dw JOIN wtok t ON t.w = dw.w
+      GROUP BY dw.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(pd.n_words, 0)) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(pd.n_tok, 0)) AS BIGINT) AS n_uni_tokens,
+           CASE WHEN SUM(COALESCE(pd.n_words, 0)) > 0
+                THEN ROUND(SUM(COALESCE(pd.n_tok, 0))::DOUBLE
+                           / SUM(COALESCE(pd.n_words, 0)), 6)
+                ELSE 0.0 END AS fertility,
+           CASE WHEN SUM(COALESCE(pd.n_tok, 0)) > 0
+                THEN ROUND(SUM(len(d.norm))::DOUBLE
+                           / SUM(COALESCE(pd.n_tok, 0)), 6)
+                ELSE 0.0 END AS chars_per_token
+    FROM dnorm d LEFT JOIN perdoc pd ON pd.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+    )
+
+
+@register("text_unigram_fertility_by_source", _uni_fertility_oracle())
+def text_unigram_fertility_by_source(spark, sf_dir):
+    """Tokenizer FERTILITY per source under the trained unigram-LM
+    vocabulary: (source, n_docs, n_words, n_uni_tokens, fertility =
+    tokens/word, chars_per_token) -- the statistic a data-mixing
+    budget is actually denominated in (a source whose text tokenizes
+    at 1.8 tokens/word consumes 1.8x the context budget of one at
+    1.0), and the standard tokenizer-quality probe across domains.
+    Composes the trained tokenizer, the JVM Viterbi encode, and a
+    per-source rollup in one plan; the oracle replays training,
+    re-encoding, AND the rollup, so the budget numbers are
+    cross-engine-verified end to end.
+
+    Documents with zero encodable words still count in n_docs (left
+    join; zero token mass).  Denominator guards return 0.0 instead of
+    an ANSI divide error."""
+    from .operators.text import (
+        unigram_encode_token_counts,
+        unigram_train_local,
+    )
+    from .operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    arts = [
+        (r["piece"], round(-r["logprob"], 9))
+        for r in unigram_train_local(
+            docs,
+            vocab_size=_UNI_VOCAB,
+            seed_size=_UNI_SEED,
+            em_rounds=_UNI_ROUNDS,
+        ).collect()
+    ]
+    per_doc = unigram_encode_token_counts(docs, arts)
+    base = docs.select(
+        "doc_id", "source", F.length(normalize_text("text")).alias("__nc")
+    )
+    joined = base.join(per_doc, "doc_id", "left")
+    words = F.sum(F.coalesce(F.col("n_words"), F.lit(0)))
+    toks = F.sum(F.coalesce(F.col("n_uni_tokens"), F.lit(0)))
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        words.alias("n_words"),
+        toks.alias("n_uni_tokens"),
+        F.when(words > 0, F.round(toks / words, 6))
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+        F.when(toks > 0, F.round(F.sum("__nc") / toks, 6))
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_token"),
+    )
+
+
 _VOCAB_K, _VOCAB_MIN_DF = 100, 2
 
 
