@@ -2858,7 +2858,12 @@ def text_unigram_fertility_by_source(spark, sf_dir):
 
     Documents with zero encodable words still count in n_docs (left
     join; zero token mass).  Denominator guards return 0.0 instead of
-    an ANSI divide error."""
+    an ANSI divide error.
+
+    Scan budget: documents 3x -- the trainer's word-frequency collect
+    (stats), the encode pass, and the source/char-count frame the
+    rollup joins; production trains once, stores the tokenizer
+    artifact, and pays the encode+rollup scans only."""
     from .operators.text import (
         unigram_encode_token_counts,
         unigram_train_local,
