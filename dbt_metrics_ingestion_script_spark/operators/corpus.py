@@ -1092,10 +1092,17 @@ def duplicated_substring_extents(
     duplicate of length >= n).
 
     Scale shape: one real documents scan (the positional gram frame is
-    eagerly localCheckpointed -- it feeds both the per-gram aggregate
+    lazily localCheckpointed -- it feeds both the per-gram aggregate
     and the coverage join-back, and Catalyst would otherwise
     re-tokenize documents per reference); grams are slim (id, pos,
-    hash64) rows, never the text payload.  Cross-document occurrence
+    hash64) rows, never the text payload.  That one scan is HIDDEN
+    from the final plan (the checkpoint is a Scan ExistingRDD leaf);
+    plan_audit's `ckpt` column counts such leaves so the scan budget
+    is not understated.  Measured price of the r10 de-skew at sf0.1:
+    ~1.7x wall-time canary-normalized (0.48s -> 1.14s raw, r9 -> r10
+    BENCHFULL) vs the per-gram window form -- deliberate; do NOT
+    "optimize" the window back in, it serializes a 1e9-occurrence
+    boilerplate gram onto one partition at 100 TB.  Cross-document occurrence
     is a groupBy(gram).agg(min(doc) != max(doc)) plus a join-back --
     NOT a per-gram window: partial aggregation collapses a hot
     boilerplate gram to one row per map task BEFORE the shuffle, and
@@ -1126,8 +1133,17 @@ def duplicated_substring_extents(
         (F.col("__p0") + 1).alias("pos"),
         hash64(F.col("__gram")).alias("__g"),
     )
-    # eager checkpoint: grams feeds the aggregate AND the join-back
-    grams = grams.localCheckpoint(eager=True)
+    # lazy checkpoint: grams feeds the aggregate AND the join-back, so
+    # truncate its lineage once.  eager=False (round-10 advice):
+    # building/explaining this frame must not run the scan+tokenize
+    # job -- blocks materialize at the first real action and both
+    # references reuse them within that job.  Blocks are executor-
+    # local (not fault-tolerant): a lost executor recomputes its
+    # partitions from the parquet scan, i.e. degrades to exactly the
+    # cost the checkpoint saved.  No explicit unpersist handle: the
+    # operator returns a derived frame and the ContextCleaner drops
+    # the blocks when the RDD goes out of scope.
+    grams = grams.localCheckpoint(eager=False)
     xdoc = (
         grams.groupBy("__g")
         .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))

@@ -104,11 +104,14 @@ def main() -> int:
         audit = read_evidence(audit_name, worktree)
         # a plan_audit row is "<name> <scans...>"; its error path prints
         # "<name padded> ERROR <exc>" -- a bare ^name-space match would
-        # count a failed plan build as audited
+        # count a failed plan build as audited.  \b (not "ERROR ") so a
+        # bare trailing "ERROR" with empty exception text is rejected
+        # too, and re.escape() keeps the interpolation safe if a query
+        # name ever gains a regex metacharacter.
         missing = [
             n
             for n in driver_names
-            if not re.search(rf"^{n} +(?!ERROR )\S", audit, re.M)
+            if not re.search(rf"^{re.escape(n)} +(?!ERROR\b)\S", audit, re.M)
         ]
         if missing:
             failed = True

@@ -35,7 +35,7 @@ def main() -> int:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "simple"
     )
-    print(f"{'query':45s} {'scans':28s} shuf bcast pyeval")
+    print(f"{'query':45s} {'scans':28s} shuf bcast pyeval ckpt")
     for name, fn in E.queries().items():
         try:
             df = fn(spark, sf_dir)
@@ -52,9 +52,13 @@ def main() -> int:
         bcast = plan.count("BroadcastExchange")
         pyeval = "YES" if "BatchEvalPython" in plan else "-"
         arrow = "arrow" if "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan else ""
+        # checkpoint leaves (Scan ExistingRDD): each HIDES the scans of
+        # the job that materializes it -- counted so the scan budget is
+        # never understated by lineage truncation (round-10 advice)
+        ckpt = plan.count("Scan ExistingRDD")
         print(
             f"{name:45s} {scans or '-':28s} {shuffles:4d} {bcast:5d} "
-            f"{pyeval:>6s} {arrow}"
+            f"{pyeval:>6s} {ckpt:4d} {arrow}"
         )
     spark.stop()
     return 0

@@ -45,15 +45,31 @@ def test_planaudit_row_regex_rejects_error_lines():
     audit = (
         "good_query                                    ordersx1   2 0 -\n"
         "errored_query                                 ERROR boom\n"
+        "bare_error_query                              ERROR\n"
         "noscan_query                                  -          1 0 -\n"
     )
 
     def audited(n: str) -> bool:
-        return bool(re.search(rf"^{n} +(?!ERROR )\S", audit, re.M))
+        return bool(
+            re.search(rf"^{re.escape(n)} +(?!ERROR\b)\S", audit, re.M)
+        )
 
     assert audited("good_query")
     assert audited("noscan_query")
     assert not audited("errored_query")
+    # round-10 advice: a bare trailing ERROR (empty exception text)
+    # must also be rejected -- "ERROR " with a required space let it
+    # count as audited
+    assert not audited("bare_error_query")
     assert not audited("absent_query")
     # prefix of a longer name never matches (space required after name)
     assert not audited("good")
+    # names are escaped before interpolation: a hypothetical name with
+    # a regex metacharacter must match literally, not as a pattern
+    meta_audit = "weird.query+name                      eventsx1  1 0 -\n"
+    assert re.search(
+        rf"^{re.escape('weird.query+name')} +(?!ERROR\b)\S", meta_audit, re.M
+    )
+    assert not re.search(
+        rf"^{re.escape('weirdXquery+name')} +(?!ERROR\b)\S", meta_audit, re.M
+    )

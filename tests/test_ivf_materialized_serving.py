@@ -81,6 +81,21 @@ def test_materialized_ivf_index_probe_is_partition_pruned(
     # and NOT a post-scan data filter: the only Filter allowed on the
     # index scan side is the partition pruning itself
     assert "ivf_index" in plan  # the materialized scan is in THIS plan
+    # enforce the "not a post-scan Filter" half directly (round-10
+    # advice: 'ivf_index in plan' alone would still pass if pruning
+    # regressed to a data filter): no Filter node's Condition may
+    # mention centroid_id, and no scan may push it as a DATA filter --
+    # the partition column must appear only in PartitionFilters /
+    # column lists.
+    cond_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Condition" in ln and "centroid_id" in ln
+    ]
+    assert not cond_lines, plan
+    pushed_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed_lines, plan
+    assert all("centroid_id" not in ln for ln in pushed_lines), plan
 
     # 2. row-for-row parity with the inline-build serving path at the
     #    same probe budget

@@ -858,9 +858,10 @@ def test_snapshot_diff_single_scan_no_join(spark):
 
 def test_substring_extents_checkpointed_skewproof_coverage(spark):
     """Substring-extent detection after the round-10 de-skew (VERDICT
-    r9 nit 3): the positional gram frame is an eager localCheckpoint
+    r9 nit 3): the positional gram frame is a LAZY localCheckpoint
     leaf (documents scans ZERO times in the final plan; the one real
-    scan + tokenize happens at checkpoint build), cross-document
+    scan + tokenize happens when the first action materializes the
+    checkpoint -- counted by plan_audit's ckpt column), cross-document
     occurrence is a partial-aggregated groupBy(gram) + join-back --
     never a per-gram window, which a boilerplate gram occurring 1e9
     times would serialize onto one partition; the join-back is
@@ -889,6 +890,39 @@ def test_ivf_pq_batch_topk_single_plan_group_limits(spark):
     simple = plan_of(run(spark, "similarity_ivf_pq_batch_topk"), "simple")
     # the skew-critical per-query selections: shortlist + final top-k
     assert simple.count("WindowGroupLimit") >= 2, simple
+
+
+def test_ivf_batch_topk_and_batch_recall_group_limits(spark):
+    """Round-10 advice: the WindowGroupLimit claim in ivf_batch_topk's
+    docstring was plan-locked only for the PQ batch path -- lock the
+    IVF-only batch operator and the batch recall harness too, so the
+    map-side partial top-k property cannot silently regress on either.
+    """
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators import similarity
+    from dbt_metrics_ingestion_script_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    batch = similarity.ivf_batch_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=2
+    )
+    simple = plan_of(batch, "simple")
+    # per-query top-k is a rank window Spark rewrites to map-side
+    # partial top-k; the probe selection window is B x n_centroids
+    # (tiny) and may or may not be rewritten -- require the candidate
+    # top-k one at minimum
+    assert "WindowGroupLimit" in simple, simple
+    assert "BroadcastExchange" in simple, simple
+
+    recall = run(spark, "similarity_ivf_pq_batch_recall")
+    rsimple = plan_of(recall, "simple")
+    assert "WindowGroupLimit" in rsimple, rsimple
 
 
 
