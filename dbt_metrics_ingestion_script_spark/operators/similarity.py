@@ -1059,6 +1059,52 @@ def ivf_pq_batch_topk(
         embeddings, m=m, n_codes=n_codes, dim=dim,
         id_col=id_col, vec_col=vec_col,
     )
+    return ivf_pq_batch_serve(
+        assignments,
+        centroids,
+        codes,
+        codebooks,
+        queries,
+        k=k,
+        shortlist=shortlist,
+        m=m,
+        n_probe=n_probe,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        round_digits=round_digits,
+    )
+
+
+def ivf_pq_batch_serve(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 30,
+    n_probe: int = 4,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """The serving half of ivf_pq_batch_topk, taking PREBUILT index
+    frames (inline-derived or read back from a materialized store) --
+    assignments(id, vec, centroid_id), centroids(centroid_id, cvec),
+    codes(id, subspace, code), codebooks(subspace, code, cvec).
+
+    This is the production entry point: with assignments/codes WRITTEN
+    partitioned by centroid_id, the ids-only candidate join against
+    the broadcast probe frame dynamic-partition-prunes the stored scan
+    (only probed cells' files open), and the serving cost per batch is
+    probed lists + B x shortlist re-rank vectors -- never an index
+    rebuild.  Identical results to the inline path: every index value
+    is doubles/ints that round-trip parquet bit-exactly."""
     q = queries.select(
         F.col(query_id_col).alias("qid"), as_double(vec_col).alias("__qvec")
     )
@@ -1240,3 +1286,68 @@ def ivf_pq_batch_recall(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# -- materialized-index serving ---------------------------------------------
+
+_INDEX_PARTS = ("assignments", "centroids", "codes", "codebooks")
+
+
+def materialize_ivf_pq_index(
+    embeddings: DataFrame,
+    base_path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the IVF + PQ index ONCE and write it as the production
+    layout: assignments and codes land `partitionBy("centroid_id")` so
+    probe-time scans prune to the probed cells' files; centroids and
+    codebooks are KB-sized plain tables.  Idempotent: if every part
+    already exists under base_path, this is a no-op -- the index is
+    built once per corpus, amortized over every query batch served
+    from it (the posture each inline ivf_* docstring promises).
+
+    codes carry centroid_id (joined from assignments) purely as the
+    partition key, so the ADC stage can ALSO prune to probed cells.
+    """
+    import os
+
+    if all(
+        os.path.exists(os.path.join(base_path, p, "_SUCCESS"))
+        for p in _INDEX_PARTS
+    ):
+        return
+    assignments, centroids = ivf_index(
+        embeddings, n_centroids, id_col, vec_col
+    )
+    codes, codebooks = pq_encode(
+        embeddings, m=m, n_codes=n_codes, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cells = assignments.select("id", "centroid_id")
+    assignments.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(base_path, "assignments")
+    )
+    codes.join(cells, "id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(os.path.join(base_path, "codes"))
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(base_path, "centroids")
+    )
+    codebooks.write.mode("overwrite").parquet(
+        os.path.join(base_path, "codebooks")
+    )
+
+
+def read_ivf_pq_index(spark, base_path: str) -> dict[str, DataFrame]:
+    """Read back a materialize_ivf_pq_index store; keys _INDEX_PARTS."""
+    import os
+
+    return {
+        p: spark.read.parquet(os.path.join(base_path, p))
+        for p in _INDEX_PARTS
+    }

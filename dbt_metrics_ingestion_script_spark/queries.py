@@ -1793,3 +1793,276 @@ def tpch_q7_volume_shipping(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+_Q12_START, _Q12_END = "1997-01-01", "1998-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    f"""
+    SELECT l.l_returnflag AS ship_group,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= DATE '{_Q12_START}'
+      AND l.l_shipdate < DATE '{_Q12_END}'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+)
+def tpch_q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 (shipping modes and order priority), adapted to the
+    driver's column subset: the driver's lineitem has no l_shipmode /
+    l_commitdate / l_receiptdate, so the mode group is l_returnflag
+    and "received later than committed" becomes "shipped more than 90
+    days after the order was placed" -- the archetype is intact: a
+    fact-to-fact equi-join whose filter references BOTH sides (the
+    lateness predicate needs o_orderdate, so it cannot push below the
+    join), followed by a two-arm conditional count.  The ship-date
+    year window DOES push into the lineitem scan; the join shuffles
+    both facts on orderkey once; the CASE pair is a single
+    partial+final hash aggregate over 3 groups.  Ref behavior spec:
+    pure EXT anchor (no counterpart in /root/reference).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q12_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q12_END).cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(*_Q12_HIGH)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_group"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q8_REGION = "AMERICA"
+_Q8_NATION = "NATION_9"
+_Q8_TYPE = "ECONOMY"
+_Q8_START, _Q8_END = "1995-01-01", "1997-01-01"
+
+
+@register(
+    "tpch_q8_national_market_share",
+    f"""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = '{_Q8_NATION}' THEN volume
+                          ELSE 0 END) / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = '{_Q8_REGION}'
+        AND o.o_orderdate >= DATE '{_Q8_START}'
+        AND o.o_orderdate < DATE '{_Q8_END}'
+        AND p.p_type = '{_Q8_TYPE}'
+    )
+    GROUP BY 1
+    """,
+)
+def tpch_q8_national_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share), adapted to the driver's
+    column subset (p_type values are single words; two full order
+    years): {_Q8_NATION}'s share of {_Q8_REGION}-customer revenue for
+    {_Q8_TYPE} parts per order year -- the widest star in the anchor
+    set (7 joins) and the conditional-share archetype (numerator is a
+    CASE inside the same aggregate pass as the denominator, NOT a
+    second scan or self-join).
+
+    Scale shape: lineitem joins broadcast part (type-filtered, the
+    most selective edge first) and broadcast supplier->nation for the
+    numerator tag; the only shuffled join is lineitem<->orders on
+    orderkey (two facts); orders pre-filters on the date window and
+    then joins broadcast customer->nation->region restricted to the
+    market region, so fact rows prune before the shuffle on BOTH
+    sides.  One final 2-group aggregate.  Ref behavior spec: pure EXT
+    anchor (no counterpart in /root/reference)."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == _Q8_TYPE)
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == _Q8_REGION
+    )
+    mkt_nations = (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        ).select(F.col("n_nationkey").alias("mkt_nkey"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(mkt_nations),
+            F.col("c_nationkey") == F.col("mkt_nkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(_Q8_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_Q8_END).cast("timestamp"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == _Q8_NATION, F.col("volume"))
+                    .otherwise(0.0)
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q21_LATE_DAYS = 90
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    f"""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY)
+               AS late
+      FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lo l1
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (
+        SELECT 1 FROM lo l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lo l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.late
+      )
+    GROUP BY 1
+    """,
+)
+def tpch_q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    driver's column subset ("late" = shipped more than
+    {_Q21_LATE_DAYS} days after the order was placed, standing in for
+    l_receiptdate > l_commitdate; no nation filter so the per-supplier
+    distribution is populated at sf0.01): the hardest decorrelation
+    shape in the suite -- EXISTS(another supplier in the order) AND
+    NOT EXISTS(another LATE supplier in the order), correlated on the
+    FACT table itself.
+
+    The oracle runs the textbook double-correlated form; the Spark
+    plan is the hand-decorrelated single-pass rewrite: both EXISTS
+    collapse into per-order WINDOW aggregates over the min/max trick
+    ("another supplier exists" == min(suppkey) != max(suppkey);
+    "exactly one late supplier" == min/max over late rows coincide --
+    and then the late row's own suppkey IS that supplier), so
+    lineitem scans ONCE, shuffles once on l_orderkey for the join
+    with status-filtered orders, and the windows reuse that exchange
+    (same partition key, zero extra Exchange -- the Q17/Q15
+    discipline).  A naive translation runs three lineitem scans + two
+    shuffled semi/anti joins.  supplier broadcasts for the name.
+    Scan budget: lineitem x1, orders x1.  Ref behavior spec: pure EXT
+    anchor (no counterpart in /root/reference)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
+    flagged = lo.select(
+        "l_suppkey",
+        "late",
+        (F.min("l_suppkey").over(w) != F.max("l_suppkey").over(w)).alias(
+            "__other_supp"
+        ),
+        F.min(late_supp).over(w).alias("__mn_late"),
+        F.max(late_supp).over(w).alias("__mx_late"),
+    )
+    kept_waiting = flagged.where(
+        F.col("late")
+        & F.col("__other_supp")
+        & (F.col("__mn_late") == F.col("__mx_late"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        kept_waiting.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

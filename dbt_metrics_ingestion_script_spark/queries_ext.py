@@ -3533,6 +3533,79 @@ def similarity_ivf_pq_batch_recall(spark, sf_dir):
         round_digits=6,
     )
 
+
+def _ivf_pq_index_path(sf_dir: str) -> str:
+    """Deterministic per-corpus/per-params store location for the
+    materialized serving index (scratch space -- NOT the repo, NOT the
+    read-only testdata)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|c16|m{_PQ_M}|k{_PQ_CODES}|d{_PQ_DIM}"
+        .encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivf_pq_index_{tag}"
+    )
+
+
+@register(
+    "similarity_ivf_pq_batch_topk_served",
+    _ivf_pq_batch_ctes()
+    + """
+    SELECT query_id, vec_id, cosine_sim FROM finalk
+    """,
+)
+def similarity_ivf_pq_batch_topk_served(spark, sf_dir):
+    """similarity_ivf_pq_batch_topk SERVED FROM A MATERIALIZED INDEX
+    (VERDICT r10 item 2): the first construction builds the IVF
+    assignments + PQ codes ONCE and writes them
+    `partitionBy(centroid_id)` to scratch; every serve after that --
+    including this registered plan -- READS the stored index, and the
+    ids-only candidate join against the broadcast probe frame
+    dynamic-partition-prunes the stored scan to the probed cells'
+    files.  Same rows as the inline path (the index is doubles/ints
+    that round-trip parquet bit-exactly), so the oracle replays the
+    inline derivation.
+
+    Scan budget: embeddings x0 in the serving plan -- the 4-row
+    query batch is a lazy localCheckpoint (1 ckpt leaf in plan_audit;
+    one 4-row derivation job at first action; production receives the
+    batch as service input, not a corpus scan), so the plan touches
+    ONLY the stored index: assignments x2 (DPP-pruned candidates +
+    shortlist re-rank fetch), codes x1, centroids/codebooks broadcast.
+    The index build cost is paid once per corpus, not per batch --
+    this is the production posture the inline queries' docstrings
+    promise, now registry-visible.  Plan lock:
+    tests/test_ivf_materialized_serving.py::
+    test_registered_served_query_prunes_partitions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ivf_pq_index_path(sf_dir)
+    similarity.materialize_ivf_pq_index(
+        emb, path, n_centroids=16, m=_PQ_M, n_codes=_PQ_CODES, dim=_PQ_DIM
+    )
+    idx = similarity.read_ivf_pq_index(spark, path)
+    # the serve stage references the query frame 3x (probes, subspace
+    # split, re-rank); without the checkpoint each reference re-scans
+    # embeddings for the same 4 rows
+    qbatch = _min_ids_queries(emb).localCheckpoint(eager=False)
+    return similarity.ivf_pq_batch_serve(
+        idx["assignments"],
+        idx["centroids"],
+        idx["codes"].select("id", "subspace", "code"),
+        idx["codebooks"],
+        qbatch,
+        k=10,
+        shortlist=_IVFPQ_BATCH_SHORTLIST,
+        n_probe=4,
+        m=_PQ_M,
+        dim=_PQ_DIM,
+        round_digits=6,
+    )
+
+
 _SESSION_WINDOW_GAP_MIN = 30
 
 

@@ -130,3 +130,31 @@ def test_materialized_index_partition_layout(spark, sf_dir, tmp_path):
     )
     back = spark.read.parquet(str(idx_path))
     assert back.count() == assignments.count()
+
+
+def test_registered_served_query_prunes_partitions(spark, sf_dir):
+    """The REGISTERED materialized-serving query (VERDICT r10 item 2):
+    its plan must read the stored index with dynamic partition pruning
+    on the candidates scan and touch embeddings ZERO times (the query
+    batch is a checkpoint leaf) -- the stored index, not the corpus,
+    is the serving data source."""
+    from dbt_metrics_ingestion_script_spark.queries_ext import (
+        similarity_ivf_pq_batch_topk_served,
+    )
+
+    df = similarity_ivf_pq_batch_topk_served(spark, sf_dir)
+    plan = _plan_of(df)
+    # dynamic partition pruning on the stored assignments scan
+    dpp_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    assert dpp_lines and any("centroid_id" in ln for ln in dpp_lines), plan
+    # serving never scans the corpus: the only embeddings access is the
+    # checkpointed 4-row query batch (a Scan ExistingRDD leaf)
+    assert plan.count("embeddings.parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+    # index scans: pruned candidates + shortlist re-rank fetch
+    assert plan.count("/assignments") == 2, plan
+    assert plan.count("/codes") == 1, plan

@@ -936,3 +936,41 @@ def test_repetition_signals_map_only(spark):
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_tpch_q21_single_lineitem_scan_decorrelated(spark):
+    """Q21's double EXISTS/NOT-EXISTS decorrelation (VERDICT r10 item
+    3): one lineitem scan, the per-order min/max window rides the one
+    orderkey exchange, supplier broadcasts -- a naive translation
+    would scan lineitem three times through two extra semi/anti
+    shuffles."""
+    plan = plan_of(run(spark, "tpch_q21_suppliers_kept_waiting"), "simple")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Window" in plan, plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, plan
+
+
+def test_tpch_q8_star_single_pass_share(spark):
+    """Q8's market share is a CASE inside ONE aggregate pass (never a
+    numerator self-join): every table scans once, only the
+    lineitem<->orders fact join shuffles, the five dim edges
+    broadcast."""
+    plan = plan_of(run(spark, "tpch_q8_national_market_share"), "simple")
+    for t in ["lineitem", "orders", "supplier", "part", "customer", "region"]:
+        assert plan.count(f"{t}.parquet") == 1, (t, plan)
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 3, plan
+    assert plan.count("BroadcastExchange") >= 4, plan
+
+
+def test_tpch_q12_both_sides_filter_cannot_push(spark):
+    """Q12's lateness predicate references both join sides, so it
+    evaluates above the join -- but the ship-date window must still
+    push into the lineitem scan, and the conditional counts are one
+    aggregate pass."""
+    plan = plan_of(run(spark, "tpch_q12_shipmode_priority"))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan, plan
