@@ -236,16 +236,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the `n_probe` centroids nearest the
     query and score only their inverted lists (~n_probe/n_centroids of
     the corpus).  n_probe = n_centroids degrades to exact search.
 
+    `index` optionally supplies prebuilt (assignments, centroids) --
+    the offline eval harnesses build ONE index (localCheckpoint-ed)
+    and sweep parameters over it instead of re-deriving the build per
+    variant (VERDICT r10 item 4).
+
     round_digits rounds the score BEFORE the final order/limit so the
     selected k rows (id tie-break at the rounded precision) are
     reproducible across engines -- the differential oracle needs the
     same rows, not just the same ordering."""
-    assignments, centroids = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    assignments, centroids = (
+        index
+        if index is not None
+        else ivf_index(embeddings, n_centroids, id_col, vec_col)
+    )
     q = query.select(as_double(vec_col).alias("__qvec"))
     d2 = F.aggregate(
         F.zip_with(F.col("cvec"), F.col("__qvec"), lambda x, y: (x - y) * (x - y)),
@@ -339,6 +349,75 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def ann_probe_sweep(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    probe_levels: tuple[int, ...] = (1, 2, 4, 8, 16),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ann_recall swept over n_probe levels AGAINST ONE SHARED INDEX:
+    the IVF build, the query frame, and the exact top-k are derived
+    once (lazy localCheckpoint) and every probe level reuses them --
+    the level loop only re-plans the probe/score/intersect stages
+    (VERDICT r10 item 4: the naive per-level ann_recall calls audited
+    embeddings x60).
+
+    Output: (n_probe, k, n_exact, n_hits, recall), one row per level,
+    identical values to per-level ann_recall (same rounding and
+    tie-break conventions -- checkpointing truncates lineage, never
+    changes rows)."""
+    from functools import reduce
+
+    query = query.localCheckpoint(eager=False)
+    idx = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    idx = (
+        idx[0].localCheckpoint(eager=False),
+        idx[1].localCheckpoint(eager=False),
+    )
+    q = query.select(as_double(vec_col).alias("__qvec"))
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(
+            cosine(as_double(vec_col), F.col("__qvec")), round_digits
+        ).alias("__s"),
+    )
+    exact = (
+        scored.orderBy(F.desc("__s"), F.asc(id_col))
+        .limit(k)
+        .select(id_col)
+        .localCheckpoint(eager=False)
+    )
+    frames = []
+    for p in probe_levels:
+        approx = ivf_topk(
+            embeddings, query, k=k, n_centroids=n_centroids, n_probe=p,
+            id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+            index=idx,
+        ).select(id_col)
+        frames.append(
+            exact.join(approx.withColumn("__hit", F.lit(1)), id_col, "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("__hit").alias("n_hits"),
+            )
+            .select(
+                F.lit(p).alias("n_probe"),
+                F.lit(k).alias("k"),
+                F.col("n_exact"),
+                F.col("n_hits"),
+                F.when(
+                    F.col("n_exact") > 0,
+                    F.round(F.col("n_hits") / F.col("n_exact"), 6),
+                ).alias("recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
 
 
 def cluster_balanced_cap(
@@ -774,6 +853,8 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
+    pq: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The composed IVF->PQ->rerank SERVING plan (the billion-scale ANN
     architecture: IVFADC of Jegou et al., "Product Quantization for
@@ -799,11 +880,23 @@ def ivf_pq_topk(
 
     round_digits rounds BOTH the ADC distance (before the shortlist
     limit) and the cosine (before the final limit) so both engines
-    select identical row sets at ties."""
-    assignments, centroids = ivf_index(embeddings, n_centroids, id_col, vec_col)
-    codes, codebooks = pq_encode(
-        embeddings, m=m, n_codes=n_codes, dim=dim,
-        id_col=id_col, vec_col=vec_col,
+    select identical row sets at ties.
+
+    `index`/`pq` optionally supply prebuilt (assignments, centroids) /
+    (codes, codebooks) so eval harnesses share one build across
+    variants (VERDICT r10 item 4)."""
+    assignments, centroids = (
+        index
+        if index is not None
+        else ivf_index(embeddings, n_centroids, id_col, vec_col)
+    )
+    codes, codebooks = (
+        pq
+        if pq is not None
+        else pq_encode(
+            embeddings, m=m, n_codes=n_codes, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
     )
     q = query.select(as_double(vec_col).alias("__qvec"))
     d2c = F.aggregate(
@@ -888,7 +981,29 @@ def ivf_pq_recall(
     IVF-only path in one cross-engine-verified frame (the ann_recall
     discipline, extended to a path comparison).
 
-    Output: (path, k, n_exact, n_hits, recall), 2 rows."""
+    Output: (path, k, n_exact, n_hits, recall), 2 rows.
+
+    Shared-build discipline (VERDICT r10 item 4): the query frame,
+    the IVF index, the PQ codebooks, and the exact top-k are each
+    derived ONCE and lazily localCheckpoint-ed -- Catalyst re-derives
+    every multiply-referenced frame, so without the checkpoints this
+    harness re-ran both index builds per path (embeddings x34 in the
+    audited plan).  Lazy (eager=False): explaining the harness never
+    runs the builds; the checkpoint jobs fire at the first action."""
+    query = query.localCheckpoint(eager=False)
+    idx = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    idx = (
+        idx[0].localCheckpoint(eager=False),
+        idx[1].localCheckpoint(eager=False),
+    )
+    pq = pq_encode(
+        embeddings, m=m, n_codes=n_codes, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    pq = (
+        pq[0].localCheckpoint(eager=False),
+        pq[1].localCheckpoint(eager=False),
+    )
     q = query.select(as_double(vec_col).alias("__qvec"))
     scored = embeddings.crossJoin(F.broadcast(q)).select(
         F.col(id_col),
@@ -897,18 +1012,22 @@ def ivf_pq_recall(
         ).alias("__s"),
     )
     exact = (
-        scored.orderBy(F.desc("__s"), F.asc(id_col)).limit(k).select(id_col)
+        scored.orderBy(F.desc("__s"), F.asc(id_col))
+        .limit(k)
+        .select(id_col)
+        .localCheckpoint(eager=False)
     )
     paths = {
         "ivf": ivf_topk(
             embeddings, query, k=k, n_centroids=n_centroids, n_probe=n_probe,
             id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+            index=idx,
         ).select(id_col),
         "ivf_pq": ivf_pq_topk(
             embeddings, query, k=k, shortlist=shortlist,
             n_centroids=n_centroids, n_probe=n_probe, m=m, n_codes=n_codes,
             dim=dim, id_col=id_col, vec_col=vec_col,
-            round_digits=round_digits,
+            round_digits=round_digits, index=idx, pq=pq,
         ).select(id_col),
     }
     frames = []
@@ -955,6 +1074,7 @@ def ivf_batch_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """ivf_topk generalized to a query BATCH: one shared index build,
     per-query probing/scoring/top-k keyed by query_id -- no per-query
@@ -970,7 +1090,11 @@ def ivf_batch_topk(
     Spark rewrites into map-side WindowGroupLimit partial top-k, so a
     hot query cannot serialize a partition's full candidate list
     through the sort."""
-    assignments, centroids = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    assignments, centroids = (
+        index
+        if index is not None
+        else ivf_index(embeddings, n_centroids, id_col, vec_col)
+    )
     q = queries.select(
         F.col(query_id_col).alias("qid"), as_double(vec_col).alias("__qvec")
     )
@@ -1025,6 +1149,8 @@ def ivf_pq_batch_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
+    pq: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The composed IVF->PQ->rerank serving plan for a query BATCH
     (VERDICT r9 item 3): both indexes build once; probing, ADC, the
@@ -1054,10 +1180,18 @@ def ivf_pq_batch_topk(
     round_digits rounds the ADC distance before the shortlist window
     and the cosine before the final window (the ivf_pq_topk
     cross-engine tie convention, per query)."""
-    assignments, centroids = ivf_index(embeddings, n_centroids, id_col, vec_col)
-    codes, codebooks = pq_encode(
-        embeddings, m=m, n_codes=n_codes, dim=dim,
-        id_col=id_col, vec_col=vec_col,
+    assignments, centroids = (
+        index
+        if index is not None
+        else ivf_index(embeddings, n_centroids, id_col, vec_col)
+    )
+    codes, codebooks = (
+        pq
+        if pq is not None
+        else pq_encode(
+            embeddings, m=m, n_codes=n_codes, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
     )
     return ivf_pq_batch_serve(
         assignments,
@@ -1215,7 +1349,27 @@ def ivf_pq_batch_recall(
     Per-query recall divides by that query's ACTUAL exact-side row
     count (the ann_recall convention); scores round before every rank
     window so both engines of the differential harness select
-    identical per-query row sets at ties."""
+    identical per-query row sets at ties.
+
+    Shared-build discipline (VERDICT r10 item 4): query batch, IVF
+    index, PQ codebooks, and the per-query exact top-k are each
+    derived once and lazily localCheckpoint-ed, then reused by both
+    paths -- the un-checkpointed form re-ran every build per path
+    (embeddings x27 in the audited plan)."""
+    queries = queries.localCheckpoint(eager=False)
+    idx = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    idx = (
+        idx[0].localCheckpoint(eager=False),
+        idx[1].localCheckpoint(eager=False),
+    )
+    pqb = pq_encode(
+        embeddings, m=m, n_codes=n_codes, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    pqb = (
+        pqb[0].localCheckpoint(eager=False),
+        pqb[1].localCheckpoint(eager=False),
+    )
     q = queries.select(
         F.col(query_id_col).alias("qid"), as_double(vec_col).alias("__qvec")
     )
@@ -1237,18 +1391,21 @@ def ivf_pq_batch_recall(
         scored.withColumn("__rn", F.row_number().over(wk))
         .where(F.col("__rn") <= k)
         .select("qid", "id")
+        .localCheckpoint(eager=False)
     )
     paths = {
         "ivf": ivf_batch_topk(
             embeddings, queries, k=k, n_centroids=n_centroids,
             n_probe=n_probe, id_col=id_col, vec_col=vec_col,
             query_id_col=query_id_col, round_digits=round_digits,
+            index=idx,
         ),
         "ivf_pq": ivf_pq_batch_topk(
             embeddings, queries, k=k, shortlist=shortlist,
             n_centroids=n_centroids, n_probe=n_probe, m=m,
             n_codes=n_codes, dim=dim, id_col=id_col, vec_col=vec_col,
             query_id_col=query_id_col, round_digits=round_digits,
+            index=idx, pq=pqb,
         ),
     }
     frames = []

@@ -1031,21 +1031,21 @@ def similarity_ann_probe_sweep(spark, sf_dir):
     At 100 TB this runs on a sampled query set against the
     materialized index; serving never pays the exact side.
 
-    Scan budget: embeddings 60x -- offline tuning harness: 5 probe
-    levels x (index build + exact + approx sides), run once on a
-    SAMPLED query set to pick n_probe; never a serving plan.
+    Scan budget: embeddings x0 in the final plan -- query,
+    assignments, centroids, and the exact top-k are lazy-checkpointed
+    shared frames (plan_audit's ckpt column); the index build, the
+    query derivation, and the exact side each run ONCE at checkpoint
+    materialization and all 5 probe levels reuse them (VERDICT r10
+    item 4; the per-level form audited embeddings x60).
     """
-    from functools import reduce
-
     emb = load_table(spark, sf_dir, "embeddings")
-    q = _min_id_query(emb)
-    frames = [
-        similarity.ann_recall(emb, q, k=10, n_centroids=16, n_probe=p).select(
-            F.lit(p).alias("n_probe"), "k", "n_exact", "n_hits", "recall"
-        )
-        for p in _PROBE_SWEEP
-    ]
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    return similarity.ann_probe_sweep(
+        emb,
+        _min_id_query(emb),
+        k=10,
+        n_centroids=16,
+        probe_levels=tuple(_PROBE_SWEEP),
+    )
 
 
 @register("similarity_ann_recall", _ann_recall_oracle())
@@ -1231,7 +1231,6 @@ def text_repetition_signals(spark, sf_dir):
     return text.repetition_signals(load_table(spark, sf_dir, "documents"))
 
 
-
 def _lang_id_oracle() -> str:
     score = {
         lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
@@ -1253,6 +1252,81 @@ def _lang_id_oracle() -> str:
 @register("text_language_id", _lang_id_oracle())
 def text_language_id(spark, sf_dir):
     return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_filter_report_oracle() -> str:
+    """Composes the three component oracles (each nested as a derived
+    CTE -- they are already cross-engine-locked individually) plus the
+    inline PII counts, mirrors the kill rules at the SAME
+    MASSIVETEXT_REP_THRESHOLDS constants, and aggregates to the one
+    report row."""
+    t = text.MASSIVETEXT_REP_THRESHOLDS
+    top_kill = " OR ".join(
+        f"r.{c} > {t[c]}" for c in t if c.startswith("top_")
+    )
+    dup_kill = " OR ".join(
+        f"r.{c} > {t[c]}" for c in t if c.startswith("dup_") and "gram" in c
+    )
+    n_pii = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for pat in text.PII_PATTERNS.values()
+    )
+    surv = " AND ".join(
+        f"NOT kill_{r}"
+        for r in ("quality", "dup_line", "top_ngram", "dup_ngram", "pii", "lang")
+    )
+    kill_sums = ",\n           ".join(
+        f"SUM(CASE WHEN kill_{r} THEN 1 ELSE 0 END) AS killed_{r}"
+        for r in ("quality", "dup_line", "top_ngram", "dup_ngram", "pii", "lang")
+    )
+    return f"""
+    WITH rep AS ({_repetition_oracle()}),
+    qual AS ({_quality_oracle()}),
+    lng AS ({_lang_id_oracle()}),
+    pii AS (SELECT doc_id, {n_pii} AS n_pii FROM documents),
+    kills AS (
+      SELECT q.doc_id,
+             NOT q.quality_keep AS kill_quality,
+             (r.dup_line_frac > {t['dup_line_frac']}
+              OR r.dup_line_char_frac > {t['dup_line_char_frac']})
+               AS kill_dup_line,
+             ({top_kill}) AS kill_top_ngram,
+             ({dup_kill}) AS kill_dup_ngram,
+             (p.n_pii > 0) AS kill_pii,
+             (l.lang_pred = 'und') AS kill_lang
+      FROM qual q
+      JOIN rep r ON r.doc_id = q.doc_id
+      JOIN lng l ON l.doc_id = q.doc_id
+      JOIN pii p ON p.doc_id = q.doc_id
+    )
+    SELECT COUNT(*) AS n_total,
+           {kill_sums},
+           SUM(CASE WHEN {surv} THEN 1 ELSE 0 END) AS n_survivors,
+           ROUND(SUM(CASE WHEN {surv} THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS survivor_frac
+    FROM kills
+    """
+
+
+@register("corpus_quality_filter_report", _quality_filter_report_oracle())
+def corpus_quality_filter_report(spark, sf_dir):
+    """The SHIPPED-pipeline headline: the full Gopher/MassiveText
+    quality-filter rule chain the repo implements piecewise (heuristic
+    quality bars + line/n-gram repetition family at published table-A1
+    thresholds + PII presence + language-ID), applied in ONE documents
+    scan, reporting per-rule kill counts (independent -- shows which
+    rule does the work) and the survivor fraction (VERDICT r10 item
+    5).
+
+    Scan budget: documents x1 -- the component signals chain through
+    passthrough projections on the same rows (map-only until the
+    single 1-row aggregate; zero joins, zero pre-aggregate shuffles),
+    where the naive composition would join 4 separately-scanned signal
+    frames.  Plan lock: tests/test_plan_shape.py::
+    test_quality_filter_report_single_scan_map_only."""
+    return text.quality_filter_report(
+        load_table(spark, sf_dir, "documents")
+    )
 
 
 @register(
@@ -3300,10 +3374,11 @@ def similarity_ivf_pq_recall(spark, sf_dir):
     recovers everything ADC mis-ranks on this corpus, so the composed
     path must not trail the IVF-only path here.
 
-    Scan budget: embeddings ~34x (plan audit; was 38x before the r10
-    ids-only candidate split) -- offline evaluation harness: both
-    index builds + the exact side, run once on a sampled query set;
-    never a serving plan.
+    Scan budget: embeddings x0 in the final plan (query, IVF index,
+    PQ codebooks, and exact top-k are lazy-checkpointed shared frames
+    -- plan_audit's ckpt column) -- each build runs once and both paths reuse it (VERDICT
+    r10 item 4; this harness audited embeddings x34 before the shared
+    checkpoints, x38 before the r10 ids-only candidate split).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_pq_recall(
@@ -3514,10 +3589,12 @@ def similarity_ivf_pq_batch_recall(spark, sf_dir):
     ivf_pq_recall path-comparison discipline extended to the batch
     serving plan, VERDICT r9 item 3.
 
-    Scan budget: embeddings ~27x -- offline evaluation harness run
-    once on a sampled query set: BOTH serving paths rebuild their
-    indexes inline (so the oracle can replay each end-to-end) plus the
-    exact brute-force side per query; never a serving plan.
+    Scan budget: embeddings x0 in the final plan (query batch, IVF
+    index, PQ codebooks, and per-query exact top-k are
+    lazy-checkpointed shared frames -- plan_audit's ckpt column) -- one build feeds both paths (VERDICT
+    r10 item 4; this harness audited embeddings x27 before the shared
+    checkpoints).  The oracle still replays each build end-to-end --
+    checkpointing truncates lineage, never changes rows.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_pq_batch_recall(

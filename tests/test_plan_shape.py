@@ -974,3 +974,33 @@ def test_tpch_q12_both_sides_filter_cannot_push(spark):
     assert plan.count("lineitem.parquet") == 1, plan
     assert plan.count("orders.parquet") == 1, plan
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_ann_eval_harnesses_share_one_index_build(spark):
+    """VERDICT r10 item 4: the offline ANN eval harnesses (probe
+    sweep, path recall, batch recall) derive the query frame, the IVF
+    index, the PQ codebooks, and the exact side ONCE (lazy
+    localCheckpoint leaves) -- their final plans scan embeddings ZERO
+    times where the per-variant forms audited x60/x34/x27."""
+    for name in (
+        "similarity_ann_probe_sweep",
+        "similarity_ivf_pq_recall",
+        "similarity_ivf_pq_batch_recall",
+    ):
+        plan = plan_of(run(spark, name), "simple")
+        assert plan.count("embeddings.parquet") == 0, (name, plan)
+        assert "Scan ExistingRDD" in plan, (name, plan)
+
+
+def test_quality_filter_report_single_scan_map_only(spark):
+    """VERDICT r10 item 5: the composed Gopher/MassiveText filter
+    report chains every component signal through passthrough
+    projections on ONE documents scan -- zero joins, zero Python, and
+    the only Exchange is the final 1-row aggregate's SinglePartition
+    (the naive composition joins 4 separately-scanned signal frames).
+    """
+    plan = plan_of(run(spark, "corpus_quality_filter_report"), "simple")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
