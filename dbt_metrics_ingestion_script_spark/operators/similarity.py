@@ -173,11 +173,19 @@ def ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lazy_checkpoint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Build a deterministic IVF index: seed centroids are the
     `n_centroids` lowest-id vectors, refined by one Lloyd iteration
     (assign-all -> per-dimension mean).  Returns
     (assignments(id, vec, centroid_id), centroids(centroid_id, cvec)).
+
+    lazy_checkpoint truncates BOTH returned frames' lineage (for eval
+    harnesses that reference the build many times): centroids
+    checkpoint BEFORE the final assignment pass so materializing
+    assignments populates the centroid blocks in the same job --
+    checkpointing the returned tuple from outside would run the
+    k-means twice, once per independent checkpoint.
 
     At 100 TB: centroids are tiny and always broadcast; the assignment
     pass is a map-only scan; materialize `assignments` partitioned (or
@@ -224,7 +232,14 @@ def ivf_index(
             ).alias("cvec")
         )
     )
-    return assign(vecs, centroids), centroids
+    if lazy_checkpoint:
+        # n_centroids rows: 1 partition, or every downstream reference
+        # schedules shuffle.partitions near-empty tasks
+        centroids = centroids.coalesce(1).localCheckpoint(eager=False)
+    assignments = assign(vecs, centroids)
+    if lazy_checkpoint:
+        assignments = assignments.localCheckpoint(eager=False)
+    return assignments, centroids
 
 
 def ivf_topk(
@@ -374,11 +389,9 @@ def ann_probe_sweep(
     changes rows)."""
     from functools import reduce
 
-    query = query.localCheckpoint(eager=False)
-    idx = ivf_index(embeddings, n_centroids, id_col, vec_col)
-    idx = (
-        idx[0].localCheckpoint(eager=False),
-        idx[1].localCheckpoint(eager=False),
+    query = query.coalesce(1).localCheckpoint(eager=False)
+    idx = ivf_index(
+        embeddings, n_centroids, id_col, vec_col, lazy_checkpoint=True
     )
     q = query.select(as_double(vec_col).alias("__qvec"))
     scored = embeddings.crossJoin(F.broadcast(q)).select(
@@ -391,6 +404,7 @@ def ann_probe_sweep(
         scored.orderBy(F.desc("__s"), F.asc(id_col))
         .limit(k)
         .select(id_col)
+        .coalesce(1)
         .localCheckpoint(eager=False)
     )
     frames = []
@@ -551,6 +565,7 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lazy_checkpoint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Product quantization: split each dim-d vector into `m` subvectors
     of dim/m dims, learn a deterministic `n_codes`-entry codebook PER
@@ -644,7 +659,12 @@ def pq_encode(
             ).alias("cvec")
         )
     )
+    if lazy_checkpoint:
+        # m * n_codes rows: 1 partition (see ivf_index)
+        codebooks = codebooks.coalesce(1).localCheckpoint(eager=False)
     codes = assign(subs, codebooks).select("id", "subspace", "code")
+    if lazy_checkpoint:
+        codes = codes.localCheckpoint(eager=False)
     return codes, codebooks
 
 
@@ -990,19 +1010,13 @@ def ivf_pq_recall(
     harness re-ran both index builds per path (embeddings x34 in the
     audited plan).  Lazy (eager=False): explaining the harness never
     runs the builds; the checkpoint jobs fire at the first action."""
-    query = query.localCheckpoint(eager=False)
-    idx = ivf_index(embeddings, n_centroids, id_col, vec_col)
-    idx = (
-        idx[0].localCheckpoint(eager=False),
-        idx[1].localCheckpoint(eager=False),
+    query = query.coalesce(1).localCheckpoint(eager=False)
+    idx = ivf_index(
+        embeddings, n_centroids, id_col, vec_col, lazy_checkpoint=True
     )
     pq = pq_encode(
         embeddings, m=m, n_codes=n_codes, dim=dim,
-        id_col=id_col, vec_col=vec_col,
-    )
-    pq = (
-        pq[0].localCheckpoint(eager=False),
-        pq[1].localCheckpoint(eager=False),
+        id_col=id_col, vec_col=vec_col, lazy_checkpoint=True,
     )
     q = query.select(as_double(vec_col).alias("__qvec"))
     scored = embeddings.crossJoin(F.broadcast(q)).select(
@@ -1015,6 +1029,7 @@ def ivf_pq_recall(
         scored.orderBy(F.desc("__s"), F.asc(id_col))
         .limit(k)
         .select(id_col)
+        .coalesce(1)
         .localCheckpoint(eager=False)
     )
     paths = {
@@ -1356,19 +1371,13 @@ def ivf_pq_batch_recall(
     derived once and lazily localCheckpoint-ed, then reused by both
     paths -- the un-checkpointed form re-ran every build per path
     (embeddings x27 in the audited plan)."""
-    queries = queries.localCheckpoint(eager=False)
-    idx = ivf_index(embeddings, n_centroids, id_col, vec_col)
-    idx = (
-        idx[0].localCheckpoint(eager=False),
-        idx[1].localCheckpoint(eager=False),
+    queries = queries.coalesce(1).localCheckpoint(eager=False)
+    idx = ivf_index(
+        embeddings, n_centroids, id_col, vec_col, lazy_checkpoint=True
     )
     pqb = pq_encode(
         embeddings, m=m, n_codes=n_codes, dim=dim,
-        id_col=id_col, vec_col=vec_col,
-    )
-    pqb = (
-        pqb[0].localCheckpoint(eager=False),
-        pqb[1].localCheckpoint(eager=False),
+        id_col=id_col, vec_col=vec_col, lazy_checkpoint=True,
     )
     q = queries.select(
         F.col(query_id_col).alias("qid"), as_double(vec_col).alias("__qvec")
@@ -1391,6 +1400,7 @@ def ivf_pq_batch_recall(
         scored.withColumn("__rn", F.row_number().over(wk))
         .where(F.col("__rn") <= k)
         .select("qid", "id")
+        .coalesce(1)
         .localCheckpoint(eager=False)
     )
     paths = {

@@ -1643,6 +1643,85 @@ MASSIVETEXT_REP_THRESHOLDS = {
 _REP_SIGNAL_COLS = tuple(MASSIVETEXT_REP_THRESHOLDS)
 
 
+QUALITY_FILTER_RULES = (
+    "kill_quality",
+    "kill_dup_line",
+    "kill_top_ngram",
+    "kill_dup_ngram",
+    "kill_pii",
+    "kill_lang",
+)
+
+
+def quality_kill_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document kill flags for the composed Gopher/MassiveText
+    rule chain -- (id_col, kill_quality, kill_dup_line,
+    kill_top_ngram, kill_dup_ngram, kill_pii, kill_lang), one boolean
+    per rule, all computed in ONE scan by chaining the component
+    signals through passthrough projections (repetition_signals keeps
+    the raw text via extra_cols, quality_score chains on the same
+    rows, PII/lang project beside them).  The shared core of
+    quality_filter_report (the aggregate) and
+    quality_filter_survivors (the cleaned-corpus filter)."""
+    rep = repetition_signals(df, text_col, id_col, extra_cols=(text_col,))
+    qual = quality_score(
+        rep, text_col, id_col, extra_cols=(*_REP_SIGNAL_COLS, text_col)
+    )
+    n_pii = sum(
+        (_count_matches(F.col(text_col), pat) for pat in PII_PATTERNS.values()),
+        F.lit(0),
+    )
+    return qual.select(
+        F.col(id_col),
+        (~F.col("quality_keep")).alias("kill_quality"),
+        (
+            (F.col("dup_line_frac") > MASSIVETEXT_REP_THRESHOLDS["dup_line_frac"])
+            | (
+                F.col("dup_line_char_frac")
+                > MASSIVETEXT_REP_THRESHOLDS["dup_line_char_frac"]
+            )
+        ).alias("kill_dup_line"),
+        _any_over(
+            [c for c in _REP_SIGNAL_COLS if c.startswith("top_")]
+        ).alias("kill_top_ngram"),
+        _any_over(
+            [c for c in _REP_SIGNAL_COLS if c.startswith("dup_") and "gram" in c]
+        ).alias("kill_dup_ngram"),
+        (n_pii > 0).alias("kill_pii"),
+        (language_pred(text_col) == "und").alias("kill_lang"),
+    )
+
+
+def quality_filter_survivors(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The OUTPUT half of the composed quality-filter pipeline: the
+    ids of documents that pass EVERY rule of the chain -- the frame a
+    training-data pipeline actually materializes (the report above is
+    its monitoring sibling).
+
+    The flag frame is a lazy localCheckpoint, NOT a plain projection:
+    filtering directly on the projection lets PushDownPredicates
+    substitute the keep-predicate through every staged Project down to
+    the scan, duplicating the whole higher-order-function expression
+    forest per referenced signal (measured: the plan's tokenize count
+    went 3 -> 43 and sf0.1 wall-time 0.2s -> 8-13s -- HOFs are
+    CodegenFallback, so the duplicated folds run interpreted).  The
+    checkpoint is the optimizer fence that preserves the staged
+    single-evaluation shape, and it materializes exactly the artifact
+    a production pipeline keeps anyway: the per-document audit table
+    of which rule killed what (slim -- id + 6 booleans)."""
+    flags = quality_kill_flags(df, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    keep = ~F.col(QUALITY_FILTER_RULES[0])
+    for k in QUALITY_FILTER_RULES[1:]:
+        keep = keep & ~F.col(k)
+    return flags.where(keep).select(id_col)
+
+
 def quality_filter_report(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1675,40 +1754,8 @@ def quality_filter_report(
     the single 1-row aggregate is map-only (zero joins, zero
     pre-aggregate shuffles), so the report runs at scan speed on a
     100 TB corpus exactly like its component filters."""
-    rep = repetition_signals(df, text_col, id_col, extra_cols=(text_col,))
-    qual = quality_score(
-        rep, text_col, id_col, extra_cols=(*_REP_SIGNAL_COLS, text_col)
-    )
-    n_pii = sum(
-        (_count_matches(F.col(text_col), pat) for pat in PII_PATTERNS.values()),
-        F.lit(0),
-    )
-    flagged = qual.select(
-        (~F.col("quality_keep")).alias("kill_quality"),
-        (
-            (F.col("dup_line_frac") > MASSIVETEXT_REP_THRESHOLDS["dup_line_frac"])
-            | (
-                F.col("dup_line_char_frac")
-                > MASSIVETEXT_REP_THRESHOLDS["dup_line_char_frac"]
-            )
-        ).alias("kill_dup_line"),
-        _any_over(
-            [c for c in _REP_SIGNAL_COLS if c.startswith("top_")]
-        ).alias("kill_top_ngram"),
-        _any_over(
-            [c for c in _REP_SIGNAL_COLS if c.startswith("dup_") and "gram" in c]
-        ).alias("kill_dup_ngram"),
-        (n_pii > 0).alias("kill_pii"),
-        (language_pred(text_col) == "und").alias("kill_lang"),
-    )
-    kills = [
-        "kill_quality",
-        "kill_dup_line",
-        "kill_top_ngram",
-        "kill_dup_ngram",
-        "kill_pii",
-        "kill_lang",
-    ]
+    flagged = quality_kill_flags(df, text_col, id_col)
+    kills = list(QUALITY_FILTER_RULES)
     survives = ~flagged[kills[0]]
     for k in kills[1:]:
         survives = survives & ~flagged[k]
