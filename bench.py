@@ -243,6 +243,17 @@ HEADLINE = [
     "events_feature_chi2",
     "embeddings_label_separability",
     "events_time_to_convert",
+    # round-11 additions: last expressible TPC-H archetypes, the
+    # materialized-index/batch ANN serving plans, and the composed
+    # quality-filter pipeline (streaming variant excluded by the
+    # streaming policy above)
+    "tpch_q8_national_market_share",
+    "tpch_q12_shipmode_priority",
+    "tpch_q21_suppliers_kept_waiting",
+    "similarity_ivf_batch_topk",
+    "similarity_ivf_pq_batch_topk_served",
+    "corpus_quality_filter_report",
+    "corpus_quality_filter_survivors",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

@@ -1803,10 +1803,10 @@ _Q12_HIGH = ("1-URGENT", "2-HIGH")
     "tpch_q12_shipmode_priority",
     f"""
     SELECT l.l_returnflag AS ship_group,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
       JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= DATE '{_Q12_START}'

@@ -1299,7 +1299,8 @@ def _quality_kill_ctes() -> str:
 
 def _quality_filter_report_oracle() -> str:
     kill_sums = ",\n           ".join(
-        f"SUM(CASE WHEN kill_{r} THEN 1 ELSE 0 END) AS killed_{r}"
+        f"CAST(SUM(CASE WHEN kill_{r} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS killed_{r}"
         for r in _QF_RULES
     )
     return (
@@ -1307,7 +1308,8 @@ def _quality_filter_report_oracle() -> str:
         + f"""
     SELECT COUNT(*) AS n_total,
            {kill_sums},
-           SUM(CASE WHEN {_QF_SURVIVES} THEN 1 ELSE 0 END) AS n_survivors,
+           CAST(SUM(CASE WHEN {_QF_SURVIVES} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors,
            ROUND(SUM(CASE WHEN {_QF_SURVIVES} THEN 1 ELSE 0 END)::DOUBLE
                  / COUNT(*), 6) AS survivor_frac
     FROM kills
@@ -2098,6 +2100,54 @@ def streaming_windowed_weekly_agg(spark, sf_dir):
     disagree by default (epoch Thursday vs ISO Monday) -- the DuckDB
     oracle would catch any regression of the +4 day alignment."""
     return _windowed_stream_agg(spark, sf_dir, "week")
+
+
+@register(
+    "streaming_quality_filter_report", _quality_filter_report_oracle()
+)
+def streaming_quality_filter_report(spark, sf_dir):
+    """The composed Gopher/MassiveText quality-filter report run AS A
+    STREAM: documents arrive through a file-source stream, every kill
+    flag is the same stateless map-side projection chain the batch
+    report uses (quality_kill_flags -- pure per-row expressions, so
+    the operator is streamable unchanged), and the per-rule kill
+    counts + survivor fraction maintain as a complete-mode global
+    aggregate.  This is how a live ingestion pipeline watches its
+    filter health: rates update per micro-batch, no reprocessing.
+    Drained with availableNow over a staged copy, the result equals
+    the batch report exactly -- which is why the BATCH oracle checks
+    the STREAMING plan.
+
+    Scale shape: stateless map + one global aggregate (state = one
+    row of counters per aggregation); no watermark needed because no
+    event-time windows are involved."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="docs_stream_qf_")
+    try:
+        shutil.copy(os.path.join(sf_dir, "documents.parquet"), d)
+        schema = load_table(spark, sf_dir, "documents").schema
+        stream = spark.readStream.schema(schema).parquet(d)
+        name = "qf_" + uuid.uuid4().hex[:8]
+        q = (
+            text.quality_filter_report(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_quality_filter_report did not drain within 180s"
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
 
 
 @register(
