@@ -18,10 +18,11 @@ Honesty rules (the point is a slope measurement, not a synthetic win):
   clique and grow candidate pairs O(N^2), which is a property of the
   COPYING, not of real bigger corpora (n_chars is recomputed to stay
   consistent with the salted text);
-- embeddings are coordinate-ROTATED per replica (cyclic shift by i):
-  norm and coordinate distribution are preserved, but a random vector
-  and its rotation are essentially orthogonal in high dimension, so
-  replicas do not become semantic duplicates of each other;
+- embeddings get per-replica deterministic coordinate SIGN FLIPS:
+  within-replica cosines are preserved exactly, cross-replica cosines
+  decorrelate (the sign products form a +-1 pseudo-random pattern),
+  so replicas do not become semantic duplicates of each other at any
+  factor;
 - events keep their timestamps (a 10x corpus over the same wall-clock
   window IS denser per day -- that is what scale looks like) with
   event/user ids offset per replica;
@@ -33,12 +34,19 @@ Honesty rules (the point is a slope measurement, not a synthetic win):
 
 from __future__ import annotations
 
+import os
 import shutil
 import string
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# the x100 lineitem write (60M rows through a 100-branch union) needs
+# more than the 1g default single-JVM heap; must be set pre-launch
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS", "--driver-memory 24g pyspark-shell"
+)
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -73,22 +81,36 @@ def _replicate(df, id_cols, factor, transform=None):
 def _salt_documents(df, i):
     if i == 0:
         return df
-    letter = string.ascii_lowercase[i]
-    salted = F.regexp_replace(F.col("text"), r"(\S+)", r"$1" + letter)
+    # two-letter replica salt so any factor <= 676 stays unique
+    salt = (
+        string.ascii_lowercase[i % 26] + string.ascii_lowercase[i // 26]
+    )
+    salted = F.regexp_replace(F.col("text"), r"(\S+)", r"$1" + salt)
     return df.withColumn("text", salted).withColumn(
         "n_chars", F.length("text").cast("long")
     )
 
 
-def _rotate_embedding(df, i):
+def _decorrelate_embedding(df, i):
+    """Per-replica deterministic coordinate SIGN FLIPS: cosine within a
+    replica is preserved EXACTLY (both vectors flip the same signs),
+    while cross-replica cosines decorrelate (the sign products form a
+    +-1 pseudo-random pattern), so replicas never become semantic
+    duplicates of each other.  Works at any factor, unlike the round-11
+    first-cut cyclic rotation (undefined past dim, and rotation
+    collisions would create exact cross-replica duplicates)."""
     if i == 0:
         return df
-    n = F.size("embedding")
-    rotated = F.concat(
-        F.slice(F.col("embedding"), F.lit(i + 1), n - F.lit(i)),
-        F.slice(F.col("embedding"), 1, i),
-    )
-    return df.withColumn("embedding", rotated)
+    import hashlib
+
+    def sign(d: int) -> float:
+        h = hashlib.md5(f"flip:{i}:{d}".encode()).hexdigest()
+        return 1.0 if int(h[:2], 16) % 2 == 0 else -1.0
+
+    dim = 64
+    signs = F.array(*[F.lit(sign(d)) for d in range(dim)])
+    flipped = F.zip_with("embedding", signs, lambda x, s: x * s)
+    return df.withColumn("embedding", flipped)
 
 
 def main() -> int:
@@ -117,7 +139,7 @@ def main() -> int:
         if t == "documents":
             up = _replicate(df, ["doc_id"], factor, _salt_documents)
         elif t == "embeddings":
-            up = _replicate(df, ["vec_id"], factor, _rotate_embedding)
+            up = _replicate(df, ["vec_id"], factor, _decorrelate_embedding)
         elif t == "events":
             up = _replicate(df, ["event_id", "user_id"], factor)
         else:  # lineitem

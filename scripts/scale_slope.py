@@ -86,6 +86,9 @@ def main() -> int:
     )
     out_path = sys.argv[3] if len(sys.argv) > 3 else "SCALING_r11.json"
     names = sys.argv[4:] or DEFAULT_SET
+    # upsample factor, for the slope bar and the JSON labels (a x100
+    # dir from make_scale_upsample.py gives a second measured decade)
+    factor = int(os.environ.get("SPARK_GRAFT_SLOPE_FACTOR", "10"))
 
     spark = get_spark(app_name="scale_slope", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -106,13 +109,13 @@ def main() -> int:
         slope = round(t10 / t1, 2) if t1 else None
         results[name] = {
             "t1_sec": round(t1, 3),
-            "t10_sec": round(t10, 3),
+            f"t{factor}_sec": round(t10, 3),
             "slope": slope,
             "rows_1x": rows1,
-            "rows_10x": rows10,
+            f"rows_{factor}x": rows10,
         }
         print(
-            f"{name:45s} t1={t1:7.2f}s t10={t10:8.2f}s "
+            f"{name:45s} t1={t1:7.2f}s t{factor}={t10:8.2f}s "
             f"slope={slope:6.2f}x rows {rows1}->{rows10}",
             flush=True,
         )
@@ -120,9 +123,10 @@ def main() -> int:
 
     doc = {
         "base_sf_dir": base,
-        "x10_dir": x10,
-        "factor": 10,
-        "bar": "slope <= ~12x is linear-plus-overhead at factor 10",
+        "upsample_dir": x10,
+        "factor": factor,
+        "bar": f"slope <= ~{round(factor * 1.2)}x is "
+               f"linear-plus-overhead at factor {factor}",
         "same_session": True,
         "queries": results,
     }
