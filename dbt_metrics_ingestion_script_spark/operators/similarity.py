@@ -1400,7 +1400,12 @@ def ivf_pq_batch_recall(
         scored.withColumn("__rn", F.row_number().over(wk))
         .where(F.col("__rn") <= k)
         .select("qid", "id")
-        .coalesce(1)
+        # repartition, NOT coalesce: coalesce(1) propagates upstream
+        # into the window's shuffle read, funnelling the whole
+        # |embeddings| x nq exact-side reduce through one task
+        # (ADVICE r11); the repartition exchange keeps the scoring
+        # stage parallel and only the nq*k result rows move
+        .repartition(1)
         .localCheckpoint(eager=False)
     )
     paths = {
@@ -1480,8 +1485,19 @@ def materialize_ivf_pq_index(
 
     codes carry centroid_id (joined from assignments) purely as the
     partition key, so the ADC stage can ALSO prune to probed cells.
+
+    Atomicity (ADVICE r11): the four parts are written into a private
+    sibling temp dir and promoted with ONE os.rename -- a reader never
+    sees a half-written store, and two concurrent builders race only at
+    the rename (the loser discards its build; the winner's store is
+    complete by construction).  The builds are lazy-checkpointed so the
+    k-means and PQ assignment run ONCE across the four writes, not once
+    per action (assignments feeds both its own write and the cells join
+    into the codes write).
     """
     import os
+    import shutil
+    import uuid
 
     if all(
         os.path.exists(os.path.join(base_path, p, "_SUCCESS"))
@@ -1489,25 +1505,32 @@ def materialize_ivf_pq_index(
     ):
         return
     assignments, centroids = ivf_index(
-        embeddings, n_centroids, id_col, vec_col
+        embeddings, n_centroids, id_col, vec_col, lazy_checkpoint=True
     )
     codes, codebooks = pq_encode(
         embeddings, m=m, n_codes=n_codes, dim=dim,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, lazy_checkpoint=True,
     )
     cells = assignments.select("id", "centroid_id")
+    tmp = f"{base_path.rstrip('/')}.build_{uuid.uuid4().hex[:8]}"
     assignments.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        os.path.join(base_path, "assignments")
+        os.path.join(tmp, "assignments")
     )
     codes.join(cells, "id").write.mode("overwrite").partitionBy(
         "centroid_id"
-    ).parquet(os.path.join(base_path, "codes"))
+    ).parquet(os.path.join(tmp, "codes"))
     centroids.write.mode("overwrite").parquet(
-        os.path.join(base_path, "centroids")
+        os.path.join(tmp, "centroids")
     )
     codebooks.write.mode("overwrite").parquet(
-        os.path.join(base_path, "codebooks")
+        os.path.join(tmp, "codebooks")
     )
+    try:
+        os.rename(tmp, base_path)
+    except OSError:
+        # a concurrent builder promoted its (identical, deterministic)
+        # store first; ours is redundant
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def read_ivf_pq_index(spark, base_path: str) -> dict[str, DataFrame]:

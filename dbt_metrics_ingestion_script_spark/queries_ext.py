@@ -2031,6 +2031,24 @@ def streaming_running_totals(spark, sf_dir):
     )
 
 
+def _stage_parquet_copy(src: str, dst_dir: str) -> None:
+    """Stage a parquet table into a stream-source directory.  Handles
+    BOTH layouts: the testdata's single .parquet files AND
+    directory-style parquet (e.g. the scratch_scale upsamples), whose
+    part-files are copied flat so the file-stream source discovers them
+    (ADVICE r11: a bare shutil.copy raises IsADirectoryError on the
+    directory layout)."""
+    import os
+    import shutil
+
+    if os.path.isdir(src):
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), dst_dir)
+    else:
+        shutil.copy(src, dst_dir)
+
+
 def _windowed_stream_agg(spark, sf_dir, grain: str):
     """Watermarked tumbling-window metric (streaming/metrics_stream.py)
     driven to completion with availableNow over a staged copy of the
@@ -2049,7 +2067,7 @@ def _windowed_stream_agg(spark, sf_dir, grain: str):
 
     d = tempfile.mkdtemp(prefix="events_stream_w_")
     try:
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+        _stage_parquet_copy(os.path.join(sf_dir, "events.parquet"), d)
         # event-time coercion (bigint nanos / timestamp_ntz -> timestamp)
         # happens inside read_events_stream at the streaming boundary
         stream = read_events_stream(spark, d)
@@ -2128,7 +2146,7 @@ def streaming_quality_filter_report(spark, sf_dir):
 
     d = tempfile.mkdtemp(prefix="docs_stream_qf_")
     try:
-        shutil.copy(os.path.join(sf_dir, "documents.parquet"), d)
+        _stage_parquet_copy(os.path.join(sf_dir, "documents.parquet"), d)
         schema = load_table(spark, sf_dir, "documents").schema
         stream = spark.readStream.schema(schema).parquet(d)
         name = "qf_" + uuid.uuid4().hex[:8]
@@ -2147,7 +2165,16 @@ def streaming_quality_filter_report(spark, sf_dir):
             )
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.table(name)
+    # the report is a handful of rows: consume the memory sink eagerly
+    # and DROP its temp view so repeated sweeps in a long session don't
+    # accumulate qf_<uuid> tables (ADVICE r11)
+    try:
+        out = spark.table(name)
+        schema = out.schema
+        rows = out.collect()
+    finally:
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(
@@ -3750,16 +3777,45 @@ def similarity_ivf_batch_topk(spark, sf_dir):
     )
 
 
+def _parquet_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet table (single file or
+    directory-style): relative name + size + mtime of every data file.
+    No reads -- stat only."""
+    import hashlib
+    import os
+
+    parts = []
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".parquet") or f == "_SUCCESS":
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    parts.append(
+                        f"{os.path.relpath(p, path)}:{st.st_size}:"
+                        f"{st.st_mtime_ns}"
+                    )
+    else:
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def _ivf_pq_index_path(sf_dir: str) -> str:
     """Deterministic per-corpus/per-params store location for the
     materialized serving index (scratch space -- NOT the repo, NOT the
-    read-only testdata)."""
+    read-only testdata).  The tag includes a CONTENT fingerprint of the
+    source embeddings (size+mtime of its data files), so regenerating
+    the testdata at the same path yields a NEW store location instead
+    of serving a stale index past the _SUCCESS no-op check
+    (ADVICE r11)."""
     import hashlib
     import os
     import tempfile
 
+    fp = _parquet_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     tag = hashlib.md5(
-        f"{os.path.realpath(sf_dir)}|c16|m{_PQ_M}|k{_PQ_CODES}|d{_PQ_DIM}"
+        f"{os.path.realpath(sf_dir)}|{fp}|c16|m{_PQ_M}|k{_PQ_CODES}|d{_PQ_DIM}"
         .encode()
     ).hexdigest()[:12]
     return os.path.join(
