@@ -252,6 +252,8 @@ HEADLINE = [
     "tpch_q21_suppliers_kept_waiting",
     "similarity_ivf_batch_topk",
     "similarity_ivf_pq_batch_topk_served",
+    # round-12: incremental index maintenance, served from the merged store
+    "similarity_ivf_pq_index_upsert_served",
     "corpus_quality_filter_report",
     "corpus_quality_filter_survivors",
 ]

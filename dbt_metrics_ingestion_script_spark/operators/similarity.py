@@ -168,6 +168,69 @@ def cosine_topk_multi(
 # ---------------------------------------------------------------------------
 
 
+def _assign_cells(frame: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid by squared L2 for an (id, vec) frame against
+    (centroid_id, cvec): argmin via min(struct), ties broken on the
+    lowest centroid_id.  Map-side only -- centroids ride a broadcast
+    and the argmin is a partial-aggregating groupBy on id."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        frame.crossJoin(F.broadcast(cents))
+        .select(
+            "id", "vec",
+            F.struct(d2.alias("d2"), F.col("centroid_id")).alias("dc"),
+        )
+        .groupBy("id")
+        .agg(F.min("dc").alias("dc"), F.first("vec").alias("vec"))
+        .select("id", "vec", F.col("dc.centroid_id").alias("centroid_id"))
+    )
+
+
+def _subvectors(vecs: DataFrame, m: int, d_sub: int) -> DataFrame:
+    """Explode an (id, vec) frame into (id, subspace, svec) -- the PQ
+    subvector layout (one row per subspace)."""
+    return vecs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice("vec", j * d_sub + 1, d_sub).alias("svec"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "s.subspace", "s.svec")
+
+
+def _assign_codes(frame: DataFrame, books: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (id, subspace): argmin via
+    min(struct) with ties broken on the lowest code id."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("svec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        frame.join(F.broadcast(books), "subspace")
+        .select(
+            "id",
+            "subspace",
+            "svec",
+            F.struct(d2.alias("d2"), F.col("code")).alias("dc"),
+        )
+        .groupBy("id", "subspace")
+        .agg(F.min("dc").alias("dc"), F.first("svec").alias("svec"))
+        .select("id", "subspace", "svec", F.col("dc.code").alias("code"))
+    )
+
+
 def ivf_index(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -204,23 +267,8 @@ def ivf_index(
         )
     )
 
-    def assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
-        """Nearest centroid by squared L2 (argmin via min(struct))."""
-        d2 = F.aggregate(
-            F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (
-            frame.crossJoin(F.broadcast(cents))
-            .select("id", "vec", F.struct(d2.alias("d2"), F.col("centroid_id")).alias("dc"))
-            .groupBy("id")
-            .agg(F.min("dc").alias("dc"), F.first("vec").alias("vec"))
-            .select("id", "vec", F.col("dc.centroid_id").alias("centroid_id"))
-        )
-
     # one Lloyd refinement: per-dimension mean of each seed's members
-    assigned0 = assign(vecs, seeds)
+    assigned0 = _assign_cells(vecs, seeds)
     centroids = (
         assigned0.select("centroid_id", F.posexplode("vec").alias("pos", "x"))
         .groupBy("centroid_id", "pos")
@@ -236,7 +284,7 @@ def ivf_index(
         # n_centroids rows: 1 partition, or every downstream reference
         # schedules shuffle.partitions near-empty tasks
         centroids = centroids.coalesce(1).localCheckpoint(eager=False)
-    assignments = assign(vecs, centroids)
+    assignments = _assign_cells(vecs, centroids)
     if lazy_checkpoint:
         assignments = assignments.localCheckpoint(eager=False)
     return assignments, centroids
@@ -602,20 +650,7 @@ def pq_encode(
     vecs = embeddings.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
     )
-    subs = vecs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("subspace"),
-                        F.slice("vec", j * d_sub + 1, d_sub).alias("svec"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("s"),
-    ).select("id", "s.subspace", "s.svec")
+    subs = _subvectors(vecs, m, d_sub)
 
     w = Window.partitionBy("subspace").orderBy("id")
     seeds = (
@@ -628,26 +663,7 @@ def pq_encode(
         )
     )
 
-    def assign(frame: DataFrame, books: DataFrame) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(F.col("svec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (
-            frame.join(F.broadcast(books), "subspace")
-            .select(
-                "id",
-                "subspace",
-                "svec",
-                F.struct(d2.alias("d2"), F.col("code")).alias("dc"),
-            )
-            .groupBy("id", "subspace")
-            .agg(F.min("dc").alias("dc"), F.first("svec").alias("svec"))
-            .select("id", "subspace", "svec", F.col("dc.code").alias("code"))
-        )
-
-    a0 = assign(subs, seeds)
+    a0 = _assign_codes(subs, seeds)
     codebooks = (
         a0.select("subspace", "code", F.posexplode("svec").alias("pos", "x"))
         .groupBy("subspace", "code", "pos")
@@ -662,7 +678,7 @@ def pq_encode(
     if lazy_checkpoint:
         # m * n_codes rows: 1 partition (see ivf_index)
         codebooks = codebooks.coalesce(1).localCheckpoint(eager=False)
-    codes = assign(subs, codebooks).select("id", "subspace", "code")
+    codes = _assign_codes(subs, codebooks).select("id", "subspace", "code")
     if lazy_checkpoint:
         codes = codes.localCheckpoint(eager=False)
     return codes, codebooks
@@ -1474,6 +1490,7 @@ def materialize_ivf_pq_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    upsert: DataFrame | None = None,
 ) -> None:
     """Build the IVF + PQ index ONCE and write it as the production
     layout: assignments and codes land `partitionBy("centroid_id")` so
@@ -1525,12 +1542,70 @@ def materialize_ivf_pq_index(
     codebooks.write.mode("overwrite").parquet(
         os.path.join(tmp, "codebooks")
     )
+    if upsert is not None:
+        # an ingestion batch applied BEFORE the store is promoted: the
+        # rename makes base-build + upsert one atomic, idempotent unit
+        # (re-running the sequence against an existing store is the
+        # no-op above, never a double append)
+        ivf_pq_index_upsert(
+            upsert, tmp, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+        )
     try:
         os.rename(tmp, base_path)
     except OSError:
         # a concurrent builder promoted its (identical, deterministic)
         # store first; ours is redundant
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ivf_pq_index_upsert(
+    new_embeddings: DataFrame,
+    base_path: str,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for a materialize_ivf_pq_index store
+    (VERDICT r11 item 3): assign the new batch to the EXISTING
+    centroids (no re-clustering), PQ-encode it against the EXISTING
+    codebooks, and APPEND the new rows into the centroid_id partition
+    directories.  Untouched partitions' data files are never rewritten
+    (tests/test_ivf_index_upsert.py asserts byte-identity); centroids
+    and codebooks are immutable -- the IVF analogue of the dedup
+    signature index's append-only incremental family
+    (operators/dedup.py).
+
+    Cost shape: ONE map-only pass over the NEW batch -- centroids and
+    codebooks ride broadcasts, the argmin groupBys partial-aggregate,
+    and nothing of the existing corpus moves.  At 100 TB an ingest
+    batch touches only its own rows plus the partition directories it
+    lands in.  Single writer per store (log-structured append); drift
+    policy belongs to the caller: after enough upserts the Lloyd
+    centroids no longer reflect the corpus and a rebuild (a fresh
+    fingerprinted store path) is warranted.
+    """
+    import os
+
+    spark = new_embeddings.sparkSession
+    centroids = spark.read.parquet(os.path.join(base_path, "centroids"))
+    codebooks = spark.read.parquet(os.path.join(base_path, "codebooks"))
+    vecs = new_embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    )
+    # checkpoint: the assignment feeds BOTH its own append and the
+    # centroid_id join into the codes append (the materialize build's
+    # single-build discipline)
+    new_asg = _assign_cells(vecs, centroids).localCheckpoint(eager=False)
+    new_codes = _assign_codes(
+        _subvectors(new_asg.select("id", "vec"), m, dim // m), codebooks
+    ).select("id", "subspace", "code")
+    new_asg.write.mode("append").partitionBy("centroid_id").parquet(
+        os.path.join(base_path, "assignments")
+    )
+    new_codes.join(new_asg.select("id", "centroid_id"), "id").write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(os.path.join(base_path, "codes"))
 
 
 def read_ivf_pq_index(spark, base_path: str) -> dict[str, DataFrame]:

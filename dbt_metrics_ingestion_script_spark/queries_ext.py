@@ -819,21 +819,32 @@ _IVF_D2 = (
 )
 
 
-def _ivf_asg_cte(n_centroids: int = 16, dim: int = 64) -> str:
+def _ivf_asg_cte(
+    n_centroids: int = 16, dim: int = 64, train_where: str = ""
+) -> str:
     """CTE chain replaying the deterministic IVF k-means build through
     the final assignment (seed centroids = lowest-id vectors, one Lloyd
     refinement, argmin tie-broken on centroid_id).  d2 uses the
     identical arithmetic shape as the Spark fold (sequential sum of
     squared per-dimension diffs) so argmin comparisons see the same
     values.  Shared by the IVF top-k oracle and the k-means assignment
-    oracle."""
+    oracle.
+
+    train_where optionally restricts the TRAINING corpus (seeds + Lloyd
+    refinement) to a subset of e while the final asg stage still
+    assigns every vector -- the incremental-upsert oracle trains on the
+    base corpus and assigns base + batch, exactly what
+    ivf_pq_index_upsert does with stored centroids."""
     d2 = _IVF_D2
+    tw = f" WHERE {train_where}" if train_where else ""
     return f"""
     WITH e AS (
       SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), etrain AS (
+      SELECT id, vec FROM e{tw}
     ), seeds AS (
       SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS centroid_id, vec AS cvec
-      FROM (SELECT id, vec FROM e ORDER BY id LIMIT {n_centroids})
+      FROM (SELECT id, vec FROM etrain ORDER BY id LIMIT {n_centroids})
     ), a0 AS (
       SELECT id, vec, centroid_id FROM (
         SELECT e.id, e.vec, s.centroid_id,
@@ -841,7 +852,7 @@ def _ivf_asg_cte(n_centroids: int = 16, dim: int = 64) -> str:
                  PARTITION BY e.id
                  ORDER BY {d2.format(n=dim, a='e.vec', b='s.cvec')}, s.centroid_id
                ) AS rn
-        FROM e CROSS JOIN seeds s
+        FROM etrain e CROSS JOIN seeds s
       ) WHERE rn = 1
     ), cm AS (
       SELECT centroid_id, i.i AS pos, AVG(a0.vec[i.i]) AS m
@@ -3222,13 +3233,19 @@ def _pq_cte(
     dim: int = _PQ_DIM,
     standalone: bool = True,
     prefix: str = "",
+    train_where: str = "",
 ) -> str:
     """CTE chain replaying the deterministic per-subspace PQ codebook
     build (same seed/Lloyd/tie rules as the IVF oracle, applied to
-    subvector slices) through the final code assignment."""
+    subvector slices) through the final code assignment.
+
+    train_where restricts codebook TRAINING to a subset of e while the
+    final asg stage still encodes every vector (the incremental-upsert
+    oracle's contract, see _ivf_asg_cte)."""
     d_sub = dim // m
     d2 = _IVF_D2
     x = prefix
+    tw = f" WHERE {train_where}" if train_where else ""
     head = (
         """
     WITH e AS (
@@ -3242,11 +3259,13 @@ def _pq_cte(
       SELECT id, j.j AS subspace,
              vec[j.j * {d_sub} + 1 : j.j * {d_sub} + {d_sub}] AS svec
       FROM e, unnest(range({m})) AS j(j)
+    ), {x}tsubs AS (
+      SELECT * FROM {x}subs{tw}
     ), {x}seeds AS (
       SELECT subspace,
              ROW_NUMBER() OVER (PARTITION BY subspace ORDER BY id) - 1 AS code,
              svec AS cvec
-      FROM {x}subs
+      FROM {x}tsubs
       QUALIFY ROW_NUMBER() OVER (PARTITION BY subspace ORDER BY id) <= {n_codes}
     ), {x}a0 AS (
       SELECT id, subspace, svec, code FROM (
@@ -3255,7 +3274,7 @@ def _pq_cte(
                  PARTITION BY s.id, s.subspace
                  ORDER BY {d2.format(n=d_sub, a='s.svec', b='c.cvec')}, c.code
                ) AS rn
-        FROM {x}subs s JOIN {x}seeds c USING (subspace)
+        FROM {x}tsubs s JOIN {x}seeds c USING (subspace)
       ) WHERE rn = 1
     ), {x}cm AS (
       SELECT subspace, code, i.i AS pos, AVG(svec[i.i]) AS mmean
@@ -3531,6 +3550,7 @@ def _ivf_pq_batch_ctes(
     n_probe: int = 4,
     k: int = 10,
     nq: int = _IVFPQ_BATCH_NQ,
+    train_where: str = "",
 ) -> str:
     """_ivf_pq_ctes generalized to a query batch: every stage carries
     query_id and each per-query selection is a PARTITION BY query_id
@@ -3544,8 +3564,8 @@ def _ivf_pq_batch_ctes(
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
     )
     return (
-        _ivf_asg_cte()
-        + _pq_cte(standalone=False, prefix="pq_")
+        _ivf_asg_cte(train_where=train_where)
+        + _pq_cte(standalone=False, prefix="pq_", train_where=train_where)
         + f"""
     , q AS (
       SELECT id AS query_id, vec AS qv FROM e ORDER BY id LIMIT {nq}
@@ -3801,7 +3821,7 @@ def _parquet_fingerprint(path: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
-def _ivf_pq_index_path(sf_dir: str) -> str:
+def _ivf_pq_index_path(sf_dir: str, variant: str = "") -> str:
     """Deterministic per-corpus/per-params store location for the
     materialized serving index (scratch space -- NOT the repo, NOT the
     read-only testdata).  The tag includes a CONTENT fingerprint of the
@@ -3815,8 +3835,8 @@ def _ivf_pq_index_path(sf_dir: str) -> str:
 
     fp = _parquet_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     tag = hashlib.md5(
-        f"{os.path.realpath(sf_dir)}|{fp}|c16|m{_PQ_M}|k{_PQ_CODES}|d{_PQ_DIM}"
-        .encode()
+        f"{os.path.realpath(sf_dir)}|{fp}|{variant}"
+        f"|c16|m{_PQ_M}|k{_PQ_CODES}|d{_PQ_DIM}".encode()
     ).hexdigest()[:12]
     return os.path.join(
         tempfile.gettempdir(), f"spark_graft_ivf_pq_index_{tag}"
@@ -3862,6 +3882,72 @@ def similarity_ivf_pq_batch_topk_served(spark, sf_dir):
     # the serve stage references the query frame 3x (probes, subspace
     # split, re-rank); without the checkpoint each reference re-scans
     # embeddings for the same 4 rows
+    qbatch = _min_ids_queries(emb).localCheckpoint(eager=False)
+    return similarity.ivf_pq_batch_serve(
+        idx["assignments"],
+        idx["centroids"],
+        idx["codes"].select("id", "subspace", "code"),
+        idx["codebooks"],
+        qbatch,
+        k=10,
+        shortlist=_IVFPQ_BATCH_SHORTLIST,
+        n_probe=4,
+        m=_PQ_M,
+        dim=_PQ_DIM,
+        round_digits=6,
+    )
+
+
+# the upsert split: vec_id % 5 == 4 plays the new ingest batch (20%),
+# the rest is the base corpus the index was built on
+_UPSERT_BATCH_MOD, _UPSERT_BATCH_REM = 5, 4
+
+
+@register(
+    "similarity_ivf_pq_index_upsert_served",
+    _ivf_pq_batch_ctes(
+        train_where=f"id % {_UPSERT_BATCH_MOD} <> {_UPSERT_BATCH_REM}"
+    )
+    + """
+    SELECT query_id, vec_id, cosine_sim FROM finalk
+    """,
+)
+def similarity_ivf_pq_index_upsert_served(spark, sf_dir):
+    """Incremental index maintenance, end to end (VERDICT r11 item 3):
+    the IVF+PQ store is built on the BASE corpus only (80% of vectors),
+    the remaining 20% arrive as an ingest batch applied with
+    ivf_pq_index_upsert -- assigned to the EXISTING centroids and
+    encoded against the EXISTING codebooks, appended into the
+    centroid_id partitions without rewriting any base file -- and the
+    query batch is served from the merged store.  The oracle replays
+    the same contract inline: IVF/PQ TRAINING restricted to the base
+    rows (train_where), assignment/encoding over base + batch.
+
+    Base-build + upsert promote as ONE atomic rename, so re-running
+    this query against a warm store is a no-op, never a double append;
+    the untouched-partition byte-identity half of the claim is pinned
+    by tests/test_ivf_index_upsert.py.
+
+    Scan budget: like the served query, embeddings x0 at serve time --
+    the stored (merged) index is the only data source; the first
+    construction pays base build + one map-only batch pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = (
+        F.col("vec_id") % _UPSERT_BATCH_MOD == _UPSERT_BATCH_REM
+    )
+    path = _ivf_pq_index_path(
+        sf_dir, variant=f"upsert{_UPSERT_BATCH_MOD}r{_UPSERT_BATCH_REM}"
+    )
+    similarity.materialize_ivf_pq_index(
+        emb.where(~is_batch),
+        path,
+        n_centroids=16,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        dim=_PQ_DIM,
+        upsert=emb.where(is_batch),
+    )
+    idx = similarity.read_ivf_pq_index(spark, path)
     qbatch = _min_ids_queries(emb).localCheckpoint(eager=False)
     return similarity.ivf_pq_batch_serve(
         idx["assignments"],
