@@ -3964,6 +3964,75 @@ def similarity_ivf_pq_index_upsert_served(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_ivf_pq_serve",
+    _ivf_pq_batch_ctes()
+    + """
+    SELECT query_id, vec_id, cosine_sim FROM finalk
+    """,
+)
+def streaming_ivf_pq_serve(spark, sf_dir):
+    """The materialized-index ANN serve with the query batch arriving
+    AS A STREAM (VERDICT r11 item 6): the online-retrieval loop.  DPP
+    never fires in streaming plans, so each micro-batch computes its
+    probe cells from the KB-sized centroid table and applies an
+    EXPLICIT centroid_id-isin partition filter to the stored
+    assignments/codes reads (streaming/ann_serve.py, foreachBatch) --
+    the static-filter equivalent of the batch plan's dynamic pruning;
+    only probed cells' files are listed.  Drained availableNow over a
+    staged copy of the batch-served query set, the appended results
+    equal the batch serve exactly, so the batch oracle checks the
+    streaming path (the streaming_quality_filter_report pattern).
+
+    The per-batch partition-pruning property is asserted on the real
+    micro-batch plans in tests/test_streaming_ann_serve.py
+    (PartitionFilters carries the probed cells; centroid_id never
+    appears as a post-scan data filter; embeddings x0)."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = _ivf_pq_index_path(sf_dir)
+    similarity.materialize_ivf_pq_index(
+        emb, store, n_centroids=16, m=_PQ_M, n_codes=_PQ_CODES, dim=_PQ_DIM
+    )
+    from .streaming.ann_serve import stream_serve_ivf_pq
+
+    stage = tempfile.mkdtemp(prefix="ann_q_stream_")
+    out_dir = tempfile.mkdtemp(prefix="ann_q_served_")
+    try:
+        qbatch = _min_ids_queries(emb)
+        qdir = os.path.join(stage, "queries.parquet")
+        qbatch.write.mode("overwrite").parquet(qdir)
+        stream = spark.readStream.schema(qbatch.schema).parquet(qdir)
+        sq = stream_serve_ivf_pq(
+            stream,
+            store,
+            out_dir,
+            k=10,
+            shortlist=_IVFPQ_BATCH_SHORTLIST,
+            n_probe=4,
+            m=_PQ_M,
+            dim=_PQ_DIM,
+            round_digits=6,
+        )
+        if not sq.awaitTermination(180):
+            sq.stop()
+            raise TimeoutError(
+                "streaming_ivf_pq_serve did not drain within 180s"
+            )
+        # B x k rows: consume eagerly so both temp dirs can be removed
+        # (the qf-report memory-sink discipline)
+        served = spark.read.parquet(out_dir)
+        schema = served.schema
+        rows = served.collect()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _SESSION_WINDOW_GAP_MIN = 30
 
 
