@@ -1,24 +1,32 @@
 """Measured scale slope: time the most expensive registry queries at
-sf0.1 (1x) and at the re-keyed x10 upsample (scripts/
-make_scale_upsample.py), and emit per-query t10/t1 slopes as ONE JSON
+sf0.1 (1x) and at a re-keyed xN upsample (scripts/
+make_scale_upsample.py), and emit per-query tN/t1 slopes as ONE JSON
 document -- the evidence class VERDICT r10 item 1 asked for ("nothing
 has ever been *measured* above sf0.1").
 
 Usage:
-  python scripts/scale_slope.py [base_sf_dir] [x10_dir] [out_json]
+  python scripts/scale_slope.py [base_sf_dir] [xN_dir] [out_json]
+         [query ...]
 
-Interpretation bar (written into the JSON): a slope <= ~12x is
-linear-plus-overhead at factor 10; anything above names a superlinear
+Interpretation bar (written into the JSON): a slope <= ~1.2*N is
+linear-plus-overhead at factor N; anything above names a superlinear
 constant that plan-shape locks alone cannot see.  Both measurements run
 in the SAME session back-to-back, so cross-round host drift (SCALE.md
 "bench variance") does not contaminate the ratio.
 
-Query-set rule: only queries that never join lineitem->orders/dims
-belong here (the upsample re-keys l_orderkey but copies orders
-verbatim; see make_scale_upsample.py).  The default set is the top of
-BENCHFULL_r10 by cost (documents/embeddings families) plus scan-bound
-canaries (tpch_q1 on lineitem alone, events_daily_agg) and the two
-round-10 plan-changed queries.
+Beyond wall-time, every measured run records its SHUFFLE READ/WRITE
+BYTES, SPILL, and PEAK EXECUTION MEMORY from the Spark UI REST API
+(stage-delta attribution: stages completed during the run), and the
+JSON carries shuffle-bytes slopes next to the time slopes (VERDICT r11
+item 4 -- the r11 1g->24g driver-heap cliff at x10 was discovered by
+crash; a bytes curve predicts it).
+
+Query-set rule: since round 12 the upsample re-keys orders on the SAME
+offset as lineitem (referential integrity preserved per replica), so
+lineitem->orders joins ARE measurable -- the default set includes the
+fact-fact TPC-H anchors and dq_referential_integrity.  Queries that
+join the VERBATIM-copied dims to upsampled facts remain valid (denser
+history per dim row).
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -42,8 +51,9 @@ os.environ.setdefault(
 from dbt_metrics_ingestion_script_spark.session import get_spark  # noqa: E402
 from dbt_metrics_ingestion_script_spark import queries as q  # noqa: E402
 
-# top-of-BENCHFULL cost order; all documents/embeddings/events/lineitem
-# -only (no lineitem->orders joins -- see module docstring)
+# top-of-BENCHFULL cost order (documents/embeddings families), the
+# fact-fact join family (measurable since the round-12 orders re-key),
+# and scan-bound canaries
 DEFAULT_SET = [
     "dedup_semantic_clusters",
     "corpus_semantic_pipeline",
@@ -65,18 +75,62 @@ DEFAULT_SET = [
     "tpch_q1_pricing_summary",
     "events_daily_anomaly_zscore",
     "text_repetition_signals",
+    # fact-fact joins (VERDICT r11 item 1): lineitem->orders rides the
+    # shared o_orderkey offset, dims verbatim
+    "tpch_q3_shipping_priority",
+    "tpch_q8_national_market_share",
+    "tpch_q12_shipmode_priority",
+    "tpch_q21_suppliers_kept_waiting",
+    "dq_referential_integrity",
 ]
 
 
+def _stages(spark) -> dict[tuple[int, int], dict]:
+    """Completed stages from the UI REST API, keyed (stageId, attempt).
+    Returns {} if the UI is unreachable (metrics then read as None)."""
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            data = json.load(r)
+        return {(s["stageId"], s["attemptId"]): s for s in data}
+    except Exception:
+        return {}
+
+
+def _delta_metrics(before: dict, after: dict) -> dict:
+    new = [s for k, s in after.items() if k not in before]
+    g = lambda s, f: s.get(f, 0) or 0  # noqa: E731
+    return {
+        "shuffle_read_bytes": sum(g(s, "shuffleReadBytes") for s in new),
+        "shuffle_write_bytes": sum(g(s, "shuffleWriteBytes") for s in new),
+        "spill_bytes": sum(
+            g(s, "memoryBytesSpilled") + g(s, "diskBytesSpilled")
+            for s in new
+        ),
+        "peak_execution_memory": max(
+            (g(s, "peakExecutionMemory") for s in new), default=0
+        ),
+    }
+
+
 def _time(fn, spark, sf_dir, iters=1):
+    """min wall-time over iters; stage metrics from the LAST (warm)
+    iteration."""
     best = None
     rows = None
+    metrics = {}
     for _ in range(iters):
+        before = _stages(spark)
         t0 = time.monotonic()
         rows = fn(spark, sf_dir).count()
         dt = time.monotonic() - t0
+        metrics = _delta_metrics(before, _stages(spark))
         best = dt if best is None else min(best, dt)
-    return best, rows
+    return best, rows, metrics
 
 
 def main() -> int:
@@ -84,7 +138,7 @@ def main() -> int:
     x10 = (
         sys.argv[2] if len(sys.argv) > 2 else "/root/repo/scratch_scale/x10"
     )
-    out_path = sys.argv[3] if len(sys.argv) > 3 else "SCALING_r11.json"
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "SCALING_r12.json"
     names = sys.argv[4:] or DEFAULT_SET
     # upsample factor, for the slope bar and the JSON labels (a x100
     # dir from make_scale_upsample.py gives a second measured decade)
@@ -104,19 +158,29 @@ def main() -> int:
     results = {}
     for name in names:
         fn = registry[name]
-        t1, rows1 = _time(fn, spark, base, iters=2)
-        t10, rows10 = _time(fn, spark, x10, iters=1)
+        t1, rows1, m1 = _time(fn, spark, base, iters=2)
+        t10, rows10, m10 = _time(fn, spark, x10, iters=1)
         slope = round(t10 / t1, 2) if t1 else None
+        sb1 = m1["shuffle_read_bytes"] + m1["shuffle_write_bytes"]
+        sbN = m10["shuffle_read_bytes"] + m10["shuffle_write_bytes"]
         results[name] = {
             "t1_sec": round(t1, 3),
             f"t{factor}_sec": round(t10, 3),
             "slope": slope,
             "rows_1x": rows1,
             f"rows_{factor}x": rows10,
+            "shuffle_bytes_1x": sb1,
+            f"shuffle_bytes_{factor}x": sbN,
+            "shuffle_bytes_slope": round(sbN / sb1, 2) if sb1 else None,
+            "spill_bytes_1x": m1["spill_bytes"],
+            f"spill_bytes_{factor}x": m10["spill_bytes"],
+            "peak_exec_mem_1x": m1["peak_execution_memory"],
+            f"peak_exec_mem_{factor}x": m10["peak_execution_memory"],
         }
         print(
             f"{name:45s} t1={t1:7.2f}s t{factor}={t10:8.2f}s "
-            f"slope={slope:6.2f}x rows {rows1}->{rows10}",
+            f"slope={slope:6.2f}x rows {rows1}->{rows10} "
+            f"shuf {sb1}->{sbN} spill {m10['spill_bytes']}",
             flush=True,
         )
     spark.stop()
@@ -128,6 +192,11 @@ def main() -> int:
         "bar": f"slope <= ~{round(factor * 1.2)}x is "
                f"linear-plus-overhead at factor {factor}",
         "same_session": True,
+        "metrics_note": (
+            "shuffle/spill/peak-memory from the Spark UI REST API, "
+            "stage-delta attribution, warm iteration; "
+            "peak_execution_memory is the max single-stage value"
+        ),
         "queries": results,
     }
     Path(out_path).write_text(json.dumps(doc, indent=1) + "\n")

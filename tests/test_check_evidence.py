@@ -73,3 +73,62 @@ def test_planaudit_row_regex_rejects_error_lines():
     assert not re.search(
         rf"^{re.escape('weirdXquery+name')} +(?!ERROR\b)\S", meta_audit, re.M
     )
+
+
+def test_bench_suspect_adjudication_format():
+    """bench.py suspects self-adjudicate (VERDICT r11 item 7): each
+    entry carries {raw, committed, ratio_norm, plan_changed,
+    adjudication}, with plan_changed derived from the committed
+    PLANAUDIT row vs the current plan fingerprint (None when either
+    side is missing)."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py"
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # plan unchanged -> transient
+    e = bench.adjudicate_suspect(
+        raw=4.0, committed=2.0, ratio_norm=2.1,
+        current_row="ordersx1 2 0 - 0", committed_row="ordersx1 2 0 - 0",
+    )
+    assert set(e) == {
+        "raw", "committed", "ratio_norm", "plan_changed", "adjudication"
+    }
+    assert e["plan_changed"] is False
+    assert "transient" in e["adjudication"]
+    # plan changed -> real
+    e = bench.adjudicate_suspect(
+        raw=4.0, committed=2.0, ratio_norm=2.1,
+        current_row="ordersx2 3 0 - 0", committed_row="ordersx1 2 0 - 0",
+    )
+    assert e["plan_changed"] is True
+    assert "real" in e["adjudication"]
+    # no committed row -> unknown
+    e = bench.adjudicate_suspect(
+        raw=4.0, committed=2.0, ratio_norm=2.1,
+        current_row="ordersx1 2 0 - 0", committed_row=None,
+    )
+    assert e["plan_changed"] is None
+
+
+def test_committed_planaudit_row_parses_latest_audit():
+    """committed_planaudit_row normalizes the newest committed
+    PLANAUDIT row to the 5-field fingerprint layout (arrow tag
+    dropped, ERROR rows rejected)."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py"
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # the repo's real newest audit must yield a 5-field row for a
+    # long-stable query, and None for a nonexistent one
+    row = bench.committed_planaudit_row("tpch_q1_pricing_summary")
+    assert row is not None and len(row.split()) == 5, row
+    assert row.split()[0] == "lineitemx1"
+    assert bench.committed_planaudit_row("no_such_query_zzz") is None
