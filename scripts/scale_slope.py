@@ -144,12 +144,26 @@ def main() -> int:
     # dir from make_scale_upsample.py gives a second measured decade)
     factor = int(os.environ.get("SPARK_GRAFT_SLOPE_FACTOR", "10"))
 
-    spark = get_spark(app_name="scale_slope", shuffle_partitions=32)
+    # the harness needs the UI's REST endpoint for stage metrics
+    # (get_spark disables it for the query sessions); the listener
+    # overhead is identical at both scales, so the RATIO is unbiased
+    spark = get_spark(
+        app_name="scale_slope",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # full registry (driver-exposed AND driver=False bench rows --
     # text_bpe_* are benchmarked but not driver-registered)
     q.queries()
     registry = {n: d.fn for n, d in q.REGISTRY.items()}
+    # bench-only EXTRA entries (unsalted/salted baselines), measurable
+    # here too -- the skewed-upsample runs compare the pair
+    from dbt_metrics_ingestion_script_spark import queries_ext as _qe
+
+    registry.setdefault("events_daily_agg", _qe.events_daily_agg)
+    registry.setdefault("skew_unsalted_count_distinct", _qe.skew_demo_unsalted)
+    registry.setdefault("skew_salted_count_distinct", _qe.skew_demo_salted)
 
     # JVM/codegen warmup so the first measured query is not the one
     # paying JIT cost
