@@ -117,7 +117,20 @@ def _delta_metrics(before: dict, after: dict) -> dict:
     }
 
 
-def _time(fn, spark, sf_dir, iters=1):
+def _force_eval(df):
+    """Defeat count()'s aggregate-expression pruning: a filter over a
+    hash of EVERY output column makes each value load-bearing, so the
+    count evaluates the full query instead of its grouping skeleton.
+    Without this, `groupBy(k).agg(count_distinct(v)).count()` prunes
+    the count_distinct itself (it only needs the distinct k's) -- the
+    skew measurements exist precisely for that heavyweight per-group
+    state, so they must not measure the pruned plan."""
+    from pyspark.sql import functions as F
+
+    return df.where(F.xxhash64(*df.columns) % 2 >= -2)
+
+
+def _time(fn, spark, sf_dir, iters=1, force=False):
     """min wall-time over iters; stage metrics from the LAST (warm)
     iteration."""
     best = None
@@ -126,7 +139,10 @@ def _time(fn, spark, sf_dir, iters=1):
     for _ in range(iters):
         before = _stages(spark)
         t0 = time.monotonic()
-        rows = fn(spark, sf_dir).count()
+        df = fn(spark, sf_dir)
+        if force:
+            df = _force_eval(df)
+        rows = df.count()
         dt = time.monotonic() - t0
         metrics = _delta_metrics(before, _stages(spark))
         best = dt if best is None else min(best, dt)
@@ -134,12 +150,12 @@ def _time(fn, spark, sf_dir, iters=1):
 
 
 def main() -> int:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    x10 = (
-        sys.argv[2] if len(sys.argv) > 2 else "/root/repo/scratch_scale/x10"
-    )
-    out_path = sys.argv[3] if len(sys.argv) > 3 else "SCALING_r12.json"
-    names = sys.argv[4:] or DEFAULT_SET
+    argv = [a for a in sys.argv[1:] if a != "--force-eval"]
+    force = "--force-eval" in sys.argv[1:]
+    base = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    x10 = argv[1] if len(argv) > 1 else "/root/repo/scratch_scale/x10"
+    out_path = argv[2] if len(argv) > 2 else "SCALING_r12.json"
+    names = argv[3:] or DEFAULT_SET
     # upsample factor, for the slope bar and the JSON labels (a x100
     # dir from make_scale_upsample.py gives a second measured decade)
     factor = int(os.environ.get("SPARK_GRAFT_SLOPE_FACTOR", "10"))
@@ -172,8 +188,8 @@ def main() -> int:
     results = {}
     for name in names:
         fn = registry[name]
-        t1, rows1, m1 = _time(fn, spark, base, iters=2)
-        t10, rows10, m10 = _time(fn, spark, x10, iters=1)
+        t1, rows1, m1 = _time(fn, spark, base, iters=2, force=force)
+        t10, rows10, m10 = _time(fn, spark, x10, iters=1, force=force)
         slope = round(t10 / t1, 2) if t1 else None
         sb1 = m1["shuffle_read_bytes"] + m1["shuffle_write_bytes"]
         sbN = m10["shuffle_read_bytes"] + m10["shuffle_write_bytes"]
@@ -206,6 +222,7 @@ def main() -> int:
         "bar": f"slope <= ~{round(factor * 1.2)}x is "
                f"linear-plus-overhead at factor {factor}",
         "same_session": True,
+        "force_eval": force,
         "metrics_note": (
             "shuffle/spill/peak-memory from the Spark UI REST API, "
             "stage-delta attribution, warm iteration; "
