@@ -2098,11 +2098,20 @@ def _windowed_stream_agg(spark, sf_dir, grain: str):
             )
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.sql(
-        f"""SELECT CAST(ts AS DATE) AS ts, event_type, n_events,
-                   ROUND(total_value, 4) AS total_value
-            FROM {name}"""
-    )
+    # consume the memory sink eagerly and drop its temp view so
+    # repeated drains don't accumulate tables (the qf-report
+    # discipline, ADVICE r11)
+    try:
+        out = spark.sql(
+            f"""SELECT CAST(ts AS DATE) AS ts, event_type, n_events,
+                       ROUND(total_value, 4) AS total_value
+                FROM {name}"""
+        )
+        schema = out.schema
+        rows = out.collect()
+    finally:
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def _windowed_oracle(grain: str) -> str:
