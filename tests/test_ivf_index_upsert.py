@@ -127,3 +127,33 @@ def test_materialize_with_upsert_is_idempotent(spark, sf_dir, tmp_path):
         )
     merged = spark.read.parquet(os.path.join(path, "assignments"))
     assert merged.count() == emb.count()
+
+
+def test_registered_upsert_served_query_prunes_partitions(spark, sf_dir):
+    """The upsert-served driver query keeps the materialized-serving
+    plan contract: dynamic partition pruning on the merged store's
+    candidates scan, embeddings x0 at serve time (the query batch is a
+    checkpoint leaf), store scans = 2 assignments + 1 codes -- the
+    append-maintained store must serve exactly like the monolithic one
+    (test_ivf_materialized_serving's lock, applied to the merged
+    store)."""
+    from dbt_metrics_ingestion_script_spark.queries_ext import (
+        similarity_ivf_pq_index_upsert_served,
+    )
+
+    df = similarity_ivf_pq_index_upsert_served(spark, sf_dir)
+    jmode = (
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    dpp_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    assert dpp_lines and any("centroid_id" in ln for ln in dpp_lines), plan
+    assert plan.count("embeddings.parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("/assignments") == 2, plan
+    assert plan.count("/codes") == 1, plan
