@@ -252,8 +252,11 @@ HEADLINE = [
     "tpch_q21_suppliers_kept_waiting",
     "similarity_ivf_batch_topk",
     "similarity_ivf_pq_batch_topk_served",
-    # round-12: incremental index maintenance, served from the merged store
+    # round-12: incremental index maintenance, served from the merged
+    # store, plus the store-health stats scan (streaming ingest/serve
+    # excluded by the streaming policy above)
     "similarity_ivf_pq_index_upsert_served",
+    "similarity_ivf_store_cell_stats",
     "corpus_quality_filter_report",
     "corpus_quality_filter_survivors",
 ]

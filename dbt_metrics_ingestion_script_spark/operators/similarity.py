@@ -1608,6 +1608,43 @@ def ivf_pq_index_upsert(
     ).partitionBy("centroid_id").parquet(os.path.join(base_path, "codes"))
 
 
+def compact_ivf_pq_index(spark, base_path: str) -> None:
+    """Log-structured maintenance for an upsert-maintained store: every
+    ivf_pq_index_upsert APPENDS files into the centroid_id partitions,
+    so after many ingest batches each cell directory holds one file per
+    batch -- at 100 TB that is the classic small-files listing/open tax
+    on every probe.  Compaction rewrites assignments and codes with ONE
+    file per cell (repartition on the partition column puts each cell
+    in exactly one task) into a fresh store directory, then swaps it in
+    (rename old away, rename new in).  Contents are byte-equal as SETS
+    of rows; centroids/codebooks rewrite verbatim.
+
+    Single-maintainer per store, like the upsert itself: the two-step
+    swap is not atomic against a concurrent reader mid-swap (a reader
+    holding the old dir open on POSIX keeps its snapshot; a NEW reader
+    in the gap errors and retries).  The build into the fresh dir is
+    all-or-nothing, so a crash never leaves a half-compacted store in
+    place."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{base_path.rstrip('/')}.compact_{uuid.uuid4().hex[:8]}"
+    for part in ("assignments", "codes"):
+        df = spark.read.parquet(os.path.join(base_path, part))
+        df.repartition("centroid_id").write.partitionBy(
+            "centroid_id"
+        ).parquet(os.path.join(tmp, part))
+    for part in ("centroids", "codebooks"):
+        spark.read.parquet(os.path.join(base_path, part)).coalesce(
+            1
+        ).write.parquet(os.path.join(tmp, part))
+    old = f"{base_path.rstrip('/')}.old_{uuid.uuid4().hex[:8]}"
+    os.rename(base_path, old)
+    os.rename(tmp, base_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def read_ivf_pq_index(spark, base_path: str) -> dict[str, DataFrame]:
     """Read back a materialize_ivf_pq_index store; keys _INDEX_PARTS."""
     import os

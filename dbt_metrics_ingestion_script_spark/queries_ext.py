@@ -3974,6 +3974,153 @@ def similarity_ivf_pq_index_upsert_served(spark, sf_dir):
 
 
 @register(
+    "similarity_ivf_store_cell_stats",
+    _ivf_asg_cte()
+    + """
+    , cells AS (
+      SELECT centroid_id, COUNT(*) AS n FROM asg GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           MIN(n) AS min_cell,
+           MAX(n) AS max_cell,
+           ROUND(AVG(n), 6) AS avg_cell,
+           ROUND(MAX(n) / AVG(n), 6) AS imbalance
+    FROM cells
+    """,
+)
+def similarity_ivf_store_cell_stats(spark, sf_dir):
+    """Serving-health diagnostics over the MATERIALIZED index store:
+    per-cell population rolled up to (n_cells, n_vectors, min/max/avg
+    cell size, imbalance = max/avg).  Imbalance is the number an ANN
+    operator watches -- a hot cell bounds worst-case probe latency
+    (every query probing it scans its whole list) and is the signal to
+    re-train centroids or split the cell; the upsert path
+    (ivf_pq_index_upsert) makes drift monitoring necessary, this query
+    makes it cheap.  Reads ONLY the stored assignments (ids + partition
+    column -- column-pruned away from the vectors); the oracle replays
+    the inline IVF build, which equals the store bit-exactly.
+
+    Scan budget: embeddings x0 at query time (store-only, one
+    assignments scan), matching the served-family posture."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ivf_pq_index_path(sf_dir)
+    similarity.materialize_ivf_pq_index(
+        emb, path, n_centroids=16, m=_PQ_M, n_codes=_PQ_CODES, dim=_PQ_DIM
+    )
+    asg = similarity.read_ivf_pq_index(spark, path)["assignments"]
+    cells = asg.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("n_vectors"),
+        F.min("n").alias("min_cell"),
+        F.max("n").alias("max_cell"),
+        F.round(F.avg("n"), 6).alias("avg_cell"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("imbalance"),
+    )
+
+
+@register(
+    "streaming_ivf_pq_ingest_served",
+    _ivf_pq_batch_ctes(
+        train_where=f"id % {_UPSERT_BATCH_MOD} <> {_UPSERT_BATCH_REM}"
+    )
+    + """
+    SELECT query_id, vec_id, cosine_sim FROM finalk
+    """,
+)
+def streaming_ivf_pq_ingest_served(spark, sf_dir):
+    """STREAMING index maintenance, end to end: the base store is built
+    on 80% of the vectors, the remaining 20% arrive as an embedding
+    STREAM in multiple micro-batches (maxFilesPerTrigger=1), each
+    applied with ivf_pq_index_upsert inside foreachBatch
+    (streaming/ann_serve.py stream_ingest_ivf_pq), and the query batch
+    is served from the stream-maintained store.  Ingestion is
+    order-insensitive (assignment depends only on the immutable
+    centroids), so the oracle is IDENTICAL to the batch upsert's:
+    train on the base rows, assign base + batch.
+
+    Idempotency: base build + the whole drained stream apply to a
+    private dir promoted by ONE atomic rename -- a warm store skips
+    construction entirely, never a double append.
+
+    Scan budget at serve time: embeddings x0, the served-family
+    posture."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = (
+        F.col("vec_id") % _UPSERT_BATCH_MOD == _UPSERT_BATCH_REM
+    )
+    path = _ivf_pq_index_path(
+        sf_dir,
+        variant=f"streamingest{_UPSERT_BATCH_MOD}r{_UPSERT_BATCH_REM}",
+    )
+    if not os.path.exists(path):
+        from .streaming.ann_serve import stream_ingest_ivf_pq
+
+        tmp_store = f"{path}.ingest_{uuid.uuid4().hex[:8]}"
+        similarity.materialize_ivf_pq_index(
+            emb.where(~is_batch),
+            tmp_store,
+            n_centroids=16,
+            m=_PQ_M,
+            n_codes=_PQ_CODES,
+            dim=_PQ_DIM,
+        )
+        stage = tempfile.mkdtemp(prefix="ann_ingest_stream_")
+        try:
+            batch = emb.where(is_batch).select("vec_id", "embedding")
+            # two staged files -> two micro-batches under
+            # maxFilesPerTrigger=1: the ingest is exercised as a real
+            # multi-batch stream, not a single append
+            half = F.col("vec_id") % (2 * _UPSERT_BATCH_MOD)
+            for part in (
+                batch.where(half == _UPSERT_BATCH_REM),
+                batch.where(half != _UPSERT_BATCH_REM),
+            ):
+                part.coalesce(1).write.mode("append").parquet(stage)
+            stream = (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+            sq = stream_ingest_ivf_pq(
+                stream, tmp_store, m=_PQ_M, dim=_PQ_DIM
+            )
+            if not sq.awaitTermination(180):
+                sq.stop()
+                raise TimeoutError(
+                    "streaming_ivf_pq_ingest_served did not drain in 180s"
+                )
+            try:
+                os.rename(tmp_store, path)
+            except OSError:
+                shutil.rmtree(tmp_store, ignore_errors=True)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(tmp_store, ignore_errors=True)
+    idx = similarity.read_ivf_pq_index(spark, path)
+    qbatch = _min_ids_queries(emb).localCheckpoint(eager=False)
+    return similarity.ivf_pq_batch_serve(
+        idx["assignments"],
+        idx["centroids"],
+        idx["codes"].select("id", "subspace", "code"),
+        idx["codebooks"],
+        qbatch,
+        k=10,
+        shortlist=_IVFPQ_BATCH_SHORTLIST,
+        n_probe=4,
+        m=_PQ_M,
+        dim=_PQ_DIM,
+        round_digits=6,
+    )
+
+
+@register(
     "streaming_ivf_pq_serve",
     _ivf_pq_batch_ctes()
     + """

@@ -25,7 +25,50 @@ import os
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from ..operators.similarity import as_double, ivf_pq_batch_serve
+from ..operators.similarity import (
+    as_double,
+    ivf_pq_batch_serve,
+    ivf_pq_index_upsert,
+)
+
+
+def stream_ingest_ivf_pq(
+    embedding_stream: DataFrame,
+    store_path: str,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    epoch_log: list | None = None,
+):
+    """Streaming INDEX MAINTENANCE: new embedding batches arrive as a
+    stream and each micro-batch is applied to the materialized store
+    with ivf_pq_index_upsert -- assigned to the existing centroids,
+    encoded against the existing codebooks, appended into the
+    centroid_id partitions.  The online half of the ingest story the
+    dedup family already has (streaming semantic ingestion): the index
+    a serving fleet reads is maintained BY a stream, not by rebuild
+    jobs.  Order-insensitive by construction (assignment depends only
+    on the immutable centroids), so any micro-batching of the same
+    rows yields the same store.  Returns the started StreamingQuery.
+
+    epoch_log, if given, receives each non-empty micro-batch's epoch id
+    (tests assert multi-batch ingestion actually happened)."""
+
+    def ingest_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if epoch_log is not None:
+            epoch_log.append(epoch_id)
+        ivf_pq_index_upsert(
+            batch, store_path, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+
+    return (
+        embedding_stream.writeStream.foreachBatch(ingest_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_serve_ivf_pq(

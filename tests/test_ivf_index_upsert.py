@@ -157,3 +157,61 @@ def test_registered_upsert_served_query_prunes_partitions(spark, sf_dir):
     assert "ExistingRDD" in plan, plan
     assert plan.count("/assignments") == 2, plan
     assert plan.count("/codes") == 1, plan
+
+
+def test_compaction_collapses_files_and_preserves_contents(
+    spark, sf_dir, tmp_path
+):
+    """compact_ivf_pq_index: after several appends each cell directory
+    holds one file per batch; compaction rewrites to ONE file per cell
+    with identical row sets (the small-files tax paid once, not on
+    every probe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "store")
+    similarity.materialize_ivf_pq_index(
+        emb.where(F.col("vec_id") % 5 < 3), path, n_centroids=8
+    )
+    for rem in (3, 4):
+        similarity.ivf_pq_index_upsert(
+            emb.where(F.col("vec_id") % 5 == rem), path
+        )
+    before_rows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(path, "assignments"))
+            .drop("vec")
+            .collect(),
+        )
+    )
+    files_before = [
+        f for f in _data_files(path) if f.startswith("assignments")
+    ]
+    per_cell = {}
+    for f in files_before:
+        per_cell.setdefault(f.split(os.sep)[1], []).append(f)
+    assert any(len(v) > 1 for v in per_cell.values()), per_cell
+
+    similarity.compact_ivf_pq_index(spark, path)
+
+    files_after = [
+        f for f in _data_files(path) if f.startswith("assignments")
+    ]
+    per_cell_after = {}
+    for f in files_after:
+        per_cell_after.setdefault(f.split(os.sep)[1], []).append(f)
+    assert set(per_cell_after) == set(per_cell)
+    assert all(len(v) == 1 for v in per_cell_after.values()), per_cell_after
+    after_rows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(path, "assignments"))
+            .drop("vec")
+            .collect(),
+        )
+    )
+    assert after_rows == before_rows
+    # codes and the KB parts survive too
+    assert spark.read.parquet(os.path.join(path, "codes")).count() == len(
+        before_rows
+    ) * 8
+    assert spark.read.parquet(os.path.join(path, "centroids")).count() == 8

@@ -105,3 +105,62 @@ def test_stream_serve_prunes_partitions_per_batch(spark, sf_dir, tmp_path):
     for r in served:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert set(per_q.values()) == {5}
+
+
+def test_stream_ingest_equals_batch_upsert(spark, sf_dir, tmp_path):
+    """Streaming index maintenance (stream_ingest_ivf_pq): draining the
+    ingest batch through MULTIPLE micro-batches must produce exactly
+    the store a single batch upsert produces (order-insensitivity), and
+    the ingestion must actually have been multi-batch."""
+    from dbt_metrics_ingestion_script_spark.streaming.ann_serve import (
+        stream_ingest_ivf_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % 5 == 4
+    base, batch = emb.where(~is_batch), emb.where(is_batch)
+
+    stream_store = str(tmp_path / "stream_store")
+    batch_store = str(tmp_path / "batch_store")
+    similarity.materialize_ivf_pq_index(base, stream_store, n_centroids=8)
+    similarity.materialize_ivf_pq_index(base, batch_store, n_centroids=8)
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    b = batch.select("vec_id", "embedding")
+    for part in (
+        b.where(F.col("vec_id") % 10 == 4),
+        b.where(F.col("vec_id") % 10 != 4),
+    ):
+        part.coalesce(1).write.mode("append").parquet(stage)
+    epochs: list[int] = []
+    sq = stream_ingest_ivf_pq(
+        spark.readStream.schema(b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        stream_store,
+        epoch_log=epochs,
+    )
+    assert sq.awaitTermination(120), "ingest stream did not drain"
+    assert len(epochs) >= 2, epochs  # genuinely multi-batch
+
+    similarity.ivf_pq_index_upsert(batch, batch_store)
+
+    for part in ("assignments", "codes"):
+        a = sorted(
+            map(
+                tuple,
+                spark.read.parquet(os.path.join(stream_store, part))
+                .drop("vec")
+                .collect(),
+            )
+        )
+        c = sorted(
+            map(
+                tuple,
+                spark.read.parquet(os.path.join(batch_store, part))
+                .drop("vec")
+                .collect(),
+            )
+        )
+        assert a == c, part
