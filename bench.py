@@ -257,6 +257,7 @@ HEADLINE = [
     # excluded by the streaming policy above)
     "similarity_ivf_pq_index_upsert_served",
     "similarity_ivf_store_cell_stats",
+    "similarity_ivf_pq_batch_topk_after_delete",
     "corpus_quality_filter_report",
     "corpus_quality_filter_survivors",
 ]

@@ -1608,6 +1608,36 @@ def ivf_pq_index_upsert(
     ).partitionBy("centroid_id").parquet(os.path.join(base_path, "codes"))
 
 
+def ivf_pq_index_delete(ids: DataFrame, base_path: str) -> None:
+    """Tombstone deletion for a materialize_ivf_pq_index store (the
+    right-to-be-forgotten path a training-data index needs): the ids to
+    delete are APPENDED to a `deletes` part -- no partition is
+    rewritten at delete time, exactly like the upsert's append
+    discipline.  Serving subtracts tombstones with a broadcast
+    anti-join on the assignments frame (KB-sized ids vs the store);
+    compact_ivf_pq_index applies them PHYSICALLY (tombstoned rows
+    dropped from the rewritten cells, the deletes part cleared) -- the
+    log-structured merge the append family is named after.
+
+    `ids` must carry a single column named `id`."""
+    import os
+
+    ids.select("id").write.mode("append").parquet(
+        os.path.join(base_path, "deletes")
+    )
+
+
+def read_ivf_pq_index_deletes(spark, base_path: str) -> DataFrame | None:
+    """The store's tombstone set, or None if no delete was ever
+    applied."""
+    import os
+
+    p = os.path.join(base_path, "deletes")
+    if not os.path.exists(os.path.join(p, "_SUCCESS")):
+        return None
+    return spark.read.parquet(p)
+
+
 def compact_ivf_pq_index(spark, base_path: str) -> None:
     """Log-structured maintenance for an upsert-maintained store: every
     ivf_pq_index_upsert APPENDS files into the centroid_id partitions,
@@ -1630,8 +1660,14 @@ def compact_ivf_pq_index(spark, base_path: str) -> None:
     import uuid
 
     tmp = f"{base_path.rstrip('/')}.compact_{uuid.uuid4().hex[:8]}"
+    # tombstones (ivf_pq_index_delete) are applied PHYSICALLY here:
+    # the rewritten cells drop deleted rows and the deletes part is
+    # not carried into the compacted store
+    deletes = read_ivf_pq_index_deletes(spark, base_path)
     for part in ("assignments", "codes"):
         df = spark.read.parquet(os.path.join(base_path, part))
+        if deletes is not None:
+            df = df.join(F.broadcast(deletes), "id", "left_anti")
         df.repartition("centroid_id").write.partitionBy(
             "centroid_id"
         ).parquet(os.path.join(tmp, part))

@@ -3560,6 +3560,7 @@ def _ivf_pq_batch_ctes(
     k: int = 10,
     nq: int = _IVFPQ_BATCH_NQ,
     train_where: str = "",
+    cand_where: str = "",
 ) -> str:
     """_ivf_pq_ctes generalized to a query batch: every stage carries
     query_id and each per-query selection is a PARTITION BY query_id
@@ -3589,6 +3590,7 @@ def _ivf_pq_batch_ctes(
       ) WHERE rn <= {n_probe}
     ), cand AS (
       SELECT p.query_id, asg.id FROM asg JOIN probes p USING (centroid_id)
+      {f"WHERE {cand_where}" if cand_where else ""}
     ), qsubs AS (
       SELECT query_id, j.j AS subspace,
              qv[j.j * {d_sub} + 1 : j.j * {d_sub} + {d_sub}] AS qsub
@@ -4017,6 +4019,77 @@ def similarity_ivf_store_cell_stats(spark, sf_dir):
         F.max("n").alias("max_cell"),
         F.round(F.avg("n"), 6).alias("avg_cell"),
         F.round(F.max("n") / F.avg("n"), 6).alias("imbalance"),
+    )
+
+
+_DELETE_MOD, _DELETE_REM = 7, 3  # vec_id % 7 == 3 plays the erasure set
+
+
+@register(
+    "similarity_ivf_pq_batch_topk_after_delete",
+    _ivf_pq_batch_ctes(cand_where=f"asg.id % {_DELETE_MOD} <> {_DELETE_REM}")
+    + """
+    SELECT query_id, vec_id, cosine_sim FROM finalk
+    """,
+)
+def similarity_ivf_pq_batch_topk_after_delete(spark, sf_dir):
+    """Tombstone deletion served correctly (the right-to-be-forgotten
+    path): ~14% of the corpus is deleted from the materialized store
+    with ivf_pq_index_delete -- an APPEND of ids to the `deletes`
+    part, no partition rewritten -- and serving subtracts the
+    tombstones with one broadcast anti-join on the assignments frame
+    before probing/ADC/re-rank, so deleted vectors can never appear in
+    results even though their bytes still sit in the cells until the
+    next compaction (compact_ivf_pq_index drops them physically and
+    clears the tombstones; tests/test_ivf_index_upsert.py pins both
+    halves).  The oracle replays the full-corpus index build with the
+    candidate set restricted to the surviving ids.
+
+    Build + delete promote under ONE atomic rename (the upsert-served
+    discipline), so a warm store is a no-op and a reader never sees
+    the store without its tombstones."""
+    import os
+    import shutil
+    import uuid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ivf_pq_index_path(
+        sf_dir, variant=f"delete{_DELETE_MOD}r{_DELETE_REM}"
+    )
+    if not os.path.exists(path):
+        tmp_store = f"{path}.build_{uuid.uuid4().hex[:8]}"
+        similarity.materialize_ivf_pq_index(
+            emb, tmp_store, n_centroids=16,
+            m=_PQ_M, n_codes=_PQ_CODES, dim=_PQ_DIM,
+        )
+        similarity.ivf_pq_index_delete(
+            emb.where(
+                F.col("vec_id") % _DELETE_MOD == _DELETE_REM
+            ).select(F.col("vec_id").alias("id")),
+            tmp_store,
+        )
+        try:
+            os.rename(tmp_store, path)
+        except OSError:
+            shutil.rmtree(tmp_store, ignore_errors=True)
+    idx = similarity.read_ivf_pq_index(spark, path)
+    deletes = similarity.read_ivf_pq_index_deletes(spark, path)
+    asg = idx["assignments"]
+    if deletes is not None:
+        asg = asg.join(F.broadcast(deletes), "id", "left_anti")
+    qbatch = _min_ids_queries(emb).localCheckpoint(eager=False)
+    return similarity.ivf_pq_batch_serve(
+        asg,
+        idx["centroids"],
+        idx["codes"].select("id", "subspace", "code"),
+        idx["codebooks"],
+        qbatch,
+        k=10,
+        shortlist=_IVFPQ_BATCH_SHORTLIST,
+        n_probe=4,
+        m=_PQ_M,
+        dim=_PQ_DIM,
+        round_digits=6,
     )
 
 

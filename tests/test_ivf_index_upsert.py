@@ -215,3 +215,54 @@ def test_compaction_collapses_files_and_preserves_contents(
         before_rows
     ) * 8
     assert spark.read.parquet(os.path.join(path, "centroids")).count() == 8
+
+
+def test_delete_tombstones_hide_rows_and_compaction_drops_them(
+    spark, sf_dir, tmp_path
+):
+    """ivf_pq_index_delete: an append-only tombstone set that (a) a
+    serving anti-join makes invisible immediately, and (b) the next
+    compaction applies physically (rows gone from the cells, deletes
+    part cleared)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "store")
+    similarity.materialize_ivf_pq_index(emb, path, n_centroids=8)
+    n_all = emb.count()
+    gone = emb.where(F.col("vec_id") % 7 == 3).select(
+        F.col("vec_id").alias("id")
+    )
+    n_gone = gone.count()
+    assert 0 < n_gone < n_all
+
+    before = _data_files(path)
+    similarity.ivf_pq_index_delete(gone, path)
+    after = _data_files(path)
+    # delete is append-only: every pre-existing data file untouched
+    for rel, digest in before.items():
+        assert after.get(rel) == digest, rel
+    assert any(rel.startswith("deletes") for rel in set(after) - set(before))
+
+    # (a) serving subtraction: the anti-joined assignments view holds
+    # exactly the survivors
+    deletes = similarity.read_ivf_pq_index_deletes(spark, path)
+    assert deletes is not None and deletes.count() == n_gone
+    asg = spark.read.parquet(os.path.join(path, "assignments"))
+    survivors = asg.join(F.broadcast(deletes), "id", "left_anti")
+    assert survivors.count() == n_all - n_gone
+    assert (
+        survivors.join(deletes, "id").count() == 0
+    )
+
+    # (b) compaction applies tombstones physically and clears them.
+    # Capture the tombstone ids BEFORE compaction: the lazy `deletes`
+    # frame points at the pre-compaction store directory, which the
+    # swap removes.
+    gone_ids = {r["id"] for r in deletes.collect()}
+    similarity.compact_ivf_pq_index(spark, path)
+    asg2 = spark.read.parquet(os.path.join(path, "assignments"))
+    assert asg2.count() == n_all - n_gone
+    left = {r["id"] for r in asg2.select("id").collect()}
+    assert not (left & gone_ids)
+    codes2 = spark.read.parquet(os.path.join(path, "codes"))
+    assert codes2.count() == (n_all - n_gone) * 8
+    assert similarity.read_ivf_pq_index_deletes(spark, path) is None
