@@ -250,6 +250,11 @@ HEADLINE = [
     "tpch_q8_national_market_share",
     "tpch_q12_shipmode_priority",
     "tpch_q21_suppliers_kept_waiting",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_relationship",
+    "tpch_q20_potential_promotion",
     "similarity_ivf_batch_topk",
     "similarity_ivf_pq_batch_topk_served",
     # round-12: incremental index maintenance, served from the merged

@@ -2066,3 +2066,411 @@ def tpch_q21_suppliers_kept_waiting(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+# ---------------------------------------------------------------------------
+# TPC-H anchors, final five (Q2 / Q9 / Q11 / Q16 / Q20): the spec's
+# remaining queries all reference the PARTSUPP table, which the driver
+# schema does not carry -- each is adapted by deriving the part-supplier
+# relation from lineitem (the pairs that actually shipped), keeping the
+# spec's archetype (correlated MIN, profit star, global-share HAVING,
+# NOT-IN distinct count, nested double semijoin) intact.  With these,
+# all 22 TPC-H queries have anchors in the registry.
+# ---------------------------------------------------------------------------
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "LARGE"
+_Q2_MAX_SIZE = 15
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM ps
+      JOIN part     ON p_partkey = ps_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size <= {_Q2_MAX_SIZE} AND p_type = '{_Q2_TYPE}'
+      AND r_name = '{_Q2_REGION}'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = ps.ps_partkey
+          AND r2.r_name = '{_Q2_REGION}')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (minimum cost supplier), adapted to the driver's
+    column subset: no PARTSUPP table, so the part-supplier relation is
+    derived from lineitem (unit price MIN(l_extendedprice/l_quantity)
+    stands in for ps_supplycost; p_size <= {_Q2_MAX_SIZE} widens the
+    spec's exact-size filter so the answer set is populated at
+    sf0.01).  The archetype is intact: a correlated scalar-MIN
+    subquery over the same relation, per part, scoped to one region.
+
+    The oracle runs the textbook correlated form; the Spark plan is
+    the decorrelated rewrite: derive ps ONCE (one lineitem scan, one
+    groupBy exchange), prune it with the broadcast part filter (whole
+    partkeys drop, so per-part region-minima are unchanged) and the
+    broadcast supplier->nation->region edge, then a per-partkey MIN
+    window replaces the correlated subquery and an equality filter
+    keeps the cost-minimal suppliers.  A naive translation evaluates
+    ps twice (outer + subquery) through a second shuffled join.  Scan
+    budget: lineitem x1; 2 shuffles (pair aggregate, partkey window).
+    Ref behavior spec: pure EXT anchor (no counterpart in
+    /root/reference)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        )
+    )
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_size") <= _Q2_MAX_SIZE)
+            & (F.col("p_type") == _Q2_TYPE)
+        )
+        .select("p_partkey", "p_name")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == _Q2_REGION
+    )
+    supp_geo = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = ps.join(
+        F.broadcast(part_f), F.col("ps_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(supp_geo), F.col("ps_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("ps_partkey")
+    return (
+        cand.withColumn("__min_cost", F.min("ps_supplycost").over(w))
+        .where(F.col("ps_supplycost") == F.col("__min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name"),
+            F.col("s_name"),
+            F.col("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+_Q9_COLOR = "red"
+_Q9_COST_RATE = 0.6
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    f"""
+    SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - {_Q9_COST_RATE} * p_retailprice * l_quantity AS amount
+      FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%{_Q9_COLOR}%'
+    )
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 (product type profit measure), adapted to the
+    driver's column subset: no ps_supplycost, so the cost leg of the
+    profit expression is proxied by {_Q9_COST_RATE} * p_retailprice *
+    l_quantity (deterministic, and it keeps the part table inside the
+    profit arithmetic exactly where ps_supplycost sits in the spec).
+    The archetype is intact: a 5-way star whose measure mixes fact
+    and dimension columns, grouped by supplier nation x order year.
+
+    Scale shape: the name-filtered part and the supplier->nation edge
+    broadcast into the lineitem scan; the only shuffled join is
+    lineitem<->orders on orderkey (two facts, the same single
+    exchange Q8/Q12/Q21 ride); one final partial+final hash aggregate
+    over nation x year.  Scan budget: every table x1.  Ref behavior
+    spec: pure EXT anchor (no counterpart in /root/reference)."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains(_Q9_COLOR))
+        .select("p_partkey", "p_retailprice")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(_Q9_COST_RATE) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+_Q11_NATION = "NATION_7"
+_Q11_FRACTION = 0.001
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    SELECT l_partkey AS ps_partkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS stock_value
+    FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = '{_Q11_NATION}'
+    GROUP BY 1
+    HAVING SUM(l_extendedprice * (1 - l_discount)) > {_Q11_FRACTION} * (
+      SELECT SUM(l_extendedprice * (1 - l_discount))
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = '{_Q11_NATION}')
+    ORDER BY stock_value DESC, ps_partkey
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (important stock identification), adapted to the
+    driver's column subset: no ps_availqty * ps_supplycost, so a
+    part's held value from {_Q11_NATION}'s suppliers is the discounted
+    revenue its lineitems shipped -- the archetype is intact: a
+    per-group aggregate filtered against a FRACTION OF THE GLOBAL
+    TOTAL of the same aggregation.
+
+    The oracle's scalar subquery re-scans lineitem; the Spark plan
+    derives the per-part aggregate ONCE, lazily localCheckpoints the
+    (small) aggregated frame, reduces IT to the 1-row global total and
+    broadcast-cross-joins that scalar back -- no second fact scan, and
+    no single-partition window over the per-part frame (2B parts at
+    100 TB would funnel one task; the 1-row broadcast does not).
+    Scan budget: lineitem x1 (+ checkpoint leaf); 1 fact shuffle.
+    Ref behavior spec: pure EXT anchor (no counterpart in
+    /root/reference)."""
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == _Q11_NATION
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    grp = (
+        li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("__value")
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = grp.agg(F.sum("__value").alias("__total"))
+    return (
+        grp.crossJoin(F.broadcast(total))
+        .where(F.col("__value") > F.lit(_Q11_FRACTION) * F.col("__total"))
+        .select(
+            "ps_partkey", F.round("__value", 4).alias("stock_value")
+        )
+        .orderBy(F.col("stock_value").desc(), F.col("ps_partkey"))
+    )
+
+
+_Q16_BAD_BRAND = "Brand#9"
+_Q16_BAD_TYPE = "PROMO"
+_Q16_SIZES = (1, 9, 15, 22, 28, 36, 42, 49)
+
+
+@register(
+    "tpch_q16_supplier_relationship",
+    f"""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> '{_Q16_BAD_BRAND}' AND p_type <> '{_Q16_BAD_TYPE}'
+      AND p_size IN {_Q16_SIZES}
+      AND l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship), adapted to the
+    driver's column subset: the part-supplier relation comes from
+    lineitem instead of PARTSUPP, and the spec's "complaint" supplier
+    exclusion (a comment LIKE, no s_comment here) becomes s_acctbal <
+    0.  The archetype is intact: a NOT-IN exclusion against a
+    subquery plus COUNT(DISTINCT supplier) per part class.
+
+    Scale shape: the brand/type/size filter broadcasts into the
+    lineitem scan, the NOT IN is a broadcast LEFT ANTI join (the
+    excluded set is a filtered dim, never a shuffle), and the distinct
+    count is Spark's two-phase partial-distinct aggregate -- the
+    (brand,type,size,suppkey) expansion shuffles once.  Scan budget:
+    lineitem x1, no separate DISTINCT pass (countDistinct dedups
+    inside the aggregate).  Ref behavior spec: pure EXT anchor (no
+    counterpart in /root/reference)."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != _Q16_BAD_BRAND)
+            & (F.col("p_type") != _Q16_BAD_TYPE)
+            & (F.col("p_size").isin(*_Q16_SIZES))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+    )
+
+
+_Q20_COLOR = "blue"
+_Q20_YEAR = 2000
+_Q20_MIN_SHIPMENTS = 3
+_Q20_SHARE = 0.5
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    f"""
+    SELECT s_name, s_acctbal, n_name
+    FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '{_Q20_COLOR}%'
+      GROUP BY l_suppkey, l_partkey
+      HAVING COUNT(*) >= {_Q20_MIN_SHIPMENTS}
+        AND SUM(CASE WHEN l_shipdate >= DATE '{_Q20_YEAR}-01-01'
+                      AND l_shipdate <  DATE '{_Q20_YEAR + 1}-01-01'
+                     THEN l_quantity ELSE 0 END)
+            > {_Q20_SHARE} * SUM(l_quantity))
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted to the driver's
+    column subset: no ps_availqty, so "excess stock" becomes "recent
+    demand dominance" -- suppliers with at least one {_Q20_COLOR} part
+    they shipped >= {_Q20_MIN_SHIPMENTS} times whose {_Q20_YEAR}
+    quantity exceeds {_Q20_SHARE:.0%} of its all-time quantity (the
+    geographic filter is dropped: the 100-supplier driver dim would
+    reduce the answer to the nation filter instead of the correlated
+    condition).  The archetype is intact: a nested double semijoin
+    whose inner HAVING compares a windowed aggregate against a
+    correlated fraction of the same group's total.
+
+    Scale shape: the color-filtered part broadcasts into the single
+    lineitem scan; the per-(supplier,part) conditional aggregate
+    shuffles once; the qualifying supplier set collapses to a distinct
+    key list that BROADCASTS into supplier (the spec's IN), nation
+    broadcasts for the name.  Scan budget: lineitem x1.  Ref behavior
+    spec: pure EXT anchor (no counterpart in /root/reference)."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith(_Q20_COLOR))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_year = (
+        F.col("l_shipdate") >= F.lit(f"{_Q20_YEAR}-01-01").cast("timestamp")
+    ) & (
+        F.col("l_shipdate") < F.lit(f"{_Q20_YEAR + 1}-01-01").cast("timestamp")
+    )
+    qualifying = (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(in_year, F.col("l_quantity")).otherwise(0.0)).alias(
+                "__q_year"
+            ),
+            F.sum("l_quantity").alias("__q_all"),
+        )
+        .where(
+            (F.col("__n") >= _Q20_MIN_SHIPMENTS)
+            & (F.col("__q_year") > F.lit(_Q20_SHARE) * F.col("__q_all"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    )

@@ -1004,3 +1004,82 @@ def test_quality_filter_report_single_scan_map_only(spark):
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_tpch_q2_correlated_min_decorrelated_to_window(spark):
+    """Q2's correlated scalar-MIN subquery is decorrelated to a
+    per-partkey window over ONE derived part-supplier relation: the
+    lineitem scan happens once (a naive translation evaluates ps in
+    both the outer query and the subquery), every dim edge broadcasts,
+    and the only shuffles are the pair aggregate and the partkey
+    window."""
+    plan = plan_of(run(spark, "tpch_q2_min_cost_supplier"), "simple")
+    assert plan.count("lineitem.parquet") == 1, plan
+    for t in ["part", "supplier", "nation", "region"]:
+        assert plan.count(f"{t}.parquet") == 1, (t, plan)
+    assert "Window" in plan, plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+    # top-k via TakeOrdered, not a full range-partitioned sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q9_profit_star_single_fact_shuffle(spark):
+    """Q9's profit star: the name-filtered part and supplier->nation
+    broadcast into the lineitem scan; the only shuffled join is
+    lineitem<->orders on orderkey; one aggregate pass over
+    nation x year."""
+    plan = plan_of(run(spark, "tpch_q9_product_type_profit"), "simple")
+    for t in ["lineitem", "orders", "part", "supplier", "nation"]:
+        assert plan.count(f"{t}.parquet") == 1, (t, plan)
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 4, plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+
+
+def test_tpch_q11_global_share_without_second_scan(spark):
+    """Q11's HAVING compares per-part sums against a fraction of the
+    GLOBAL total of the same aggregation: the per-part aggregate is
+    derived once (lazy localCheckpoint leaf), the total reduces THAT
+    frame to one row and broadcast-cross-joins back -- lineitem never
+    scans twice, and no single-partition window over the per-part
+    frame (2B parts at 100 TB would funnel one task)."""
+    df = run(spark, "tpch_q11_important_stock")
+    plan = plan_of(df, "simple")
+    # the fact scan is behind the checkpoint leaf: zero direct scans
+    # in the serving plan, and no full-frame window
+    assert plan.count("lineitem.parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_tpch_q16_not_in_is_broadcast_anti(spark):
+    """Q16's NOT IN (complaint suppliers) is a broadcast LEFT ANTI
+    join, never a shuffled subquery; the part-class filter broadcasts;
+    the distinct supplier count is the two-phase partial-distinct
+    aggregate on ONE lineitem scan."""
+    plan = plan_of(run(spark, "tpch_q16_supplier_relationship"), "simple")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("part.parquet") == 1, plan
+    assert plan.count("supplier.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 3, plan
+
+
+def test_tpch_q20_double_semijoin_broadcast_chain(spark):
+    """Q20's nested double semijoin: the color-filtered part
+    broadcasts into the single lineitem scan, the qualifying
+    (supplier, part) conditional aggregate shuffles once, and the
+    collapsed supplier key set BROADCASTS into the supplier dim --
+    the spec's IN never becomes a shuffled join."""
+    plan = plan_of(run(spark, "tpch_q20_potential_promotion"), "simple")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("supplier.parquet") == 1, plan
+    assert plan.count("part.parquet") == 1, plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 3, plan
