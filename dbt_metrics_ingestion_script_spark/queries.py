@@ -2249,7 +2249,7 @@ def tpch_q9_product_type_profit(spark, sf_dir):
     )
 
 _Q11_NATION = "NATION_7"
-_Q11_FRACTION = 0.001
+_Q11_FRACTION = 0.0001
 
 
 @register(
@@ -2393,7 +2393,7 @@ def tpch_q16_supplier_relationship(spark, sf_dir):
 
 _Q20_COLOR = "blue"
 _Q20_YEAR = 2000
-_Q20_MIN_SHIPMENTS = 3
+_Q20_MIN_SHIPMENTS = 2
 _Q20_SHARE = 0.5
 
 
