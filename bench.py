@@ -255,6 +255,7 @@ HEADLINE = [
     "tpch_q11_important_stock",
     "tpch_q16_supplier_relationship",
     "tpch_q20_potential_promotion",
+    "events_incident_overlap_sessions",
     "similarity_ivf_batch_topk",
     "similarity_ivf_pq_batch_topk_served",
     # round-12: incremental index maintenance, served from the merged

@@ -93,3 +93,95 @@ def range_join_points(
         )
         .drop("__b", "__pus", "__s", "__e")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: str | None = None,
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Interval-INTERVAL overlap join: every (left, right) row pair
+    whose [start, end] ranges intersect (inclusive on both ends),
+    optionally restricted to equal `on` keys -- with `on=None` this is
+    the UNKEYED global overlap join, the case Spark's equi-join
+    machinery cannot express at all (a naive translation is a
+    BroadcastNestedLoopJoin / CartesianProduct over the full frames,
+    quadratic in rows).
+
+    Scale form: both sides bucketize time (one replica per spanned
+    bucket, exactly the `range_join_points` discipline above), the
+    equi-join runs on the bucket id (plus the key when given), and the
+    exact overlap predicate filters the candidates.  Unlike the
+    point-in-interval case, an overlapping pair shares EVERY bucket in
+    the intersection of its spans -- so instead of a post-join
+    DISTINCT (a second shuffle over the matched pairs), each pair is
+    reported only in its CANONICAL bucket, the bucket of
+    max(left_start, right_start).  That bucket always lies in both
+    spans whenever the pair overlaps (max(ls, rs) <= min(le, re)), so
+    the filter keeps exactly one replica per overlapping pair and the
+    plan stays a single hash join with zero dedup passes.
+
+    Time arithmetic is integer microseconds on both engines (the
+    sessionization convention); inverted or NULL-bounded intervals are
+    unmatchable and drop before replication, for the same `sequence`
+    step reason documented above.  Bucket width trades replication
+    against candidate selectivity; set it near the typical interval
+    length of the LONGER-lived side.
+    """
+    if bucket_minutes <= 0:
+        raise ValueError(f"bucket_minutes must be positive, got {bucket_minutes}")
+    key = {on} if on is not None else set()
+    clash = (set(left.columns) & set(right.columns)) - key
+    if clash:
+        raise ValueError(
+            f"left/right columns collide: {sorted(clash)}; rename first"
+        )
+    reserved = {"__b", "__ls", "__le", "__rs", "__re"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if reserved:
+        raise ValueError(
+            f"columns collide with internal names: {sorted(reserved)}; rename first"
+        )
+    b_us = bucket_minutes * 60 * 1_000_000
+
+    def spans(df, start_col, end_col, s_name, e_name):
+        return (
+            df.withColumn(
+                s_name, F.unix_micros(F.col(start_col).cast("timestamp"))
+            )
+            .withColumn(
+                e_name, F.unix_micros(F.col(end_col).cast("timestamp"))
+            )
+            .filter(F.col(s_name) <= F.col(e_name))
+            .withColumn(
+                "__b",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(s_name) / b_us),
+                        F.floor(F.col(e_name) / b_us),
+                    )
+                ),
+            )
+        )
+
+    l_rep = spans(left, left_start, left_end, "__ls", "__le")
+    r_rep = spans(right, right_start, right_end, "__rs", "__re")
+    join_keys = ["__b"] if on is None else [on, "__b"]
+    return (
+        l_rep.join(r_rep, join_keys)
+        .filter(
+            (F.col("__ls") <= F.col("__re"))
+            & (F.col("__rs") <= F.col("__le"))
+            & (
+                F.floor(F.greatest("__ls", "__rs") / b_us)
+                == F.col("__b")
+            )
+        )
+        .drop("__b", "__ls", "__le", "__rs", "__re")
+    )

@@ -2362,6 +2362,98 @@ def events_range_join_sessions(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "session_idx")
 
 
+_INCIDENT_HALF_MIN = 5
+
+
+@register(
+    "events_incident_overlap_sessions",
+    # the textbook interval-interval theta join; the Spark side runs
+    # the bucketized canonical-bucket form, so bucketization AND the
+    # one-replica-per-pair dedup guarantee are verified against the
+    # direct overlap predicate
+    _SESSION_CTE
+    + f"""
+    , sess AS (
+      SELECT user_id, session_idx,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM idx GROUP BY 1, 2
+    ), incidents AS (
+      SELECT event_id AS incident_id,
+             ts - INTERVAL {_INCIDENT_HALF_MIN} MINUTE AS incident_start,
+             ts + INTERVAL {_INCIDENT_HALF_MIN} MINUTE AS incident_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id, s.session_idx, s.session_start, i.incident_id,
+           LEAST(epoch_us(s.session_end), epoch_us(i.incident_end))
+             - GREATEST(epoch_us(s.session_start), epoch_us(i.incident_start))
+             AS overlap_us
+    FROM sess s JOIN incidents i
+      ON s.session_start <= i.incident_end
+     AND i.incident_start <= s.session_end
+    """,
+)
+def events_incident_overlap_sessions(spark, sf_dir):
+    """UNKEYED interval-interval overlap join: every user session
+    paired with every platform incident window (error events +/-
+    {_INCIDENT_HALF_MIN} min) whose time ranges intersect -- "which
+    sessions ran during an incident", the blameless-postmortem query.
+    No key relates a session to an incident, so the equi-join
+    machinery has nothing to hash on and the naive plan is a
+    CartesianProduct over sessions x incidents.
+
+    The Spark plan is `interval_overlap_join` (operators/ranges.py):
+    both interval sets replicate per spanned hour bucket, ONE hash
+    join on the bucket id, and each overlapping pair survives only in
+    its canonical bucket (the bucket of the later start) -- exactly
+    one output row per pair with NO post-join distinct, verified
+    against the oracle's direct theta join.  overlap_us is integer-
+    microsecond arithmetic on both engines.  Scale note: pair density
+    here grows ~quadratically across SFs because the synthetic
+    timeline is fixed while both interval sets densify; on a real
+    cluster the timeline grows with the data and the bucket join stays
+    linear in overlapping pairs.  Ref behavior spec: pure EXT anchor
+    (no counterpart in /root/reference)."""
+    from .operators.ranges import interval_overlap_join
+    from .operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, gap_minutes=_SESSION_GAP_MIN).select(
+        "user_id", "session_idx", "session_start", "session_end"
+    )
+    half = f"INTERVAL {_INCIDENT_HALF_MIN} MINUTES"
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr(half)).alias("incident_start"),
+        (F.col("ts") + F.expr(half)).alias("incident_end"),
+    )
+    pairs = interval_overlap_join(
+        sess,
+        incidents,
+        left_start="session_start",
+        left_end="session_end",
+        right_start="incident_start",
+        right_end="incident_end",
+        on=None,
+        bucket_minutes=60,
+    )
+    return pairs.select(
+        "user_id",
+        "session_idx",
+        "session_start",
+        "incident_id",
+        (
+            F.least(
+                F.unix_micros(F.col("session_end").cast("timestamp")),
+                F.unix_micros(F.col("incident_end").cast("timestamp")),
+            )
+            - F.greatest(
+                F.unix_micros(F.col("session_start").cast("timestamp")),
+                F.unix_micros(F.col("incident_start").cast("timestamp")),
+            )
+        ).alias("overlap_us"),
+    )
+
+
 @register(
     "events_sessionization",
     f"""

@@ -3096,3 +3096,78 @@ def test_repetition_signals_match_bruteforce_reference(spark):
     assert got[1]["n_lines"] == 3
     assert got[2]["dup_5gram_char_frac"] > 0  # repeated 13-word phrase
     assert got[3] == ref(3, "")  # empty doc yields all zeros
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Unkeyed interval-interval overlap: inclusive touch at either
+    end counts, a pair spanning MANY shared buckets yields exactly ONE
+    row (canonical-bucket dedup, no DISTINCT in the plan), disjoint
+    pairs drop, inverted/NULL intervals are unmatchable, and the keyed
+    mode restricts to equal keys."""
+    import datetime
+
+    import pytest as _pytest
+
+    from dbt_metrics_ingestion_script_spark.operators.ranges import (
+        interval_overlap_join,
+    )
+
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, 1, t(0), t(5)),      # spans 6 hourly buckets
+            (2, 1, t(10), t(11)),    # touches r3 at its end instant
+            (3, 2, t(0), t(1)),      # key 2 (for the keyed mode)
+            (4, 1, t(20), None),     # NULL end: unmatchable
+            (5, 1, t(9), t(8)),      # inverted: unmatchable
+        ],
+        "lid long, k long, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 1, t(3), t(7)),    # overlaps l1 across buckets 3..5
+            (101, 1, t(6), t(8)),    # disjoint from l1 (starts after)
+            (102, 1, t(11), t(12)),  # touch: r.start == l2.end
+            (103, 2, t(0, 30), t(2)),  # overlaps l1 AND l3
+        ],
+        "rid long, k long, rs timestamp, re timestamp",
+    )
+    unkeyed = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left.drop("k"), right.drop("k"),
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bucket_minutes=60,
+        ).collect()
+    )
+    assert unkeyed == [(1, 100), (1, 103), (2, 102), (3, 103)]
+
+    keyed = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            on="k", bucket_minutes=60,
+        ).collect()
+    )
+    # key 1: l1-r100 only (103 is key 2); key 2: l3-r103
+    assert keyed == [(1, 100), (2, 102), (3, 103)]
+
+    with _pytest.raises(ValueError, match="collide"):
+        interval_overlap_join(
+            left, right.withColumnRenamed("rid", "lid"),
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re", on="k",
+        )
+    with _pytest.raises(ValueError, match="internal names"):
+        interval_overlap_join(
+            left.withColumnRenamed("lid", "__b"), right,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re", on="k",
+        )
+    with _pytest.raises(ValueError, match="bucket_minutes"):
+        interval_overlap_join(
+            left, right, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bucket_minutes=-1,
+        )

@@ -1083,3 +1083,24 @@ def test_tpch_q20_double_semijoin_broadcast_chain(spark):
     assert plan.count("BroadcastExchange") >= 3, plan
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 3, plan
+
+
+def test_interval_overlap_join_never_nested_loop(spark):
+    """The unkeyed interval-interval overlap join exists to replace
+    the BroadcastNestedLoopJoin/CartesianProduct a theta join compiles
+    to: the plan must carry exactly ONE join, an equi-join on the
+    bucket id, and NO post-join distinct pass (the canonical-bucket
+    filter dedups for free)."""
+    plan = plan_of(run(spark, "events_incident_overlap_sessions"), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert joins == 1, plan
+    # sessions + incidents are two different projections of events
+    assert plan.count("events.parquet") == 2, plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, plan
