@@ -3171,3 +3171,52 @@ def test_interval_overlap_join_semantics(spark):
             left, right, left_start="ls", left_end="le",
             right_start="rs", right_end="re", bucket_minutes=-1,
         )
+
+
+def test_interval_overlap_join_randomized_vs_bruteforce(spark):
+    """Canonical-bucket dedup proof, randomized: 200x120 random
+    microsecond intervals (fixed seed; lengths from sub-bucket to
+    many-bucket, including touching and point intervals), unkeyed
+    overlap join compared pair-for-pair against the brute-force
+    cross-join theta filter.  Any double-report (pair surviving in two
+    buckets) or miss (canonical bucket outside a span) fails here
+    before it can corrupt an oracle."""
+    import random
+
+    import datetime
+
+    from dbt_metrics_ingestion_script_spark.operators.ranges import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    base = datetime.datetime(2024, 1, 1)
+
+    def mk(n, id0):
+        rows = []
+        for i in range(n):
+            s = base + datetime.timedelta(seconds=rng.randint(0, 400_000))
+            dur = rng.choice([0, 1, 59, 3_600, 3_601, 40_000])
+            rows.append((id0 + i, s, s + datetime.timedelta(seconds=dur)))
+        return rows
+
+    left = spark.createDataFrame(mk(200, 0), "lid long, ls timestamp, le timestamp")
+    right = spark.createDataFrame(mk(120, 1000), "rid long, rs timestamp, re timestamp")
+
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bucket_minutes=60,
+        ).collect()
+    )
+    from pyspark.sql import functions as F
+
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right)
+        .filter((F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")))
+        .collect()
+    )
+    assert len(got) == len(set(got)), "duplicate pair reported"
+    assert got == want
