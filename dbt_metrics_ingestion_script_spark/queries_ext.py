@@ -2455,6 +2455,123 @@ def events_incident_overlap_sessions(spark, sf_dir):
 
 
 @register(
+    "streaming_incident_overlap_sessions",
+    # the batch oracle checks the streaming plan (the
+    # streaming_quality_filter_report pattern): a stateless
+    # stream-static join must converge to the batch overlap exactly
+    _SESSION_CTE
+    + f"""
+    , sess AS (
+      SELECT user_id, session_idx,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM idx GROUP BY 1, 2
+    ), incidents AS (
+      SELECT event_id AS incident_id,
+             ts - INTERVAL {_INCIDENT_HALF_MIN} MINUTE AS incident_start,
+             ts + INTERVAL {_INCIDENT_HALF_MIN} MINUTE AS incident_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id, s.session_idx, s.session_start, i.incident_id,
+           LEAST(epoch_us(s.session_end), epoch_us(i.incident_end))
+             - GREATEST(epoch_us(s.session_start), epoch_us(i.incident_start))
+             AS overlap_us
+    FROM sess s JOIN incidents i
+      ON s.session_start <= i.incident_end
+     AND i.incident_start <= s.session_end
+    """,
+)
+def streaming_incident_overlap_sessions(spark, sf_dir):
+    """The interval-overlap join run STREAM-STATIC: incident windows
+    arrive through a file-source stream and join the static session
+    intervals through the SAME bucketized canonical-bucket operator --
+    `interval_overlap_join` is pure stateless projection + explode +
+    equi-join, so the identical code path streams unchanged (static
+    sessions on the left, the micro-batch on the right, a supported
+    stream-static INNER shape).  No watermark, no state store, append
+    mode: this is live incident triage -- each arriving incident
+    immediately emits the sessions it disrupted, paying only the
+    bucket equi-join against the (broadcastable) session index, never
+    a per-batch theta scan.  Drained with availableNow over a staged
+    copy; the BATCH oracle checks the streaming plan.  Ref behavior
+    spec: pure EXT anchor (no counterpart in /root/reference)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .operators.ranges import interval_overlap_join
+    from .operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, gap_minutes=_SESSION_GAP_MIN).select(
+        "user_id", "session_idx", "session_start", "session_end"
+    )
+    d = tempfile.mkdtemp(prefix="events_stream_overlap_")
+    try:
+        _stage_parquet_copy(os.path.join(sf_dir, "events.parquet"), d)
+        half = f"INTERVAL {_INCIDENT_HALF_MIN} MINUTES"
+        incidents = (
+            spark.readStream.schema(ev.schema)
+            .parquet(d)
+            .where(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("incident_id"),
+                (F.col("ts") - F.expr(half)).alias("incident_start"),
+                (F.col("ts") + F.expr(half)).alias("incident_end"),
+            )
+        )
+        pairs = interval_overlap_join(
+            sess,
+            incidents,
+            left_start="session_start",
+            left_end="session_end",
+            right_start="incident_start",
+            right_end="incident_end",
+            on=None,
+            bucket_minutes=60,
+        ).select(
+            "user_id",
+            "session_idx",
+            "session_start",
+            "incident_id",
+            (
+                F.least(
+                    F.unix_micros(F.col("session_end").cast("timestamp")),
+                    F.unix_micros(F.col("incident_end").cast("timestamp")),
+                )
+                - F.greatest(
+                    F.unix_micros(F.col("session_start").cast("timestamp")),
+                    F.unix_micros(F.col("incident_start").cast("timestamp")),
+                )
+            ).alias("overlap_us"),
+        )
+        name = "overlap_" + uuid.uuid4().hex[:8]
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_incident_overlap_sessions did not drain within 180s"
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # consume the sink eagerly and DROP the temp view (ADVICE r11
+    # discipline) -- the pair frame is modest at oracle scale
+    try:
+        out = spark.table(name)
+        schema = out.schema
+        rows = out.collect()
+    finally:
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "events_sessionization",
     f"""
     WITH e AS (

@@ -1230,3 +1230,27 @@ def test_streaming_semantic_ingestion_converges_to_batch(spark, tmp_path, sf_dir
     commits = os.path.join(store, "_checkpoint", "commits")
     assert os.path.exists(os.path.join(commits, "0"))
     assert os.path.exists(os.path.join(commits, "1"))
+
+
+def test_streaming_interval_overlap_converges_to_batch(spark, sf_dir):
+    """The stream-static overlap join emits exactly the batch pair
+    set: interval_overlap_join is stateless projection + explode +
+    equi-join, so draining the incident stream must reproduce the
+    batch query row-for-row (including overlap lengths)."""
+    from dbt_metrics_ingestion_script_spark.queries_ext import (
+        events_incident_overlap_sessions,
+        streaming_incident_overlap_sessions,
+    )
+
+    key = lambda r: (  # noqa: E731
+        r["user_id"], r["session_idx"], r["incident_id"], r["overlap_us"]
+    )
+    batch = sorted(
+        key(r) for r in events_incident_overlap_sessions(spark, sf_dir).collect()
+    )
+    stream = sorted(
+        key(r)
+        for r in streaming_incident_overlap_sessions(spark, sf_dir).collect()
+    )
+    assert len(batch) > 0
+    assert stream == batch
