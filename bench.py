@@ -392,6 +392,79 @@ def adjudicate_suspect(
     }
 
 
+# Hard byte budget for the single stdout JSON line.  The driver keeps
+# only the final ~2 KB of output (BENCH_r12.json records a 2,203-byte
+# "tail" field); leaving headroom for the driver's own wrapper keeps the
+# line's HEAD -- where {"metric": ... lives -- inside the window.
+COMPACT_LINE_BUDGET = 1700
+
+
+def one_word_verdict(adjudication: str) -> str:
+    """Collapse a suspect's adjudication sentence to one word for the
+    bounded stdout line (VERDICT r12 "What's wrong" 1: the full
+    sentences pushed the compact line past the driver's tail window).
+    The full sentence stays in the BENCHFULL sidecar."""
+    if adjudication.startswith("plan changed"):
+        return "real"
+    if adjudication.startswith("plan identical"):
+        return "transient"
+    return "unknown"
+
+
+def build_compact_line(
+    result: dict,
+    timings: dict[str, float],
+    canaries: dict[str, float],
+    out: str,
+    budget: int = COMPACT_LINE_BUDGET,
+) -> str:
+    """Bounded stdout JSON line: canaries + slowest queries, one-word
+    suspect verdicts, then shrink (queries first, suspects next) until
+    the serialized line fits the byte budget.  Guaranteed <= budget for
+    any plausible suspect count -- tested in
+    tests/test_check_evidence.py."""
+    slowest = sorted(
+        (n for n in timings if n not in canaries),
+        key=lambda n: -timings[n],
+    )[:25]
+    compact = dict(result)
+    compact["queries_full"] = out or "BENCHFULL.json"
+    compact.pop("canary_ratios", None)
+    # canary VALUES already appear in the bounded queries map; the
+    # per-name sub-map lives in the full file
+    compact.pop("canaries", None)
+    suspects = result.get("suspects") or {}
+    # one-word verdicts, worst normalized ratio first so shrinking drops
+    # the least-suspicious entries
+    susp_order = sorted(
+        suspects, key=lambda n: -suspects[n].get("ratio_norm", 0.0)
+    )
+    n_slow, n_susp = len(slowest), len(susp_order)
+    while True:
+        compact["queries"] = {
+            n: timings[n] for n in list(canaries) + slowest[:n_slow]
+        }
+        compact["queries_elided"] = len(timings) - len(compact["queries"])
+        if suspects:
+            compact["suspects"] = {
+                n: {
+                    "ratio_norm": suspects[n].get("ratio_norm"),
+                    "verdict": one_word_verdict(
+                        suspects[n].get("adjudication", "")
+                    ),
+                }
+                for n in susp_order[:n_susp]
+            }
+            compact["suspects_elided"] = len(suspects) - n_susp
+        line = json.dumps(compact)
+        if len(line) <= budget or (n_slow == 0 and n_susp == 0):
+            return line
+        if n_slow > 0:
+            n_slow -= 1
+        elif n_susp > 0:
+            n_susp -= 1
+
+
 def find_prev_benchfull() -> tuple[str, dict] | None:
     """Latest committed BENCHFULL_r*.json next to this file, if any."""
     import glob
@@ -527,24 +600,13 @@ def main() -> None:
         return
     # stdout machine line LAST but COMPACT: the driver records only the
     # final ~2 KB of output (BENCH_r08/r09 "parsed": null -- the 8 KB
-    # full-map line had its HEAD truncated away), so the stdout line
-    # bounds its queries map to the canaries plus the slowest entries
-    # and points at the full file for the rest.
-    slowest = sorted(
-        (n for n in timings if n not in canaries),
-        key=lambda n: -timings[n],
-    )[:25]
-    compact = dict(result)
-    compact["queries"] = {
-        n: timings[n] for n in list(canaries) + slowest
-    }
-    compact["queries_elided"] = len(timings) - len(compact["queries"])
-    compact["queries_full"] = out or "BENCHFULL.json"
-    compact.pop("canary_ratios", None)
-    # canary VALUES already appear in the bounded queries map; the
-    # per-name sub-map lives in the full file
-    compact.pop("canaries", None)
-    print(json.dumps(compact))
+    # full-map line had its HEAD truncated away; BENCH_r12 regressed the
+    # same way when verbose suspect adjudication strings re-bloated the
+    # line), so the stdout line bounds its queries map to the canaries
+    # plus the slowest entries, shrinks suspects to one-word verdicts,
+    # and enforces a hard byte budget (build_compact_line) before
+    # printing.  Full detail always lives in the sidecar file.
+    print(build_compact_line(result, timings, canaries, out))
     spark.stop()
 
 

@@ -104,6 +104,7 @@ def interval_overlap_join(
     right_end: str,
     on: str | None = None,
     bucket_minutes: int = 60,
+    max_span_buckets: int | None = None,
 ) -> DataFrame:
     """Interval-INTERVAL overlap join: every (left, right) row pair
     whose [start, end] ranges intersect (inclusive on both ends),
@@ -132,9 +133,34 @@ def interval_overlap_join(
     step reason documented above.  Bucket width trades replication
     against candidate selectivity; set it near the typical interval
     length of the LONGER-lived side.
+
+    Replication is one replica per spanned bucket, so a single
+    pathological long-lived interval (a never-closed session) spans
+    thousands of buckets at small bucket_minutes and silently fans out
+    that many replicas.  `max_span_buckets` is the opt-in guard: when
+    set, any interval spanning MORE than that many buckets is dropped
+    before replication (it produces no pairs -- an explicit coverage
+    trade, not a silent truncation; pick a cap well above the longest
+    legitimate interval, e.g. 30 days / bucket_minutes).  Default None
+    preserves exact semantics.
     """
     if bucket_minutes <= 0:
         raise ValueError(f"bucket_minutes must be positive, got {bucket_minutes}")
+    if max_span_buckets is not None and max_span_buckets <= 0:
+        raise ValueError(
+            f"max_span_buckets must be positive, got {max_span_buckets}"
+        )
+    if on is not None:
+        missing = [
+            side
+            for side, df in (("left", left), ("right", right))
+            if on not in df.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"join key {on!r} missing from {' and '.join(missing)} "
+                "columns"
+            )
     key = {on} if on is not None else set()
     clash = (set(left.columns) & set(right.columns)) - key
     if clash:
@@ -151,7 +177,7 @@ def interval_overlap_join(
     b_us = bucket_minutes * 60 * 1_000_000
 
     def spans(df, start_col, end_col, s_name, e_name):
-        return (
+        out = (
             df.withColumn(
                 s_name, F.unix_micros(F.col(start_col).cast("timestamp"))
             )
@@ -159,15 +185,20 @@ def interval_overlap_join(
                 e_name, F.unix_micros(F.col(end_col).cast("timestamp"))
             )
             .filter(F.col(s_name) <= F.col(e_name))
-            .withColumn(
-                "__b",
-                F.explode(
-                    F.sequence(
-                        F.floor(F.col(s_name) / b_us),
-                        F.floor(F.col(e_name) / b_us),
-                    )
-                ),
+        )
+        if max_span_buckets is not None:
+            out = out.filter(
+                F.floor(F.col(e_name) / b_us) - F.floor(F.col(s_name) / b_us)
+                < F.lit(max_span_buckets)
             )
+        return out.withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s_name) / b_us),
+                    F.floor(F.col(e_name) / b_us),
+                )
+            ),
         )
 
     l_rep = spans(left, left_start, left_end, "__ls", "__le")

@@ -2310,6 +2310,12 @@ def tpch_q11_important_stock(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     total = grp.agg(F.sum("__value").alias("__total"))
+    # ADVICE r12 fragility note: this HAVING compares UNROUNDED float
+    # sums across engines (__value > fraction * __total); summation-
+    # order ulp differences could in principle flip a group sitting
+    # exactly on the threshold.  Green at every tested SF -- if a
+    # borderline group ever appears at another SF, compare on
+    # round(.., 4) values on BOTH sides (oracle + here) instead.
     return (
         grp.crossJoin(F.broadcast(total))
         .where(F.col("__value") > F.lit(_Q11_FRACTION) * F.col("__total"))

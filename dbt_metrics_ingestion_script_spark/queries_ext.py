@@ -2545,10 +2545,22 @@ def streaming_incident_overlap_sessions(spark, sf_dir):
                 )
             ).alias("overlap_us"),
         )
-        name = "overlap_" + uuid.uuid4().hex[:8]
+        # parquet sink, NOT a memory sink (ADVICE r12): pair density is
+        # quadratic in the upsample factor (48.9M pairs at x10 per
+        # SCALE.md), so draining through the driver via collect() would
+        # OOM above oracle scale.  The executors write the pairs to a
+        # temp parquet dir and the result is read back LAZILY -- the
+        # driver never holds the pair set.  The output dir must outlive
+        # this function (the caller materializes the returned frame),
+        # so it is reaped at interpreter exit, not here.
+        import atexit
+
+        out_dir = tempfile.mkdtemp(prefix="events_stream_overlap_out_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
         q = (
-            pairs.writeStream.format("memory")
-            .queryName(name)
+            pairs.writeStream.format("parquet")
+            .option("path", os.path.join(out_dir, "pairs"))
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
@@ -2560,15 +2572,9 @@ def streaming_incident_overlap_sessions(spark, sf_dir):
             )
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    # consume the sink eagerly and DROP the temp view (ADVICE r11
-    # discipline) -- the pair frame is modest at oracle scale
-    try:
-        out = spark.table(name)
-        schema = out.schema
-        rows = out.collect()
-    finally:
-        spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    return spark.read.schema(pairs.schema).parquet(
+        os.path.join(out_dir, "pairs")
+    )
 
 
 @register(

@@ -132,3 +132,71 @@ def test_committed_planaudit_row_parses_latest_audit():
     assert row is not None and len(row.split()) == 5, row
     assert row.split()[0] == "lineitemx1"
     assert bench.committed_planaudit_row("no_such_query_zzz") is None
+
+
+def test_bench_compact_line_fits_driver_window():
+    """VERDICT r12 "What's wrong" 1: the compact stdout line must stay
+    inside the driver's ~2 KB tail window even at an implausibly large
+    suspect count, so {"metric": ...} at the line's HEAD survives the
+    tail capture.  Suspects shrink to one-word verdicts; queries then
+    suspects are elided under a hard byte budget."""
+    import json
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py"
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # worst case: 260 long-named queries, 60 suspects with the longest
+    # adjudication sentence bench emits
+    timings = {
+        f"a_very_long_query_name_family_variant_{i:03d}": 1.2345
+        for i in range(260)
+    }
+    names = list(timings)
+    canaries = {n: timings[n] for n in names[:9]}
+    suspects = {
+        n: bench.adjudicate_suspect(
+            raw=9.8765,
+            committed=1.2345,
+            ratio_norm=6.5432,
+            current_row="ordersx1 2 0 - 0",
+            committed_row="ordersx1 2 0 - 0",
+        )
+        for n in names[9:69]
+    }
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": 320.9876,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "canaries": canaries,
+        "canary_total": 11.1105,
+        "canary_prev": "BENCHFULL_r12.json",
+        "canary_ratio_vs_prev": 1.3012,
+        "canary_ratios": {n: 1.3 for n in canaries},
+        "suspects": suspects,
+    }
+    line = bench.build_compact_line(
+        result, timings, canaries, "BENCHFULL.json"
+    )
+    assert len(line) <= bench.COMPACT_LINE_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert line.startswith('{"metric"')
+    assert parsed["value"] == 320.9876
+    # suspects survive as one-word verdicts, never full sentences
+    for s in parsed.get("suspects", {}).values():
+        assert s["verdict"] in {"real", "transient", "unknown"}
+        assert "adjudication" not in s
+    # nothing silently dropped: elision is accounted for
+    assert parsed["queries_elided"] == len(timings) - len(parsed["queries"])
+    n_susp = len(parsed.get("suspects", {}))
+    assert parsed.get("suspects_elided", 0) == len(suspects) - n_susp
+    # the no-suspect shape still fits and parses
+    r2 = {k: v for k, v in result.items() if k != "suspects"}
+    line2 = bench.build_compact_line(r2, timings, canaries, "BENCHFULL.json")
+    assert len(line2) <= bench.COMPACT_LINE_BUDGET
+    assert "suspects" not in json.loads(line2)

@@ -3220,3 +3220,64 @@ def test_interval_overlap_join_randomized_vs_bruteforce(spark):
     )
     assert len(got) == len(set(got)), "duplicate pair reported"
     assert got == want
+
+
+def test_interval_overlap_join_guards(spark):
+    """ADVICE r12: a missing `on` key raises a clear ValueError at plan
+    time (not a late engine error), and the opt-in max_span_buckets cap
+    drops a pathological never-closed interval BEFORE replication while
+    leaving every normal-length interval's pairs intact."""
+    import datetime
+
+    import pytest as _pytest
+
+    from dbt_metrics_ingestion_script_spark.operators.ranges import (
+        interval_overlap_join,
+    )
+
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1 + h // 24, h % 24, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, t(0), t(1)),       # 2 hourly buckets
+            (2, t(0), t(47, 59)),  # 48 buckets: the pathological row
+        ],
+        "lid long, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, t(0, 30), t(0, 45)), (101, t(40), t(41))],
+        "rid long, rs timestamp, re timestamp",
+    )
+
+    with _pytest.raises(ValueError, match="missing from left and right"):
+        interval_overlap_join(
+            left, right, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", on="nope",
+        )
+    with _pytest.raises(ValueError, match="missing from right"):
+        interval_overlap_join(
+            left.withColumnRenamed("lid", "k"), right,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re", on="k",
+        )
+    with _pytest.raises(ValueError, match="max_span_buckets"):
+        interval_overlap_join(
+            left, right, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", max_span_buckets=0,
+        )
+
+    def pairs(**kw):
+        return sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right, left_start="ls", left_end="le",
+                right_start="rs", right_end="re", bucket_minutes=60, **kw,
+            ).collect()
+        )
+
+    # uncapped: the 48-bucket interval fans out and matches both rights
+    assert pairs() == [(1, 100), (2, 100), (2, 101)]
+    # capped below 48 buckets: the pathological row is dropped entirely
+    # (no replication, no pairs); normal rows unaffected
+    assert pairs(max_span_buckets=10) == [(1, 100)]
+    # cap at exactly the span keeps it (drop is strictly MORE than cap)
+    assert pairs(max_span_buckets=48) == [(1, 100), (2, 100), (2, 101)]
