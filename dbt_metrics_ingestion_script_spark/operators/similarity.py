@@ -1480,6 +1480,102 @@ def ivf_pq_batch_recall(
 
 _INDEX_PARTS = ("assignments", "centroids", "codes", "codebooks")
 
+# The store is VERSIONED (VERDICT r12 item 2, the metric-store
+# write-to-vN-then-swap discipline applied to the serving index):
+#
+#     base_path/
+#       v1/ assignments/ codes/ centroids/ codebooks/ [deletes/]
+#       v2/ ...
+#       _current            <- tiny pointer file, written LAST (atomic
+#                              os.replace), names the serving version
+#
+# Readers resolve the pointer ONCE per query / micro-batch
+# (resolve_ivf_pq_store) and then read only inside that version dir, so
+# a compaction publishing v{N+1} never races a reader: the old version
+# dir is RETAINED until vacuum_ivf_pq_index explicitly prunes it, and a
+# reader pinned on v{N} keeps a complete, immutable-layout snapshot.
+_CURRENT_POINTER = "_current"
+
+
+def resolve_ivf_pq_store(base_path: str) -> str:
+    """Resolve a store base path to its CURRENT version directory.
+
+    Reads the `_current` pointer file (one atomic pointer read per
+    query/micro-batch -- the whole concurrency contract); a store
+    written before versioning existed (parts directly under base_path)
+    resolves to base_path itself, so legacy stores stay readable."""
+    import os
+
+    ptr = os.path.join(base_path, _CURRENT_POINTER)
+    try:
+        with open(ptr) as f:
+            version = f.read().strip()
+    except FileNotFoundError:
+        if os.path.exists(
+            os.path.join(base_path, "assignments", "_SUCCESS")
+        ):
+            return base_path  # legacy unversioned layout
+        raise FileNotFoundError(
+            f"no IVF+PQ store at {base_path}: neither a {_CURRENT_POINTER} "
+            "pointer nor a legacy unversioned layout"
+        ) from None
+    return os.path.join(base_path, version)
+
+
+def _ivf_pq_store_exists(base_path: str) -> bool:
+    import os
+
+    if os.path.exists(os.path.join(base_path, _CURRENT_POINTER)):
+        return True
+    return all(
+        os.path.exists(os.path.join(base_path, p, "_SUCCESS"))
+        for p in _INDEX_PARTS
+    )
+
+
+def _publish_ivf_pq_version(base_path: str, version: str) -> None:
+    """Atomically point `_current` at `version`: write a private temp
+    file, fsync, then os.replace -- a reader sees either the old
+    pointer or the new one, never a torn write."""
+    import os
+    import uuid
+
+    tmp = os.path.join(
+        base_path, f".{_CURRENT_POINTER}.{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "w") as f:
+        f.write(version + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(base_path, _CURRENT_POINTER))
+
+
+def vacuum_ivf_pq_index(base_path: str) -> list[str]:
+    """Prune every RETAINED non-current version directory (and any
+    legacy unversioned parts superseded by a versioned compaction).
+    Explicitly separate from the swap itself so a reader pinned on the
+    previous version across a concurrent compaction keeps its snapshot;
+    run vacuum only once no reader can still hold a pre-swap
+    resolution.  Returns the removed paths."""
+    import os
+    import shutil
+
+    cur_dir = resolve_ivf_pq_store(base_path)
+    if os.path.realpath(cur_dir) == os.path.realpath(base_path):
+        return []  # legacy unversioned store: nothing is superseded
+    current = os.path.basename(cur_dir)
+    removed = []
+    for entry in sorted(os.listdir(base_path)):
+        p = os.path.join(base_path, entry)
+        if not os.path.isdir(p):
+            continue
+        is_version = entry.startswith("v") and entry[1:].isdigit()
+        is_legacy_part = entry in _INDEX_PARTS or entry == "deletes"
+        if (is_version or is_legacy_part) and entry != current:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+    return removed
+
 
 def materialize_ivf_pq_index(
     embeddings: DataFrame,
@@ -1503,23 +1599,21 @@ def materialize_ivf_pq_index(
     codes carry centroid_id (joined from assignments) purely as the
     partition key, so the ADC stage can ALSO prune to probed cells.
 
-    Atomicity (ADVICE r11): the four parts are written into a private
-    sibling temp dir and promoted with ONE os.rename -- a reader never
-    sees a half-written store, and two concurrent builders race only at
-    the rename (the loser discards its build; the winner's store is
-    complete by construction).  The builds are lazy-checkpointed so the
-    k-means and PQ assignment run ONCE across the four writes, not once
-    per action (assignments feeds both its own write and the cells join
-    into the codes write).
+    Atomicity (ADVICE r11 + VERDICT r12 item 2): the four parts are
+    written into a private temp dir under base_path, promoted with ONE
+    os.rename to `v1/`, and the `_current` pointer is published LAST
+    (atomic os.replace) -- a reader never sees a half-written store,
+    and two concurrent builders race only at the rename (the loser
+    discards its identical, deterministic build).  The builds are
+    lazy-checkpointed so the k-means and PQ assignment run ONCE across
+    the four writes, not once per action (assignments feeds both its
+    own write and the cells join into the codes write).
     """
     import os
     import shutil
     import uuid
 
-    if all(
-        os.path.exists(os.path.join(base_path, p, "_SUCCESS"))
-        for p in _INDEX_PARTS
-    ):
+    if _ivf_pq_store_exists(base_path):
         return
     assignments, centroids = ivf_index(
         embeddings, n_centroids, id_col, vec_col, lazy_checkpoint=True
@@ -1529,7 +1623,8 @@ def materialize_ivf_pq_index(
         id_col=id_col, vec_col=vec_col, lazy_checkpoint=True,
     )
     cells = assignments.select("id", "centroid_id")
-    tmp = f"{base_path.rstrip('/')}.build_{uuid.uuid4().hex[:8]}"
+    os.makedirs(base_path, exist_ok=True)
+    tmp = os.path.join(base_path, f".build_{uuid.uuid4().hex[:8]}")
     assignments.write.mode("overwrite").partitionBy("centroid_id").parquet(
         os.path.join(tmp, "assignments")
     )
@@ -1544,18 +1639,24 @@ def materialize_ivf_pq_index(
     )
     if upsert is not None:
         # an ingestion batch applied BEFORE the store is promoted: the
-        # rename makes base-build + upsert one atomic, idempotent unit
-        # (re-running the sequence against an existing store is the
-        # no-op above, never a double append)
+        # rename + pointer publish make base-build + upsert one atomic,
+        # idempotent unit (re-running the sequence against an existing
+        # store is the no-op above, never a double append).  The temp
+        # dir is a legacy-layout store, which resolve_ivf_pq_store
+        # understands, so the upsert applies to it directly.
         ivf_pq_index_upsert(
             upsert, tmp, m=m, dim=dim, id_col=id_col, vec_col=vec_col
         )
     try:
-        os.rename(tmp, base_path)
+        os.rename(tmp, os.path.join(base_path, "v1"))
     except OSError:
         # a concurrent builder promoted its (identical, deterministic)
         # store first; ours is redundant
         shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(os.path.join(base_path, _CURRENT_POINTER)):
+        # publish LAST; also repairs a store whose builder crashed
+        # between the rename and the pointer write
+        _publish_ivf_pq_version(base_path, "v1")
 
 
 def ivf_pq_index_upsert(
@@ -1588,8 +1689,9 @@ def ivf_pq_index_upsert(
     import os
 
     spark = new_embeddings.sparkSession
-    centroids = spark.read.parquet(os.path.join(base_path, "centroids"))
-    codebooks = spark.read.parquet(os.path.join(base_path, "codebooks"))
+    store = resolve_ivf_pq_store(base_path)
+    centroids = spark.read.parquet(os.path.join(store, "centroids"))
+    codebooks = spark.read.parquet(os.path.join(store, "codebooks"))
     vecs = new_embeddings.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
     )
@@ -1601,11 +1703,11 @@ def ivf_pq_index_upsert(
         _subvectors(new_asg.select("id", "vec"), m, dim // m), codebooks
     ).select("id", "subspace", "code")
     new_asg.write.mode("append").partitionBy("centroid_id").parquet(
-        os.path.join(base_path, "assignments")
+        os.path.join(store, "assignments")
     )
     new_codes.join(new_asg.select("id", "centroid_id"), "id").write.mode(
         "append"
-    ).partitionBy("centroid_id").parquet(os.path.join(base_path, "codes"))
+    ).partitionBy("centroid_id").parquet(os.path.join(store, "codes"))
 
 
 def ivf_pq_index_delete(ids: DataFrame, base_path: str) -> None:
@@ -1623,7 +1725,7 @@ def ivf_pq_index_delete(ids: DataFrame, base_path: str) -> None:
     import os
 
     ids.select("id").write.mode("append").parquet(
-        os.path.join(base_path, "deletes")
+        os.path.join(resolve_ivf_pq_store(base_path), "deletes")
     )
 
 
@@ -1632,7 +1734,7 @@ def read_ivf_pq_index_deletes(spark, base_path: str) -> DataFrame | None:
     applied."""
     import os
 
-    p = os.path.join(base_path, "deletes")
+    p = os.path.join(resolve_ivf_pq_store(base_path), "deletes")
     if not os.path.exists(os.path.join(p, "_SUCCESS")):
         return None
     return spark.read.parquet(p)
@@ -1645,47 +1747,56 @@ def compact_ivf_pq_index(spark, base_path: str) -> None:
     batch -- at 100 TB that is the classic small-files listing/open tax
     on every probe.  Compaction rewrites assignments and codes with ONE
     file per cell (repartition on the partition column puts each cell
-    in exactly one task) into a fresh store directory, then swaps it in
-    (rename old away, rename new in).  Contents are byte-equal as SETS
-    of rows; centroids/codebooks rewrite verbatim.
+    in exactly one task) into a fresh VERSION directory (v{N+1}), then
+    atomically republishes the `_current` pointer at it.  Contents are
+    byte-equal as SETS of rows; centroids/codebooks rewrite verbatim.
 
-    Single-maintainer per store, like the upsert itself: the two-step
-    swap is not atomic against a concurrent reader mid-swap (a reader
-    holding the old dir open on POSIX keeps its snapshot; a NEW reader
-    in the gap errors and retries).  The build into the fresh dir is
-    all-or-nothing, so a crash never leaves a half-compacted store in
-    place."""
+    Reader-atomic (VERDICT r12 item 2): readers resolve the pointer
+    once per query/micro-batch and see either v{N} or v{N+1}, both
+    complete -- there is no gap a new reader can land in, and a reader
+    pinned on v{N} keeps its snapshot because superseded versions are
+    RETAINED until vacuum_ivf_pq_index.  A crash before the pointer
+    write leaves an unreferenced v{N+1} dir (harmless; the next
+    compaction targets v{N+2}).  Single MAINTAINER per store, like the
+    upsert itself.  A legacy unversioned store is migrated: its
+    compaction lands in v1 + pointer, superseding the bare parts."""
     import os
-    import shutil
-    import uuid
 
-    tmp = f"{base_path.rstrip('/')}.compact_{uuid.uuid4().hex[:8]}"
+    cur = resolve_ivf_pq_store(base_path)
+    if os.path.realpath(cur) == os.path.realpath(base_path):
+        next_n = 1  # legacy unversioned store: migrate into v1
+    else:
+        next_n = int(os.path.basename(cur)[1:]) + 1
+    while os.path.exists(os.path.join(base_path, f"v{next_n}")):
+        next_n += 1  # skip orphans from a crashed prior compaction
+    new = os.path.join(base_path, f"v{next_n}")
     # tombstones (ivf_pq_index_delete) are applied PHYSICALLY here:
     # the rewritten cells drop deleted rows and the deletes part is
     # not carried into the compacted store
     deletes = read_ivf_pq_index_deletes(spark, base_path)
     for part in ("assignments", "codes"):
-        df = spark.read.parquet(os.path.join(base_path, part))
+        df = spark.read.parquet(os.path.join(cur, part))
         if deletes is not None:
             df = df.join(F.broadcast(deletes), "id", "left_anti")
         df.repartition("centroid_id").write.partitionBy(
             "centroid_id"
-        ).parquet(os.path.join(tmp, part))
+        ).parquet(os.path.join(new, part))
     for part in ("centroids", "codebooks"):
-        spark.read.parquet(os.path.join(base_path, part)).coalesce(
+        spark.read.parquet(os.path.join(cur, part)).coalesce(
             1
-        ).write.parquet(os.path.join(tmp, part))
-    old = f"{base_path.rstrip('/')}.old_{uuid.uuid4().hex[:8]}"
-    os.rename(base_path, old)
-    os.rename(tmp, base_path)
-    shutil.rmtree(old, ignore_errors=True)
+        ).write.parquet(os.path.join(new, part))
+    _publish_ivf_pq_version(base_path, f"v{next_n}")
 
 
 def read_ivf_pq_index(spark, base_path: str) -> dict[str, DataFrame]:
-    """Read back a materialize_ivf_pq_index store; keys _INDEX_PARTS."""
+    """Read back a materialize_ivf_pq_index store; keys _INDEX_PARTS.
+    Resolves the `_current` version pointer ONCE here, so every frame
+    in the returned dict reads the same version snapshot even if a
+    compaction republishes the pointer mid-query."""
     import os
 
+    store = resolve_ivf_pq_store(base_path)
     return {
-        p: spark.read.parquet(os.path.join(base_path, p))
+        p: spark.read.parquet(os.path.join(store, p))
         for p in _INDEX_PARTS
     }

@@ -29,6 +29,7 @@ from ..operators.similarity import (
     as_double,
     ivf_pq_batch_serve,
     ivf_pq_index_upsert,
+    resolve_ivf_pq_store,
 )
 
 
@@ -102,8 +103,13 @@ def stream_serve_ivf_pq(
         # the serve plan references the query frame 3x (probes,
         # subspace split, re-rank)
         qb2 = qb.localCheckpoint(eager=False)
-        cents = spark.read.parquet(os.path.join(store_path, "centroids"))
-        books = spark.read.parquet(os.path.join(store_path, "codebooks"))
+        # resolve the store's `_current` version pointer ONCE per
+        # micro-batch: every scan in this batch reads the same version
+        # snapshot, so a concurrent compaction republishing the pointer
+        # never tears a batch (VERDICT r12 item 2)
+        store = resolve_ivf_pq_store(store_path)
+        cents = spark.read.parquet(os.path.join(store, "centroids"))
+        books = spark.read.parquet(os.path.join(store, "codebooks"))
         # probe: nearest n_probe cells per query, collected driver-side
         # (B x n_centroids rows -- KB-sized) to become a STATIC
         # partition predicate on the stored scans
@@ -135,10 +141,10 @@ def stream_serve_ivf_pq(
         # the explicit probe->isin partition filter: only the probed
         # cells' files are listed/opened
         asg = spark.read.parquet(
-            os.path.join(store_path, "assignments")
+            os.path.join(store, "assignments")
         ).where(F.col("centroid_id").isin(cells))
         codes = (
-            spark.read.parquet(os.path.join(store_path, "codes"))
+            spark.read.parquet(os.path.join(store, "codes"))
             .where(F.col("centroid_id").isin(cells))
             .select("id", "subspace", "code")
         )

@@ -18,18 +18,28 @@ from dbt_metrics_ingestion_script_spark.sources.tables import load_table
 
 
 def _data_files(base_path: str) -> dict[str, str]:
-    """{relative path: md5} of every parquet DATA file in the store
-    (markers like _SUCCESS are rewritten by append by design)."""
+    """{relative path: md5} of every parquet DATA file in the store's
+    CURRENT version (markers like _SUCCESS are rewritten by append by
+    design; superseded versions are retained separately for pinned
+    readers and excluded here by resolving the pointer first)."""
+    store = similarity.resolve_ivf_pq_store(base_path)
     out = {}
-    for root, _, files in os.walk(base_path):
+    for root, _, files in os.walk(store):
         for f in files:
             if f.endswith(".parquet"):
                 p = os.path.join(root, f)
                 with open(p, "rb") as fh:
-                    out[os.path.relpath(p, base_path)] = hashlib.md5(
+                    out[os.path.relpath(p, store)] = hashlib.md5(
                         fh.read()
                     ).hexdigest()
     return out
+
+
+def _part(spark, base_path: str, name: str):
+    """Read one part of the store's current version (pointer-resolved)."""
+    return spark.read.parquet(
+        os.path.join(similarity.resolve_ivf_pq_store(base_path), name)
+    )
 
 
 def test_upsert_appends_without_rewriting_base_files(
@@ -67,14 +77,14 @@ def test_upsert_appends_without_rewriting_base_files(
         assert rel.split(os.sep)[1] in base_cells, rel
 
     # 4. the merged store covers base + batch exactly once
-    merged_asg = spark.read.parquet(os.path.join(path, "assignments"))
-    merged_codes = spark.read.parquet(os.path.join(path, "codes"))
+    merged_asg = _part(spark, path, "assignments")
+    merged_codes = _part(spark, path, "codes")
     n_all = emb.count()
     assert merged_asg.count() == n_all
     assert merged_asg.select("id").distinct().count() == n_all
     assert merged_codes.count() == n_all * 8  # m=8 rows per vector
     # centroids/codebooks are immutable: still the BASE-trained ones
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cents = _part(spark, path, "centroids")
     base_cents = similarity.ivf_index(base, n_centroids=8)[1]
     assert sorted(map(tuple, cents.collect())) == sorted(
         map(tuple, base_cents.collect())
@@ -105,9 +115,7 @@ def test_upsert_assignment_matches_base_trained_index(
     }
     stored = {
         r["id"]: r["centroid_id"]
-        for r in spark.read.parquet(
-            os.path.join(path, "assignments")
-        ).collect()
+        for r in _part(spark, path, "assignments").collect()
     }
     assert stored == expected
 
@@ -125,7 +133,7 @@ def test_materialize_with_upsert_is_idempotent(spark, sf_dir, tmp_path):
             emb.where(~is_batch), path, n_centroids=8,
             upsert=emb.where(is_batch),
         )
-    merged = spark.read.parquet(os.path.join(path, "assignments"))
+    merged = _part(spark, path, "assignments")
     assert merged.count() == emb.count()
 
 
@@ -178,7 +186,7 @@ def test_compaction_collapses_files_and_preserves_contents(
     before_rows = sorted(
         map(
             tuple,
-            spark.read.parquet(os.path.join(path, "assignments"))
+            _part(spark, path, "assignments")
             .drop("vec")
             .collect(),
         )
@@ -204,17 +212,17 @@ def test_compaction_collapses_files_and_preserves_contents(
     after_rows = sorted(
         map(
             tuple,
-            spark.read.parquet(os.path.join(path, "assignments"))
+            _part(spark, path, "assignments")
             .drop("vec")
             .collect(),
         )
     )
     assert after_rows == before_rows
     # codes and the KB parts survive too
-    assert spark.read.parquet(os.path.join(path, "codes")).count() == len(
+    assert _part(spark, path, "codes").count() == len(
         before_rows
     ) * 8
-    assert spark.read.parquet(os.path.join(path, "centroids")).count() == 8
+    assert _part(spark, path, "centroids").count() == 8
 
 
 def test_delete_tombstones_hide_rows_and_compaction_drops_them(
@@ -246,23 +254,137 @@ def test_delete_tombstones_hide_rows_and_compaction_drops_them(
     # exactly the survivors
     deletes = similarity.read_ivf_pq_index_deletes(spark, path)
     assert deletes is not None and deletes.count() == n_gone
-    asg = spark.read.parquet(os.path.join(path, "assignments"))
+    asg = _part(spark, path, "assignments")
     survivors = asg.join(F.broadcast(deletes), "id", "left_anti")
     assert survivors.count() == n_all - n_gone
     assert (
         survivors.join(deletes, "id").count() == 0
     )
 
-    # (b) compaction applies tombstones physically and clears them.
-    # Capture the tombstone ids BEFORE compaction: the lazy `deletes`
-    # frame points at the pre-compaction store directory, which the
-    # swap removes.
+    # (b) compaction applies tombstones physically and clears them
+    # (the superseded version is retained, so the lazy `deletes` frame
+    # stays valid across the swap -- but collect eagerly anyway to pin
+    # the expected set).
     gone_ids = {r["id"] for r in deletes.collect()}
     similarity.compact_ivf_pq_index(spark, path)
-    asg2 = spark.read.parquet(os.path.join(path, "assignments"))
+    asg2 = _part(spark, path, "assignments")
     assert asg2.count() == n_all - n_gone
     left = {r["id"] for r in asg2.select("id").collect()}
     assert not (left & gone_ids)
-    codes2 = spark.read.parquet(os.path.join(path, "codes"))
+    codes2 = _part(spark, path, "codes")
     assert codes2.count() == (n_all - n_gone) * 8
     assert similarity.read_ivf_pq_index_deletes(spark, path) is None
+
+
+def test_compaction_is_reader_atomic_via_version_pointer(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r12 item 2: the store is versioned (base/v{N}/ + a
+    `_current` pointer written last), so compaction never races a
+    reader.  A reader that resolved the pointer BEFORE a compaction
+    keeps a complete v1 snapshot (retained, byte-identical) and its
+    lazy frames still evaluate; a reader resolving AFTER sees v2; the
+    superseded version survives until vacuum_ivf_pq_index explicitly
+    prunes it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "store")
+    similarity.materialize_ivf_pq_index(
+        emb.where(F.col("vec_id") % 5 < 4), path, n_centroids=8
+    )
+    similarity.ivf_pq_index_upsert(emb.where(F.col("vec_id") % 5 == 4), path)
+
+    # reader A pins v1: resolves the pointer once, holds lazy frames
+    v1 = similarity.resolve_ivf_pq_store(path)
+    assert os.path.basename(v1) == "v1"
+    pinned = similarity.read_ivf_pq_index(spark, path)
+    n_all = emb.count()
+    v1_files = _data_files(path)
+
+    # maintenance: a delete lands, then a concurrent compaction swaps
+    gone = emb.where(F.col("vec_id") % 11 == 1).select(
+        F.col("vec_id").alias("id")
+    )
+    n_gone = gone.count()
+    similarity.ivf_pq_index_delete(gone, path)
+    similarity.compact_ivf_pq_index(spark, path)
+
+    # the pointer now names v2; v1 is RETAINED with every file intact
+    v2 = similarity.resolve_ivf_pq_store(path)
+    assert os.path.basename(v2) == "v2" and os.path.isdir(v1)
+    v1_after = {
+        os.path.relpath(os.path.join(root, f), v1)
+        for root, _, fs in os.walk(v1)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert set(v1_files) <= v1_after
+
+    # reader A (pinned pre-swap) still evaluates its v1 snapshot:
+    # full pre-delete corpus, mid-swap and post-swap
+    assert pinned["assignments"].count() == n_all
+    # reader B (resolves post-swap) sees the compacted v2: tombstones
+    # applied physically
+    fresh = similarity.read_ivf_pq_index(spark, path)
+    assert fresh["assignments"].count() == n_all - n_gone
+
+    # the pointer file is tiny and atomic-replace written
+    with open(os.path.join(path, "_current")) as f:
+        assert f.read().strip() == "v2"
+
+    # vacuum prunes exactly the superseded version
+    removed = similarity.vacuum_ivf_pq_index(path)
+    assert removed == [v1]
+    assert not os.path.exists(v1) and os.path.isdir(v2)
+    # and the current version still serves
+    assert (
+        similarity.read_ivf_pq_index(spark, path)["assignments"].count()
+        == n_all - n_gone
+    )
+
+
+def test_legacy_unversioned_store_still_reads_and_migrates(
+    spark, sf_dir, tmp_path
+):
+    """A store written before versioning (parts directly under
+    base_path, no pointer) resolves to itself, upserts in place, and a
+    compaction MIGRATES it to v1 + pointer; vacuum then prunes the
+    superseded bare parts."""
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    staging = str(tmp_path / "staging")
+    similarity.materialize_ivf_pq_index(
+        emb.where(F.col("vec_id") % 5 < 4), staging, n_centroids=8
+    )
+    # fabricate the legacy layout: copy v1's CONTENTS to a bare dir
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(similarity.resolve_ivf_pq_store(staging), legacy)
+    assert similarity.resolve_ivf_pq_store(legacy) == legacy
+    # vacuum on a legacy store is a no-op (nothing is superseded)
+    assert similarity.vacuum_ivf_pq_index(legacy) == []
+
+    n_base = emb.where(F.col("vec_id") % 5 < 4).count()
+    assert (
+        similarity.read_ivf_pq_index(spark, legacy)["assignments"].count()
+        == n_base
+    )
+    similarity.ivf_pq_index_upsert(emb.where(F.col("vec_id") % 5 == 4), legacy)
+    n_all = emb.count()
+    assert (
+        similarity.read_ivf_pq_index(spark, legacy)["assignments"].count()
+        == n_all
+    )
+    similarity.compact_ivf_pq_index(spark, legacy)
+    assert os.path.basename(similarity.resolve_ivf_pq_store(legacy)) == "v1"
+    assert (
+        similarity.read_ivf_pq_index(spark, legacy)["assignments"].count()
+        == n_all
+    )
+    removed = similarity.vacuum_ivf_pq_index(legacy)
+    assert {os.path.basename(p) for p in removed} == {
+        "assignments", "codes", "centroids", "codebooks"
+    }
+    assert (
+        similarity.read_ivf_pq_index(spark, legacy)["assignments"].count()
+        == n_all
+    )

@@ -150,7 +150,11 @@ def test_stream_ingest_equals_batch_upsert(spark, sf_dir, tmp_path):
         a = sorted(
             map(
                 tuple,
-                spark.read.parquet(os.path.join(stream_store, part))
+                spark.read.parquet(
+                    os.path.join(
+                        similarity.resolve_ivf_pq_store(stream_store), part
+                    )
+                )
                 .drop("vec")
                 .collect(),
             )
@@ -158,7 +162,11 @@ def test_stream_ingest_equals_batch_upsert(spark, sf_dir, tmp_path):
         c = sorted(
             map(
                 tuple,
-                spark.read.parquet(os.path.join(batch_store, part))
+                spark.read.parquet(
+                    os.path.join(
+                        similarity.resolve_ivf_pq_store(batch_store), part
+                    )
+                )
                 .drop("vec")
                 .collect(),
             )
