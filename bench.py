@@ -264,6 +264,8 @@ HEADLINE = [
     "similarity_ivf_pq_index_upsert_served",
     "similarity_ivf_store_cell_stats",
     "similarity_ivf_pq_batch_topk_after_delete",
+    # round-13: the store's measured rebuild trigger
+    "similarity_ivf_store_drift",
     "corpus_quality_filter_report",
     "corpus_quality_filter_survivors",
 ]

@@ -4237,6 +4237,112 @@ def similarity_ivf_store_cell_stats(spark, sf_dir):
     )
 
 
+# drift scenario (VERDICT r12 item 6): one in-distribution upsert (the
+# usual 20% holdout) plus one OUT-of-distribution upsert (the same
+# vectors affinely shifted away from the trained centroids, fresh ids)
+_DRIFT_FACTOR = 2.0
+_DRIFT_SCALE, _DRIFT_SHIFT = 3.0, 1.0
+_DRIFT_ID_OFFSET = 10_000_000
+
+
+@register(
+    "similarity_ivf_store_drift",
+    _ivf_asg_cte(
+        train_where=f"id % {_UPSERT_BATCH_MOD} <> {_UPSERT_BATCH_REM}"
+    )
+    + f"""
+    , pops AS (
+      SELECT 0 AS seq, 'build' AS kind, id, vec FROM e
+       WHERE id % {_UPSERT_BATCH_MOD} <> {_UPSERT_BATCH_REM}
+      UNION ALL
+      SELECT 1, 'upsert', id, vec FROM e
+       WHERE id % {_UPSERT_BATCH_MOD} = {_UPSERT_BATCH_REM}
+      UNION ALL
+      SELECT 2, 'upsert', id + {_DRIFT_ID_OFFSET},
+             list_transform(vec, x -> x * {_DRIFT_SCALE} + {_DRIFT_SHIFT})
+        FROM e WHERE id % {_UPSERT_BATCH_MOD} = {_UPSERT_BATCH_REM}
+    ), mind2 AS (
+      SELECT p.seq, p.kind, p.id,
+             MIN({_IVF_D2.format(n=_PQ_DIM, a='p.vec', b='c.cvec')}) AS d2
+      FROM pops p CROSS JOIN cent c GROUP BY 1, 2, 3
+    ), hh AS (
+      SELECT seq, kind, COUNT(*) AS n_vectors,
+             ROUND(quantile_cont(d2, 0.5), 9) AS p50_d2,
+             ROUND(quantile_cont(d2, 0.95), 9) AS p95_d2
+      FROM mind2 GROUP BY 1, 2
+    ), b AS (SELECT p50_d2 AS bp FROM hh WHERE kind = 'build')
+    SELECT CAST(seq AS BIGINT) AS seq, kind, n_vectors, p50_d2, p95_d2,
+           ROUND(p50_d2 / b.bp, 6) AS drift_ratio,
+           (kind = 'upsert' AND p50_d2 > {_DRIFT_FACTOR} * b.bp)
+             AS rebuild_recommended
+    FROM hh, b ORDER BY seq
+    """,
+)
+def similarity_ivf_store_drift(spark, sf_dir):
+    """The upsert-maintained store's REBUILD TRIGGER, measured
+    (VERDICT r12 item 6): every build/upsert batch leaves a health row
+    in the store (p50/p95 squared distance to its assigned centroid --
+    recorded at zero extra passes, the d2 rides the assignment the
+    upsert already computes), and ivf_pq_store_health joins the
+    history against the build baseline into a drift_ratio and a
+    rebuild_recommended boolean.  The scenario: the index trains on
+    80% of the corpus; the normal 20% holdout upserts in-distribution
+    (fits the centroids, no rebuild); the same vectors affinely
+    shifted (x*{_DRIFT_SCALE}+{_DRIFT_SHIFT}, fresh ids) upsert
+    out-of-distribution and flip the recommendation.  The oracle
+    replays the base-trained k-means and the per-population
+    distance-to-nearest-centroid quantiles exactly.
+
+    Build + both upserts promote under ONE atomic rename (the
+    after-delete discipline), so a warm store is a no-op, never a
+    double append.  Scan budget at query time: embeddings x0 -- the
+    health part is KB-sized (one row per batch) and the baseline rides
+    a broadcast.  Ref behavior spec: pure EXT anchor (no counterpart
+    in /root/reference)."""
+    import os
+    import shutil
+    import uuid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = (
+        F.col("vec_id") % _UPSERT_BATCH_MOD == _UPSERT_BATCH_REM
+    )
+    path = _ivf_pq_index_path(
+        sf_dir,
+        variant=(
+            f"drift{_UPSERT_BATCH_MOD}r{_UPSERT_BATCH_REM}"
+            f"s{_DRIFT_SCALE}o{_DRIFT_SHIFT}"
+        ),
+    )
+    if not os.path.exists(path):
+        tmp_store = f"{path}.build_{uuid.uuid4().hex[:8]}"
+        similarity.materialize_ivf_pq_index(
+            emb.where(~is_batch), tmp_store, n_centroids=16,
+            m=_PQ_M, n_codes=_PQ_CODES, dim=_PQ_DIM,
+        )
+        similarity.ivf_pq_index_upsert(
+            emb.where(is_batch), tmp_store, m=_PQ_M, dim=_PQ_DIM
+        )
+        drifted = emb.where(is_batch).select(
+            (F.col("vec_id") + F.lit(_DRIFT_ID_OFFSET)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") * F.lit(_DRIFT_SCALE)
+                + F.lit(_DRIFT_SHIFT),
+            ).alias("embedding"),
+        )
+        similarity.ivf_pq_index_upsert(
+            drifted, tmp_store, m=_PQ_M, dim=_PQ_DIM
+        )
+        try:
+            os.rename(tmp_store, path)
+        except OSError:
+            shutil.rmtree(tmp_store, ignore_errors=True)
+    return similarity.ivf_pq_store_health(
+        spark, path, drift_factor=_DRIFT_FACTOR
+    )
+
+
 _DELETE_MOD, _DELETE_REM = 7, 3  # vec_id % 7 == 3 plays the erasure set
 
 

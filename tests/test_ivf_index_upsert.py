@@ -62,18 +62,22 @@ def test_upsert_appends_without_rewriting_base_files(
     # 2. the upsert added files (the batch's rows) without deleting any
     new_files = set(after) - set(before)
     assert new_files
-    # ... and only inside the existing partitioned parts
+    # ... and only inside the existing partitioned parts (plus the
+    # KB-sized per-batch health row)
     assert all(
-        rel.startswith(("assignments", "codes")) for rel in new_files
+        rel.startswith(("assignments", "codes", "health"))
+        for rel in new_files
     ), new_files
-    # 3. new files land inside centroid_id=<existing cell> directories:
-    #    the batch was assigned to the BASE index's cells
+    # 3. new data files land inside centroid_id=<existing cell>
+    #    directories: the batch was assigned to the BASE index's cells
     base_cells = {
         rel.split(os.sep)[1]
         for rel in before
         if rel.startswith("assignments")
     }
     for rel in new_files:
+        if rel.startswith("health"):
+            continue
         assert rel.split(os.sep)[1] in base_cells, rel
 
     # 4. the merged store covers base + batch exactly once
@@ -382,9 +386,57 @@ def test_legacy_unversioned_store_still_reads_and_migrates(
     )
     removed = similarity.vacuum_ivf_pq_index(legacy)
     assert {os.path.basename(p) for p in removed} == {
-        "assignments", "codes", "centroids", "codebooks"
+        "assignments", "codes", "centroids", "codebooks", "health"
     }
     assert (
         similarity.read_ivf_pq_index(spark, legacy)["assignments"].count()
         == n_all
     )
+
+
+def test_drift_health_flips_rebuild_recommendation(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r12 item 6: each build/upsert leaves a p50/p95
+    distance-to-centroid health row in the store; ivf_pq_store_health
+    recommends a rebuild exactly when an upsert batch stops fitting
+    the build-time centroids -- an in-distribution batch does not flip
+    it, an out-of-distribution (affinely shifted) batch does, and the
+    history survives compaction verbatim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % 5 == 4
+    path = str(tmp_path / "store")
+    similarity.materialize_ivf_pq_index(
+        emb.where(~is_batch), path, n_centroids=8
+    )
+    h0 = similarity.ivf_pq_store_health(spark, path).collect()
+    assert [r["kind"] for r in h0] == ["build"]
+    assert h0[0]["seq"] == 0 and h0[0]["drift_ratio"] == 1.0
+    assert not h0[0]["rebuild_recommended"]
+
+    # in-distribution upsert: fits the centroids, no rebuild
+    similarity.ivf_pq_index_upsert(emb.where(is_batch), path)
+    h1 = {r["seq"]: r for r in similarity.ivf_pq_store_health(spark, path).collect()}
+    assert h1[1]["kind"] == "upsert"
+    assert not h1[1]["rebuild_recommended"], h1[1]
+
+    # out-of-distribution upsert (x*3 + 1, fresh ids): flips it
+    drifted = emb.where(is_batch).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") * F.lit(3.0) + F.lit(1.0),
+        ).alias("embedding"),
+    )
+    similarity.ivf_pq_index_upsert(drifted, path)
+    h2 = {r["seq"]: r for r in similarity.ivf_pq_store_health(spark, path).collect()}
+    assert h2[2]["kind"] == "upsert"
+    assert h2[2]["rebuild_recommended"], h2[2]
+    assert h2[2]["drift_ratio"] > h2[1]["drift_ratio"] >= 1.0
+
+    # the history (and the recommendation) survives compaction
+    similarity.compact_ivf_pq_index(spark, path)
+    h3 = sorted(
+        map(tuple, similarity.ivf_pq_store_health(spark, path).collect())
+    )
+    assert h3 == sorted(map(tuple, h2.values()))
