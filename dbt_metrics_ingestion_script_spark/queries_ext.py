@@ -2454,11 +2454,10 @@ def events_incident_overlap_sessions(spark, sf_dir):
     )
 
 
-@register(
-    "streaming_incident_overlap_sessions",
-    # the batch oracle checks the streaming plan (the
-    # streaming_quality_filter_report pattern): a stateless
-    # stream-static join must converge to the batch overlap exactly
+# shared by the stream-static AND stream-stream overlap registrations:
+# the batch theta join is the oracle for both streaming plans (the
+# streaming_quality_filter_report pattern)
+_OVERLAP_ORACLE_SQL = (
     _SESSION_CTE
     + f"""
     , sess AS (
@@ -2478,7 +2477,13 @@ def events_incident_overlap_sessions(spark, sf_dir):
     FROM sess s JOIN incidents i
       ON s.session_start <= i.incident_end
      AND i.incident_start <= s.session_end
-    """,
+    """
+)
+
+
+@register(
+    "streaming_incident_overlap_sessions",
+    _OVERLAP_ORACLE_SQL,
 )
 def streaming_incident_overlap_sessions(spark, sf_dir):
     """The interval-overlap join run STREAM-STATIC: incident windows
@@ -2569,6 +2574,130 @@ def streaming_incident_overlap_sessions(spark, sf_dir):
             q.stop()
             raise TimeoutError(
                 "streaming_incident_overlap_sessions did not drain within 180s"
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.schema(pairs.schema).parquet(
+        os.path.join(out_dir, "pairs")
+    )
+
+
+# state-bound length cap for the stream-stream overlap: far above any
+# legitimate session/incident length (30 days), so nothing drops at any
+# tested SF while keeping join state derivably bounded
+_OVERLAP_MAX_INTERVAL_MIN = 30 * 24 * 60
+
+
+@register(
+    "streaming_incident_overlap_both",
+    _OVERLAP_ORACLE_SQL,
+)
+def streaming_incident_overlap_both(spark, sf_dir):
+    """The interval-overlap join with BOTH sides streaming
+    (VERDICT r12 next-round item 5): sessions and incident windows
+    each arrive through their own file-source stream
+    (maxFilesPerTrigger=1 over two staged files per side, so the drain
+    is genuinely multi-micro-batch on both inputs) and pair inside
+    Spark's symmetric hash join via interval_overlap_join_stream --
+    the canonical-bucket replication provides the equality key a
+    stream-stream join REQUIRES, and the 30-day length cap plus the
+    start-to-start range condition keep state watermark-bounded on
+    both sides.  Pairs whose two sides arrive in different
+    micro-batches are emitted from state (pinned in
+    tests/test_ext_operators.py); the whole drain converges to the
+    batch theta join the oracle runs.  Drained to a parquet sink read
+    back lazily (pair density is quadratic in the upsample factor;
+    never through the driver).  Ref behavior spec: pure EXT anchor
+    (no counterpart in /root/reference)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.ranges import interval_overlap_join_stream
+    from .operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, gap_minutes=_SESSION_GAP_MIN).select(
+        "user_id", "session_idx", "session_start", "session_end"
+    )
+    half = f"INTERVAL {_INCIDENT_HALF_MIN} MINUTES"
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr(half)).alias("incident_start"),
+        (F.col("ts") + F.expr(half)).alias("incident_end"),
+    )
+    d = tempfile.mkdtemp(prefix="events_stream_overlap2_")
+    try:
+        sess_dir = os.path.join(d, "sessions")
+        inc_dir = os.path.join(d, "incidents")
+        # two files per side -> two micro-batches per side under
+        # maxFilesPerTrigger=1: cross-batch pairs must come from state
+        for frame, out, col in (
+            (sess, sess_dir, "user_id"),
+            (incidents, inc_dir, "incident_id"),
+        ):
+            for rem in (0, 1):
+                frame.where(F.col(col) % 2 == rem).coalesce(1).write.mode(
+                    "append"
+                ).parquet(out)
+        sess_stream = (
+            spark.readStream.schema(sess.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sess_dir)
+        )
+        inc_stream = (
+            spark.readStream.schema(incidents.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inc_dir)
+        )
+        pairs = interval_overlap_join_stream(
+            sess_stream,
+            inc_stream,
+            left_start="session_start",
+            left_end="session_end",
+            right_start="incident_start",
+            right_end="incident_end",
+            on=None,
+            bucket_minutes=60,
+            max_interval_minutes=_OVERLAP_MAX_INTERVAL_MIN,
+            # the staged files are not time-ordered: a generous
+            # watermark delay guarantees zero late drops at oracle
+            # scale (state eviction is exercised structurally, and
+            # under tight watermarks in the pytest differential)
+            watermark="3650 days",
+        ).select(
+            "user_id",
+            "session_idx",
+            "session_start",
+            "incident_id",
+            (
+                F.least(
+                    F.unix_micros(F.col("session_end").cast("timestamp")),
+                    F.unix_micros(F.col("incident_end").cast("timestamp")),
+                )
+                - F.greatest(
+                    F.unix_micros(F.col("session_start").cast("timestamp")),
+                    F.unix_micros(
+                        F.col("incident_start").cast("timestamp")
+                    ),
+                )
+            ).alias("overlap_us"),
+        )
+        out_dir = tempfile.mkdtemp(prefix="events_stream_overlap2_out_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", os.path.join(out_dir, "pairs"))
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "streaming_incident_overlap_both did not drain within 240s"
             )
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -3281,3 +3281,215 @@ def test_interval_overlap_join_guards(spark):
     assert pairs(max_span_buckets=10) == [(1, 100)]
     # cap at exactly the span keeps it (drop is strictly MORE than cap)
     assert pairs(max_span_buckets=48) == [(1, 100), (2, 100), (2, 101)]
+
+
+def _overlap_stream_files(tmp_path, side, named_rows):
+    """Write one parquet file per (name, rows) with increasing mtimes so
+    maxFilesPerTrigger=1 drains them as successive micro-batches."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / side)
+    os.makedirs(d, exist_ok=True)
+    base = _time.time() - 1000
+    for i, (name, rows) in enumerate(named_rows):
+        p = os.path.join(d, name)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([r[0] for r in rows], pa.int64()),
+                    "s": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "e": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    return d
+
+
+def test_interval_overlap_join_stream_cross_batch_pairs(spark, tmp_path):
+    """Stream-STREAM overlap join (state on both sides): the
+    canonical-bucket replication supplies the equality key the
+    symmetric hash join requires, and a pair whose two sides arrive in
+    DIFFERENT micro-batches is emitted from state -- then the whole
+    drain equals the batch operator under the same length cap, with
+    zero duplicate pairs even though overlapping spans share many
+    buckets."""
+    import datetime
+    import os
+
+    from dbt_metrics_ingestion_script_spark.operators.ranges import (
+        interval_overlap_join,
+        interval_overlap_join_stream,
+    )
+
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1 + h // 24, h % 24, m)  # noqa: E731
+    # left batch 1: l1; left batch 2: l2
+    ldir = _overlap_stream_files(
+        tmp_path, "left",
+        [
+            ("l1.parquet", [(1, t(0), t(2))]),
+            ("l2.parquet", [(2, t(10), t(11))]),
+        ],
+    )
+    # right batch 1: r1 (same-batch pair with l1); right batch 2: r2
+    # (CROSS-batch pair with l1, which is already in state) + r3
+    rdir = _overlap_stream_files(
+        tmp_path, "right",
+        [
+            ("r1.parquet", [(100, t(1), t(1, 30))]),
+            (
+                "r2.parquet",
+                [(101, t(1, 30), t(3)), (102, t(10, 30), t(12))],
+            ),
+        ],
+    )
+    lschema = "lid long, ls timestamp, le timestamp"
+    rschema = "rid long, rs timestamp, re timestamp"
+    lstream = (
+        spark.readStream.schema("id long, s timestamp, e timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ldir)
+        .toDF("lid", "ls", "le")
+    )
+    rstream = (
+        spark.readStream.schema("id long, s timestamp, e timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir)
+        .toDF("rid", "rs", "re")
+    )
+    pairs = interval_overlap_join_stream(
+        lstream, rstream,
+        left_start="ls", left_end="le",
+        right_start="rs", right_end="re",
+        bucket_minutes=60, max_interval_minutes=24 * 60,
+        watermark="30 days",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", os.path.join(out, "pairs"))
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in spark.read.schema(pairs.schema)
+        .parquet(os.path.join(out, "pairs"))
+        .collect()
+    )
+    # the (1, 101) pair is cross-batch by construction: l1 drained in
+    # left micro-batch 1, r2 in right micro-batch 2
+    assert got == [(1, 100), (1, 101), (2, 102)]
+    assert len(got) == len(set(got)), "duplicate pair reported"
+    # batch convergence: identical to the batch operator under the cap
+    left_b = spark.createDataFrame(
+        [(1, t(0), t(2)), (2, t(10), t(11))], lschema
+    )
+    right_b = spark.createDataFrame(
+        [(100, t(1), t(1, 30)), (101, t(1, 30), t(3)), (102, t(10, 30), t(12))],
+        rschema,
+    )
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left_b, right_b,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            bucket_minutes=60, max_span_buckets=24,
+        ).collect()
+    )
+    assert got == want
+
+
+def test_interval_overlap_join_stream_checkpoint_restart(spark, tmp_path):
+    """Checkpoint recovery for the stream-stream overlap: run 1 drains
+    a left interval with no partner; run 2 (a NEW query object on the
+    SAME checkpoint) delivers the matching right interval -- the pair
+    must emit from RECOVERED state, and run 1's pair must not
+    re-emit."""
+    import datetime
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_metrics_ingestion_script_spark.operators.ranges import (
+        interval_overlap_join_stream,
+    )
+
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+    ldir = str(tmp_path / "left"); os.makedirs(ldir)
+    rdir = str(tmp_path / "right"); os.makedirs(rdir)
+    out = str(tmp_path / "out")
+
+    def write(d, name, rows, mtime):
+        p = os.path.join(d, name)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([r[0] for r in rows], pa.int64()),
+                    "s": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "e": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (mtime, mtime))
+
+    def run_once():
+        lstream = (
+            spark.readStream.schema("id long, s timestamp, e timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ldir)
+            .toDF("lid", "ls", "le")
+        )
+        rstream = (
+            spark.readStream.schema("id long, s timestamp, e timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(rdir)
+            .toDF("rid", "rs", "re")
+        )
+        pairs = interval_overlap_join_stream(
+            lstream, rstream,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            bucket_minutes=60, max_interval_minutes=24 * 60,
+            watermark="30 days",
+        )
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", os.path.join(out, "pairs"))
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return pairs.schema
+
+    now = _time.time()
+    write(ldir, "l1.parquet", [(1, t(0), t(2))], now - 100)
+    write(rdir, "r1.parquet", [(100, t(1), t(1, 30))], now - 100)
+    schema = run_once()  # run 1: (1, 100)
+
+    # run 2: only a NEW right interval arrives; its partner lives in
+    # run 1's recovered left state
+    write(rdir, "r2.parquet", [(101, t(0, 30), t(3))], now - 50)
+    run_once()
+
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in spark.read.schema(schema)
+        .parquet(os.path.join(out, "pairs"))
+        .collect()
+    )
+    assert got == [(1, 100), (1, 101)]
