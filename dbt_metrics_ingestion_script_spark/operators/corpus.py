@@ -1150,7 +1150,19 @@ def duplicated_substring_extents(
         .where(F.col("__mn") != F.col("__mx"))
         .select("__g")
     )
-    dup = grams.join(xdoc, "__g").select(id_col, "pos")
+    # join-back pinned to a SHUFFLED merge join (VERDICT r12 item 4,
+    # the one measured memory cliff): the checkpoint leaf inherits the
+    # PRE-explode size estimate (documents scan column-pruned to three
+    # slim columns), so the planner judged the full positional gram
+    # frame broadcastable and built a hashed relation of EVERY gram
+    # occurrence per task -- 8.6 GiB at x10 (charged once per task
+    # slot), growing with the corpus: a guaranteed 100x OOM.  The
+    # merge-join hint keeps memory sort-buffer-bounded (spillable) and
+    # costs no extra scan or shuffle: the join's gram side reuses the
+    # SAME hashpartitioning(__g) exchange the aggregate reads
+    # (ReusedExchange -- measured x10 peak drops 8.6 GiB -> sub-GiB
+    # with wall within noise, SCALING_r13).
+    dup = grams.hint("shuffle_merge").join(xdoc, "__g").select(id_col, "pos")
     wd = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + (n - 1)).over(
         wd.rowsBetween(Window.unboundedPreceding, -1)
