@@ -366,11 +366,20 @@ def adjudicate_suspect(
     ratio_norm: float,
     current_row: str | None,
     committed_row: str | None,
+    nearest_canary: dict | None = None,
 ) -> dict:
     """Self-documenting suspect entry (VERDICT r11 item 7): the judge's
     manual recipe -- 'plan changed? slower in the committed run too?'
     -- applied automatically so a driver-run transient adjudicates
-    itself instead of needing a judge."""
+    itself instead of needing a judge.
+
+    nearest_canary (VERDICT r12 item 7), when given, carries the canary
+    probe TEMPORALLY nearest to when the suspect ran ({offset_sec,
+    ratio_vs_prev, ratio_nearest_norm}): three of four r12 suspects
+    were mid-run host spikes that the single start-of-run canary could
+    not attribute; the interleaved probes localize the spike in time,
+    so a suspect whose ratio_nearest_norm collapses toward 1.0 is the
+    host, measured, not inferred."""
     plan_changed = (
         None
         if current_row is None or committed_row is None
@@ -385,13 +394,16 @@ def adjudicate_suspect(
         )
     else:
         verdict = "no committed plan row to compare"
-    return {
+    out = {
         "raw": raw,
         "committed": committed,
         "ratio_norm": ratio_norm,
         "plan_changed": plan_changed,
         "adjudication": verdict,
     }
+    if nearest_canary is not None:
+        out["nearest_canary"] = nearest_canary
+    return out
 
 
 # Hard byte budget for the single stdout JSON line.  The driver keeps
@@ -433,8 +445,11 @@ def build_compact_line(
     compact["queries_full"] = out or "BENCHFULL.json"
     compact.pop("canary_ratios", None)
     # canary VALUES already appear in the bounded queries map; the
-    # per-name sub-map lives in the full file
+    # per-name sub-map, the interleaved probes, and the per-query
+    # offsets live in the full file
     compact.pop("canaries", None)
+    compact.pop("canary_probes", None)
+    compact.pop("query_offsets_sec", None)
     suspects = result.get("suspects") or {}
     # one-word verdicts, worst normalized ratio first so shrinking drops
     # the least-suspicious entries
@@ -448,15 +463,18 @@ def build_compact_line(
         }
         compact["queries_elided"] = len(timings) - len(compact["queries"])
         if suspects:
-            compact["suspects"] = {
-                n: {
+            compact["suspects"] = {}
+            for n in susp_order[:n_susp]:
+                entry = {
                     "ratio_norm": suspects[n].get("ratio_norm"),
                     "verdict": one_word_verdict(
                         suspects[n].get("adjudication", "")
                     ),
                 }
-                for n in susp_order[:n_susp]
-            }
+                near = suspects[n].get("nearest_canary") or {}
+                if "ratio_nearest_norm" in near:
+                    entry["ratio_nearest"] = near["ratio_nearest_norm"]
+                compact["suspects"][n] = entry
             compact["suspects_elided"] = len(suspects) - n_susp
         line = json.dumps(compact)
         if len(line) <= budget or (n_slow == 0 and n_susp == 0):
@@ -515,15 +533,55 @@ def main() -> None:
     ]
     # warm the JVM + parquet footers so timings measure the queries
     targets[0][1](spark, SF_DIR).count()
+    bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
-    for name, fn in targets:
+    offsets: dict[str, float] = {}
+
+    def run_query(name, fn, iters):
         best = float("inf")
-        for _ in range(max(ITERS, 1)):
+        for _ in range(max(iters, 1)):
             t0 = time.perf_counter()
             n = fn(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
             assert n >= 0
-        timings[name] = round(best, 4)
+        return round(best, 4)
+
+    def canary_probe():
+        """Re-time the canary set mid-run (VERDICT r12 item 7): the
+        single start-of-run canary cannot attribute a MID-run host
+        spike; probes interleaved through the run localize host drift
+        in time so each suspect normalizes against the probe nearest
+        to when it actually ran.  min-of-2 bounds a probe's own noise
+        while keeping its cost ~2x the canary set."""
+        per = {
+            n: run_query(n, by_name[n], 2) for n in CANARIES if n in by_name
+        }
+        return {
+            "offset_sec": round(time.perf_counter() - bench_t0, 2),
+            "canaries": per,
+            "total": round(sum(per.values()), 4),
+        }
+
+    canary_names = [n for n, _ in targets if n in CANARIES]
+    noncanary = [(n, f) for n, f in targets if n not in CANARIES]
+    for name in canary_names:
+        timings[name] = run_query(name, by_name[name], ITERS)
+        offsets[name] = round(time.perf_counter() - bench_t0, 2)
+    # probe 0 is the start-of-run canary measurement itself
+    probes = [
+        {
+            "offset_sec": round(time.perf_counter() - bench_t0, 2),
+            "canaries": {n: timings[n] for n in canary_names},
+            "total": round(sum(timings[n] for n in canary_names), 4),
+        }
+    ]
+    mid = len(noncanary) // 2
+    for i, (name, fn) in enumerate(noncanary):
+        timings[name] = run_query(name, fn, ITERS)
+        offsets[name] = round(time.perf_counter() - bench_t0, 2)
+        if i + 1 == mid:
+            probes.append(canary_probe())
+    probes.append(canary_probe())
     total = round(sum(timings.values()), 4)
     canaries = {n: timings[n] for n in CANARIES if n in timings}
     canary_total = round(sum(canaries.values()), 4)
@@ -535,6 +593,11 @@ def main() -> None:
         "sf": infer_sf(SF_DIR),
         "canaries": canaries,
         "canary_total": canary_total,
+        # interleaved host-drift probes (start / mid / end) + per-query
+        # completion offsets: sidecar-only detail for suspect
+        # attribution (stripped from the compact stdout line)
+        "canary_probes": probes,
+        "query_offsets_sec": offsets,
     }
     # canary-normalized round-over-round comparison against the latest
     # committed BENCHFULL_r*.json (same sf only): host drift shows up as
@@ -569,6 +632,16 @@ def main() -> None:
             # plan fingerprint still matches the committed PLANAUDIT
             # row -- unchanged plan + a committed baseline that did not
             # regress reads as host drift without a judge
+            # per-probe cross-round drift over the same shared canary
+            # set, for nearest-in-time suspect attribution
+            probe_ratios = [
+                (
+                    p["offset_sec"],
+                    sum(p["canaries"].get(n, 0.0) for n in shared)
+                    / prev_canary,
+                )
+                for p in probes
+            ]
             suspects = {}
             for n in suspect_names:
                 current_row = None
@@ -578,12 +651,26 @@ def main() -> None:
                     current_row = plan_fingerprint(by_name[n](spark, SF_DIR))
                 except Exception:  # noqa: BLE001
                     pass
+                off = offsets.get(n)
+                nearest = None
+                if off is not None and probe_ratios:
+                    p_off, p_ratio = min(
+                        probe_ratios, key=lambda pr: abs(pr[0] - off)
+                    )
+                    nearest = {
+                        "offset_sec": p_off,
+                        "ratio_vs_prev": round(p_ratio, 4),
+                        "ratio_nearest_norm": round(
+                            timings[n] / prev_q[n] / p_ratio, 4
+                        ),
+                    }
                 suspects[n] = adjudicate_suspect(
                     raw=timings[n],
                     committed=prev_q[n],
                     ratio_norm=round(timings[n] / prev_q[n] / drift, 4),
                     current_row=current_row,
                     committed_row=committed_planaudit_row(n),
+                    nearest_canary=nearest,
                 )
             result["suspects"] = suspects
     # durable full-result copy FIRST: the complete per-query map (~8 KB

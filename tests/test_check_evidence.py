@@ -112,6 +112,19 @@ def test_bench_suspect_adjudication_format():
         current_row="ordersx1 2 0 - 0", committed_row=None,
     )
     assert e["plan_changed"] is None
+    # nearest-canary attribution (VERDICT r12 item 7): when given, the
+    # entry carries the temporally nearest probe's drift and the
+    # suspect's ratio renormalized against it
+    e = bench.adjudicate_suspect(
+        raw=4.0, committed=2.0, ratio_norm=2.1,
+        current_row="ordersx1 2 0 - 0", committed_row="ordersx1 2 0 - 0",
+        nearest_canary={
+            "offset_sec": 87.2,
+            "ratio_vs_prev": 1.9,
+            "ratio_nearest_norm": 1.05,
+        },
+    )
+    assert e["nearest_canary"]["ratio_nearest_norm"] == 1.05
 
 
 def test_committed_planaudit_row_parses_latest_audit():
@@ -164,6 +177,11 @@ def test_bench_compact_line_fits_driver_window():
             ratio_norm=6.5432,
             current_row="ordersx1 2 0 - 0",
             committed_row="ordersx1 2 0 - 0",
+            nearest_canary={
+                "offset_sec": 123.45,
+                "ratio_vs_prev": 5.4321,
+                "ratio_nearest_norm": 1.2045,
+            },
         )
         for n in names[9:69]
     }
@@ -178,6 +196,12 @@ def test_bench_compact_line_fits_driver_window():
         "canary_prev": "BENCHFULL_r12.json",
         "canary_ratio_vs_prev": 1.3012,
         "canary_ratios": {n: 1.3 for n in canaries},
+        "canary_probes": [
+            {"offset_sec": 0.0, "canaries": dict(canaries), "total": 11.1},
+            {"offset_sec": 160.2, "canaries": dict(canaries), "total": 14.4},
+            {"offset_sec": 321.0, "canaries": dict(canaries), "total": 11.2},
+        ],
+        "query_offsets_sec": {n: 1.0 for n in timings},
         "suspects": suspects,
     }
     line = bench.build_compact_line(
@@ -187,14 +211,20 @@ def test_bench_compact_line_fits_driver_window():
     parsed = json.loads(line)
     assert line.startswith('{"metric"')
     assert parsed["value"] == 320.9876
-    # suspects survive as one-word verdicts, never full sentences
+    # suspects survive as one-word verdicts, never full sentences;
+    # the nearest-canary renormalized ratio rides along as one number
     for s in parsed.get("suspects", {}).values():
         assert s["verdict"] in {"real", "transient", "unknown"}
         assert "adjudication" not in s
+        assert s.get("ratio_nearest") == 1.2045
+        assert "nearest_canary" not in s
     # nothing silently dropped: elision is accounted for
     assert parsed["queries_elided"] == len(timings) - len(parsed["queries"])
     n_susp = len(parsed.get("suspects", {}))
     assert parsed.get("suspects_elided", 0) == len(suspects) - n_susp
+    # sidecar-only detail never reaches the bounded line
+    assert "canary_probes" not in parsed
+    assert "query_offsets_sec" not in parsed
     # the no-suspect shape still fits and parses
     r2 = {k: v for k, v in result.items() if k != "suspects"}
     line2 = bench.build_compact_line(r2, timings, canaries, "BENCHFULL.json")
