@@ -264,8 +264,10 @@ HEADLINE = [
     "similarity_ivf_pq_index_upsert_served",
     "similarity_ivf_store_cell_stats",
     "similarity_ivf_pq_batch_topk_after_delete",
-    # round-13: the store's measured rebuild trigger
+    # round-13: the store's measured rebuild trigger + the rebuild
+    # action it schedules (retrain into the next version)
     "similarity_ivf_store_drift",
+    "similarity_ivf_pq_rebuild_served",
     "corpus_quality_filter_report",
     "corpus_quality_filter_survivors",
 ]

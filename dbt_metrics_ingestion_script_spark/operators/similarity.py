@@ -1917,6 +1917,81 @@ def compact_ivf_pq_index(spark, base_path: str) -> None:
     _publish_ivf_pq_version(base_path, f"v{next_n}")
 
 
+def rebuild_ivf_pq_index(
+    spark,
+    base_path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> None:
+    """The action ivf_pq_store_health's rebuild_recommended points at:
+    re-train the ENTIRE index from the store's own corpus of record
+    (current assignments minus tombstones -- every upserted vector
+    included, every deleted one excluded) and publish it as the next
+    version.  Centroids and codebooks are retrained from scratch, so
+    post-rebuild the store is bit-identical to a monolithic
+    materialize over the merged corpus (the deterministic lowest-id
+    seeding sees the same ids either way) -- the property the
+    registered rebuild-served query's oracle checks.
+
+    Reader-atomicity rides the version pointer like compaction: the
+    rebuild lands in v{N+1}, the pointer republishes atomically, the
+    superseded version is retained for pinned readers until vacuum.
+    The health history RESETS to a fresh build baseline: drift was
+    measured against the OLD centroids, which no longer exist.
+
+    Cost shape: one full re-clustering pass over the stored vectors --
+    the deliberate, occasional counterpart to the upsert's map-only
+    appends; at 100 TB this is the nightly/weekly job the drift flag
+    schedules, not a per-ingest step."""
+    import os
+    import shutil
+    import uuid
+
+    cur = resolve_ivf_pq_store(base_path)
+    if os.path.realpath(cur) == os.path.realpath(base_path):
+        next_n = 1  # legacy unversioned store: rebuild migrates to v1
+    else:
+        next_n = int(os.path.basename(cur)[1:]) + 1
+    while os.path.exists(os.path.join(base_path, f"v{next_n}")):
+        next_n += 1
+    corpus = spark.read.parquet(os.path.join(cur, "assignments")).select(
+        "id", "vec"
+    )
+    deletes = read_ivf_pq_index_deletes(spark, base_path)
+    if deletes is not None:
+        corpus = corpus.join(F.broadcast(deletes), "id", "left_anti")
+    assignments, centroids = ivf_index(
+        corpus, n_centroids, id_col="id", vec_col="vec",
+        lazy_checkpoint=True, keep_d2=True,
+    )
+    codes, codebooks = pq_encode(
+        corpus, m=m, n_codes=n_codes, dim=dim,
+        id_col="id", vec_col="vec", lazy_checkpoint=True,
+    )
+    cells = assignments.select("id", "centroid_id")
+    tmp = os.path.join(base_path, f".rebuild_{uuid.uuid4().hex[:8]}")
+    assignments.drop("d2").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(os.path.join(tmp, "assignments"))
+    _append_health_row(
+        assignments.select("d2"), tmp, kind="build", seq=0
+    )
+    codes.join(cells, "id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(os.path.join(tmp, "codes"))
+    centroids.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    codebooks.write.mode("overwrite").parquet(os.path.join(tmp, "codebooks"))
+    new = os.path.join(base_path, f"v{next_n}")
+    try:
+        os.rename(tmp, new)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    _publish_ivf_pq_version(base_path, f"v{next_n}")
+
+
 def read_ivf_pq_index(spark, base_path: str) -> dict[str, DataFrame]:
     """Read back a materialize_ivf_pq_index store; keys _INDEX_PARTS.
     Resolves the `_current` version pointer ONCE here, so every frame

@@ -4472,6 +4472,73 @@ def similarity_ivf_store_drift(spark, sf_dir):
     )
 
 
+@register(
+    "similarity_ivf_pq_rebuild_served",
+    _ivf_pq_batch_ctes()
+    + """
+    SELECT query_id, vec_id, cosine_sim FROM finalk
+    """,
+)
+def similarity_ivf_pq_rebuild_served(spark, sf_dir):
+    """The lifecycle's closing action: after upserts accumulate,
+    rebuild_ivf_pq_index re-trains centroids AND codebooks from the
+    store's own corpus of record (current assignments, tombstones
+    excluded) and publishes the result as the next version behind the
+    atomic pointer.  The correctness claim is strong and oracle-
+    checkable: a rebuilt base+upsert store must serve BIT-IDENTICALLY
+    to a monolithic index built over the full corpus (deterministic
+    lowest-id seeding sees the same ids either way), so the oracle is
+    the standard FULL-corpus IVF+PQ serve replay -- upsert history
+    must leave no trace in the retrained index.
+
+    Construction is idempotent under the after-delete discipline
+    (private dir + one atomic rename); serve-time scan budget:
+    embeddings x0, the served-family posture.  Ref behavior spec:
+    pure EXT anchor (no counterpart in /root/reference)."""
+    import os
+    import shutil
+    import uuid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = (
+        F.col("vec_id") % _UPSERT_BATCH_MOD == _UPSERT_BATCH_REM
+    )
+    path = _ivf_pq_index_path(
+        sf_dir,
+        variant=f"rebuild{_UPSERT_BATCH_MOD}r{_UPSERT_BATCH_REM}",
+    )
+    if not os.path.exists(path):
+        tmp_store = f"{path}.build_{uuid.uuid4().hex[:8]}"
+        similarity.materialize_ivf_pq_index(
+            emb.where(~is_batch), tmp_store, n_centroids=16,
+            m=_PQ_M, n_codes=_PQ_CODES, dim=_PQ_DIM,
+            upsert=emb.where(is_batch),
+        )
+        similarity.rebuild_ivf_pq_index(
+            spark, tmp_store, n_centroids=16,
+            m=_PQ_M, n_codes=_PQ_CODES, dim=_PQ_DIM,
+        )
+        try:
+            os.rename(tmp_store, path)
+        except OSError:
+            shutil.rmtree(tmp_store, ignore_errors=True)
+    idx = similarity.read_ivf_pq_index(spark, path)
+    qbatch = _min_ids_queries(emb).localCheckpoint(eager=False)
+    return similarity.ivf_pq_batch_serve(
+        idx["assignments"],
+        idx["centroids"],
+        idx["codes"].select("id", "subspace", "code"),
+        idx["codebooks"],
+        qbatch,
+        k=10,
+        shortlist=_IVFPQ_BATCH_SHORTLIST,
+        n_probe=4,
+        m=_PQ_M,
+        dim=_PQ_DIM,
+        round_digits=6,
+    )
+
+
 _DELETE_MOD, _DELETE_REM = 7, 3  # vec_id % 7 == 3 plays the erasure set
 
 

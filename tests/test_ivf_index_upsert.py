@@ -440,3 +440,77 @@ def test_drift_health_flips_rebuild_recommendation(
         map(tuple, similarity.ivf_pq_store_health(spark, path).collect())
     )
     assert h3 == sorted(map(tuple, h2.values()))
+
+
+def test_rebuild_retrains_resets_health_and_respects_tombstones(
+    spark, sf_dir, tmp_path
+):
+    """rebuild_ivf_pq_index -- the action rebuild_recommended points
+    at: retrains centroids/codebooks from the store's own corpus
+    (upserts included, tombstones excluded), publishes v{N+1} behind
+    the atomic pointer (pinned readers keep their snapshot), resets
+    the health history to a fresh build baseline, and equals a
+    monolithic build over the merged corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % 5 == 4
+    path = str(tmp_path / "store")
+    similarity.materialize_ivf_pq_index(
+        emb.where(~is_batch), path, n_centroids=8
+    )
+    # drifted upsert: recommendation flips (the rebuild trigger)
+    drifted = emb.where(is_batch).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") * F.lit(3.0) + F.lit(1.0),
+        ).alias("embedding"),
+    )
+    similarity.ivf_pq_index_upsert(drifted, path)
+    h = similarity.ivf_pq_store_health(spark, path).collect()
+    assert any(r["rebuild_recommended"] for r in h)
+    # tombstone a slice of the base corpus before rebuilding (only ids
+    # actually IN the store -- the batch rows live under drifted ids)
+    gone = emb.where((F.col("vec_id") % 9 == 2) & ~is_batch).select(
+        F.col("vec_id").alias("id")
+    )
+    n_gone = gone.count()
+    similarity.ivf_pq_index_delete(gone, path)
+
+    pinned = similarity.read_ivf_pq_index(spark, path)
+    old_cents = sorted(map(tuple, pinned["centroids"].collect()))
+    n_before = pinned["assignments"].count()
+
+    similarity.rebuild_ivf_pq_index(spark, path, n_centroids=8)
+
+    # version bumped; pinned reader keeps its full pre-rebuild snapshot
+    assert os.path.basename(similarity.resolve_ivf_pq_store(path)) == "v2"
+    assert pinned["assignments"].count() == n_before
+
+    fresh = similarity.read_ivf_pq_index(spark, path)
+    # tombstoned rows are gone; upserted rows survive
+    assert fresh["assignments"].count() == n_before - n_gone
+    assert similarity.read_ivf_pq_index_deletes(spark, path) is None
+    # centroids RETRAINED over the drifted corpus: not the old ones
+    new_cents = sorted(map(tuple, fresh["centroids"].collect()))
+    assert new_cents != old_cents
+    # health reset: a single fresh build baseline, nothing recommended
+    h2 = similarity.ivf_pq_store_health(spark, path).collect()
+    assert [r["kind"] for r in h2] == ["build"]
+    assert h2[0]["drift_ratio"] == 1.0
+    assert not h2[0]["rebuild_recommended"]
+    # equals a monolithic build over the merged corpus (same ids ->
+    # same deterministic seeding): assignment sets identical
+    merged = (
+        emb.where(~is_batch & ~(F.col("vec_id") % 9 == 2))
+        .select("vec_id", "embedding")
+        .unionByName(drifted)
+    )
+    mono_asg, _ = similarity.ivf_index(merged, n_centroids=8)
+    want = {
+        (r["id"], r["centroid_id"]) for r in mono_asg.collect()
+    }
+    got = {
+        (r["id"], r["centroid_id"])
+        for r in fresh["assignments"].select("id", "centroid_id").collect()
+    }
+    assert got == want
