@@ -3493,3 +3493,77 @@ def test_interval_overlap_join_stream_checkpoint_restart(spark, tmp_path):
         .collect()
     )
     assert got == [(1, 100), (1, 101)]
+
+
+def test_interval_overlap_join_stream_keyed_mode(spark, tmp_path):
+    """Keyed stream-stream overlap: the key joins ALONGSIDE the bucket
+    id (both are equality conjuncts in the symmetric hash join), so
+    overlapping intervals under different keys never pair; guards
+    match the batch operator."""
+    import datetime
+    import os
+
+    import pytest as _pytest
+
+    from dbt_metrics_ingestion_script_spark.operators.ranges import (
+        interval_overlap_join_stream,
+    )
+
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+    ldir = _overlap_stream_files(
+        tmp_path, "left",
+        [("l1.parquet", [(1, t(0), t(2)), (2, t(0), t(2))])],
+    )
+    rdir = _overlap_stream_files(
+        tmp_path, "right",
+        [("r1.parquet", [(100, t(1), t(3)), (101, t(1), t(3))])],
+    )
+    # key: odd/even id -- l1(k=1) pairs only with r101(k=1), l2(k=0)
+    # only with r100(k=0), despite all four intervals overlapping
+    lstream = (
+        spark.readStream.schema("id long, s timestamp, e timestamp")
+        .parquet(ldir)
+        .selectExpr("id AS lid", "id % 2 AS k", "s AS ls", "e AS le")
+    )
+    rstream = (
+        spark.readStream.schema("id long, s timestamp, e timestamp")
+        .parquet(rdir)
+        .selectExpr("id AS rid", "id % 2 AS k", "s AS rs", "e AS re")
+    )
+    pairs = interval_overlap_join_stream(
+        lstream, rstream,
+        left_start="ls", left_end="le",
+        right_start="rs", right_end="re",
+        on="k", bucket_minutes=60, max_interval_minutes=24 * 60,
+        watermark="30 days",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", os.path.join(out, "pairs"))
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["lid"], r["rid"], r["k"])
+        for r in spark.read.schema(pairs.schema)
+        .parquet(os.path.join(out, "pairs"))
+        .collect()
+    )
+    assert got == [(1, 101, 1), (2, 100, 0)]
+
+    with _pytest.raises(ValueError, match="missing from right"):
+        interval_overlap_join_stream(
+            lstream, rstream.drop("k"),
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re", on="k",
+        )
+    with _pytest.raises(ValueError, match="max_interval_minutes"):
+        interval_overlap_join_stream(
+            lstream, rstream.drop("k").withColumnRenamed("rid", "rid2"),
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re", max_interval_minutes=0,
+        )
