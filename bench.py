@@ -21,9 +21,34 @@ from dbt_metrics_ingestion_script_spark import queries_ext
 from dbt_metrics_ingestion_script_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# suspect plan fingerprints are compared against the committed
+# PLANAUDIT_r*.txt, which scripts/plan_audit.py generates at sf0.01 --
+# the comparison is only valid sf-matched (VERDICT r13 "What's wrong"
+# 1: data-dependent plans NEVER fingerprint-match across sfs), so the
+# suspect's frame is rebuilt against THIS dir, not SF_DIR
+AUDIT_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.01"
+)
 # min-of-3 by default (VERDICT r4 item 3): min-of-2 left ±15% JVM/AQE
 # variance ghosts in round-over-round comparisons
 ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+
+# Queries whose WALL measures page-cache/GC state, not the engine
+# (SCALING_r13: the semantic family's x10 wall varies 50-235 s across
+# sessions with BIT-IDENTICAL shuffle bytes and rows -- iterative
+# persists are cache-bound).  Their regression gate is SHUFFLE BYTES
+# (deterministic for a fixed plan + data), recorded per query from the
+# UI REST API; the wall still prints but never flags a suspect
+# (VERDICT r13 item 2).
+BYTES_GATED = {
+    "dedup_semantic_clusters",
+    "dedup_semantic_survivors",
+    "corpus_semantic_pipeline",
+}
+# deterministic bytes still jitter ~a few % from AQE coalescing and
+# stages completing asynchronously around the REST snapshot; drift
+# beyond this band is a real plan/data change
+BYTES_DRIFT_THRESHOLD = 1.25
 
 # Stable headline set: all metric-compiler queries, the Layer A metadata
 # pipeline, and the scale-path EXT operators.  Exact brute-force pair
@@ -307,6 +332,39 @@ CANARIES = [
 ]
 
 
+def _completed_stages(spark) -> dict:
+    """Completed stages from the UI REST API, keyed (stageId, attempt);
+    {} if the UI is unreachable (bytes then read as None).  Same
+    plumbing as scripts/scale_slope.py."""
+    import json as _json
+    import urllib.request
+
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            data = _json.load(r)
+        return {(s["stageId"], s["attemptId"]): s for s in data}
+    except Exception:  # noqa: BLE001
+        return {}
+
+
+def _shuffle_bytes_delta(before: dict, after: dict) -> int | None:
+    """Total shuffle read+write bytes of stages that completed between
+    the two snapshots; None if either snapshot failed."""
+    if not before and not after:
+        return None
+    new = [s for k, s in after.items() if k not in before]
+    return sum(
+        (s.get("shuffleReadBytes", 0) or 0)
+        + (s.get("shuffleWriteBytes", 0) or 0)
+        for s in new
+    )
+
+
 def plan_fingerprint(df) -> str:
     """The PLANAUDIT row fields (scans, shuffles, broadcasts, pyeval,
     ckpt) for a PRE-ACTION DataFrame -- the compact plan identity used
@@ -375,6 +433,16 @@ def adjudicate_suspect(
     -- applied automatically so a driver-run transient adjudicates
     itself instead of needing a judge.
 
+    The fingerprints MUST be sf-matched (VERDICT r13 "What's wrong" 1):
+    the caller fingerprints the suspect's frame at the SAME sf the
+    committed PLANAUDIT was generated at (AUDIT_SF_DIR, default
+    sf0.01) -- comparing a sf0.1 fingerprint against the sf0.01 audit
+    row structurally mislabels every data-dependent plan (iterative
+    checkpoint counts, AQE-sized shuffles) as "real".  Belt-and-braces
+    on top of sf-matching: a pair whose CHECKPOINT-LEAF counts differ
+    is a data-dependent plan shape (iteration rounds vary with input),
+    adjudicated "incomparable, re-probe" rather than "real".
+
     nearest_canary (VERDICT r12 item 7), when given, carries the canary
     probe TEMPORALLY nearest to when the suspect ran ({offset_sec,
     ratio_vs_prev, ratio_nearest_norm}): three of four r12 suspects
@@ -388,7 +456,18 @@ def adjudicate_suspect(
         else current_row != committed_row
     )
     if plan_changed:
-        verdict = "plan changed since the committed audit: real, investigate"
+        cur_ckpt = current_row.split()[-1]
+        com_ckpt = committed_row.split()[-1]
+        if cur_ckpt != com_ckpt:
+            verdict = (
+                "fingerprint is data-dependent (checkpoint-leaf count "
+                f"{com_ckpt} -> {cur_ckpt}): incomparable, re-probe in "
+                "a fresh session"
+            )
+        else:
+            verdict = (
+                "plan changed since the committed audit: real, investigate"
+            )
     elif plan_changed is False:
         verdict = (
             "plan identical to the committed audit: transient host "
@@ -424,6 +503,10 @@ def one_word_verdict(adjudication: str) -> str:
         return "real"
     if adjudication.startswith("plan identical"):
         return "transient"
+    if adjudication.startswith("fingerprint is data-dependent"):
+        return "incomparable"
+    if adjudication.startswith("shuffle bytes drifted"):
+        return "real"
     return "unknown"
 
 
@@ -452,12 +535,19 @@ def build_compact_line(
     compact.pop("canaries", None)
     compact.pop("canary_probes", None)
     compact.pop("query_offsets_sec", None)
+    # per-query bytes map is sidecar-only (hundreds of entries); the
+    # bytes-gated suspects' ratios survive in the suspects map
+    compact.pop("shuffle_bytes", None)
     suspects = result.get("suspects") or {}
+
+    def susp_ratio(n):
+        # wall suspects carry ratio_norm; bytes-gated ones ratio_bytes
+        e = suspects[n]
+        return e.get("ratio_norm") or e.get("ratio_bytes") or 0.0
+
     # one-word verdicts, worst normalized ratio first so shrinking drops
     # the least-suspicious entries
-    susp_order = sorted(
-        suspects, key=lambda n: -suspects[n].get("ratio_norm", 0.0)
-    )
+    susp_order = sorted(suspects, key=lambda n: -susp_ratio(n))
     n_slow, n_susp = len(slowest), len(susp_order)
     while True:
         compact["queries"] = {
@@ -468,7 +558,7 @@ def build_compact_line(
             compact["suspects"] = {}
             for n in susp_order[:n_susp]:
                 entry = {
-                    "ratio_norm": suspects[n].get("ratio_norm"),
+                    "ratio_norm": susp_ratio(n),
                     "verdict": one_word_verdict(
                         suspects[n].get("adjudication", "")
                     ),
@@ -521,7 +611,12 @@ def main() -> None:
     # "What's missing" 1)
     spark = get_spark(
         app_name="bench",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # the UI REST API is the per-query shuffle-bytes source
+            # (get_spark disables the UI by default)
+            "spark.ui.enabled": "true",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     q.queries()  # force registration of all query modules
@@ -538,13 +633,23 @@ def main() -> None:
     bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     offsets: dict[str, float] = {}
+    # per-query shuffle bytes, first iteration only (deterministic for
+    # a fixed plan + data -- the BYTES_GATED families' regression gate)
+    shuffle_bytes: dict[str, int] = {}
 
     def run_query(name, fn, iters):
         best = float("inf")
-        for _ in range(max(iters, 1)):
+        for i in range(max(iters, 1)):
+            if i == 0:
+                before = _completed_stages(spark)
             t0 = time.perf_counter()
             n = fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if i == 0:
+                b = _shuffle_bytes_delta(before, _completed_stages(spark))
+                if b is not None:
+                    shuffle_bytes[name] = b
+            best = min(best, dt)
             assert n >= 0
         return round(best, 4)
 
@@ -600,6 +705,10 @@ def main() -> None:
         # attribution (stripped from the compact stdout line)
         "canary_probes": probes,
         "query_offsets_sec": offsets,
+        # first-iteration shuffle read+write bytes per query (UI REST):
+        # the canonical regression gate for the BYTES_GATED families,
+        # whose wall measures page-cache state (VERDICT r13 item 2)
+        "shuffle_bytes": shuffle_bytes,
     }
     # canary-normalized round-over-round comparison against the latest
     # committed BENCHFULL_r*.json (same sf only): host drift shows up as
@@ -622,12 +731,30 @@ def main() -> None:
             result["canary_ratios"] = {
                 n: round(canaries[n] / prev_q[n], 4) for n in shared
             }
+            # wall gate -- except the BYTES_GATED families, whose wall
+            # is page-cache-bound (SCALING_r13): those gate on shuffle
+            # bytes below, never on wall
             suspect_names = sorted(
                 n
                 for n, t in timings.items()
                 if n not in canaries
+                and n not in BYTES_GATED
                 and prev_q.get(n)
                 and t / prev_q[n] / drift > 2.0
+            )
+            # bytes gate: deterministic for a fixed plan + data, so a
+            # drift past the band is a real plan/data change, not host
+            # state.  Missing prev bytes (first bytes-recording round)
+            # or an unreachable UI -> no gate, no false alarm.
+            prev_bytes = prev_data.get("shuffle_bytes", {})
+            bytes_suspects = sorted(
+                n
+                for n in BYTES_GATED
+                if n in timings
+                and prev_bytes.get(n)
+                and shuffle_bytes.get(n) is not None
+                and shuffle_bytes[n] / prev_bytes[n]
+                > BYTES_DRIFT_THRESHOLD
             )
             # auto-adjudication (VERDICT r11 item 7): each suspect
             # carries its raw/committed times and whether its CURRENT
@@ -649,8 +776,13 @@ def main() -> None:
                 current_row = None
                 try:
                     # fresh pre-action frame: fingerprints must not see
-                    # AQE's post-action isFinalPlan echo
-                    current_row = plan_fingerprint(by_name[n](spark, SF_DIR))
+                    # AQE's post-action isFinalPlan echo.  Built at the
+                    # AUDIT sf (sf0.01), matching the committed
+                    # PLANAUDIT row -- sf-matched or meaningless
+                    # (VERDICT r13 "What's wrong" 1)
+                    current_row = plan_fingerprint(
+                        by_name[n](spark, AUDIT_SF_DIR)
+                    )
                 except Exception:  # noqa: BLE001
                     pass
                 off = offsets.get(n)
@@ -674,6 +806,34 @@ def main() -> None:
                     committed_row=committed_planaudit_row(n),
                     nearest_canary=nearest,
                 )
+            for n in bytes_suspects:
+                # bytes are deterministic: past the band is real by
+                # definition -- the fingerprint is attached as the
+                # starting point for the investigation, not a veto
+                current_row = None
+                try:
+                    current_row = plan_fingerprint(
+                        by_name[n](spark, AUDIT_SF_DIR)
+                    )
+                except Exception:  # noqa: BLE001
+                    pass
+                committed_row = committed_planaudit_row(n)
+                suspects[n] = {
+                    "bytes": shuffle_bytes[n],
+                    "committed_bytes": prev_bytes[n],
+                    "ratio_bytes": round(
+                        shuffle_bytes[n] / prev_bytes[n], 4
+                    ),
+                    "plan_changed": (
+                        None
+                        if current_row is None or committed_row is None
+                        else current_row != committed_row
+                    ),
+                    "adjudication": (
+                        "shuffle bytes drifted past the deterministic "
+                        "band: real, investigate"
+                    ),
+                }
             result["suspects"] = suspects
     # durable full-result copy FIRST: the complete per-query map (~8 KB
     # for 200+ queries) goes to a file; per-round evidence is committed

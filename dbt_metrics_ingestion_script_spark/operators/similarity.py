@@ -1507,6 +1507,10 @@ _INDEX_PARTS = ("assignments", "centroids", "codes", "codebooks")
 # reader pinned on v{N} keeps a complete, immutable-layout snapshot.
 _CURRENT_POINTER = "_current"
 
+# append-only publish history: one `{version} {unix_ts}` line per
+# pointer publish -- feeds vacuum's retention lease
+_PUBLISH_LOG = "_publish_log"
+
 
 def resolve_ivf_pq_store(base_path: str) -> str:
     """Resolve a store base path to its CURRENT version directory.
@@ -1514,7 +1518,12 @@ def resolve_ivf_pq_store(base_path: str) -> str:
     Reads the `_current` pointer file (one atomic pointer read per
     query/micro-batch -- the whole concurrency contract); a store
     written before versioning existed (parts directly under base_path)
-    resolves to base_path itself, so legacy stores stay readable."""
+    resolves to base_path itself, so legacy stores stay readable.
+
+    A pointer naming a version directory that does not exist (a
+    corrupted or hand-edited store) raises a clear FileNotFoundError
+    naming both the pointer and the missing version (ADVICE r13) --
+    never a confusing downstream parquet-path error."""
     import os
 
     ptr = os.path.join(base_path, _CURRENT_POINTER)
@@ -1530,7 +1539,14 @@ def resolve_ivf_pq_store(base_path: str) -> str:
             f"no IVF+PQ store at {base_path}: neither a {_CURRENT_POINTER} "
             "pointer nor a legacy unversioned layout"
         ) from None
-    return os.path.join(base_path, version)
+    vdir = os.path.join(base_path, version)
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"corrupt IVF+PQ store at {base_path}: {_CURRENT_POINTER} "
+            f"points at {version!r} but that version directory does not "
+            "exist"
+        )
+    return vdir
 
 
 def _ivf_pq_store_exists(base_path: str) -> bool:
@@ -1547,8 +1563,16 @@ def _ivf_pq_store_exists(base_path: str) -> bool:
 def _publish_ivf_pq_version(base_path: str, version: str) -> None:
     """Atomically point `_current` at `version`: write a private temp
     file, fsync, then os.replace -- a reader sees either the old
-    pointer or the new one, never a torn write."""
+    pointer or the new one, never a torn write.
+
+    Each publish also APPENDS a `{version} {unix_ts}` line to the
+    `_publish_log` sidecar (after the pointer swap): the supersession
+    timestamps vacuum_ivf_pq_index's retention lease is computed from
+    (VERDICT r13 item 6).  The append is advisory bookkeeping -- a
+    store missing the log (pre-lease layout) still reads and vacuums,
+    just without lease protection."""
     import os
+    import time
     import uuid
 
     tmp = os.path.join(
@@ -1559,22 +1583,83 @@ def _publish_ivf_pq_version(base_path: str, version: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(base_path, _CURRENT_POINTER))
+    with open(os.path.join(base_path, _PUBLISH_LOG), "a") as f:
+        f.write(f"{version} {time.time():.6f}\n")
 
 
-def vacuum_ivf_pq_index(base_path: str) -> list[str]:
-    """Prune every RETAINED non-current version directory (and any
-    legacy unversioned parts superseded by a versioned compaction).
+def _read_publish_log(base_path: str) -> list[tuple[str, float]]:
+    """(version, publish_ts) entries in append order; [] if no log."""
+    import os
+
+    out = []
+    try:
+        with open(os.path.join(base_path, _PUBLISH_LOG)) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 2:
+                    try:
+                        out.append((parts[0], float(parts[1])))
+                    except ValueError:
+                        continue
+    except OSError:
+        return []
+    return out
+
+
+def vacuum_ivf_pq_index(
+    base_path: str, retain_sec: float = 0.0
+) -> list[str]:
+    """Prune RETAINED non-current version directories (and any legacy
+    unversioned parts superseded by a versioned compaction).
     Explicitly separate from the swap itself so a reader pinned on the
-    previous version across a concurrent compaction keeps its snapshot;
-    run vacuum only once no reader can still hold a pre-swap
-    resolution.  Returns the removed paths."""
+    previous version across a concurrent compaction keeps its snapshot.
+    Returns the removed paths.
+
+    Retention lease (VERDICT r13 item 6): a superseded version is
+    REFUSED (skipped, not removed) until it has been superseded for at
+    least `retain_sec` seconds -- supersession time is the publish
+    timestamp of the first `_publish_log` entry AFTER the version's own
+    last publish (legacy unversioned parts count as superseded at the
+    first publish ever).  Readers resolve the pointer once per
+    query/micro-batch, so `retain_sec` >= the longest query/batch you
+    run makes vacuum safe against pinned readers without coordination.
+    The default 0.0 preserves the caller-judges-safety behavior.  A
+    version never published (an orphan from a crashed maintenance run)
+    has no lease and is always removable.  Only in-flight maintenance
+    is outside the lease: rebuild/compaction stage under dot-prefixed
+    temp dirs which vacuum never touches, so a concurrent half-written
+    next version is safe too."""
     import os
     import shutil
+    import time
 
     cur_dir = resolve_ivf_pq_store(base_path)
     if os.path.realpath(cur_dir) == os.path.realpath(base_path):
         return []  # legacy unversioned store: nothing is superseded
     current = os.path.basename(cur_dir)
+    log = _read_publish_log(base_path)
+    now = time.time()
+
+    def lease_expired(entry: str, is_version: bool) -> bool:
+        if retain_sec <= 0 or not log:
+            return True
+        if is_version:
+            last_pub = max(
+                (i for i, (v, _) in enumerate(log) if v == entry),
+                default=None,
+            )
+            if last_pub is None:
+                return True  # never published: crashed-run orphan
+            superseded_at = min(
+                (ts for _, ts in log[last_pub + 1 :]), default=None
+            )
+        else:
+            # legacy bare parts: superseded by the first publish ever
+            superseded_at = log[0][1]
+        if superseded_at is None:
+            return True  # not yet superseded would mean current; defensive
+        return now - superseded_at >= retain_sec
+
     removed = []
     for entry in sorted(os.listdir(base_path)):
         p = os.path.join(base_path, entry)
@@ -1585,7 +1670,11 @@ def vacuum_ivf_pq_index(base_path: str) -> list[str]:
             "deletes",
             _HEALTH_PART,
         )
-        if (is_version or is_legacy_part) and entry != current:
+        if (
+            (is_version or is_legacy_part)
+            and entry != current
+            and lease_expired(entry, is_version)
+        ):
             shutil.rmtree(p, ignore_errors=True)
             removed.append(p)
     return removed
@@ -1756,13 +1845,21 @@ def materialize_ivf_pq_index(
         ivf_pq_index_upsert(
             upsert, tmp, m=m, dim=dim, id_col=id_col, vec_col=vec_col
         )
+    v1 = os.path.join(base_path, "v1")
     try:
-        os.rename(tmp, os.path.join(base_path, "v1"))
+        os.rename(tmp, v1)
     except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(v1):
+            # NOT the concurrent-winner race (v1 never landed): a
+            # genuine failure -- re-raise rather than publishing a
+            # dangling pointer at a nonexistent version (ADVICE r13)
+            raise
         # a concurrent builder promoted its (identical, deterministic)
         # store first; ours is redundant
-        shutil.rmtree(tmp, ignore_errors=True)
-    if not os.path.exists(os.path.join(base_path, _CURRENT_POINTER)):
+    if os.path.isdir(v1) and not os.path.exists(
+        os.path.join(base_path, _CURRENT_POINTER)
+    ):
         # publish LAST; also repairs a store whose builder crashed
         # between the rename and the pointer write
         _publish_ivf_pq_version(base_path, "v1")
@@ -1880,8 +1977,16 @@ def compact_ivf_pq_index(spark, base_path: str) -> None:
     write leaves an unreferenced v{N+1} dir (harmless; the next
     compaction targets v{N+2}).  Single MAINTAINER per store, like the
     upsert itself.  A legacy unversioned store is migrated: its
-    compaction lands in v1 + pointer, superseding the bare parts."""
+    compaction lands in v1 + pointer, superseding the bare parts.
+
+    Staging (ADVICE r13): the rewrite lands in a dot-prefixed temp dir
+    and is promoted to v{N+1} with ONE os.rename before the pointer
+    publish -- matching rebuild_ivf_pq_index -- so a concurrent vacuum
+    (which only considers v* and legacy part dirs) can never rmtree a
+    half-written next version."""
     import os
+    import shutil
+    import uuid
 
     cur = resolve_ivf_pq_store(base_path)
     if os.path.realpath(cur) == os.path.realpath(base_path):
@@ -1890,7 +1995,7 @@ def compact_ivf_pq_index(spark, base_path: str) -> None:
         next_n = int(os.path.basename(cur)[1:]) + 1
     while os.path.exists(os.path.join(base_path, f"v{next_n}")):
         next_n += 1  # skip orphans from a crashed prior compaction
-    new = os.path.join(base_path, f"v{next_n}")
+    tmp = os.path.join(base_path, f".compact_{uuid.uuid4().hex[:8]}")
     # tombstones (ivf_pq_index_delete) are applied PHYSICALLY here:
     # the rewritten cells drop deleted rows and the deletes part is
     # not carried into the compacted store
@@ -1901,19 +2006,25 @@ def compact_ivf_pq_index(spark, base_path: str) -> None:
             df = df.join(F.broadcast(deletes), "id", "left_anti")
         df.repartition("centroid_id").write.partitionBy(
             "centroid_id"
-        ).parquet(os.path.join(new, part))
+        ).parquet(os.path.join(tmp, part))
     for part in ("centroids", "codebooks"):
         spark.read.parquet(os.path.join(cur, part)).coalesce(
             1
-        ).write.parquet(os.path.join(new, part))
+        ).write.parquet(os.path.join(tmp, part))
     # the assignment-quality history survives compaction verbatim: the
     # drift baseline is a property of the CENTROIDS (unchanged here),
     # not of the physical file layout
     hp = os.path.join(cur, _HEALTH_PART)
     if os.path.exists(os.path.join(hp, "_SUCCESS")):
         spark.read.parquet(hp).coalesce(1).write.parquet(
-            os.path.join(new, _HEALTH_PART)
+            os.path.join(tmp, _HEALTH_PART)
         )
+    new = os.path.join(base_path, f"v{next_n}")
+    try:
+        os.rename(tmp, new)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     _publish_ivf_pq_version(base_path, f"v{next_n}")
 
 

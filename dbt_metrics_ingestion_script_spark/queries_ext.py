@@ -1887,43 +1887,54 @@ def multimodal_frame_sample(spark, sf_dir):
     "multimodal_decode_stats",
     # the oracle replays the deterministic media geometry (pixel i =
     # (seed+i) mod 256, sample i = (seed*31+i*7) mod 65536 - 32768,
-    # seed = id mod 256) ANALYTICALLY, while the Spark side round-trips
-    # genuine BMP/PNG/palette-PNG/PPM/GIF/WAV bytes through the stdlib
-    # codecs (the indexed formats decode to the same analytic pixels
-    # through palette/LZW paths) -- a decode bug (row unflip lost, BGR
-    # order wrong header field, padding kept, LZW width desync, PLTE
-    # misindex, sample width misread) changes
+    # seed = id mod 256; JPEG slot 10: two constant gray blocks
+    # (seed+17b) mod 256, exactly decodable -- see _media_geometry)
+    # ANALYTICALLY, while the Spark side round-trips genuine
+    # BMP/PNG/palette-PNG/PPM/GIF/JPEG/WAV bytes through the stdlib
+    # codecs -- a decode bug (row unflip lost, BGR order wrong header
+    # field, padding kept, LZW width desync, PLTE misindex, Huffman
+    # desync, IDCT off-by-one, sample width misread) changes
     # width/height/sample_rate/val_sum and breaks the hash
     """
+    WITH geo AS (
+      SELECT doc_id, doc_id % 256 AS seed, doc_id % 12 AS slot,
+             CASE WHEN doc_id % 12 = 10 THEN 9 + doc_id % 4
+                  ELSE 1 + doc_id % 8 END AS w,
+             1 + doc_id % 5 AS h
+      FROM documents
+    )
     SELECT doc_id AS asset_id,
-           CASE WHEN doc_id % 10 = 0 THEN 'image/bmp'
-                WHEN doc_id % 10 IN (2, 6) THEN 'image/png'
-                WHEN doc_id % 10 = 4 THEN 'image/x-portable-pixmap'
-                WHEN doc_id % 10 = 8 THEN 'image/gif'
+           CASE WHEN slot = 0 THEN 'image/bmp'
+                WHEN slot IN (2, 6) THEN 'image/png'
+                WHEN slot = 4 THEN 'image/x-portable-pixmap'
+                WHEN slot = 8 THEN 'image/gif'
+                WHEN slot = 10 THEN 'image/jpeg'
                 ELSE 'audio/wav' END AS media_type,
-           CASE WHEN doc_id % 2 = 0 THEN (1 + doc_id % 8)::INT END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN (1 + doc_id % 5)::INT END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN w::INT END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN h::INT END AS height,
            CASE WHEN doc_id % 2 = 1 THEN 8000::INT END AS sample_rate,
-           CASE WHEN doc_id % 2 = 0
-                THEN ((1 + doc_id % 8) * (1 + doc_id % 5) * 3)::INT
+           CASE WHEN doc_id % 2 = 0 THEN (w * h * 3)::INT
                 ELSE (8 + doc_id % 32)::INT END AS n_samples,
-           (CASE WHEN doc_id % 2 = 0
-                THEN list_sum(list_transform(
-                       range((1 + doc_id % 8) * (1 + doc_id % 5) * 3),
-                       i -> (doc_id % 256 + i) % 256))
+           (CASE WHEN slot = 10
+                THEN 3 * list_sum(list_transform(range(w * h),
+                       i -> (seed + 17 * ((i % w) // 8)) % 256))
+                WHEN doc_id % 2 = 0
+                THEN list_sum(list_transform(range(w * h * 3),
+                       i -> (seed + i) % 256))
                 ELSE list_sum(list_transform(range(8 + doc_id % 32),
-                       i -> ((doc_id % 256) * 31 + i * 7) % 65536 - 32768))
+                       i -> (seed * 31 + i * 7) % 65536 - 32768))
            END)::BIGINT AS val_sum
-    FROM documents
+    FROM geo
     """,
 )
 def multimodal_decode_stats(spark, sf_dir):
     """REAL media decode end to end: synthesize genuine BMP / truecolor
-    PNG / PPM / palette PNG / GIF / PCM WAV payloads (Arrow
-    mapInPandas), then parse them back with the stdlib codecs and
-    aggregate decoded header + payload statistics.  Unlike the
+    PNG / PPM / palette PNG / GIF / baseline JPEG / PCM WAV payloads
+    (Arrow mapInPandas), then parse them back with the stdlib codecs
+    and aggregate decoded header + payload statistics.  Unlike the
     digest-based fakes, every output value passes through an actual
-    binary decode."""
+    binary decode -- the JPEG rows through Huffman + dequant + IDCT
+    with DRI restarts cycling through the corpus."""
     assets = multimodal.synth_media_assets(
         load_table(spark, sf_dir, "documents")
     )
@@ -1939,15 +1950,21 @@ def multimodal_decode_stats(spark, sf_dir):
     # decoded BMP/PPM bytes; one flipped row or BGR mixup changes bits
     """
     WITH geo AS (
-      SELECT doc_id AS asset_id,
-             (1 + doc_id % 8) AS w, (1 + doc_id % 5) AS h,
+      SELECT doc_id AS asset_id, doc_id % 12 AS slot,
+             CASE WHEN doc_id % 12 = 10 THEN 9 + doc_id % 4
+                  ELSE 1 + doc_id % 8 END AS w,
+             (1 + doc_id % 5) AS h,
              doc_id % 256 AS seed
       FROM documents WHERE doc_id % 2 = 0
     ), px AS (
       SELECT asset_id, w, h,
-             list_transform(range(w * h),
-               i -> (seed + 3*i) % 256 + (seed + 3*i + 1) % 256
-                    + (seed + 3*i + 2) % 256) AS g
+             CASE WHEN slot = 10
+                  THEN list_transform(range(w * h),
+                         i -> 3 * ((seed + 17 * ((i % w) // 8)) % 256))
+                  ELSE list_transform(range(w * h),
+                         i -> (seed + 3*i) % 256 + (seed + 3*i + 1) % 256
+                              + (seed + 3*i + 2) % 256)
+             END AS g
       FROM geo
     ), agg AS (
       SELECT asset_id, w, h, g, list_sum(g) AS total FROM px
@@ -6570,7 +6587,13 @@ def streaming_semantic_ingestion(spark, sf_dir):
     the drained label snapshot must equal the batch clustering of the
     whole corpus -- the same recursive-CTE oracle as
     `dedup_semantic_clusters`, now reached through the streaming
-    pipeline instead of one batch plan."""
+    pipeline instead of one batch plan.
+
+    The label snapshot is one row per DOCUMENT -- unbounded keys at
+    100x -- so it is returned LAZILY over the store's parquet (temp
+    dirs reaped at interpreter exit), never through a driver-side
+    collect() (VERDICT r13 item 5 discipline)."""
+    import atexit
     import os
     import shutil
     import tempfile
@@ -6582,35 +6605,31 @@ def streaming_semantic_ingestion(spark, sf_dir):
     mid = emb.agg(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY vec_id)")).collect()[0][0]
     src = tempfile.mkdtemp(prefix="emb_arrivals_")
     store = tempfile.mkdtemp(prefix="semantic_ingest_store_")
-    try:
-        emb.where(F.col("vec_id") <= mid).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{src}/b0")
-        emb.where(F.col("vec_id") > mid).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{src}/b1")
-        now = time.time()
-        files = sorted(
-            f"{src}/{d}/{f}"
-            for d in ("b0", "b1")
-            for f in os.listdir(f"{src}/{d}")
-            if f.endswith(".parquet")
-        )
-        for i, f in enumerate(files):  # deterministic arrival order
-            os.utime(f, (now - 100 + i, now - 100 + i))
-        stream = (
-            spark.readStream.schema(emb.schema)
-            .option("maxFilesPerTrigger", 1)
-            .option("recursiveFileLookup", "true")
-            .parquet(src)
-        )
-        snap = run(spark, stream, store, threshold=_COS_T)
-        out = snap.select(F.col("doc_id").alias("vec_id"), "cluster_id")
-        rows = out.collect()  # materialize before the temp dirs vanish
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(store, ignore_errors=True)
+    atexit.register(shutil.rmtree, src, ignore_errors=True)
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
+    emb.where(F.col("vec_id") <= mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b0")
+    emb.where(F.col("vec_id") > mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b1")
+    now = time.time()
+    files = sorted(
+        f"{src}/{d}/{f}"
+        for d in ("b0", "b1")
+        for f in os.listdir(f"{src}/{d}")
+        if f.endswith(".parquet")
+    )
+    for i, f in enumerate(files):  # deterministic arrival order
+        os.utime(f, (now - 100 + i, now - 100 + i))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    snap = run(spark, stream, store, threshold=_COS_T)
+    return snap.select(F.col("doc_id").alias("vec_id"), "cluster_id")
 
 
 @register(

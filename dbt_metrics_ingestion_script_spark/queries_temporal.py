@@ -1171,7 +1171,14 @@ def streaming_snapshot_maintenance_query(spark, sf_dir):
     the DuckDB window oracle -- regardless of how ingestion split the
     records.  Tombstones live in the store (a late-but-earlier record
     cannot resurrect a deleted key); only the returned live view
-    filters them."""
+    filters them.
+
+    The live view is returned LAZILY over the store's parquet (the
+    temp store dir is reaped at interpreter exit, not here -- the
+    overlap-drain pattern): snapshot cardinality is the distinct key
+    count, which is driver-hostile at 100x, so the snapshot never
+    passes through a collect() (VERDICT r13 item 5)."""
+    import atexit
     import os
     import shutil
     import tempfile
@@ -1182,29 +1189,24 @@ def streaming_snapshot_maintenance_query(spark, sf_dir):
     )
 
     d = tempfile.mkdtemp(prefix="events_snap_stream_")
-    try:
-        src = os.path.join(d, "log")
-        store = os.path.join(d, "store")
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(
-            2
-        ).write.parquet(src)
-        stream = read_events_stream(spark, src)
-        snap = streaming_snapshot_maintenance(
-            spark,
-            stream,
-            store,
-            key_col="user_id",
-            ts_col="ts",
-            seq_col="event_id",
-            op_col="event_type",
-            delete_op="error",
-            value_cols=["value"],
-        )
-        # materialize before the temp store is removed
-        out = spark.createDataFrame(snap.collect(), snap.schema)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return out
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    src = os.path.join(d, "log")
+    store = os.path.join(d, "store")
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(
+        2
+    ).write.parquet(src)
+    stream = read_events_stream(spark, src)
+    return streaming_snapshot_maintenance(
+        spark,
+        stream,
+        store,
+        key_col="user_id",
+        ts_col="ts",
+        seq_col="event_id",
+        op_col="event_type",
+        delete_op="error",
+        value_cols=["value"],
+    )
 
 
 # ---------------------------------------------------------------------------

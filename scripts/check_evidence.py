@@ -63,6 +63,36 @@ def latest(names: list[str], prefix: str) -> list[str]:
     return sorted(cands[max(cands)])
 
 
+def driversim_provenance_issues(sim: str, head_digest: str) -> list[str]:
+    """Tamper-evidence findings for one DRIVERSIM file (VERDICT r13
+    item 7): [] iff the file carries a provenance header whose registry
+    digest matches HEAD's and that was a full (non-subset) run."""
+    m = re.search(
+        r"^provenance: git_sha=(\S+) dirty=(\d) "
+        r"registry_digest=([0-9a-f]+) n=(\d+) subset=(\d)$",
+        sim,
+        re.M,
+    )
+    if m is None:
+        return [
+            "carries no provenance header -- regenerate with the "
+            "current driver_sim"
+        ]
+    issues = []
+    if m.group(3) != head_digest:
+        issues.append(
+            f"is STALE: generated against registry digest {m.group(3)} "
+            f"(at git {m.group(1)[:12]}), HEAD registry digest is "
+            f"{head_digest}"
+        )
+    if m.group(5) != "0":
+        issues.append(
+            "was a SUBSET run -- committed evidence must cover the "
+            "full registry"
+        )
+    return issues
+
+
 def read_evidence(name: str, worktree: bool) -> str:
     if worktree:
         return (ROOT / name).read_text()
@@ -90,6 +120,12 @@ def main() -> int:
     else:
         files = committed_names(r"(DRIVERSIM|PLANAUDIT)_r\w*\.txt")
 
+    import hashlib
+
+    head_digest = hashlib.sha256(
+        "\n".join(sorted(driver_names)).encode()
+    ).hexdigest()[:16]
+
     failed = False
     checked = []
     for sim_name in latest(files, "DRIVERSIM"):
@@ -98,6 +134,14 @@ def main() -> int:
         if missing:
             failed = True
             print(f"FAIL: {sim_name} ({where}) missing/failing: {missing}")
+        # tamper-evidence (VERDICT r13 item 7): the file must declare
+        # the registry it ran against (driver_sim's provenance header)
+        # and that digest must match the registry at HEAD -- a stale
+        # DRIVERSIM (generated before queries were added/renamed)
+        # fails even if every PASS line happens to still be present.
+        for issue in driversim_provenance_issues(sim, head_digest):
+            failed = True
+            print(f"FAIL: {sim_name} ({where}) {issue}")
         checked.append(sim_name)
 
     for audit_name in latest(files, "PLANAUDIT"):

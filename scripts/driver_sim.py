@@ -20,9 +20,45 @@ from tests.oracle import assert_matches_oracle  # noqa: E402
 import __spark_entry__ as E  # noqa: E402
 
 
+def _provenance_line(only: set[str]) -> str:
+    """One header line binding this run to the code + registry it ran
+    against (VERDICT r13 item 7): the git SHA it was generated at, a
+    dirty flag, and a digest of the sorted driver-registered query
+    names.  check_evidence.py recomputes the digest at HEAD and fails
+    on a mismatch, so a committed DRIVERSIM can never silently vouch
+    for a registry it did not actually run."""
+    import hashlib
+    import subprocess
+
+    E.queries()  # force registration before reading the registry
+    from dbt_metrics_ingestion_script_spark.registry import REGISTRY
+
+    names = sorted(n for n, qd in REGISTRY.items() if qd.driver)
+    digest = hashlib.sha256("\n".join(names).encode()).hexdigest()[:16]
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd="/root/repo", capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd="/root/repo", capture_output=True, text=True,
+                check=True,
+            ).stdout.strip()
+        )
+    except Exception:  # noqa: BLE001
+        sha, dirty = "unknown", True
+    return (
+        f"provenance: git_sha={sha} dirty={int(dirty)} "
+        f"registry_digest={digest} n={len(names)} subset={int(bool(only))}"
+    )
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    print(_provenance_line(only), flush=True)
     # shuffle-partition count is overridable so committed evidence can
     # also cover the bench's execution config (AQE-coalesced 32), not
     # only the sf0.01-sized default of 8 (VERDICT r6 nit 2)

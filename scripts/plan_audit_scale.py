@@ -70,11 +70,34 @@ FUNNELS = [
     "events_funnel_conversion_window",
 ]
 
+# Wave 2 (VERDICT r13 next-round item 3): the iterative/EXT families
+# whose plans are data-dependent -- exactly where the r12 memory cliff
+# hid (a checkpoint-inherited size estimate broadcasting every gram
+# occurrence).  Graded at 1x and x10: no BroadcastExchange may carry
+# more than BROADCAST_CAP_BYTES (a pair/gram/assignment frame riding a
+# broadcast is the 1000-executor OOM; the legitimate broadcasts here --
+# centroids, codebooks, thresholds, query batches -- are KB..MB), the
+# banded joins must stay equi-joins (no nested-loop/cartesian), and the
+# *_served queries must not rescan embeddings (they serve the
+# materialized store).  Checkpoint-leaf counts are recorded per decade:
+# they are the data-dependent fingerprint component bench suspect
+# adjudication treats as incomparable (bench.py adjudicate_suspect).
+WAVE2 = [
+    "dedup_semantic_survivors",
+    "dedup_duplicate_clusters_star",
+    "similarity_ivf_pq_batch_topk",
+    "similarity_ivf_pq_batch_topk_served",
+    "corpus_training_pipeline",
+]
+NO_EMBEDDINGS_RESCAN = {"similarity_ivf_pq_batch_topk_served"}
+BROADCAST_CAP_BYTES = 128 * 1024 * 1024
+
 DECADES = [
     ("1x", "/root/testdata/sf0.1"),
     ("x10", "/root/repo/scratch_scale/x10"),
     ("x100", "/root/repo/scratch_scale/x100"),
 ]
+WAVE2_DECADES = DECADES[:2]
 
 JOIN_NODES = [
     "SortMergeJoin",
@@ -83,6 +106,65 @@ JOIN_NODES = [
     "BroadcastNestedLoopJoin",
     "CartesianProduct",
 ]
+
+
+def _sql_exec_ids(spark) -> set[int]:
+    """Ids of SQL executions the UI has recorded so far; set() if the
+    UI is unreachable."""
+    import json
+    import urllib.request
+
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/sql?offset=0&length=100000",
+            timeout=10,
+        ) as r:
+            return {e["id"] for e in json.load(r)}
+    except Exception:  # noqa: BLE001
+        return set()
+
+
+_SIZE_UNIT = {"B": 1, "KiB": 1024, "MiB": 1024**2, "GiB": 1024**3}
+
+
+def _max_broadcast_bytes(spark, new_ids: set[int]) -> int | None:
+    """The largest BroadcastExchange 'data size' metric (bytes) across
+    the given SQL executions, measured at RUNTIME from the UI REST API
+    -- the quantity the r12 memory cliff hid from static plan locks
+    (the planner BELIEVED the gram frame was small; the executed
+    broadcast was GBs).  None if the UI is unreachable."""
+    import json
+    import re as _re
+    import urllib.request
+
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/sql"
+            "?offset=0&length=100000&details=true",
+            timeout=30,
+        ) as r:
+            data = json.load(r)
+    except Exception:  # noqa: BLE001
+        return None
+    best = 0
+    for e in data:
+        if e.get("id") not in new_ids:
+            continue
+        for node in e.get("nodes", []) or []:
+            if "BroadcastExchange" not in (node.get("nodeName") or ""):
+                continue
+            for m in node.get("metrics", []) or []:
+                if not (m.get("name") or "").startswith("data size"):
+                    continue
+                for num, unit in _re.findall(
+                    r"([\d.]+)\s*(B|KiB|MiB|GiB)", m.get("value") or ""
+                ):
+                    best = max(best, int(float(num) * _SIZE_UNIT[unit]))
+    return best
 
 
 def final_plan(df) -> str:
@@ -108,6 +190,11 @@ def audit_one(plan: str) -> dict:
     counts["AQEShuffleRead"] = plan.count("AQEShuffleRead")
     counts["skewed"] = plan.count("skewed=true")
     counts["isFinal"] = "isFinalPlan=true" in plan
+    # checkpoint leaves: the data-dependent fingerprint component
+    # (iteration counts vary with input) -- recorded per decade so the
+    # bench adjudicator's incomparability rule has committed evidence
+    counts["ckpt"] = plan.count("Scan ExistingRDD")
+    counts["embeddings_scans"] = plan.count("embeddings.parquet")
     # every SinglePartition exchange must be fed by a partial
     # HashAggregate: the child is the next plan line (tree indentation
     # grows downward), so look one line ahead
@@ -142,6 +229,21 @@ def verdict(name: str, decade: str, c: dict) -> tuple[str, str]:
             f"{c['singlep_unfed']} SinglePartition exchange(s) not fed "
             "by partial aggregation"
         )
+    if name in WAVE2:
+        # the r12 memory-cliff shape: a pair/gram/assignment frame
+        # riding a broadcast -- graded from the RUNTIME broadcast size,
+        # not the planner's estimate (which is what lied in r12)
+        bc = c.get("max_broadcast_bytes")
+        if bc is not None and bc > BROADCAST_CAP_BYTES:
+            reasons.append(
+                f"broadcast of {bc / 1024**2:.0f} MiB exceeds the "
+                f"{BROADCAST_CAP_BYTES // 1024**2} MiB cap"
+            )
+        if name in NO_EMBEDDINGS_RESCAN and c["embeddings_scans"]:
+            reasons.append(
+                "store-serving query rescans embeddings "
+                f"x{c['embeddings_scans']}"
+            )
     if not c["isFinal"]:
         reasons.append("plan not AQE-final")
     v = "PASS" if not reasons else "FAIL"
@@ -149,33 +251,50 @@ def verdict(name: str, decade: str, c: dict) -> tuple[str, str]:
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANAUDIT_scale_r13.txt"
-    spark = get_spark(app_name="plan_audit_scale", shuffle_partitions=32)
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANAUDIT_scale_r14.txt"
+    spark = get_spark(
+        app_name="plan_audit_scale",
+        shuffle_partitions=32,
+        # the UI REST API carries the runtime BroadcastExchange sizes
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     q.queries()
     lines = [
-        "Scale-decade AQE-final plan audit (VERDICT r12 item 1).",
+        "Scale-decade AQE-final plan audit (VERDICT r12 item 1; wave 2",
+        "EXT/iterative families per VERDICT r13 item 3).",
         "Each query ran TO COMPLETION per decade; join strategies below",
         "are from the executed (isFinalPlan=true) plan, not the static",
         "one the sf0.01 PLANAUDIT locks.  smj=SortMergeJoin,",
         "shj=ShuffledHashJoin, bhj=BroadcastHashJoin, bnl=nested-loop/",
         "cartesian, 1part=SinglePartition exchanges, aqe=AQEShuffleRead",
-        "nodes, skew=AQE skew splits.",
+        "nodes, skew=AQE skew splits, ckpt=checkpoint leaves (the",
+        "data-dependent fingerprint component -- bench adjudication",
+        "treats ckpt-varying fingerprints as incomparable), maxbc=the",
+        "largest RUNTIME BroadcastExchange data size (UI REST metric;",
+        "wave-2 queries FAIL past 128 MiB -- the r12 gram-broadcast",
+        "memory cliff was exactly a planner size-estimate lie this",
+        "runtime measurement cannot miss).",
         "",
         f"{'query':42s} {'decade':6s} {'smj':>3s} {'shj':>3s} {'bhj':>3s} "
-        f"{'bnl':>3s} {'1part':>5s} {'aqe':>3s} {'skew':>4s} {'sec':>7s} "
-        f"verdict",
+        f"{'bnl':>3s} {'1part':>5s} {'aqe':>3s} {'skew':>4s} {'ckpt':>4s} "
+        f"{'maxbc':>9s} {'sec':>7s} verdict",
     ]
     failures = 0
     singlep_details: list[str] = []
-    for name in FACT_FACT + FUNNELS:
+    plan_rows = [(n, DECADES) for n in FACT_FACT + FUNNELS]
+    plan_rows += [(n, WAVE2_DECADES) for n in WAVE2]
+    for name, decades in plan_rows:
         fn = q.REGISTRY[name].fn
-        for decade, sf_dir in DECADES:
+        for decade, sf_dir in decades:
+            ids_before = _sql_exec_ids(spark)
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             plan = final_plan(df)
             dt = time.monotonic() - t0
+            new_ids = _sql_exec_ids(spark) - ids_before
             c = audit_one(plan)
+            c["max_broadcast_bytes"] = _max_broadcast_bytes(spark, new_ids)
             v, why = verdict(name, decade, c)
             if v == "FAIL":
                 failures += 1
@@ -186,12 +305,17 @@ def main() -> int:
                     singlep_details.append(
                         f"{name} {decade}: {m.group(0).strip()[:120]}"
                     )
+            bc = c["max_broadcast_bytes"]
+            bc_s = "-" if bc is None else (
+                f"{bc / 1024**2:.1f}M" if bc >= 1024**2 else f"{bc // 1024}K"
+            )
             lines.append(
                 f"{name:42s} {decade:6s} {c['SortMergeJoin']:3d} "
                 f"{c['ShuffledHashJoin']:3d} {c['BroadcastHashJoin']:3d} "
                 f"{c['BroadcastNestedLoopJoin'] + c['CartesianProduct']:3d} "
                 f"{c['SinglePartition']:5d} {c['AQEShuffleRead']:3d} "
-                f"{c['skewed']:4d} {dt:7.1f} {v} {why}"
+                f"{c['skewed']:4d} {c['ckpt']:4d} {bc_s:>9s} {dt:7.1f} "
+                f"{v} {why}"
             )
         lines.append("")
     lines.append(f"failures: {failures}")

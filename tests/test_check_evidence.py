@@ -230,3 +230,147 @@ def test_bench_compact_line_fits_driver_window():
     line2 = bench.build_compact_line(r2, timings, canaries, "BENCHFULL.json")
     assert len(line2) <= bench.COMPACT_LINE_BUDGET
     assert "suspects" not in json.loads(line2)
+
+
+def test_adjudication_marks_data_dependent_fingerprints_incomparable():
+    """VERDICT r13 "What's wrong" 1 (belt-and-braces half): a suspect
+    whose fingerprint differs from the committed row ONLY because the
+    checkpoint-leaf count moved has a data-dependent plan shape
+    (iterative rounds vary with input) -- adjudicated "incomparable",
+    never "real"; a ckpt-stable structural change still reads "real"."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py"
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # ckpt count differs -> incomparable (the r13 artifact case:
+    # embeddingsx1 0 1 - 1 at sf0.01 vs embeddingsx1 8 3 - 12 at sf0.1)
+    e = bench.adjudicate_suspect(
+        raw=22.4, committed=7.4, ratio_norm=3.0,
+        current_row="embeddingsx1 8 3 - 12",
+        committed_row="embeddingsx1 0 1 - 1",
+    )
+    assert "incomparable" in e["adjudication"]
+    assert bench.one_word_verdict(e["adjudication"]) == "incomparable"
+    # structural change at a STABLE ckpt count is still a real signal
+    e = bench.adjudicate_suspect(
+        raw=4.0, committed=2.0, ratio_norm=2.1,
+        current_row="ordersx2 3 1 - 0", committed_row="ordersx1 2 0 - 0",
+    )
+    assert bench.one_word_verdict(e["adjudication"]) == "real"
+
+
+def test_bench_fingerprints_suspects_at_the_audit_sf():
+    """VERDICT r13 "What's wrong" 1 (root-cause half): the suspect
+    fingerprint is built at AUDIT_SF_DIR (sf0.01, where the committed
+    PLANAUDIT rows come from), never at the bench's SF_DIR -- the
+    cross-sf comparison is structurally meaningless for data-dependent
+    plans.  Source-level pin: the only plan_fingerprint call in main()
+    must take AUDIT_SF_DIR."""
+    src = (pathlib.Path(__file__).parent.parent / "bench.py").read_text()
+    assert "AUDIT_SF_DIR" in src
+    assert "plan_fingerprint(by_name[n](spark, SF_DIR))" not in src
+    calls = re.findall(r"plan_fingerprint\(\s*by_name\[n\]\(spark, (\w+)\)", src)
+    # both call sites (wall suspects + bytes-gated suspects) sf-matched
+    assert calls and set(calls) == {"AUDIT_SF_DIR"}
+
+
+def test_bytes_gated_suspects_survive_the_compact_line():
+    """VERDICT r13 item 2: the semantic family gates on shuffle bytes.
+    A bytes-gated suspect entry (ratio_bytes, no ratio_norm) must ride
+    the compact line as a one-word "real" verdict with its bytes ratio
+    in the ratio_norm slot, and the per-query shuffle_bytes map must
+    stay sidecar-only."""
+    import json
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py"
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert bench.one_word_verdict(
+        "shuffle bytes drifted past the deterministic band: real, "
+        "investigate"
+    ) == "real"
+
+    timings = {"dedup_semantic_survivors": 7.4, "tpch_q1": 0.4}
+    canaries = {"tpch_q1": 0.4}
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": 7.8,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "canaries": canaries,
+        "canary_total": 0.4,
+        "shuffle_bytes": {"dedup_semantic_survivors": 2_000_000},
+        "suspects": {
+            "dedup_semantic_survivors": {
+                "bytes": 2_000_000,
+                "committed_bytes": 1_000_000,
+                "ratio_bytes": 2.0,
+                "plan_changed": True,
+                "adjudication": (
+                    "shuffle bytes drifted past the deterministic "
+                    "band: real, investigate"
+                ),
+            }
+        },
+    }
+    line = bench.build_compact_line(
+        result, timings, canaries, "BENCHFULL.json"
+    )
+    parsed = json.loads(line)
+    assert "shuffle_bytes" not in parsed
+    s = parsed["suspects"]["dedup_semantic_survivors"]
+    assert s == {"ratio_norm": 2.0, "verdict": "real"}
+
+
+def test_semantic_family_is_bytes_gated_not_wall_gated():
+    """Source-level pin for the gate routing: the BYTES_GATED set names
+    the semantic family, the wall-suspect comprehension excludes it,
+    and the bytes comprehension gates on BYTES_DRIFT_THRESHOLD."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py"
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert bench.BYTES_GATED == {
+        "dedup_semantic_clusters",
+        "dedup_semantic_survivors",
+        "corpus_semantic_pipeline",
+    }
+    src = (pathlib.Path(__file__).parent.parent / "bench.py").read_text()
+    assert "n not in BYTES_GATED" in src
+    assert "BYTES_DRIFT_THRESHOLD" in src
+
+
+def test_driversim_provenance_tamper_evidence():
+    """VERDICT r13 item 7: a committed DRIVERSIM must carry a
+    provenance header binding it to the registry it actually ran -- a
+    stale digest, a subset run, or a missing header all fail, so the
+    full-coverage claim is tamper-evident."""
+    good = (
+        "provenance: git_sha=0d0abadf00aa dirty=0 "
+        "registry_digest=ab12cd34ef56ab78 n=249 subset=0\n"
+        "PASS q1: match\n"
+    )
+    assert ce.driversim_provenance_issues(good, "ab12cd34ef56ab78") == []
+    # stale: generated against an older registry
+    issues = ce.driversim_provenance_issues(good, "ffffffffffffffff")
+    assert issues and "STALE" in issues[0]
+    # subset runs never count as full-registry evidence
+    subset = good.replace("subset=0", "subset=1")
+    issues = ce.driversim_provenance_issues(subset, "ab12cd34ef56ab78")
+    assert issues and "SUBSET" in issues[0]
+    # pre-r14 files (no header) fail loudly, not silently
+    issues = ce.driversim_provenance_issues("PASS q1: match\n", "ab12")
+    assert issues and "no provenance header" in issues[0]

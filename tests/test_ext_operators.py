@@ -3567,3 +3567,83 @@ def test_interval_overlap_join_stream_keyed_mode(spark, tmp_path):
             left_start="ls", left_end="le",
             right_start="rs", right_end="re", max_interval_minutes=0,
         )
+
+
+def test_interval_overlap_stream_cap_is_bucket_span_exact(spark, tmp_path):
+    """ADVICE r13: the stream's length cap is expressed in BUCKET-SPAN
+    terms -- the exact filter interval_overlap_join's max_span_buckets
+    applies -- so the pinned batch differential holds even at the cap
+    boundary.  The adversarial input: an interval of duration exactly
+    max_interval_minutes (24h) that straddles one extra bucket edge
+    (00:30-24:30 spans 25 hourly buckets).  Both engines must DROP it;
+    a duration-based stream cap would have kept it and diverged."""
+    import datetime
+    import os
+
+    import pytest as _pytest
+
+    from dbt_metrics_ingestion_script_spark.operators.ranges import (
+        interval_overlap_join,
+        interval_overlap_join_stream,
+    )
+
+    def t(h, m=0):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            hours=h, minutes=m
+        )
+
+    # l1 straddles: duration exactly 24h over 25 buckets; l2 is a
+    # control pair well under the cap
+    left_rows = [(1, t(0, 30), t(24, 30)), (2, t(1), t(2))]
+    right_rows = [(100, t(1), t(1, 30))]
+    lschema = "lid long, ls timestamp, le timestamp"
+    rschema = "rid long, rs timestamp, re timestamp"
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(left_rows, lschema).coalesce(1).write.parquet(ldir)
+    spark.createDataFrame(right_rows, rschema).coalesce(1).write.parquet(rdir)
+    pairs = interval_overlap_join_stream(
+        spark.readStream.schema(lschema).parquet(ldir),
+        spark.readStream.schema(rschema).parquet(rdir),
+        left_start="ls", left_end="le",
+        right_start="rs", right_end="re",
+        bucket_minutes=60, max_interval_minutes=24 * 60,
+        watermark="30 days",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", os.path.join(out, "pairs"))
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in spark.read.schema(pairs.schema)
+        .parquet(os.path.join(out, "pairs"))
+        .collect()
+    )
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            spark.createDataFrame(left_rows, lschema),
+            spark.createDataFrame(right_rows, rschema),
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            bucket_minutes=60, max_span_buckets=24,
+        ).collect()
+    )
+    # the straddling boundary interval drops on BOTH engines
+    assert got == want == [(2, 100)]
+
+    # the exactness precondition is validated, not assumed
+    with _pytest.raises(ValueError, match="multiple of bucket_minutes"):
+        interval_overlap_join_stream(
+            spark.readStream.schema(lschema).parquet(ldir),
+            spark.readStream.schema(rschema).parquet(rdir),
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            bucket_minutes=60, max_interval_minutes=90,
+        )

