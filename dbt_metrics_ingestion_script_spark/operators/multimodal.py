@@ -1170,7 +1170,12 @@ def decode_image_rgb(content: bytes) -> tuple[int, int, bytes]:
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_rgb(content)
     if content[:2] == b"\xff\xd8":
-        return decode_jpeg_rgb(content)
+        try:
+            return decode_jpeg_rgb(content)
+        except (IndexError, struct.error) as exc:
+            # keep the dispatcher's ValueError contract for payloads
+            # that die mid-stream (truncated entropy data/segments)
+            raise ValueError(f"truncated/corrupt JPEG: {exc}") from exc
     if content[:2] == b"BM":
         if len(content) < 54:
             raise ValueError("truncated BMP header")
@@ -1224,10 +1229,10 @@ def decode_image_rgb(content: bytes) -> tuple[int, int, bytes]:
 def decode_image(content: bytes) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    Uncompressed BMP, binary PPM, and 8-bit truecolor PNG decode
-    natively via stdlib parsing (real bytes, this sandbox, no codec
-    library).  Other formats route to PIL and raise NotImplementedError
-    when it is absent."""
+    Uncompressed BMP, binary PPM, truecolor/palette PNG, GIF, and
+    baseline JPEG decode natively via stdlib parsing (real bytes, this
+    sandbox, no codec library).  Other formats route to PIL and raise
+    NotImplementedError when it is absent."""
     try:
         return decode_image_rgb(content)[:2]
     except ValueError:
@@ -1236,7 +1241,7 @@ def decode_image(content: bytes) -> tuple[int, int]:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image format beyond stdlib BMP/PPM/PNG requires an image codec "
+            "image format beyond stdlib BMP/PPM/PNG/GIF/JPEG requires an image codec "
             "library not present in this environment"
         ) from exc
     import io

@@ -161,3 +161,12 @@ def test_dispatcher_routes_jpeg():
     blob = M.encode_jpeg_gray_blocks(5, 3, [200])
     assert M.decode_image_rgb(blob)[:2] == (5, 3)
     assert M.decode_image(blob) == (5, 3)
+
+
+def test_truncated_jpeg_raises_value_error_via_dispatcher():
+    """The dispatcher contract: undecodable payloads raise ValueError
+    (so decode_stats callers can route), never a bare IndexError from
+    the bit reader hitting end-of-buffer."""
+    blob = M.encode_jpeg_gray_blocks(17, 12, [(i * 31) % 256 for i in range(6)])
+    with pytest.raises(ValueError):
+        M.decode_image_rgb(blob[: len(blob) // 2])
