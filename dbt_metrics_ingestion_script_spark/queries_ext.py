@@ -1883,19 +1883,18 @@ def multimodal_frame_sample(spark, sf_dir):
     return multimodal.sample_frames(assets, max_frames=5).drop("content")
 
 
-@register(
-    "multimodal_decode_stats",
-    # the oracle replays the deterministic media geometry (pixel i =
-    # (seed+i) mod 256, sample i = (seed*31+i*7) mod 65536 - 32768,
-    # seed = id mod 256; JPEG slot 10: two constant gray blocks
-    # (seed+17b) mod 256, exactly decodable -- see _media_geometry)
-    # ANALYTICALLY, while the Spark side round-trips genuine
-    # BMP/PNG/palette-PNG/PPM/GIF/JPEG/WAV bytes through the stdlib
-    # codecs -- a decode bug (row unflip lost, BGR order wrong header
-    # field, padding kept, LZW width desync, PLTE misindex, Huffman
-    # desync, IDCT off-by-one, sample width misread) changes
-    # width/height/sample_rate/val_sum and breaks the hash
-    """
+# the decode-stats oracle replays the deterministic media geometry
+# (pixel i = (seed+i) mod 256, sample i = (seed*31+i*7) mod 65536 -
+# 32768, seed = id mod 256; JPEG slot 10: two constant gray blocks
+# (seed+17b) mod 256, exactly decodable -- see _media_geometry)
+# ANALYTICALLY, while the Spark side round-trips genuine
+# BMP/PNG/palette-PNG/PPM/GIF/JPEG/WAV bytes through the stdlib codecs
+# -- a decode bug (row unflip lost, BGR order wrong header field,
+# padding kept, LZW width desync, PLTE misindex, Huffman desync, IDCT
+# off-by-one, sample width misread) changes
+# width/height/sample_rate/val_sum and breaks the hash.  Shared by the
+# batch query and its streaming twin.
+_MM_DECODE_ORACLE = """
     WITH geo AS (
       SELECT doc_id, doc_id % 256 AS seed, doc_id % 12 AS slot,
              CASE WHEN doc_id % 12 = 10 THEN 9 + doc_id % 4
@@ -1925,8 +1924,10 @@ def multimodal_frame_sample(spark, sf_dir):
                        i -> (seed * 31 + i * 7) % 65536 - 32768))
            END)::BIGINT AS val_sum
     FROM geo
-    """,
-)
+    """
+
+
+@register("multimodal_decode_stats", _MM_DECODE_ORACLE)
 def multimodal_decode_stats(spark, sf_dir):
     """REAL media decode end to end: synthesize genuine BMP / truecolor
     PNG / PPM / palette PNG / GIF / baseline JPEG / PCM WAV payloads
@@ -1939,6 +1940,64 @@ def multimodal_decode_stats(spark, sf_dir):
         load_table(spark, sf_dir, "documents")
     )
     return multimodal.decode_stats(assets)
+
+
+@register("streaming_multimodal_decode", _MM_DECODE_ORACLE)
+def streaming_multimodal_decode(spark, sf_dir):
+    """Multimodal decode as a STREAMING pipeline stage: documents
+    arrive as two micro-batch files (maxFilesPerTrigger=1), each batch
+    flows through the SAME Arrow mapInPandas kernels the batch query
+    uses -- synth_media_assets then decode_stats, real
+    BMP/PNG/PPM/GIF/JPEG/WAV byte round-trips per row -- and drains to
+    a parquet sink read back lazily (one row per document: unbounded
+    keys, never through the driver).  Stateless row-wise transforms
+    need no watermark and emit in append mode, so the drained union
+    over any micro-batching equals the batch decode -- the same
+    analytic DuckDB oracle.  This is the shape a 100 TB ingest
+    pipeline actually runs decode in: per-arrival-batch Arrow work,
+    no global barrier.  Ref behavior spec: pure EXT anchor (no
+    counterpart in /root/reference)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = tempfile.mkdtemp(prefix="mm_stream_src_")
+    out_dir = tempfile.mkdtemp(prefix="mm_stream_out_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    try:
+        # two files -> two micro-batches
+        for rem in (0, 1):
+            docs.where(F.col("doc_id") % 2 == rem).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        stats = multimodal.decode_stats(
+            multimodal.synth_media_assets(stream)
+        )
+        q = (
+            stats.writeStream.format("parquet")
+            .option("path", os.path.join(out_dir, "stats"))
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_multimodal_decode did not drain within 180s"
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.schema(stats.schema).parquet(
+        os.path.join(out_dir, "stats")
+    )
 
 
 @register(
