@@ -333,36 +333,48 @@ CANARIES = [
 
 
 def _completed_stages(spark) -> dict:
-    """Completed stages from the UI REST API, keyed (stageId, attempt);
-    {} if the UI is unreachable (bytes then read as None).  Same
-    plumbing as scripts/scale_slope.py."""
-    import json as _json
-    import urllib.request
+    """(stageId, attemptId) -> shuffle read+write bytes for COMPLETE
+    stages, read from the driver's AppStatusStore via py4j.
 
+    Deliberately NOT the UI REST API: the AppStatusListener feeds this
+    store whether or not the web server runs, so reading it adds zero
+    listener work and no jetty server -- enabling the UI for REST
+    access measurably perturbed the bench (the status store and REST
+    serialization share the single local-mode heap with executor
+    storage, and the localCheckpoint-heavy tail of a 230-query run
+    degraded up to 13x until the store was capped; see the retention
+    caps below, kept because they bound the store either way).  A
+    py4j poll costs ~6 ms and returns {} on any failure (bytes then
+    read as None, no gate, no false alarm)."""
     try:
-        ui = spark.sparkContext.uiWebUrl
-        app = spark.sparkContext.applicationId
-        with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app}/stages?status=complete",
-            timeout=10,
-        ) as r:
-            data = _json.load(r)
-        return {(s["stageId"], s["attemptId"]): s for s in data}
+        jvm = spark.sparkContext._jvm
+        store = spark.sparkContext._jsc.sc().statusStore()
+        empty = jvm.java.util.ArrayList()
+        defaults = [
+            getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
+        ]
+        stages = store.stageList(empty, *defaults)
+        out = {}
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            if s.status().toString() != "COMPLETE":
+                continue
+            out[(s.stageId(), s.attemptId())] = (
+                s.shuffleReadBytes() + s.shuffleWriteBytes()
+            )
+        return out
     except Exception:  # noqa: BLE001
         return {}
 
 
 def _shuffle_bytes_delta(before: dict, after: dict) -> int | None:
     """Total shuffle read+write bytes of stages that completed between
-    the two snapshots; None if either snapshot failed."""
+    the two snapshots (keyed diff, so store eviction of OLD stages
+    between polls never corrupts the delta); None if both snapshots
+    failed."""
     if not before and not after:
         return None
-    new = [s for k, s in after.items() if k not in before]
-    return sum(
-        (s.get("shuffleReadBytes", 0) or 0)
-        + (s.get("shuffleWriteBytes", 0) or 0)
-        for s in new
-    )
+    return sum(v for k, v in after.items() if k not in before)
 
 
 def plan_fingerprint(df) -> str:
@@ -613,9 +625,15 @@ def main() -> None:
         app_name="bench",
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
-            # the UI REST API is the per-query shuffle-bytes source
-            # (get_spark disables the UI by default)
-            "spark.ui.enabled": "true",
+            # the UI server stays OFF (the bytes probe reads the
+            # AppStatusStore directly -- see _completed_stages); these
+            # caps bound the always-on listener's store so a 230-query
+            # run cannot grow it against the localCheckpoint blocks
+            # sharing the local-mode heap
+            "spark.ui.retainedJobs": "200",
+            "spark.ui.retainedStages": "500",
+            "spark.ui.retainedTasks": "5000",
+            "spark.sql.ui.retainedExecutions": "100",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
