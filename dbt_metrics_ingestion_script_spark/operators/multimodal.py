@@ -1050,7 +1050,14 @@ def decode_jpeg_rgb(content: bytes) -> tuple[int, int, bytes]:
             scan_comps = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in comps if c["id"] == cs)
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    # explicit: a bare next() here raised StopIteration
+                    # and leaked past the dispatcher's ValueError
+                    # contract (ADVICE r15)
+                    raise ValueError(
+                        f"JPEG SOS references undeclared component {cs}"
+                    )
                 scan_comps.append(
                     {**comp, "dc": tables >> 4, "ac": tables & 0x0F}
                 )
@@ -1059,6 +1066,20 @@ def decode_jpeg_rgb(content: bytes) -> tuple[int, int, bytes]:
         pos += seg_len
     if not scan_comps or not width:
         raise ValueError("JPEG missing SOF/SOS")
+    for c in scan_comps:
+        # explicit table validation: a scan using an undeclared
+        # Huffman/quant table raised KeyError from huff[...] deep in
+        # the entropy loop (ADVICE r15) -- name the defect up front
+        for cls_, tid in ((0, c["dc"]), (1, c["ac"])):
+            if (cls_, tid) not in huff:
+                raise ValueError(
+                    f"JPEG scan uses undeclared "
+                    f"{'DC' if cls_ == 0 else 'AC'} Huffman table {tid}"
+                )
+        if c["tq"] not in quant:
+            raise ValueError(
+                f"JPEG component uses undeclared quant table {c['tq']}"
+            )
     hmax = max(c["h"] for c in scan_comps)
     vmax = max(c["v"] for c in scan_comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
@@ -1172,10 +1193,14 @@ def decode_image_rgb(content: bytes) -> tuple[int, int, bytes]:
     if content[:2] == b"\xff\xd8":
         try:
             return decode_jpeg_rgb(content)
-        except (IndexError, struct.error) as exc:
+        except (IndexError, struct.error, StopIteration, KeyError) as exc:
             # keep the dispatcher's ValueError contract for payloads
-            # that die mid-stream (truncated entropy data/segments)
-            raise ValueError(f"truncated/corrupt JPEG: {exc}") from exc
+            # that die mid-stream (truncated entropy data/segments).
+            # StopIteration/KeyError belt-and-braces on top of the
+            # explicit component/table validation (ADVICE r15): any
+            # remaining lookup on a corrupt stream must still surface
+            # as ValueError, never leak the raw exception
+            raise ValueError(f"truncated/corrupt JPEG: {exc!r}") from exc
     if content[:2] == b"BM":
         if len(content) < 54:
             raise ValueError("truncated BMP header")
@@ -1478,9 +1503,15 @@ def _media_geometry(asset_id: int) -> tuple[str, dict]:
     if asset_id % 2 == 0:
         if asset_id % 12 == 10:
             # 9..12 x 1..5: two 8-wide blocks (DC prediction + right
-            # AND bottom edge crop), <= 60 px so ahash covers it
+            # AND bottom edge crop), <= 60 px so ahash covers it.
+            # Varying params derive from asset_id // 12 -- slot-10 ids
+            # are all ≡ 10 (mod 12), so any `asset_id % k` with k | 12
+            # is CONSTANT over the slot (ADVICE r15: the old
+            # `asset_id % 4` pinned width to 11 and `% 3` pinned the
+            # restart interval to 1, silently voiding the claimed
+            # DRI=0/2 production coverage)
             return "image/jpeg", {
-                "w": 9 + asset_id % 4,
+                "w": 9 + (asset_id // 12) % 4,
                 "h": 1 + asset_id % 5,
                 "seed": seed,
             }
@@ -1534,11 +1565,16 @@ def synth_media_assets(documents: DataFrame) -> DataFrame:
                     vals = [
                         (g["seed"] + 17 * b) % 256 for b in range(bw * bh)
                     ]
-                    # id mod 3 cycles the restart interval 0/1/2 across
-                    # the corpus, so DRI+RST streams are decoded in
-                    # production, not only in pytest
+                    # (asset_id // 12) mod 3 cycles the restart
+                    # interval 0/1/2 across the corpus (id % 3 is
+                    # constant over slot-10 ids, ADVICE r15), so
+                    # DRI-absent, DRI=1 and DRI=2 streams are all
+                    # decoded in production, not only in pytest
                     blob = encode_jpeg_gray_blocks(
-                        g["w"], g["h"], vals, restart_interval=asset_id % 3
+                        g["w"],
+                        g["h"],
+                        vals,
+                        restart_interval=(asset_id // 12) % 3,
                     )
                 elif asset_id % 12 in (6, 8):  # indexed formats
                     idx = _indexed_pixels(g["seed"], g["w"] * g["h"])

@@ -518,9 +518,60 @@ def metric_approx_customer_count(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _evidence_round_index() -> int:
+    """The upcoming round number, inferred from the committed
+    CORRECTNESS_r{N}.json evidence files (deterministic within a
+    round, advances once per round).  0 if none exist (fresh clone)."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = []
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        if m := re.search(r"_r(\d+)\.json$", os.path.basename(f)):
+            rounds.append(int(m.group(1)))
+    return (max(rounds) + 1) if rounds else 0
+
+
+def driver_sample_order(names: list[str], round_index: int) -> list[str]:
+    """Family-interleaved, round-rotated presentation order for the
+    driver contract (VERDICT r14 'What's wrong' 2): the per-round
+    driver evaluates the FIRST ~50 entries of queries() (verified in
+    round 1 -- exactly the first 50 registered got CORRECTNESS rows),
+    and registration order made that sample metrics/TPC-H-only and
+    SET-IDENTICAL across rounds, so the EXT families were never
+    driver-checked.
+
+    Fix: group names by family (first `_`-separated token), rotate
+    each family's registration-ordered list by the round index, then
+    round-robin across families.  The 50-slot prefix then covers a
+    cross-section of EVERY family, and successive rounds rotate WHICH
+    member of each family lands in the window.  Pure function of
+    (names, round_index): deterministic within a round, full-registry
+    harnesses (driver_sim, check_evidence) are order-insensitive."""
+    fams: dict[str, list[str]] = {}
+    for n in names:
+        fams.setdefault(n.split("_", 1)[0], []).append(n)
+    queues = []
+    for fam_names in fams.values():
+        k = round_index % len(fam_names)
+        queues.append(fam_names[k:] + fam_names[:k])
+    order: list[str] = []
+    while queues:
+        queues = [q for q in queues if q]
+        for q in queues:
+            order.append(q.pop(0))
+    return order
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all_query_modules()
-    return {name: qd.fn for name, qd in REGISTRY.items() if qd.driver}
+    ordered = driver_sample_order(
+        [name for name, qd in REGISTRY.items() if qd.driver],
+        _evidence_round_index(),
+    )
+    return {name: REGISTRY[name].fn for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1897,7 +1897,7 @@ def multimodal_frame_sample(spark, sf_dir):
 _MM_DECODE_ORACLE = """
     WITH geo AS (
       SELECT doc_id, doc_id % 256 AS seed, doc_id % 12 AS slot,
-             CASE WHEN doc_id % 12 = 10 THEN 9 + doc_id % 4
+             CASE WHEN doc_id % 12 = 10 THEN 9 + (doc_id // 12) % 4
                   ELSE 1 + doc_id % 8 END AS w,
              1 + doc_id % 5 AS h
       FROM documents
@@ -2010,7 +2010,7 @@ def streaming_multimodal_decode(spark, sf_dir):
     """
     WITH geo AS (
       SELECT doc_id AS asset_id, doc_id % 12 AS slot,
-             CASE WHEN doc_id % 12 = 10 THEN 9 + doc_id % 4
+             CASE WHEN doc_id % 12 = 10 THEN 9 + (doc_id // 12) % 4
                   ELSE 1 + doc_id % 8 END AS w,
              (1 + doc_id % 5) AS h,
              doc_id % 256 AS seed

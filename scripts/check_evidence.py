@@ -63,10 +63,41 @@ def latest(names: list[str], prefix: str) -> list[str]:
     return sorted(cands[max(cands)])
 
 
-def driversim_provenance_issues(sim: str, head_digest: str) -> list[str]:
+def _sha_is_ancestor(sha: str) -> bool | None:
+    """True/False whether sha is an ancestor of (or equal to) HEAD;
+    None if it cannot be determined (unknown sha, shallow clone)."""
+    if not re.fullmatch(r"[0-9a-f]{40}", sha):
+        return None
+    try:
+        r = subprocess.run(
+            ["git", "merge-base", "--is-ancestor", sha, "HEAD"],
+            cwd=ROOT, capture_output=True, text=True,
+        )
+    except OSError:
+        return None
+    if r.returncode == 0:
+        return True
+    if r.returncode == 1:
+        return False
+    return None
+
+
+def driversim_provenance_issues(
+    sim: str, head_digest: str
+) -> tuple[list[str], list[str]]:
     """Tamper-evidence findings for one DRIVERSIM file (VERDICT r13
-    item 7): [] iff the file carries a provenance header whose registry
-    digest matches HEAD's and that was a full (non-subset) run."""
+    item 7): (hard failures, warnings).
+
+    SCOPE OF THE DIGEST (ADVICE r15): the registry digest binds the
+    run to the NAME SET of driver-registered queries only -- it proves
+    the file covered today's registry, NOT that the query
+    implementations behaved as HEAD's do.  Behavioral binding comes
+    from git_sha + dirty, enforced here as warnings: evidence is
+    legitimately generated from the working tree just BEFORE the
+    round's final commit (dirty=1 with the sha a HEAD ancestor is the
+    normal round shape), but a sha that is NOT in HEAD's history means
+    the run happened on code this repo never committed -- that one is
+    a hard failure."""
     m = re.search(
         r"^provenance: git_sha=(\S+) dirty=(\d) "
         r"registry_digest=([0-9a-f]+) n=(\d+) subset=(\d)$",
@@ -74,11 +105,14 @@ def driversim_provenance_issues(sim: str, head_digest: str) -> list[str]:
         re.M,
     )
     if m is None:
-        return [
-            "carries no provenance header -- regenerate with the "
-            "current driver_sim"
-        ]
-    issues = []
+        return (
+            [
+                "carries no provenance header -- regenerate with the "
+                "current driver_sim"
+            ],
+            [],
+        )
+    issues, warnings = [], []
     if m.group(3) != head_digest:
         issues.append(
             f"is STALE: generated against registry digest {m.group(3)} "
@@ -90,7 +124,27 @@ def driversim_provenance_issues(sim: str, head_digest: str) -> list[str]:
             "was a SUBSET run -- committed evidence must cover the "
             "full registry"
         )
-    return issues
+    sha = m.group(1)
+    ancestor = _sha_is_ancestor(sha)
+    if ancestor is False:
+        issues.append(
+            f"was generated at git {sha[:12]}, which is NOT in HEAD's "
+            "history -- the code that ran was never committed here"
+        )
+    elif ancestor is None:
+        warnings.append(
+            f"carries unverifiable git_sha {sha[:12]} -- ancestry "
+            "check skipped"
+        )
+    if m.group(2) != "0":
+        warnings.append(
+            f"was generated from a DIRTY tree at {sha[:12]}: the "
+            "digest binds only the registry NAME set, so the query "
+            "implementations that actually ran may differ from that "
+            "commit -- acceptable only for the round's own "
+            "pre-commit evidence"
+        )
+    return issues, warnings
 
 
 def read_evidence(name: str, worktree: bool) -> str:
@@ -139,9 +193,12 @@ def main() -> int:
         # and that digest must match the registry at HEAD -- a stale
         # DRIVERSIM (generated before queries were added/renamed)
         # fails even if every PASS line happens to still be present.
-        for issue in driversim_provenance_issues(sim, head_digest):
+        issues, warnings = driversim_provenance_issues(sim, head_digest)
+        for issue in issues:
             failed = True
             print(f"FAIL: {sim_name} ({where}) {issue}")
+        for warning in warnings:
+            print(f"WARN: {sim_name} ({where}) {warning}")
         checked.append(sim_name)
 
     for audit_name in latest(files, "PLANAUDIT"):

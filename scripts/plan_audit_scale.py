@@ -229,10 +229,24 @@ def verdict(name: str, decade: str, c: dict) -> tuple[str, str]:
         reasons.append("cartesian (both-sides-shuffled) cross join")
     if c["BroadcastNestedLoopJoin"]:
         if name in BROADCAST_CROSS_OK:
-            notes.append(
-                f"bnl={c['BroadcastNestedLoopJoin']} broadcast-bounded "
-                "cross (query/centroid batch; runtime size-capped)"
-            )
+            # the cross is admitted ONLY on the strength of the
+            # measured runtime broadcast size; a dead UI probe
+            # (max_broadcast_bytes None) means the boundedness proof
+            # is MISSING, and a missing proof must not read as PASS
+            # (ADVICE r15)
+            if c.get("max_broadcast_bytes") is None:
+                reasons.append(
+                    "broadcast-bounded cross admitted but the runtime "
+                    "broadcast-size probe returned nothing -- "
+                    "boundedness UNVERIFIED, rerun with the UI "
+                    "reachable"
+                )
+            else:
+                notes.append(
+                    f"bnl={c['BroadcastNestedLoopJoin']} "
+                    "broadcast-bounded cross (query/centroid batch; "
+                    "runtime size-capped)"
+                )
         else:
             reasons.append("nested-loop join")
     shuffled = c["SortMergeJoin"] + c["ShuffledHashJoin"]

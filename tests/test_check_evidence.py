@@ -357,20 +357,55 @@ def test_driversim_provenance_tamper_evidence():
     """VERDICT r13 item 7: a committed DRIVERSIM must carry a
     provenance header binding it to the registry it actually ran -- a
     stale digest, a subset run, or a missing header all fail, so the
-    full-coverage claim is tamper-evident."""
+    full-coverage claim is tamper-evident.  (The short non-40-hex sha
+    here exercises the 'unverifiable sha' WARNING lane, ADVICE r15.)"""
     good = (
         "provenance: git_sha=0d0abadf00aa dirty=0 "
         "registry_digest=ab12cd34ef56ab78 n=249 subset=0\n"
         "PASS q1: match\n"
     )
-    assert ce.driversim_provenance_issues(good, "ab12cd34ef56ab78") == []
+    issues, warnings = ce.driversim_provenance_issues(
+        good, "ab12cd34ef56ab78"
+    )
+    assert issues == []
+    assert warnings and "unverifiable" in warnings[0]
     # stale: generated against an older registry
-    issues = ce.driversim_provenance_issues(good, "ffffffffffffffff")
+    issues, _ = ce.driversim_provenance_issues(good, "ffffffffffffffff")
     assert issues and "STALE" in issues[0]
     # subset runs never count as full-registry evidence
     subset = good.replace("subset=0", "subset=1")
-    issues = ce.driversim_provenance_issues(subset, "ab12cd34ef56ab78")
+    issues, _ = ce.driversim_provenance_issues(subset, "ab12cd34ef56ab78")
     assert issues and "SUBSET" in issues[0]
     # pre-r14 files (no header) fail loudly, not silently
-    issues = ce.driversim_provenance_issues("PASS q1: match\n", "ab12")
+    issues, _ = ce.driversim_provenance_issues("PASS q1: match\n", "ab12")
     assert issues and "no provenance header" in issues[0]
+
+
+def test_driversim_provenance_sha_and_dirty_enforced(monkeypatch):
+    """ADVICE r15: the digest binds only the registry NAME set, so
+    git_sha/dirty are now enforced -- a sha outside HEAD's history is
+    a hard FAIL (the code that ran was never committed); a dirty tree
+    at an ancestor sha is a WARNING (the normal pre-commit round
+    shape); a clean ancestor sha is silent."""
+    digest = "ab12cd34ef56ab78"
+    sha = "a" * 40
+
+    def hdr(dirty):
+        return (
+            f"provenance: git_sha={sha} dirty={dirty} "
+            f"registry_digest={digest} n=249 subset=0\nPASS q1: match\n"
+        )
+
+    # sha not an ancestor -> hard failure
+    monkeypatch.setattr(ce, "_sha_is_ancestor", lambda s: False)
+    issues, _ = ce.driversim_provenance_issues(hdr(0), digest)
+    assert issues and "NOT in HEAD's history" in issues[0]
+    # ancestor + dirty -> warning naming the digest's scope
+    monkeypatch.setattr(ce, "_sha_is_ancestor", lambda s: True)
+    issues, warnings = ce.driversim_provenance_issues(hdr(1), digest)
+    assert issues == []
+    assert warnings and "DIRTY" in warnings[0]
+    assert "NAME set" in warnings[0]
+    # ancestor + clean -> fully silent
+    issues, warnings = ce.driversim_provenance_issues(hdr(0), digest)
+    assert (issues, warnings) == ([], [])

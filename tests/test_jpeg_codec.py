@@ -170,3 +170,32 @@ def test_truncated_jpeg_raises_value_error_via_dispatcher():
     blob = M.encode_jpeg_gray_blocks(17, 12, [(i * 31) % 256 for i in range(6)])
     with pytest.raises(ValueError):
         M.decode_image_rgb(blob[: len(blob) // 2])
+
+
+def test_sos_with_undeclared_component_raises_value_error():
+    """ADVICE r15: a SOS referencing a component id absent from SOF
+    raised StopIteration from a bare next(), leaking past the
+    dispatcher's ValueError contract.  Now it names the defect."""
+    blob = bytearray(M.encode_jpeg_gray_blocks(9, 3, [10, 250]))
+    sos = blob.find(b"\xff\xda")
+    # SOS layout: FFDA len ns cs1 tables1 ... -> corrupt cs1
+    blob[sos + 5] = 0x77
+    with pytest.raises(ValueError, match="undeclared component"):
+        M.decode_jpeg_rgb(bytes(blob))
+    with pytest.raises(ValueError):
+        M.decode_image_rgb(bytes(blob))
+
+
+def test_sos_with_undeclared_huffman_table_raises_value_error():
+    """ADVICE r15: a scan selecting a Huffman table id that no DHT
+    declared raised KeyError from huff[(cls, id)] mid-entropy-loop;
+    now validated up front with the table named."""
+    blob = bytearray(M.encode_jpeg_gray_blocks(9, 3, [10, 250]))
+    sos = blob.find(b"\xff\xda")
+    # tables byte: high nibble DC id, low nibble AC id -> point both
+    # at table 3, never declared by the fixture encoder
+    blob[sos + 6] = 0x33
+    with pytest.raises(ValueError, match="Huffman table"):
+        M.decode_jpeg_rgb(bytes(blob))
+    with pytest.raises(ValueError):
+        M.decode_image_rgb(bytes(blob))

@@ -762,6 +762,61 @@ def test_streaming_heavy_hitters_converges_to_exact(spark):
         assert est == exact[k] and err == 0
 
 
+def test_streaming_heavy_hitters_single_state_partition(spark):
+    """r14 wall-regression root cause (VERDICT r14 'wrong' 1): the
+    single-group fold must run with ONE state partition -- with the
+    session default (32) the 31 empty state stores each pay task +
+    commit overhead that serializes under host contention (measured
+    commitTimeMs sum 9.5-11.7 s at parts=32 vs ~40 ms at parts=1).
+    Asserts (a) the stream's state operator reports
+    numShufflePartitions == 1 via the progress listener, and (b) the
+    session conf is restored afterwards."""
+    import json as _json
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from dbt_metrics_ingestion_script_spark.queries_mlprep import (
+        streaming_heavy_hitters,
+    )
+
+    seen: list[int] = []
+    lock = threading.Lock()
+
+    class L(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = _json.loads(event.progress.json)
+            with lock:
+                for so in p.get("stateOperators", []):
+                    if so.get("numShufflePartitions") is not None:
+                        seen.append(int(so["numShufflePartitions"]))
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = L()
+    spark.streams.addListener(listener)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert streaming_heavy_hitters(spark, SF).count() > 0
+        # listener delivery is async
+        import time as _time
+
+        deadline = _time.time() + 10
+        while not seen and _time.time() < deadline:
+            _time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert seen and set(seen) == {1}, seen
+
+
 # ---------------------------------------------------------------------------
 # WOE / chi2 / separability
 # ---------------------------------------------------------------------------

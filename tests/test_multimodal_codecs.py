@@ -329,17 +329,21 @@ def test_spark_media_round_trip_decode_stats(spark):
     check the decoded stats against independently computed expectations
     (the same arithmetic the DuckDB oracle runs)."""
     docs = spark.createDataFrame(
-        [(i, f"doc {i}") for i in range(24)], "doc_id long, text string"
+        # 36 ids so the slot-10 JPEGs (10, 22, 34) cover restart
+        # intervals 0, 1 AND 2 and widths 9, 10, 11 (params derive
+        # from id // 12 -- id % k is constant over the slot, ADVICE
+        # r15)
+        [(i, f"doc {i}") for i in range(36)], "doc_id long, text string"
     )
     assets = multimodal.synth_media_assets(docs)
     got = {r["asset_id"]: r for r in multimodal.decode_stats(assets).collect()}
-    assert set(got) == set(range(24))
-    for i in range(24):
+    assert set(got) == set(range(36))
+    for i in range(36):
         r = got[i]
         seed = i % 256
         if i % 12 == 10:
             # baseline JPEG: two constant gray blocks, exact decode
-            w, h = 9 + i % 4, 1 + i % 5
+            w, h = 9 + (i // 12) % 4, 1 + i % 5
             assert r["media_type"] == "image/jpeg"
             assert (r["width"], r["height"]) == (w, h)
             assert r["sample_rate"] is None
