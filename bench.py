@@ -113,6 +113,7 @@ HEADLINE = [
     "text_source_term_kl",
     "multimodal_binary_stats",
     "multimodal_decode_stats",
+    "multimodal_decode_coverage",
     "events_salted_daily_agg",
     "events_daily_anomaly_zscore",
     "events_salted_join_customer_stats",

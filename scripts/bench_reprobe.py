@@ -64,6 +64,26 @@ def main() -> int:
         reprobe[name] = round(best, 4)
     spark.stop()
     data["reprobe"] = reprobe
+    # auto-close (VERDICT r14 item 6): a suspect whose fresh-session
+    # re-probe lands back inside the committed band (<=1.25x the
+    # committed time -- the same tolerance the bytes gate uses) was a
+    # host spike in the bench session, closed with the measurement
+    # attached; a re-probe still above the band stays open.
+    suspects = data.get("suspects")
+    if isinstance(suspects, dict):
+        for name, entry in suspects.items():
+            if name not in reprobe or not isinstance(entry, dict):
+                continue
+            committed = entry.get("committed")
+            entry["reprobe"] = reprobe[name]
+            if committed:
+                ratio = reprobe[name] / committed
+                entry["reprobe_ratio_vs_committed"] = round(ratio, 4)
+                entry["reprobe_verdict"] = (
+                    "in-band: auto-closed transient"
+                    if ratio <= 1.25
+                    else "still above band in a fresh session: open"
+                )
     with open(path, "w") as f:
         f.write(json.dumps(data) + "\n")
     print(json.dumps({"reprobe": reprobe, "file": path}))

@@ -110,7 +110,12 @@ DECADES = [
     ("x10", "/root/repo/scratch_scale/x10"),
     ("x100", "/root/repo/scratch_scale/x100"),
 ]
-WAVE2_DECADES = DECADES[:2]
+# r15 (VERDICT r14 item 3): wave 2 now audits ALL THREE decades --
+# the r12 cliff was invisible at 1x and fatal at x10; x100 is the
+# decade the 100 TB posture actually claims.  scratch_scale/x100
+# gained documents/embeddings upsamples (same full-salt recipe as
+# x10) this round.
+WAVE2_DECADES = DECADES
 
 JOIN_NODES = [
     "SortMergeJoin",

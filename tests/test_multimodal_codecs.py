@@ -761,3 +761,32 @@ def test_gif_lzw_table_full_reset_really_fires():
     idx = bytes((i * 37 + (i * i) % 251 + 5) % 256 for i in range(96 * 60))
     enc = _gif_lzw_encode(idx, 8)
     assert _gif_lzw_decode(enc, 8, len(idx)) == idx
+
+
+def test_decode_coverage_outcomes_follow_fault_injection(spark):
+    """Decode-coverage lane (VERDICT r14 item 7): with the
+    deterministic fault injection (id%3: magic clobber / 60% trunc /
+    intact), every intact asset decodes with the analytic checksum and
+    every corrupted asset rejects -- across ALL fixture formats."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(36)], "doc_id long, text string"
+    )
+    assets = multimodal.synth_media_assets(docs)
+    cov = {
+        r["asset_id"]: r
+        for r in multimodal.decode_coverage(
+            multimodal.corrupt_media_subset(assets)
+        ).collect()
+    }
+    stats = {
+        r["asset_id"]: r["val_sum"]
+        for r in multimodal.decode_stats(assets).collect()
+    }
+    assert set(cov) == set(range(36))
+    for i in range(36):
+        if i % 3 == 2:
+            assert cov[i]["outcome"] == "decoded", i
+            assert cov[i]["val_sum"] == stats[i], i
+        else:
+            assert cov[i]["outcome"] == "rejected", i
+            assert cov[i]["val_sum"] is None, i
