@@ -43,6 +43,10 @@ ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 BYTES_GATED = {
     "dedup_semantic_clusters",
     "dedup_semantic_survivors",
+    # celled (SemDeDup) variants share the star-contraction iterative
+    # persists, so their wall is page-cache-bound the same way (r15)
+    "dedup_semantic_clusters_celled",
+    "dedup_semantic_survivors_celled",
     "corpus_semantic_pipeline",
 }
 # deterministic bytes still jitter ~a few % from AQE coalescing and
@@ -148,6 +152,8 @@ HEADLINE = [
     "text_quality_classifier",
     "text_vocab_coverage",
     "dedup_semantic_clusters",
+    "dedup_semantic_clusters_celled",
+    "dedup_semantic_survivors_celled",
     "dedup_containment_pairs",
     "dedup_embedding_incremental_vs_corpus",
     "corpus_line_dedup_incremental",

@@ -691,6 +691,67 @@ def embedding_near_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def embedding_near_pairs_celled(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    target_cell: int = 256,
+) -> DataFrame:
+    """SemDeDup-style CELLED near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells bound candidate generation, the
+    scale path past the hyperplane-banding rule above.
+
+    Why this exists (r15 ×100 plan-audit finding): the banded LSH rule
+    in `embedding_near_pairs` joins on a FIXED key space --
+    n_planes=8 / 3 bands leaves 2-bit keys, 12 (band, key) buckets
+    TOTAL -- so per-bucket size grows with the corpus and candidate
+    volume grows QUADRATICALLY.  Fine at 1x, 118 s at ×10, and at
+    ×100 (200k vectors, ~50k rows per bucket) the first
+    materialization ran a ~10^10-row candidate distinct for 35+
+    minutes.  Widening the signature does not rescue a 0.4-cosine
+    threshold: P[bit match] ≈ 0.63 per plane, so a hamming<=2 probe
+    over a wider signature collapses recall instead.  The published
+    fix IS SemDeDup's: k-means cells of ~constant size.
+
+    Candidate rule: same-cell pairs from the deterministic
+    `similarity.ivf_index` build run on UNIT vectors (lowest-id
+    seeds, one Lloyd round, argmin assignment tie-broken on
+    centroid_id -- every stage replayable in the DuckDB oracle).
+    Pairs are verified by exact cosine >= threshold, so PRECISION is
+    exact; recall is the documented SemDeDup trade -- cross-cell
+    pairs are unseen (the measured floor at test sf is pinned in
+    tests/test_ext_operators.py).
+
+    Scale posture: `n_cells` defaults to ceil(n / target_cell) via
+    one cheap count job, so cells stay ~target_cell rows at ANY
+    corpus size and total pair work is sum_c C(|c|, 2) ~
+    n * target_cell / 2 -- LINEAR in n.  Centroids ride a broadcast
+    (n_cells * dim doubles; cap n_cells or go hierarchical past
+    ~10^5 cells).  Lloyd imbalance can fatten a cell; the join is an
+    equi-join on centroid_id so AQE's skew split handles the shuffle,
+    and target_cell is the knob if a cell's O(|c|^2) output ever
+    dominates."""
+    from .similarity import dot, ivf_index
+
+    units = _unit_vectors(df, id_col, vec_col)
+    if n_cells is None:
+        n = units.count()
+        n_cells = max(1, -(-n // target_cell))
+    assignments, _cents = ivf_index(
+        units, n_centroids=n_cells, id_col="id", vec_col="unit"
+    )
+    cells = assignments.select("centroid_id", "id", "vec")
+    a, b = cells.alias("a"), cells.alias("b")
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(dot(F.col("a.vec"), F.col("b.vec")) >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+
+
 def embedding_dedup_against_corpus(
     batch: DataFrame,
     corpus: DataFrame,

@@ -649,6 +649,136 @@ def dedup_semantic_clusters(spark, sf_dir):
     )
 
 
+_CELL_TARGET = 256  # SemDeDup cell-size knob: cells ~constant rows
+
+
+def _celled_pairs_cte(target_cell: int = _CELL_TARGET, dim: int = 64) -> str:
+    """CTE chain replaying embedding_near_pairs_celled: unit vectors,
+    the deterministic ivf_index k-means on them (lowest-id seeds with
+    adaptive count ceil(n/target_cell), one Lloyd round, argmin
+    assignment tie-broken on centroid_id -- the identical arithmetic
+    the green similarity_ivf_* oracles replay), then same-cell pairs
+    verified by exact cosine.  Yields `pr(id_a, id_b)`."""
+    d2 = (
+        "list_dot_product("
+        "list_transform(range(1, {n} + 1), i -> {a}[i] - {b}[i]), "
+        "list_transform(range(1, {n} + 1), i -> {a}[i] - {b}[i]))"
+    )
+    return f"""e AS (
+      SELECT vec_id AS id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS vec
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ), stat AS (
+      SELECT CAST(CEIL(COUNT(*) / {target_cell}.0) AS BIGINT) AS k FROM e
+    ), seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS centroid_id, vec AS cvec
+      FROM (SELECT id, vec, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM e) t,
+           stat
+      WHERE t.rn <= stat.k
+    ), a0 AS (
+      SELECT id, vec, centroid_id FROM (
+        SELECT e.id, e.vec, s.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.id
+                 ORDER BY {d2.format(n=dim, a='e.vec', b='s.cvec')},
+                          s.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ), cm AS (
+      SELECT centroid_id, i.i AS pos, AVG(a0.vec[i.i]) AS m
+      FROM a0, unnest(range(1, {dim} + 1)) AS i(i)
+      GROUP BY 1, 2
+    ), cent AS (
+      SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM cm GROUP BY 1
+    ), asg AS (
+      SELECT id, vec, centroid_id FROM (
+        SELECT e.id, e.vec, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.id
+                 ORDER BY {d2.format(n=dim, a='e.vec', b='c.cvec')},
+                          c.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), pr AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM asg a JOIN asg b
+        ON a.centroid_id = b.centroid_id AND a.id < b.id
+      WHERE list_dot_product(a.vec, b.vec) >= {_COS_T}
+    )"""
+
+
+def _celled_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_celled_pairs_cte()}, sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pr
+      UNION SELECT id_b, id_a FROM pr
+    ), walk(node, lbl) AS (
+      SELECT src, LEAST(src, MIN(dst)) FROM sym GROUP BY src
+      UNION
+      SELECT s.src, w.lbl FROM sym s JOIN walk w ON s.dst = w.node
+      WHERE w.lbl < s.src
+    )
+    SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node
+    """
+
+
+def _celled_survivors_oracle() -> str:
+    walk = _celled_clusters_oracle()
+    return (
+        walk.rsplit("SELECT node AS vec_id", 1)[0]
+        + """
+    , drops AS (
+      SELECT node FROM walk GROUP BY node HAVING MIN(lbl) <> node
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM drops)
+    """
+    )
+
+
+@register("dedup_semantic_clusters_celled", _celled_clusters_oracle())
+def dedup_semantic_clusters_celled(spark, sf_dir):
+    """SemDeDup as published (Abbas et al. 2023): k-means CELLS bound
+    candidate generation, same-cell pairs cosine-verified, components
+    by the star algorithm.  This is the ×100-audited scale path for
+    semantic dedup: the banded-LSH variant above keeps its oracle and
+    its 1×/×10 audit rows, but its fixed (band, key) space makes
+    candidates quadratic past ×10 (r15 audit finding -- a ~10^10-row
+    candidate distinct at ×100); cells of ~constant size keep pair
+    work linear in the corpus at every decade."""
+    pairs = dedup.embedding_near_pairs_celled(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_COS_T,
+        target_cell=_CELL_TARGET,
+    )
+    return dedup.duplicate_clusters_star(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+@register("dedup_semantic_survivors_celled", _celled_survivors_oracle())
+def dedup_semantic_survivors_celled(spark, sf_dir):
+    """Survivors under the celled SemDeDup rule: one representative
+    (component-minimum id) per semantic cluster, everything
+    unclustered kept -- `dedup_semantic_survivors` with the
+    linear-scale candidate generator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = dedup.duplicate_clusters_star(
+        dedup.embedding_near_pairs_celled(
+            emb, threshold=_COS_T, target_cell=_CELL_TARGET
+        )
+    )
+    drops = clusters.where(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")
+
+
 # ---------------------------------------------------------------------------
 # X3: vector similarity
 # ---------------------------------------------------------------------------

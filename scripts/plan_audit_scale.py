@@ -84,11 +84,23 @@ FUNNELS = [
 # adjudication treats as incomparable (bench.py adjudicate_suspect).
 WAVE2 = [
     "dedup_semantic_survivors",
+    "dedup_semantic_clusters_celled",
+    "dedup_semantic_survivors_celled",
     "dedup_duplicate_clusters_star",
     "similarity_ivf_pq_batch_topk",
     "similarity_ivf_pq_batch_topk_served",
     "corpus_training_pipeline",
 ]
+# The banded-LSH semantic rule is audited at 1x/x10 ONLY: its fixed
+# (band, key) space -- 8 planes / 3 bands leaves 2-bit keys, 12
+# buckets total -- makes candidate volume QUADRATIC in the corpus
+# (r15 finding: the x100 run materialized a ~10^10-row candidate
+# distinct for 35+ min before being killed).  Widening the signature
+# collapses recall at the 0.4-cosine threshold instead, so the x100
+# scale path is the SemDeDup celled rule (embedding_near_pairs_celled,
+# audited at all three decades); the LSH rule stays for its sf-scale
+# oracle and its 1x/x10 rows.
+LSH_DECADE_CAPPED = {"dedup_semantic_survivors"}
 NO_EMBEDDINGS_RESCAN = {"similarity_ivf_pq_batch_topk_served"}
 BROADCAST_CAP_BYTES = 128 * 1024 * 1024
 # Batch-ANN scoring IS a cross product -- corpus x query-batch, probe
@@ -316,6 +328,15 @@ def main() -> int:
         "memory cliff was exactly a planner size-estimate lie this",
         "runtime measurement cannot miss).",
         "",
+        "dedup_semantic_survivors (banded-LSH rule) is audited at",
+        "1x/x10 ONLY: its fixed 12-bucket (band, key) space makes",
+        "candidate volume quadratic in the corpus (x100 materializes",
+        "a ~10^10-row candidate distinct; killed at 35 min in r15).",
+        "The x100 semantic-dedup scale path is the SemDeDup celled",
+        "rule -- dedup_semantic_{clusters,survivors}_celled below,",
+        "k-means cells of ~256 rows, pair work linear in n -- audited",
+        "at all three decades.",
+        "",
         f"{'query':42s} {'decade':6s} {'smj':>3s} {'shj':>3s} {'bhj':>3s} "
         f"{'bnl':>3s} {'1part':>5s} {'aqe':>3s} {'skew':>4s} {'ckpt':>4s} "
         f"{'maxbc':>9s} {'sec':>7s} verdict",
@@ -323,7 +344,19 @@ def main() -> int:
     failures = 0
     singlep_details: list[str] = []
     plan_rows = [(n, DECADES) for n in FACT_FACT + FUNNELS]
-    plan_rows += [(n, WAVE2_DECADES) for n in WAVE2]
+    plan_rows += [
+        (n, DECADES[:2] if n in LSH_DECADE_CAPPED else WAVE2_DECADES)
+        for n in WAVE2
+    ]
+
+    def flush() -> None:
+        # incremental flush after every row (r15): a wave-2 x100 row
+        # can run tens of minutes, and an end-only write means a
+        # timeout loses the entire audit -- partial evidence with a
+        # visible truncation beats none
+        with open(out_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
     for name, decades in plan_rows:
         fn = q.REGISTRY[name].fn
         for decade, sf_dir in decades:
@@ -357,6 +390,8 @@ def main() -> int:
                 f"{c['skewed']:4d} {c['ckpt']:4d} {bc_s:>9s} {dt:7.1f} "
                 f"{v} {why}"
             )
+            print(lines[-1], file=sys.stderr, flush=True)
+            flush()
         lines.append("")
     lines.append(f"failures: {failures}")
     if singlep_details:
