@@ -346,6 +346,8 @@ def test_semantic_family_is_bytes_gated_not_wall_gated():
     assert bench.BYTES_GATED == {
         "dedup_semantic_clusters",
         "dedup_semantic_survivors",
+        "dedup_semantic_clusters_celled",
+        "dedup_semantic_survivors_celled",
         "corpus_semantic_pipeline",
     }
     src = (pathlib.Path(__file__).parent.parent / "bench.py").read_text()
