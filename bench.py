@@ -48,6 +48,14 @@ BYTES_GATED = {
     "dedup_semantic_clusters_celled",
     "dedup_semantic_survivors_celled",
     "corpus_semantic_pipeline",
+    # driver-side BPE merge loop: ~17 tiny jobs + driver Python per
+    # call; wall swings 5.6-53 s purely with session/host state
+    # (r15 interleaved A/B: identical walls on r14 and r15 code in
+    # alternating fresh sessions), while shuffle bytes are
+    # deterministic -- the exact wall-gate failure mode BYTES_GATED
+    # exists for
+    "text_bpe_merges",
+    "text_bpe_encoded_lengths",
 }
 # deterministic bytes still jitter ~a few % from AQE coalescing and
 # stages completing asynchronously around the REST snapshot; drift
@@ -831,6 +839,12 @@ def main() -> None:
             # wall gate -- except the BYTES_GATED families, whose wall
             # is page-cache-bound (SCALING_r13): those gate on shuffle
             # bytes below, never on wall
+            # ratio gate PLUS an absolute-delta floor (r15): ten of
+            # eleven r15 suspects were sub-second queries where a
+            # 0.3-0.7 s host/GC wobble produced a 2-14x ratio with
+            # flat bytes and identical plans -- a ratio alone is
+            # meaningless at that scale.  A real regression both
+            # multiplies AND costs absolute seconds.
             suspect_names = sorted(
                 n
                 for n, t in timings.items()
@@ -838,6 +852,7 @@ def main() -> None:
                 and n not in BYTES_GATED
                 and prev_q.get(n)
                 and t / prev_q[n] / drift > 2.0
+                and t - prev_q[n] > 1.0
             )
             # bytes gate: deterministic for a fixed plan + data, so a
             # drift past the band is a real plan/data change, not host

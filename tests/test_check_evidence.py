@@ -349,6 +349,8 @@ def test_semantic_family_is_bytes_gated_not_wall_gated():
         "dedup_semantic_clusters_celled",
         "dedup_semantic_survivors_celled",
         "corpus_semantic_pipeline",
+        "text_bpe_merges",
+        "text_bpe_encoded_lengths",
     }
     src = (pathlib.Path(__file__).parent.parent / "bench.py").read_text()
     assert "n not in BYTES_GATED" in src
