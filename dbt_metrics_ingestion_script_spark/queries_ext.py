@@ -750,7 +750,15 @@ def dedup_semantic_clusters_celled(spark, sf_dir):
     its 1×/×10 audit rows, but its fixed (band, key) space makes
     candidates quadratic past ×10 (r15 audit finding -- a ~10^10-row
     candidate distinct at ×100); cells of ~constant size keep pair
-    work linear in the corpus at every decade."""
+    work linear in the corpus at every decade.
+
+    Scan budget: the STATIC plan repeats the embeddings scan O(100)×
+    -- the ivf_index lineage (seeds + Lloyd + assignment) is
+    re-referenced by the pair self-join and by every star round's
+    probe.  Physically it executes ONCE: duplicate_clusters_star
+    persists the canonical edge frame before iterating, so rounds
+    reuse the materialized edges (the scale audit's executed ×100
+    plan shows ckpt leaves, not embeddings rescans)."""
     pairs = dedup.embedding_near_pairs_celled(
         load_table(spark, sf_dir, "embeddings"),
         threshold=_COS_T,
@@ -766,7 +774,12 @@ def dedup_semantic_survivors_celled(spark, sf_dir):
     """Survivors under the celled SemDeDup rule: one representative
     (component-minimum id) per semantic cluster, everything
     unclustered kept -- `dedup_semantic_survivors` with the
-    linear-scale candidate generator."""
+    linear-scale candidate generator.
+
+    Scan budget: static-plan embeddings repetition comes from the
+    ivf_index lineage re-referenced per star round (see
+    dedup_semantic_clusters_celled); physical execution is one pass
+    over the persisted edge frame plus the final anti-join's scan."""
     emb = load_table(spark, sf_dir, "embeddings")
     clusters = dedup.duplicate_clusters_star(
         dedup.embedding_near_pairs_celled(
