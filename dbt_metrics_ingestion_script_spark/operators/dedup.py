@@ -608,9 +608,19 @@ def embedding_near_pairs(
     id_a < id_b, cosine >= threshold, candidates limited to bucket
     signatures within `probe_hamming` bits.
 
-    The candidate join is on (band, bucket) ids -- vector payloads move
-    only for the verified-candidate rescore, so shuffle volume is
-    O(candidates * dim), not O(n^2 * dim).
+    The unit vectors ride the banded frame into the candidate join and
+    every candidate is cosine-verified IN the join stage (r15): the
+    shuffle is O(n * nbands * dim) -- the banded frame, moved once by
+    the (band, key) repartition -- and the only candidate-sized
+    operator is a map-side filter.  The previous shape deduped
+    candidate ID pairs first and re-attached vectors with two joins,
+    which shuffled three candidate-sized frames (distinct + 2 joins);
+    candidates >> n whenever buckets are loaded, so verifying early
+    strictly shuffles fewer bytes at every scale.  Cost: the dot runs
+    on pre-distinct candidates (a pair can match in <= nbands bands,
+    so <= nbands x the dots), a map-side FMA loop that is cheaper than
+    the shuffles it replaces; the final distinct runs over VERIFIED
+    pairs only (two bigints, survivor-sized).
     """
     from .similarity import dot, lsh_bucket
 
@@ -620,26 +630,17 @@ def embedding_near_pairs(
     banded = _banded_buckets(unit, n_planes, probe_hamming)
     banded = banded.repartition("band", "key").hint("merge")
     a, b = banded.alias("a"), banded.alias("b")
-    # dedup candidate PAIRS before rejoining vectors: distinct over two
-    # bigints, not over array<double> payloads
-    cand_pairs = (
+    return (
         a.join(b, ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .filter(
             F.bit_count(F.col("a.bucket").bitwiseXOR(F.col("b.bucket")))
             <= probe_hamming
         )
+        .filter(dot(F.col("a.unit"), F.col("b.unit")) >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    vecs = unit.select("id", "unit")
-    verified = (
-        cand_pairs.join(vecs.withColumnRenamed("id", "id_a"), "id_a")
-        .withColumnRenamed("unit", "unit_a")
-        .join(vecs.withColumnRenamed("id", "id_b"), "id_b")
-        .filter(dot(F.col("unit_a"), F.col("unit")) >= threshold)
-    )
-    return verified.select("id_a", "id_b")
 
 
 def _banded_buckets(
@@ -648,7 +649,9 @@ def _banded_buckets(
     """Pigeonhole banding of the hyperplane signature: vectors within
     `probe_hamming` bits agree on >= 1 of probe_hamming+1 bands, so an
     equi-join on (band, key) is an exact candidate cover for the
-    hamming probe.  Output: (id, bucket, band, key)."""
+    hamming probe.  Output: (id, unit, bucket, band, key) -- the unit
+    vector rides along so the candidate join can cosine-verify
+    in-stage (Catalyst prunes it where a consumer never reads it)."""
     nbands = probe_hamming + 1
     width = max(n_planes // nbands, 1)
     return unit.select(
@@ -668,7 +671,7 @@ def _banded_buckets(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bucket", "bb.band", "bb.key")
+    ).select("id", "unit", "bucket", "bb.band", "bb.key")
 
 
 def embedding_near_dedup(
@@ -825,36 +828,30 @@ def _index_verified_hits(
     dim: int,
 ) -> DataFrame:
     """Shared batch-vs-index stage: banded (band, key) candidate join +
-    hamming probe + exact cosine verify.  Output: (id_b, id_c) verified
-    pairs, id_b from the batch, id_c from the index.  Consumed two
-    ways: the dedup drops id_b, the streaming cluster maintainer feeds
-    the pairs into incremental connected components."""
+    hamming probe + exact cosine verify, with the verify IN the join
+    stage (r15, same restructure as `embedding_near_pairs`): the unit
+    vectors ride the banded frames, so the only shuffles are the two
+    banded frames themselves and a survivor-sized distinct -- the
+    previous shape shuffled three candidate-sized frames (candidate
+    distinct + two vector re-attach joins).  Output: (id_b, id_c)
+    verified distinct pairs, id_b from the batch, id_c from the index.
+    Consumed two ways: the dedup drops id_b, the streaming cluster
+    maintainer feeds the pairs into incremental connected components."""
     from .similarity import dot
 
     b_unit = embedding_signature_index(batch, id_col, vec_col, n_planes, dim)
     c_unit = corpus_index
     bb = _banded_buckets(b_unit, n_planes, probe_hamming).alias("a")
     cb = _banded_buckets(c_unit, n_planes, probe_hamming).alias("b")
-    cands = (
+    return (
         bb.join(cb, ["band", "key"])
         .filter(
             F.bit_count(F.col("a.bucket").bitwiseXOR(F.col("b.bucket")))
             <= probe_hamming
         )
+        .filter(dot(F.col("a.unit"), F.col("b.unit")) >= threshold)
         .select(F.col("a.id").alias("id_b"), F.col("b.id").alias("id_c"))
         .distinct()
-    )
-    return (
-        cands.join(
-            b_unit.select(F.col("id").alias("id_b"), F.col("unit").alias("unit_b")),
-            "id_b",
-        )
-        .join(
-            c_unit.select(F.col("id").alias("id_c"), F.col("unit").alias("unit_c")),
-            "id_c",
-        )
-        .filter(dot(F.col("unit_b"), F.col("unit_c")) >= threshold)
-        .select("id_b", "id_c")
     )
 
 

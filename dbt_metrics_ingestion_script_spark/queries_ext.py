@@ -3317,10 +3317,21 @@ _BPE_MERGES = 8
 @register("text_bpe_merges", None, driver=False)
 def text_bpe_merges(spark, sf_dir):
     """BPE tokenizer training: the ordered merge-rule list learned by
-    `_BPE_MERGES` driver-side rounds over the word-frequency table
+    `_BPE_MERGES` merge rounds over the word-frequency table
     (iterative, non-SQL-expressible; pytest-differentialed against an
-    independent pure-Python BPE reference on the same corpus)."""
-    return text.bpe_train(
+    independent pure-Python BPE reference on the same corpus).
+
+    r15: serves the PRODUCTION trainer (`bpe_train_local`, VERDICT r7
+    item 3a) -- Spark builds the word-frequency table (the only
+    corpus-sized stage, Heaps'-law sublinear output), the driver runs
+    the Sennrich merge loop with incremental pair-count maintenance.
+    The prior registration ran the Spark-loop twin (`bpe_train`): one
+    pair-count shuffle + one 1-row action + one vocabulary rewrite PER
+    MERGE, ~17 jobs of scheduling overhead here and ~64k jobs at a
+    real 32k-merge vocabulary.  Output equality of the two trainers is
+    pinned by test_bpe_train_local_equals_spark_loop on both the
+    crafted fixture and this corpus."""
+    return text.bpe_train_local(
         load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
     )
 
@@ -3332,11 +3343,13 @@ def text_bpe_encoded_lengths(spark, sf_dir):
     number packing/budget/curriculum stages actually consume.
     (Depends on the iterative training output, so non-SQL-expressible;
     pytest-differentialed end to end against the Python trainer +
-    encoder.)"""
+    encoder.)  r15: trains via the production `bpe_train_local` (see
+    text_bpe_merges) -- identical rule list, one corpus-sized job
+    instead of ~17."""
     docs = load_table(spark, sf_dir, "documents")
     rules = [
         (r["left"], r["right"])
-        for r in text.bpe_train(docs, n_merges=_BPE_MERGES)
+        for r in text.bpe_train_local(docs, n_merges=_BPE_MERGES)
         .orderBy("rank")
         .collect()
     ]
