@@ -29,6 +29,36 @@ def as_double(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def ensure_scan_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Guarded fan-out for under-split inputs (r15, guide §2.5): when
+    the frame has fewer partitions than the cluster has task slots,
+    hash-repartition it by `key` to defaultParallelism so the
+    vector-math map work that follows (unit-norm, signature, argmin
+    folds -- interpreted higher-order functions at ~1 us per element
+    step) runs on every core instead of one.
+
+    Measured motivation: the sf bench tables are single-row-group
+    parquet files, so the scan is ONE task and every downstream
+    map-side stage inherited that single partition -- the embedding
+    family's per-row fold work was running single-threaded on a
+    32-core executor (e.g. one k-means assignment pass over 2,000
+    vectors: ~2 s on one core, ~0.1 s fanned out).
+
+    Scale posture: the guard makes this a structural no-op at real
+    scale -- a 100 TB table scans as thousands of splits, the
+    partition count exceeds defaultParallelism, and NO shuffle is
+    added (the condition is evaluated at plan-construction time from
+    the scan's split count, not data).  The fan-out only fires for
+    inputs too small to saturate the executor, where the shuffle it
+    adds is by definition tiny.  Hash-on-key, not round-robin: a
+    deterministic partitioner keeps retried tasks reproducible
+    (SPARK-38388) and skips round-robin's sort-before-repartition."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, F.col(key))
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -172,28 +202,45 @@ def _assign_cells(
     frame: DataFrame, cents: DataFrame, keep_d2: bool = False
 ) -> DataFrame:
     """Nearest centroid by squared L2 for an (id, vec) frame against
-    (centroid_id, cvec): argmin via min(struct), ties broken on the
-    lowest centroid_id.  Map-side only -- centroids ride a broadcast
-    and the argmin is a partial-aggregating groupBy on id.  keep_d2
-    additionally returns the winning squared distance (the store's
-    assignment-quality drift metric rides this at zero extra passes;
-    Catalyst prunes the column away wherever it is dropped)."""
-    d2 = F.aggregate(
-        F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+    (centroid_id, cvec): argmin via array_min over a per-row struct
+    array, ties broken on the lowest centroid_id.  TRULY map-side
+    (r15): the centroid SET is folded into one array row and
+    broadcast, so the argmin is a per-row expression -- the previous
+    shape crossJoined the broadcast centroid ROWS and ran a
+    groupBy(id) argmin, which partially aggregated map-side but still
+    SHUFFLED every (id, vec) row once per assignment pass (the full
+    corpus with vector payloads, twice per ivf_index build).
+    array_min over struct(d2, centroid_id) is the identical ordering
+    to the old min(struct(...)) aggregate, and the per-element d2
+    arithmetic is unchanged, so assignments are bit-identical.
+    Boundedness: the array row is exactly the old broadcast's
+    centroid set (n_centroids x dim doubles) -- same cap, one row.
+    keep_d2 additionally returns the winning squared distance (the
+    store's assignment-quality drift metric rides this at zero extra
+    passes; Catalyst prunes the column away wherever it is dropped)."""
+    cents_arr = cents.agg(
+        F.collect_list(F.struct("centroid_id", "cvec")).alias("__cents")
+    )
+    d2_of = lambda cvec: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("vec"), cvec, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cols = ["id", "vec", F.col("dc.centroid_id").alias("centroid_id")]
-    if keep_d2:
-        cols.append(F.col("dc.d2").alias("d2"))
-    return (
-        frame.crossJoin(F.broadcast(cents))
-        .select(
-            "id", "vec",
-            F.struct(d2.alias("d2"), F.col("centroid_id")).alias("dc"),
+    best = F.array_min(
+        F.transform(
+            "__cents",
+            lambda c: F.struct(
+                d2_of(c["cvec"]).alias("d2"),
+                c["centroid_id"].alias("centroid_id"),
+            ),
         )
-        .groupBy("id")
-        .agg(F.min("dc").alias("dc"), F.first("vec").alias("vec"))
+    )
+    cols = ["id", "vec", F.col("__dc.centroid_id").alias("centroid_id")]
+    if keep_d2:
+        cols.append(F.col("__dc.d2").alias("d2"))
+    return (
+        frame.crossJoin(F.broadcast(cents_arr))
+        .select("id", "vec", best.alias("__dc"))
         .select(*cols)
     )
 
@@ -218,24 +265,37 @@ def _subvectors(vecs: DataFrame, m: int, d_sub: int) -> DataFrame:
 
 
 def _assign_codes(frame: DataFrame, books: DataFrame) -> DataFrame:
-    """Nearest codebook entry per (id, subspace): argmin via
-    min(struct) with ties broken on the lowest code id."""
-    d2 = F.aggregate(
-        F.zip_with(F.col("svec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+    """Nearest codebook entry per (id, subspace): argmin via array_min
+    over a per-row struct array, ties broken on the lowest code id.
+    TRULY map-side (r15, same restructure as `_assign_cells`): the
+    codebook is collapsed to one array row PER SUBSPACE and
+    broadcast-joined, so the argmin is a per-row expression -- the
+    previous shape broadcast-joined the codebook ROWS (x n_codes row
+    blowup) and ran a groupBy(id, subspace) argmin that shuffled every
+    subvector row of the corpus once per encode pass.  array_min over
+    struct(d2, code) is the identical ordering to the old
+    min(struct(...)) aggregate with unchanged per-element arithmetic,
+    so codes are bit-identical."""
+    books_arr = books.groupBy("subspace").agg(
+        F.collect_list(F.struct("code", "cvec")).alias("__codes")
+    )
+    d2_of = lambda cvec: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("svec"), cvec, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (
-        frame.join(F.broadcast(books), "subspace")
-        .select(
-            "id",
-            "subspace",
-            "svec",
-            F.struct(d2.alias("d2"), F.col("code")).alias("dc"),
+    best = F.array_min(
+        F.transform(
+            "__codes",
+            lambda c: F.struct(
+                d2_of(c["cvec"]).alias("d2"), c["code"].alias("code")
+            ),
         )
-        .groupBy("id", "subspace")
-        .agg(F.min("dc").alias("dc"), F.first("svec").alias("svec"))
-        .select("id", "subspace", "svec", F.col("dc.code").alias("code"))
+    )
+    return (
+        frame.join(F.broadcast(books_arr), "subspace")
+        .select("id", "subspace", "svec", best.alias("__dc"))
+        .select("id", "subspace", "svec", F.col("__dc.code").alias("code"))
     )
 
 
@@ -265,8 +325,11 @@ def ivf_index(
     pass is a map-only scan; materialize `assignments` partitioned (or
     bucketed) by centroid_id so probe queries prune partitions.
     """
-    vecs = embeddings.select(
-        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    vecs = ensure_scan_parallelism(
+        embeddings.select(
+            F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+        ),
+        "id",
     )
     w = Window.orderBy("id")
     seeds = (
@@ -658,8 +721,11 @@ def pq_encode(
     if dim % m != 0:
         raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
     d_sub = dim // m
-    vecs = embeddings.select(
-        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    vecs = ensure_scan_parallelism(
+        embeddings.select(
+            F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+        ),
+        "id",
     )
     subs = _subvectors(vecs, m, d_sub)
 
