@@ -1082,7 +1082,7 @@ def bpe_encode_token_counts(
     rules: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_chained_rules: int = 48,
+    max_chained_rules: int = 0,
 ) -> DataFrame:
     """Encode the corpus with a trained BPE rule list and report
     per-document sequence lengths: (doc_id, n_words, n_bpe_tokens).
@@ -1101,14 +1101,21 @@ def bpe_encode_token_counts(
     by word multiplicity [shuffle 2].  The folds are JVM codegen
     expressions -- no Python in the hot path.
 
-    Rule-count scale (VERDICT r7 item 3b): up to `max_chained_rules`
-    the folds chain inline per (doc, word) -- one expression, zero
-    extra operators.  Past that, a single chained expression breaks
-    Janino's method-size limits long before a real 32k-rule tokenizer,
-    so the distinct-word VOCABULARY is encoded once in bounded stages
-    (`bpe_encode_vocab`) and joined back -- the vocabulary frame is
-    Heaps-sublinear and AQE broadcasts it when small; equality of the
-    two paths and a 500-rule run are pinned in tests."""
+    Encode path (r15: the VOCABULARY path is now the default,
+    max_chained_rules=0): the distinct-word vocabulary is encoded once
+    in bounded stages (`bpe_encode_vocab`) and joined back -- the
+    vocabulary frame is Heaps-sublinear and AQE broadcasts it when
+    small.  Two independent reasons, one structural and one measured:
+    a single chained expression breaks Janino's method-size limits
+    long before a real 32k-rule tokenizer (VERDICT r7 item 3b), and
+    the merge folds are interpreted higher-order functions whose cost
+    is per ROW they run over -- folding per (doc, word) re-pays every
+    within-corpus repetition of a word, measured 10x at sf0.1 (8 folds
+    over 116k (doc, word) rows: 6.1 s; over the 31-word vocabulary +
+    broadcast join back: 0.6 s).  Setting max_chained_rules >=
+    len(rules) forces the old inline chained-fold path (kept for the
+    path-equality test and the empty-rules char baseline); equality of
+    the two paths and a 500-rule run are pinned in tests."""
     words = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
@@ -1117,10 +1124,12 @@ def bpe_encode_token_counts(
         F.count("*").alias("n_w")
     )
     if len(rules) > max_chained_rules:
+        # stage width: the caller's chaining bound when one was given,
+        # else the Janino-safe default (48 folds per compilation unit)
         enc = bpe_encode_vocab(
             per_doc_word.select("w").distinct(),
             rules,
-            rules_per_stage=max_chained_rules,
+            rules_per_stage=max_chained_rules or 48,
         )
         sized = per_doc_word.join(enc, "w").withColumn(
             "__n_sym", F.col("n_sym")
@@ -1509,8 +1518,18 @@ def repetition_signals(
     array, never a groupBy).  At 100 TB this runs at scan speed next
     to the other per-document quality signals.  Arrays are staged in
     their own projections before the lambdas (the SCALE.md
-    lambda-re-evaluation trap)."""
+    lambda-re-evaluation trap).
+
+    r15: the input is fanned out by `ensure_scan_parallelism` first --
+    the folds are interpreted (CodegenFallback) at ~1 us per element
+    step, and an under-split scan (single-row-group file -> one task)
+    ran the whole forest on one core (measured 7.0 s -> 1.3 s for the
+    composed kill-flag chain at sf0.1).  The guard adds NO shuffle for
+    well-split inputs, so the at-scale shape stays map-only."""
+    from .similarity import ensure_scan_parallelism
+
     extras = [F.col(c) for c in extra_cols]
+    df = ensure_scan_parallelism(df, id_col)
     staged = df.select(
         F.col(id_col),
         *extras,

@@ -2773,9 +2773,10 @@ def test_bpe_encode_500_rules_staged_vocab(spark):
 
 
 def test_bpe_encode_staged_vocab_equals_chained(spark):
-    """Path equality: forcing the staged-vocabulary encode (tiny
-    max_chained_rules) reproduces the inline chained-fold result on the
-    same rules, so the scale path is a pure physical swap."""
+    """Path equality: the staged-vocabulary encode (the r15 default,
+    and in multiple stage widths) reproduces the inline chained-fold
+    result on the same rules, so the scale path is a pure physical
+    swap."""
     from dbt_metrics_ingestion_script_spark.operators.text import (
         bpe_encode_token_counts,
         bpe_train_local,
@@ -2793,15 +2794,18 @@ def test_bpe_encode_staged_vocab_equals_chained(spark):
     ]
     chained = {
         r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
-        for r in bpe_encode_token_counts(df, rules).collect()
-    }
-    staged = {
-        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
         for r in bpe_encode_token_counts(
-            df, rules, max_chained_rules=2
+            df, rules, max_chained_rules=len(rules)
         ).collect()
     }
-    assert staged == chained
+    for mcr in (0, 2):
+        staged = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_encode_token_counts(
+                df, rules, max_chained_rules=mcr
+            ).collect()
+        }
+        assert staged == chained, mcr
 
 
 def test_rolling_features_point_in_time_no_leakage(spark):

@@ -929,10 +929,14 @@ def test_ivf_batch_topk_and_batch_recall_group_limits(spark):
 def test_repetition_signals_map_only(spark):
     """The Gopher repetition-filter profile is ONE map-side pass: every
     n-gram frequency is a per-row sorted-array fold, so the plan has
-    zero Exchanges, zero Joins, zero Python eval -- it runs at scan
-    speed next to the other per-document quality signals."""
+    zero Joins, zero Python eval, and at most the guarded fan-out
+    Exchange (`ensure_scan_parallelism`, r15: fires only for inputs
+    with fewer scan splits than task slots -- the test corpus is a
+    single-row-group file; at real scale the plan is exchange-free) --
+    it runs at scan speed next to the other per-document quality
+    signals."""
     plan = plan_of(run(spark, "text_repetition_signals"), "simple")
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan
     assert plan.count("documents.parquet") == 1, plan
@@ -1003,7 +1007,11 @@ def test_quality_filter_report_single_scan_map_only(spark):
     assert plan.count("documents.parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
-    assert plan.count("Exchange") == 1, plan
+    # the final 1-row aggregate's SinglePartition exchange, plus the
+    # guarded fan-out of the under-split test scan (r15 --
+    # ensure_scan_parallelism; absent at real scale where the scan has
+    # more splits than task slots)
+    assert plan.count("Exchange") <= 2, plan
 
 
 def test_tpch_q2_correlated_min_decorrelated_to_window(spark):
