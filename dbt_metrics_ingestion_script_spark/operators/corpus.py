@@ -334,9 +334,16 @@ def cdc_chunks(
     the same boundary array)."""
     if window < 2:
         raise ValueError("window must be >= 2")
+    from .similarity import ensure_scan_parallelism
+
     M = MERSENNE31
     norm = normalize_text(text_col)
-    base = df.select(F.col(id_col), norm.alias("__norm")).where(
+    # fan out an under-split scan first (r15): the O(len) rolling-hash
+    # fold below is an interpreted per-element expression and ran on
+    # ONE core for a single-row-group corpus; no-op for split inputs
+    base = ensure_scan_parallelism(df, id_col).select(
+        F.col(id_col), norm.alias("__norm")
+    ).where(
         F.col("__norm").isNotNull() & (F.length("__norm") > 0)
     )
     # STAGE the char-code array and its size in their own projection

@@ -98,8 +98,16 @@ def shingle_frame(
 ) -> DataFrame:
     """(id, shingles): one codegen regex pass for the shingle array,
     then (optionally) a separate Project for 31-bit shingle hashes so
-    the shingle subtree doesn't re-evaluate inside the hash lambda."""
-    out = df.select(
+    the shingle subtree doesn't re-evaluate inside the hash lambda.
+
+    Fanned out by `ensure_scan_parallelism` (r15): the
+    tokenize/shingle/hash transforms downstream are interpreted
+    per-element expressions, and the whole MinHash/SimHash family was
+    running them on ONE core whenever the corpus scanned as a single
+    split; the guard adds no shuffle for well-split inputs."""
+    from .similarity import ensure_scan_parallelism
+
+    out = ensure_scan_parallelism(df, id_col).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     )
     if hashed:
@@ -991,7 +999,14 @@ def simhash_signatures(
     semantics, so shiftleft(1L, 63) is already Long.MIN_VALUE, and the
     final SUM of distinct bit values (at most 2^62+...+1 then one
     negative min-long term) cannot overflow, keeping ANSI mode happy.
+
+    Fanned out by `ensure_scan_parallelism` (r15): the tokenize +
+    64x bit explode runs in the scan stage, which is ONE task for a
+    single-split corpus; no shuffle added for well-split inputs.
     """
+    from .similarity import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df, id_col)
     hashed = df.select(
         F.col(id_col), F.explode(tokens_of(text_col)).alias("__tok")
     ).select(F.col(id_col), hash64(F.col("__tok")).alias("__h"))
