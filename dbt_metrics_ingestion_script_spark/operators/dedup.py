@@ -1390,7 +1390,12 @@ def duplicate_clusters_star(
             stats.unpersist()
             break
         if (rnd + 1) % checkpoint_every == 0:
-            new_edges = small.localCheckpoint(eager=True)
+            # lazy (r15): the NEXT round's probe materializes the
+            # checkpoint as part of its own job, truncating lineage at
+            # the same point without paying a separate barrier job per
+            # checkpoint round (the old frames are released only after
+            # that probe runs, so nothing recomputes)
+            new_edges = small.localCheckpoint(eager=False)
         else:
             new_edges = small.persist()
         to_release = [edges, stats]

@@ -218,7 +218,10 @@ def _assign_cells(
     keep_d2 additionally returns the winning squared distance (the
     store's assignment-quality drift metric rides this at zero extra
     passes; Catalyst prunes the column away wherever it is dropped)."""
-    cents_arr = cents.agg(
+    # coalesce(1) first: a single-partition child already satisfies the
+    # aggregate's distribution, so no SinglePartition exchange (and no
+    # extra stage) is planned inside the broadcast subtree
+    cents_arr = cents.coalesce(1).agg(
         F.collect_list(F.struct("centroid_id", "cvec")).alias("__cents")
     )
     d2_of = lambda cvec: F.aggregate(  # noqa: E731
@@ -276,7 +279,9 @@ def _assign_codes(frame: DataFrame, books: DataFrame) -> DataFrame:
     struct(d2, code) is the identical ordering to the old
     min(struct(...)) aggregate with unchanged per-element arithmetic,
     so codes are bit-identical."""
-    books_arr = books.groupBy("subspace").agg(
+    # coalesce(1): m * n_codes rows -- the single partition satisfies
+    # the groupBy's clustered distribution, eliding its exchange
+    books_arr = books.coalesce(1).groupBy("subspace").agg(
         F.collect_list(F.struct("code", "cvec")).alias("__codes")
     )
     d2_of = lambda cvec: F.aggregate(  # noqa: E731
@@ -860,8 +865,11 @@ def kmeans_convergence(
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
     spark = embeddings.sparkSession
-    vecs = embeddings.select(
-        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    vecs = ensure_scan_parallelism(
+        embeddings.select(
+            F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+        ),
+        "id",
     )
     w = Window.orderBy("id")
     cents = (
@@ -874,27 +882,11 @@ def kmeans_convergence(
     )
 
     def assign_with_d2(cents: DataFrame) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (
-            vecs.crossJoin(F.broadcast(cents))
-            .select(
-                "id",
-                "vec",
-                F.struct(d2.alias("d2"), F.col("centroid_id")).alias("dc"),
-            )
-            .groupBy("id")
-            .agg(F.min("dc").alias("dc"), F.first("vec").alias("vec"))
-            .select(
-                "id", "vec", F.col("dc.centroid_id").alias("centroid_id"),
-                F.col("dc.d2").alias("d2"),
-            )
-        )
+        # the shared map-side argmin (r15): same min(struct(d2, cid))
+        # ordering and per-element arithmetic as the old
+        # crossJoin+groupBy form this function duplicated, minus that
+        # form's full shuffle of the vector table per assignment pass
+        return _assign_cells(vecs, cents, keep_d2=True)
 
     def recenter(assigned: DataFrame) -> DataFrame:
         return (
