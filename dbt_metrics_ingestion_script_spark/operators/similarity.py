@@ -52,7 +52,15 @@ def ensure_scan_parallelism(df: DataFrame, key: str) -> DataFrame:
     inputs too small to saturate the executor, where the shuffle it
     adds is by definition tiny.  Hash-on-key, not round-robin: a
     deterministic partitioner keeps retried tasks reproducible
-    (SPARK-38388) and skips round-robin's sort-before-repartition."""
+    (SPARK-38388) and skips round-robin's sort-before-repartition.
+
+    Streaming frames bypass the guard untouched: the split-count probe
+    is a batch-plan operation (AnalysisException on a streaming
+    source), micro-batch parallelism is the source's to set, and the
+    foreachBatch maintainers hand these operators BATCH frames where
+    the guard applies normally."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism, F.col(key))

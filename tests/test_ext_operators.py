@@ -3721,3 +3721,34 @@ def test_interval_overlap_stream_cap_is_bucket_span_exact(spark, tmp_path):
             right_start="rs", right_end="re",
             bucket_minutes=60, max_interval_minutes=90,
         )
+
+
+def test_ensure_scan_parallelism_guard_contract(spark, tmp_path):
+    """r15 fan-out guard: under-split batch frames repartition to
+    defaultParallelism, already-split frames pass through with NO
+    added exchange, and STREAMING frames bypass the probe entirely
+    (df.rdd on a streaming source is an AnalysisException -- the
+    regression that broke streaming_quality_filter_report when the
+    guard first landed in repetition_signals)."""
+    from dbt_metrics_ingestion_script_spark.operators.similarity import (
+        ensure_scan_parallelism,
+    )
+
+    small = spark.range(100).coalesce(1).select("id")
+    fanned = ensure_scan_parallelism(small, "id")
+    assert fanned.rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism, "id"
+    )
+    same = ensure_scan_parallelism(wide, "id")
+    # the pass-through must be the SAME frame: no second repartition,
+    # no probe side effects
+    assert same is wide
+    # streaming: bypassed, frame returned untouched, no exception
+    src = str(tmp_path / "stream_src")
+    spark.range(10).selectExpr("id", "id AS doc_id").write.parquet(src)
+    stream = spark.readStream.schema("id long, doc_id long").parquet(src)
+    out = ensure_scan_parallelism(stream, "doc_id")
+    assert out is stream
