@@ -607,14 +607,21 @@ def build_compact_line(
     canaries: dict[str, float],
     out: str,
     budget: int = COMPACT_LINE_BUDGET,
+    pinned: list[str] | None = None,
 ) -> str:
-    """Bounded stdout JSON line: canaries + slowest queries, one-word
-    suspect verdicts, then shrink (queries first, suspects next) until
-    the serialized line fits the byte budget.  Guaranteed <= budget for
-    any plausible suspect count -- tested in
+    """Bounded stdout JSON line: canaries + the previous round's stdout
+    window (`pinned` -- keeps the driver's comparison set stable so an
+    IMPROVED query never reads as dropped, VERDICT r15 item 2) + the
+    slowest remaining queries, one-word suspect verdicts, then shrink
+    (slowest fill first, suspects next, the pinned window only as a
+    last resort) until the serialized line fits the byte budget.
+    Guaranteed <= budget for any plausible suspect count -- tested in
     tests/test_check_evidence.py."""
+    pinned = [
+        n for n in (pinned or []) if n in timings and n not in canaries
+    ]
     slowest = sorted(
-        (n for n in timings if n not in canaries),
+        (n for n in timings if n not in canaries and n not in pinned),
         key=lambda n: -timings[n],
     )[:25]
     compact = dict(result)
@@ -639,10 +646,11 @@ def build_compact_line(
     # one-word verdicts, worst normalized ratio first so shrinking drops
     # the least-suspicious entries
     susp_order = sorted(suspects, key=lambda n: -susp_ratio(n))
-    n_slow, n_susp = len(slowest), len(susp_order)
+    n_slow, n_susp, n_pin = len(slowest), len(susp_order), len(pinned)
     while True:
         compact["queries"] = {
-            n: timings[n] for n in list(canaries) + slowest[:n_slow]
+            n: timings[n]
+            for n in list(canaries) + pinned[:n_pin] + slowest[:n_slow]
         }
         compact["queries_elided"] = len(timings) - len(compact["queries"])
         if suspects:
@@ -660,12 +668,48 @@ def build_compact_line(
                 compact["suspects"][n] = entry
             compact["suspects_elided"] = len(suspects) - n_susp
         line = json.dumps(compact)
-        if len(line) <= budget or (n_slow == 0 and n_susp == 0):
+        if len(line) <= budget or (
+            n_slow == 0 and n_susp == 0 and n_pin == 0
+        ):
             return line
         if n_slow > 0:
             n_slow -= 1
         elif n_susp > 0:
             n_susp -= 1
+        else:
+            # last resort only: dropping a pinned entry re-opens the
+            # VERDICT r15 "dropped_from_bench" misread, so the fill and
+            # the suspects always give way first
+            n_pin -= 1
+
+
+def find_prev_stdout_window() -> list[str]:
+    """Query names the PREVIOUS round's compact stdout line carried
+    (the `queries` map of the newest committed BENCH_r*.json's parsed
+    line).  Re-included in this round's compact line so the driver's
+    round-over-round window is stable by construction: a query that
+    merely got FASTER must not fall out of the slowest-N fill and be
+    reported "dropped_from_bench" (VERDICT r15 "What's wrong" 2 -- four
+    improved queries vanished from the driver's view that way).
+    Additions-only: the timing loop and the sidecar are untouched; this
+    only changes WHICH timings ride the bounded stdout line."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(p))
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return []
+    try:
+        with open(best[1]) as f:
+            data = json.load(f)
+        return list((data.get("parsed") or {}).get("queries", {}))
+    except (OSError, json.JSONDecodeError):
+        return []
 
 
 def find_prev_benchfull() -> tuple[str, dict] | None:
@@ -969,7 +1013,12 @@ def main() -> None:
     # plus the slowest entries, shrinks suspects to one-word verdicts,
     # and enforces a hard byte budget (build_compact_line) before
     # printing.  Full detail always lives in the sidecar file.
-    print(build_compact_line(result, timings, canaries, out))
+    print(
+        build_compact_line(
+            result, timings, canaries, out,
+            pinned=find_prev_stdout_window(),
+        )
+    )
     spark.stop()
 
 

@@ -29,13 +29,31 @@ def as_double(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+# Bytes of input a single fanned-out task should own.  The guard only
+# ever fires on under-split SMALL inputs (see ensure_scan_parallelism)
+# where the downstream work is interpreted higher-order-function math
+# at ~1 us per element step (~ms per KB), so a ~96 KiB slice carries
+# roughly 0.1-0.5 s of compute -- comparable to the per-task
+# scheduling floor, past which more tasks are pure overhead (r16:
+# BENCH_r15_c8 showed 8 cores beating a 32-way fan-out on every
+# sub-second query; splitting 2,000 rows 32 ways was scheduling, not
+# compute).  Env-overridable for other hardware; the value never
+# matters at scale because the guard is structurally a no-op there.
+def _fanout_target_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_FANOUT_TARGET_BYTES", str(96 * 1024))
+    )
+
+
 def ensure_scan_parallelism(df: DataFrame, key: str) -> DataFrame:
-    """Guarded fan-out for under-split inputs (r15, guide §2.5): when
-    the frame has fewer partitions than the cluster has task slots,
-    hash-repartition it by `key` to defaultParallelism so the
+    """Guarded fan-out for under-split inputs (r15, guide §2.5; r16
+    size-capped): when the frame has fewer partitions than its
+    estimated size warrants, hash-repartition it by `key` so the
     vector-math map work that follows (unit-norm, signature, argmin
     folds -- interpreted higher-order functions at ~1 us per element
-    step) runs on every core instead of one.
+    step) runs on enough cores to matter.
 
     Measured motivation: the sf bench tables are single-row-group
     parquet files, so the scan is ONE task and every downstream
@@ -44,15 +62,32 @@ def ensure_scan_parallelism(df: DataFrame, key: str) -> DataFrame:
     32-core executor (e.g. one k-means assignment pass over 2,000
     vectors: ~2 s on one core, ~0.1 s fanned out).
 
-    Scale posture: the guard makes this a structural no-op at real
-    scale -- a 100 TB table scans as thousands of splits, the
-    partition count exceeds defaultParallelism, and NO shuffle is
-    added (the condition is evaluated at plan-construction time from
-    the scan's split count, not data).  The fan-out only fires for
-    inputs too small to saturate the executor, where the shuffle it
-    adds is by definition tiny.  Hash-on-key, not round-robin: a
-    deterministic partitioner keeps retried tasks reproducible
-    (SPARK-38388) and skips round-robin's sort-before-repartition.
+    The fan-out width is SIZE-ADAPTIVE, not defaultParallelism (r16,
+    VERDICT r15 items 3/8): ceil(plan-estimated bytes / ~96 KiB per
+    task), capped at defaultParallelism.  The r15 guard fanned every
+    small frame to all 32 slots, which over-partitioned 2,000-row
+    frames (BENCH_r15_c8: the 8-core bench beat 32 cores fleet-wide --
+    the extra tasks were pure scheduling floor) and cost +0.5 s inside
+    in-query ANN store builds; sizing by bytes gives those frames
+    ~4-8 tasks and leaves metadata-sized frames (upsert batches,
+    centroid sets) untouched.
+
+    The guard applies ONLY to exchange-free (scan-shaped) plans
+    (ADVICE r15, medium): probing `.rdd` under AQE forces
+    getFinalPhysicalPlan, which EXECUTES any upstream shuffle or
+    broadcast stages at frame-build time -- a caller passing a
+    joined/aggregated frame would run those stages twice.  A plan that
+    already contains an Exchange has, by definition, already paid a
+    partitioning decision; the fan-out is for raw under-split scans.
+
+    Scale posture: structurally a no-op at real scale -- a 100 TB
+    table scans as thousands of splits, the partition count exceeds
+    every plausible bytes-derived target, and NO shuffle is added (the
+    condition is evaluated at plan-construction time from the scan's
+    split count and the optimizer's size estimate, not data).
+    Hash-on-key, not round-robin: a deterministic partitioner keeps
+    retried tasks reproducible (SPARK-38388) and skips round-robin's
+    sort-before-repartition.
 
     Streaming frames bypass the guard untouched: the split-count probe
     is a batch-plan operation (AnalysisException on a streaming
@@ -61,9 +96,20 @@ def ensure_scan_parallelism(df: DataFrame, key: str) -> DataFrame:
     the guard applies normally."""
     if df.isStreaming:
         return df
+    jqe = df._jdf.queryExecution()
+    # exchange-free plans only: string probe of the INITIAL physical
+    # plan (no execution under AQE -- executedPlan wraps the plan in
+    # AdaptiveSparkPlanExec without running it)
+    if "Exchange" in jqe.executedPlan().toString():
+        return df
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism, F.col(key))
+    size = int(jqe.optimizedPlan().stats().sizeInBytes())
+    target = min(
+        sc.defaultParallelism,
+        -(-size // _fanout_target_bytes()),  # ceil div
+    )
+    if 1 < target and df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
     return df
 
 

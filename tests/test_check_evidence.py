@@ -232,6 +232,60 @@ def test_bench_compact_line_fits_driver_window():
     assert "suspects" not in json.loads(line2)
 
 
+def test_compact_line_pins_previous_stdout_window():
+    """VERDICT r15 "What's wrong" 2: a query that IMPROVES must not
+    fall out of the compact stdout line's slowest-N fill and read as
+    dropped_from_bench.  The pinned set (previous round's stdout
+    window) always survives shrinking -- the slowest fill and the
+    suspects give way first -- and the real previous-round window
+    (32 names incl. canaries) must fit the budget un-shrunk."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py"
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    import json
+
+    # synthetic: pinned queries are FAST (would never make slowest-25)
+    timings = {f"fam_slow_query_name_padpadpad_{i:03d}": 9.9 for i in range(40)}
+    pinned = [f"fam_fast_improved_query_{i:03d}" for i in range(23)]
+    timings.update({n: 0.01 for n in pinned})
+    canaries = {n: timings[n] for n in list(timings)[:9]}
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": 123.4,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "canaries": canaries,
+        "canary_total": 1.0,
+    }
+    line = bench.build_compact_line(
+        result, timings, canaries, "BENCHFULL.json", pinned=pinned
+    )
+    assert len(line) <= bench.COMPACT_LINE_BUDGET
+    parsed = json.loads(line)
+    for n in pinned:
+        assert n in parsed["queries"], n
+    # the REAL previous window (committed BENCH_r*.json) fits whole:
+    # driver-visible n_dropped stays 0 by construction
+    prev = bench.find_prev_stdout_window()
+    assert len(prev) >= 23
+    timings2 = {n: 1.2345 for n in prev}
+    timings2.update({f"other_query_{i:03d}": 5.5 for i in range(200)})
+    canaries2 = {n: timings2[n] for n in bench.CANARIES if n in timings2}
+    result2 = dict(result, queries=timings2, canaries=canaries2)
+    line2 = bench.build_compact_line(
+        result2, timings2, canaries2, "BENCHFULL.json", pinned=prev
+    )
+    assert len(line2) <= bench.COMPACT_LINE_BUDGET
+    parsed2 = json.loads(line2)
+    missing = [n for n in prev if n not in parsed2["queries"]]
+    assert not missing, missing
+
+
 def test_adjudication_marks_data_dependent_fingerprints_incomparable():
     """VERDICT r13 "What's wrong" 1 (belt-and-braces half): a suspect
     whose fingerprint differs from the committed row ONLY because the

@@ -3723,29 +3723,52 @@ def test_interval_overlap_stream_cap_is_bucket_span_exact(spark, tmp_path):
         )
 
 
-def test_ensure_scan_parallelism_guard_contract(spark, tmp_path):
-    """r15 fan-out guard: under-split batch frames repartition to
-    defaultParallelism, already-split frames pass through with NO
-    added exchange, and STREAMING frames bypass the probe entirely
-    (df.rdd on a streaming source is an AnalysisException -- the
-    regression that broke streaming_quality_filter_report when the
+def test_ensure_scan_parallelism_guard_contract(
+    spark, tmp_path, monkeypatch
+):
+    """r16 fan-out guard contract: under-split frames repartition to a
+    SIZE-DERIVED width (ceil(estimated bytes / target), capped at
+    defaultParallelism -- VERDICT r15 items 3/8: the r15 guard fanned
+    2,000-row frames to all 32 slots, pure scheduling floor),
+    metadata-sized frames pass through untouched (the in-query ANN
+    store-build exemption), exchange-bearing plans are never probed
+    (ADVICE r15 medium: .rdd under AQE would EXECUTE the upstream
+    stages at build time), and STREAMING frames bypass the probe
+    entirely (df.rdd on a streaming source is an AnalysisException --
+    the regression that broke streaming_quality_filter_report when the
     guard first landed in repetition_signals)."""
     from dbt_metrics_ingestion_script_spark.operators.similarity import (
         ensure_scan_parallelism,
     )
 
+    # range(100) estimates 800 bytes; a 96 B/task target wants
+    # ceil(800/96) = 9 partitions
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT_TARGET_BYTES", "96")
     small = spark.range(100).coalesce(1).select("id")
     fanned = ensure_scan_parallelism(small, "id")
-    assert fanned.rdd.getNumPartitions() == (
+    assert fanned.rdd.getNumPartitions() == min(
+        spark.sparkContext.defaultParallelism, 9
+    )
+    # ...and the width is capped at defaultParallelism for big frames
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT_TARGET_BYTES", "1")
+    fanned_cap = ensure_scan_parallelism(small, "id")
+    assert fanned_cap.rdd.getNumPartitions() == (
         spark.sparkContext.defaultParallelism
     )
+    # metadata-sized frame (estimated bytes <= target): untouched --
+    # this is what keeps the guard out of in-query store-build batches
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT_TARGET_BYTES", str(96 * 1024))
+    tiny = spark.range(100).coalesce(1).select("id")
+    assert ensure_scan_parallelism(tiny, "id") is tiny
+    monkeypatch.delenv("SPARK_GRAFT_FANOUT_TARGET_BYTES")
+    # exchange-bearing plan: returned untouched WITHOUT probing .rdd
+    # (same-object check; the plan contains a repartition Exchange)
     wide = spark.range(1000).repartition(
         spark.sparkContext.defaultParallelism, "id"
     )
-    same = ensure_scan_parallelism(wide, "id")
-    # the pass-through must be the SAME frame: no second repartition,
-    # no probe side effects
-    assert same is wide
+    assert ensure_scan_parallelism(wide, "id") is wide
+    agg = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    assert ensure_scan_parallelism(agg, "k") is agg
     # streaming: bypassed, frame returned untouched, no exception
     src = str(tmp_path / "stream_src")
     spark.range(10).selectExpr("id", "id AS doc_id").write.parquet(src)
