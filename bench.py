@@ -310,6 +310,10 @@ HEADLINE = [
     "similarity_ivf_pq_rebuild_served",
     "corpus_quality_filter_report",
     "corpus_quality_filter_survivors",
+    # round-16: incremental cluster maintenance served from the
+    # materialized label store (the inline variant stays registered as
+    # the oracle twin -- VERDICT r15 item 4)
+    "dedup_clusters_incremental_vs_corpus_served",
 ]
 
 # Unregistered bench-only entries: the unsalted baseline for the salted

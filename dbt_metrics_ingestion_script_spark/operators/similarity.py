@@ -384,6 +384,12 @@ def ivf_index(
     pass is a map-only scan; materialize `assignments` partitioned (or
     bucketed) by centroid_id so probe queries prune partitions.
     """
+    if n_centroids < 1:
+        # ADVICE r15: _assign_cells' per-row argmin yields NULL
+        # centroid_ids for an empty centroid set where the old
+        # crossJoin shape emitted zero rows -- reject the degenerate
+        # parameterization at the entry point instead
+        raise ValueError("n_centroids must be >= 1")
     vecs = ensure_scan_parallelism(
         embeddings.select(
             F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
@@ -779,6 +785,10 @@ def pq_encode(
     """
     if dim % m != 0:
         raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    if n_codes < 1:
+        # ADVICE r15: empty codebooks would NULL every code through the
+        # per-row argmin; reject at the entry point
+        raise ValueError("n_codes must be >= 1")
     d_sub = dim // m
     vecs = ensure_scan_parallelism(
         embeddings.select(
@@ -918,6 +928,8 @@ def kmeans_convergence(
     """
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
+    if n_centroids < 1:
+        raise ValueError("n_centroids must be >= 1")
     spark = embeddings.sparkSession
     vecs = ensure_scan_parallelism(
         embeddings.select(

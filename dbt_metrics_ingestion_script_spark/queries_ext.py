@@ -234,6 +234,56 @@ def dedup_clusters_incremental_vs_corpus(spark, sf_dir):
     return out
 
 
+def _label_store_path(sf_dir: str) -> str:
+    """Deterministic per-corpus scratch location for the cluster-label
+    store (the `_ivf_pq_index_path` convention: content fingerprint of
+    the source table + the pair-graph parameters, so regenerated
+    testdata or changed parameters yield a NEW store instead of
+    serving stale labels)."""
+    import hashlib
+    import os
+    import tempfile
+
+    fp = _parquet_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|{fp}|t0.2|df{dedup.NGRAM_DF_MAX}"
+        f"|mod7".encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_label_store_{tag}"
+    )
+
+
+@register("dedup_clusters_incremental_vs_corpus_served", _dup_clusters_oracle())
+def dedup_clusters_incremental_vs_corpus_served(spark, sf_dir):
+    """`dedup_clusters_incremental_vs_corpus` SERVED FROM A
+    MATERIALIZED LABEL STORE (VERDICT r15 item 4): the corpus-only
+    clustering -- which the inline variant re-derives with a second
+    full star loop purely so the oracle can replay it -- is built once
+    by `materialize_label_store` and every serve after that reads the
+    published (doc_id, cluster_id) parquet, exactly the ANN-store
+    lifecycle posture (`similarity_ivf_pq_batch_topk_served`).  The
+    batch's incident edges are still derived inline and folded in via
+    `duplicate_clusters_incremental`; output is bit-identical to the
+    inline variant (the store holds the same deterministic star-loop
+    labels), so the oracle is the same full recursive-CTE clustering.
+
+    Scan budget: documents 1x on the warm-store path (batch pair
+    generation only; the prior is a label-store scan, not a star
+    loop); the one-time store build adds the corpus-side pair scan.
+    The inline variant stays registered as the oracle twin."""
+    pairs = _dup_pair_graph(spark, sf_dir)
+    in_batch_a, in_batch_b = F.col("id_a") % 7 == 0, F.col("id_b") % 7 == 0
+    store = _label_store_path(sf_dir)
+    dedup.materialize_label_store(
+        pairs.filter(~in_batch_a & ~in_batch_b), store
+    )
+    prior = dedup.read_label_store(spark, store)
+    return dedup.duplicate_clusters_incremental(
+        pairs.filter(in_batch_a | in_batch_b), prior
+    )
+
+
 @register("dedup_duplicate_clusters_star", _dup_clusters_oracle())
 def dedup_duplicate_clusters_star(spark, sf_dir):
     """Same connected-components contract as dedup_duplicate_clusters

@@ -95,8 +95,9 @@ def main() -> None:
             f"jobs {best['jobs']:3d}  plan {best['plan_chars'] / 1000:.0f}k"
         )
         if plans_tag:
-            os.makedirs("plans/r15", exist_ok=True)
-            with open(f"plans/r15/{name}_{plans_tag}.txt", "w") as f:
+            rdir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "plans/r16")
+            os.makedirs(rdir, exist_ok=True)
+            with open(f"{rdir}/{name}_{plans_tag}.txt", "w") as f:
                 f.write(best_plan)
     spark.stop()
 

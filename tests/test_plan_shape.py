@@ -1112,3 +1112,24 @@ def test_interval_overlap_join_never_nested_loop(spark):
     assert plan.count("events.parquet") == 2, plan
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 2, plan
+
+
+def test_repetition_signals_exchange_free_on_well_split_input(spark):
+    """ADVICE r15: the `<= 1` Exchange allowance in
+    test_repetition_signals_map_only exists only for the guarded
+    fan-out of an under-split scan.  On an input that already carries
+    a partitioning (the at-scale shape: thousands of scan splits),
+    the guard must be a passthrough and the operator itself must add
+    ZERO exchanges -- asserted exactly, so an unintended exchange can
+    never hide inside the allowance."""
+    from pyspark.sql import functions as F
+
+    from dbt_metrics_ingestion_script_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pre = docs.repartition(4, F.col("doc_id"))
+    plan = plan_of(T.repetition_signals(pre), "simple")
+    # exactly the one repartition WE added -- the operator added none
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
