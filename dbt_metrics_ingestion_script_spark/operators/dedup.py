@@ -1224,10 +1224,10 @@ def _star_round(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """One large-star + small-star round over a canonical (x<y,
     distinct) edge frame.  Returns (stats, small):
 
-    - stats: ONE groupBy over the symmetric edge view serving BOTH the
-      convergence probe and the large-star min computation -- per node
-      u, its neighborhood min (__mv), degree (__n), and whether u ever
-      appears as a child / y side (__ic).
+    - stats: the symmetric edge view with per-node window aggregates
+      serving BOTH the convergence probe and the large-star min
+      computation -- per node u, its neighborhood min (__mv), degree
+      (__n), and whether u ever appears as a child / y side (__ic).
     - small: the next canonical edge set after large-star (neighbors
       above u re-point at u's local min; emitted directly in the
       (child=v, parent=m) orientation small-star consumes, m < v by
@@ -1235,16 +1235,25 @@ def _star_round(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
       by small-star (u's parents, all < u, re-point at their min; the
       round's single distinct lives here).
 
-    small-star is a WINDOW pass, not a groupBy+self-join: per node u
-    the parent-min rides min(v) over (partition by u), and each row
-    then emits both small-star edges ((parent, min) and (u, min)) via a
-    2-element explode, deduped by the canonical distinct.  With the
-    join formulation the large-star frame was referenced three times
-    (join left, min aggregate, union branch) and recomputed three times
-    per round unless separately persisted; the window formulation
-    references every subtree exactly once, so a round is 4 shuffles
-    flat (stats groupBy, the directed-view join, the small-star window,
-    the canonical distinct) -- locked by test_plan_shape.
+    BOTH star passes are WINDOW passes over their own single exchange
+    (r16; large-star was a groupBy + join-back until this round): the
+    per-node neighborhood min/degree/child-flag ride unbounded window
+    aggregates over (partition by u), so the large-star emission
+    (rows with v > u -> (v, least(__mv, u))) reads the SAME exchange
+    the probe aggregates ride -- the old shape planned a separate
+    groupBy exchange PLUS a SortMergeJoin back onto a second
+    sym-by-u exchange (predicate pushdown rewrote the join's left
+    side, so the two exchanges could never be reused).  A round is
+    now 3 shuffles flat (the sym window, the small-star window, the
+    canonical distinct), down from 4 + a join -- locked by
+    test_plan_shape.  Equivalence: window min/count/max over
+    (partition by u) compute exactly the old groupBy aggregates,
+    attached to every sym row instead of one row per node; the v > u
+    filter then selects the identical (v, m) pairs the join produced.
+    At-scale bytes: the old partial-aggregated stats exchange barely
+    reduced rows (near-dup graphs have ~2 rows per node, so partials
+    ~= rows) and the join's second sym exchange is GONE -- net bytes
+    flat-to-lower at every scale.
 
     Module-level so plan-shape tests can lock the per-round shuffle
     count without running the loop.
@@ -1258,17 +1267,16 @@ def _star_round(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("y").alias("u"), F.col("x").alias("v"), F.lit(1).alias("ic")
         )
     )
-    stats = sym.groupBy("u").agg(
-        F.min("v").alias("__mv"),
-        F.count("*").alias("__n"),
-        F.max("ic").alias("__ic"),
+    w = Window.partitionBy("u")
+    stats = sym.select(
+        "u",
+        "v",
+        F.min("v").over(w).alias("__mv"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.max("ic").over(w).alias("__ic"),
     )
-    mins = stats.select("u", F.least("__mv", "u").alias("m"))
-    oriented = (
-        sym.drop("ic")
-        .join(mins, "u")
-        .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    oriented = stats.filter(F.col("v") > F.col("u")).select(
+        F.col("v").alias("u"), F.least("__mv", F.col("u")).alias("v")
     )
     pre = oriented.withColumn("m", F.min("v").over(Window.partitionBy("u")))
     small = (

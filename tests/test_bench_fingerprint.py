@@ -8,6 +8,8 @@ unchanged vs the committed PLANAUDIT row."""
 
 from __future__ import annotations
 
+import pytest
+
 import importlib.util
 import pathlib
 
@@ -20,6 +22,7 @@ _SPEC.loader.exec_module(bench)
 AUDIT_SF = "/root/testdata/sf0.01"
 
 
+@pytest.mark.slow
 def test_fabricated_semantic_suspect_adjudicates_transient(spark):
     import __spark_entry__ as E
 

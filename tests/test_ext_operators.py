@@ -477,6 +477,7 @@ def test_duplicate_clusters_collapse_chains(spark):
     assert got == {3: 3, 10: 3, 20: 3, 50: 50, 60: 50, 70: 70, 71: 70, 80: 70}
 
 
+@pytest.mark.slow
 def test_duplicate_clusters_exhaustion_falls_back_to_star(spark):
     """ADVICE r2 b + VERDICT r4 item 2: exhausting max_iter with labels
     still moving must never return silently-wrong split clusters.  The
@@ -548,6 +549,7 @@ def test_duplicate_clusters_star_matches_label_propagation(spark, sf_dir):
     assert got == want and got
 
 
+@pytest.mark.slow
 def test_duplicate_clusters_star_handles_deep_chains(spark):
     """A 60-node chain (diameter 59) exceeds label propagation's default
     iteration budget but star-contraction needs only O(log n) rounds:
@@ -2093,6 +2095,7 @@ def test_fuzzy_blocked_pairs_within_block_distances(spark):
     assert got == {(1, 2): 1}  # blocking trades away the (1,4) match
 
 
+@pytest.mark.slow
 def test_fuzzy_blocked_pairs_length_band_never_drops_valid(spark):
     # every pair the unpruned formulation finds survives the length
     # band: |len diff| <= max_dist is implied by dist <= max_dist
@@ -2794,6 +2797,7 @@ def _crafted_bpe_corpus():
     return docs
 
 
+@pytest.mark.slow
 def test_bpe_encode_500_rules_staged_vocab(spark):
     """VERDICT r7 item 3b: a 500-rule tokenizer -- far past the point
     where one chained fold expression breaks Janino -- encodes via the
@@ -3053,6 +3057,7 @@ def test_ann_probe_sweep_monotone_and_ends_at_one(spark, sf_dir):
     assert recalls[-1] == 1.0
     assert all(r["n_exact"] == 10 for r in rows)
 
+@pytest.mark.slow
 def test_ivf_pq_batch_topk_matches_single_query_path(spark, sf_dir):
     """The batch serving plan must return, per query_id, EXACTLY the
     rows the single-query ivf_pq_topk returns for that vector (same
@@ -3291,6 +3296,7 @@ def test_interval_overlap_join_semantics(spark):
         )
 
 
+@pytest.mark.slow
 def test_interval_overlap_join_randomized_vs_bruteforce(spark):
     """Canonical-bucket dedup proof, randomized: 200x120 random
     microsecond intervals (fixed seed; lengths from sub-bucket to
@@ -3687,6 +3693,7 @@ def test_interval_overlap_join_stream_keyed_mode(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_interval_overlap_stream_cap_is_bucket_span_exact(spark, tmp_path):
     """ADVICE r13: the stream's length cap is expressed in BUCKET-SPAN
     terms -- the exact filter interval_overlap_join's max_span_buckets

@@ -11,6 +11,8 @@ from __future__ import annotations
 import hashlib
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dbt_metrics_ingestion_script_spark.operators import similarity
@@ -42,6 +44,7 @@ def _part(spark, base_path: str, name: str):
     )
 
 
+@pytest.mark.slow
 def test_upsert_appends_without_rewriting_base_files(
     spark, sf_dir, tmp_path
 ):

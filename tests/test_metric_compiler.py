@@ -19,6 +19,7 @@ DEMOTED = sorted(n for n, qd in q.REGISTRY.items() if not qd.driver and qd.oracl
 
 
 @pytest.mark.parametrize("name", ORACLE_BACKED)
+@pytest.mark.slow
 def test_query_matches_oracle(spark, sf_dir, name):
     df = q.REGISTRY[name].fn(spark, sf_dir)
     assert_matches_oracle(df, q.REGISTRY[name].oracle, sf_dir)
@@ -92,6 +93,7 @@ _KEYS = ["2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01"]
     a_keys=st.sets(st.sampled_from(_KEYS), min_size=1),
     b_keys=st.sets(st.sampled_from(_KEYS), min_size=1),
 )
+@pytest.mark.slow
 def test_derived_disjoint_keys_null_policy(spark, a_keys, b_keys):
     """Derived metrics FULL-join their inputs: output keys = union of
     input keys, value NULL wherever a referenced input has no bucket
@@ -580,6 +582,7 @@ def test_derived_join_path_multi_coarse_incomparable_dims(spark):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
+@pytest.mark.slow
 def test_derived_fusion_equivalence_random(spark, data):
     """Randomized differential for BOTH fusion tiers: arbitrary method /
     filter combinations compiled fused must match the forced FULL-join

@@ -112,6 +112,7 @@ def test_oracle_has_no_hugeint(duck, name):
 
 
 @pytest.mark.parametrize("name", _WITH_ORACLE)
+@pytest.mark.slow
 def test_oracle_types_match_spark(duck, spark, name):
     qd = _q.REGISTRY[name]
     o_schema = dict(_oracle_schema(duck, qd.oracle))

@@ -78,6 +78,7 @@ def test_sketch_self_join_reuses_exchange(spark):
     assert "ReusedExchange" in plan, plan
 
 
+@pytest.mark.slow
 def test_no_python_eval_in_hot_paths(spark):
     """Zero row-level Python in ANY registered plan (SCALE.md UDF
     policy): no BatchEvalPython (pickled row UDF) anywhere; Arrow-batch
@@ -162,12 +163,15 @@ def test_sessionization_single_shuffle(spark):
     assert plan.count("HashAggregate") == 2  # partial + final
 
 
-def test_star_round_four_shuffles_no_rescan(spark):
-    """One large-star/small-star round is 4 data Exchanges flat -- the
-    fused probe/min stats groupBy, the directed-view join, the
-    small-star window, the canonical distinct -- with every subtree
-    referenced exactly once (the join formulation recomputed the
-    large-star frame three times per round) and no Python evaluation."""
+def test_star_round_three_shuffles_no_rescan(spark):
+    """One large-star/small-star round is 3 data Exchanges flat (r16;
+    was 4 + a SortMergeJoin) -- the fused probe/large-star sym window,
+    the small-star window, the canonical distinct -- with every
+    subtree referenced exactly once and no join at all: the per-node
+    neighborhood aggregates ride window functions over the SAME
+    exchange the large-star emission reads, where the old groupBy +
+    join-back shape paid a second sym exchange that predicate
+    pushdown made structurally un-reusable."""
     from dbt_metrics_ingestion_script_spark.operators.dedup import _star_round
 
     edges = spark.createDataFrame(
@@ -175,14 +179,13 @@ def test_star_round_four_shuffles_no_rescan(spark):
     )
     stats, small = _star_round(edges)
     plan = plan_of(small, "simple")
-    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 4, plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 3, plan
     assert "BatchEvalPython" not in plan
-    # window formulation: the large-star output feeds ONE window, never
-    # a self-join; the edge RDD is scanned by the two sym branches in
-    # the stats subtree and the two in the join subtree, no more
-    assert plan.count("Scan ExistingRDD") == 4, plan
+    assert "Join" not in plan, plan
+    # the edge RDD is scanned exactly by the two sym union branches
+    assert plan.count("Scan ExistingRDD") == 2, plan
     stats_plan = plan_of(stats, "simple")
-    # the probe rides the round's own aggregate: one shuffle, partial+final
+    # the probe rides the round's own sym window: one shuffle
     assert stats_plan.count("Exchange") == 1
 
 

@@ -248,6 +248,7 @@ def test_stateful_streaming_dedup_first_wins(spark, events_dir):
     assert len(rows) == len(expected)  # each hash emitted exactly once
 
 
+@pytest.mark.slow
 def test_stateful_dedup_ttl_survives_duplicates(spark, tmp_path):
     """A duplicate arrival must NOT disarm the state TTL: Spark clears a
     group's timeout on every state-function invocation, so the function
@@ -857,6 +858,7 @@ def test_streaming_embedding_dedup_converges_to_batch(spark, sf_dir, tmp_path):
     assert got == expected and len(expected) > 0
 
 
+@pytest.mark.slow
 def test_stream_stream_join_state_across_micro_batches(spark, tmp_path):
     """Stream-stream join must hold VIEW-side state across micro-batches:
     a view in batch 0 pairs with a purchase arriving in batch 1 (within
@@ -1162,6 +1164,7 @@ def test_snapshot_swap_is_crash_recoverable(tmp_path):
     assert os.path.exists(os.path.join(cur, "gen2"))
 
 
+@pytest.mark.slow
 def test_streaming_semantic_ingestion_converges_to_batch(spark, tmp_path, sf_dir):
     """End-to-end streaming semantic ingestion (VERDICT r7 item 7):
     TWO micro-batches of embedding ARRIVALS (not pre-built pairs) drive

@@ -12,6 +12,8 @@ inside foreachBatch:
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -107,6 +109,7 @@ def test_stream_serve_prunes_partitions_per_batch(spark, sf_dir, tmp_path):
     assert set(per_q.values()) == {5}
 
 
+@pytest.mark.slow
 def test_stream_ingest_equals_batch_upsert(spark, sf_dir, tmp_path):
     """Streaming index maintenance (stream_ingest_ivf_pq): draining the
     ingest batch through MULTIPLE micro-batches must produce exactly

@@ -12,6 +12,8 @@ semantics against random None/''/value chains.
 
 from __future__ import annotations
 
+import pytest
+
 from functools import reduce
 
 from hypothesis import HealthCheck, given, settings
@@ -37,6 +39,7 @@ field = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(st.lists(field, min_size=1, max_size=4))
+@pytest.mark.slow
 def test_coalesce_nonempty_matches_python_or(spark, chain):
     expected = reduce(lambda a, b: a or b, chain)
     # Python-or returns the LAST falsy value when all are falsy ('' or

@@ -12,6 +12,8 @@ with the Spark plan beyond the definition.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from hypothesis import HealthCheck, given, settings
@@ -94,6 +96,7 @@ def _spark_extents(spark, docs: dict[int, str], n: int):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(st.lists(doc_text, min_size=2, max_size=5), st.integers(2, 4))
+@pytest.mark.slow
 def test_extents_match_brute_force(spark, texts, n):
     docs = {i: t for i, t in enumerate(texts) if t}
     if len(docs) < 2:
@@ -107,6 +110,7 @@ def test_extents_match_brute_force(spark, texts, n):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(st.lists(doc_text, min_size=2, max_size=4), st.integers(2, 3))
+@pytest.mark.slow
 def test_clean_matches_brute_force(spark, texts, n):
     docs = {i: t for i, t in enumerate(texts) if t}
     if len(docs) < 2:

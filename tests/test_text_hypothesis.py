@@ -62,6 +62,7 @@ def _norm(v):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=corpora)
+@pytest.mark.slow
 def test_text_ops_agree_on_adversarial_corpora(spark, tmp_path_factory, texts):
     q.queries()
     tmpdir = str(tmp_path_factory.mktemp("hyptext"))
@@ -137,6 +138,7 @@ CORPUS_QUERIES = [
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=corpora)
+@pytest.mark.slow
 def test_corpus_ops_agree_on_adversarial_corpora(spark, tmp_path_factory, texts):
     """Same adversarial-corpus differential harness for the corpus
     preparation queries (decontaminate / sample / chunk / pack), with
@@ -170,6 +172,7 @@ def test_corpus_ops_agree_on_adversarial_corpora(spark, tmp_path_factory, texts)
         assert ns == no, f"{name} diverged on {texts!r}:\n{ns}\nvs\n{no}"
 
 
+@pytest.mark.slow
 def test_duplicate_clusters_chain_corpus_matches_oracle(spark, tmp_path_factory):
     """Three documents where A~B and B~C overlap enough for Jaccard>=0.2
     but A and C don't: the recursive-CTE oracle and the iterative Spark
@@ -194,6 +197,7 @@ def test_duplicate_clusters_chain_corpus_matches_oracle(spark, tmp_path_factory)
             assert min(labels) == min(d for d, _ in s_rows)
 
 
+@pytest.mark.slow
 def test_corpus_ops_agree_on_null_rows(spark, tmp_path_factory):
     """NULL text / NULL lang rows: every corpus query must agree with
     its oracle on whether the row survives (the NULL-concat and
@@ -238,6 +242,7 @@ def test_corpus_ops_agree_on_null_rows(spark, tmp_path_factory):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_sessionization_agrees_on_random_events(spark, tmp_path_factory, deltas):
     """Random users/offsets/micros (including duplicate timestamps and
     gaps straddling the 30-min boundary) through BOTH engines."""
@@ -362,6 +367,7 @@ def _diff_event_query(spark, tmpdir: str, name: str) -> None:
         max_size=20,
     ),
 )
+@pytest.mark.slow
 def test_event_analytics_agree_on_random_events(
     spark, tmp_path_factory, events, orders
 ):
@@ -397,6 +403,7 @@ def test_event_analytics_agree_on_random_events(
         _diff_event_query(spark, tmpdir, name)
 
 
+@pytest.mark.slow
 def test_event_analytics_agree_on_null_timestamps(spark, tmp_path_factory):
     """NULL event timestamps and NULL order dates through both engines:
     the funnel drops them on both sides, cohort retention excludes them
