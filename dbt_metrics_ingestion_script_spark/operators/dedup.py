@@ -1318,8 +1318,9 @@ def duplicate_clusters_star(
     shallow (label propagation wins on constant factors there -- fewer
     jobs per round); chain-shaped graphs (transcription drift, shingled
     chunk overlaps, id-remap chains) are where this one is the only
-    shape that finishes.  Each round is two groupBy+join passes over the
-    EDGE frame only; lineage is truncated by periodic localCheckpoint
+    shape that finishes.  Each round is two window passes plus one
+    distinct over the EDGE frame only (3 shuffles, r16 -- see
+    `_star_round`); lineage is truncated by periodic localCheckpoint
     exactly as in the label version.
 
     large-star(u): for every neighbor v > u, re-point v at
@@ -1338,7 +1339,7 @@ def duplicate_clusters_star(
     node both appears as a child (y side) and carries any second edge.
     Near-dup pair graphs are mostly disjoint pairs/stars already, so
     the common case converges after zero or one round and the probe
-    (one groupBy over the edge frame) is what makes that cheap.
+    (one window pass over the edge frame) is what makes that cheap.
 
     Within a round, the large-star stage skips its dedup: its output is
     one (child, parent) row per directed edge, so |large| <= 2|edges|
